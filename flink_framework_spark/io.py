@@ -1,0 +1,69 @@
+"""Table loaders for the test lake.
+
+The reference registers each typed stream ("subject") in a registry
+and materializes it as a Kafka topic (SURVEY.md §1.1 [R]); here a
+subject is simply a parquet table with a fixed schema, loaded lazily
+so Catalyst sees the scan and can push filters/prune columns into it.
+
+``load_events`` hides the one physical quirk of the fixtures: the
+``ts`` column is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
+a Catalyst type. We read it as a raw long (``nanosAsLong``) and
+rebuild a TIMESTAMP_NTZ with integer division (``div 1000`` — never
+float division, which would lose precision at 1.7e18 ns) followed by
+``convert_timezone('UTC', timestamp_micros(..))`` so the wall-clock
+value is identical to DuckDB's ns→µs truncation *regardless of the
+session timezone*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.session import configure_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Make events.ts a TIMESTAMP_NTZ at µs precision, tz-independently."""
+    dtype = df.schema["ts"].dataType.simpleString()
+    if dtype in ("bigint", "long"):
+        # ns since epoch -> µs (truncating, like DuckDB) -> naive UTC.
+        return df.withColumn(
+            "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+        )
+    if dtype == "timestamp":
+        # UTC-adjusted parquet timestamp: render in UTC as naive.
+        return df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+    return df  # already timestamp_ntz
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; events gets its timestamp normalized."""
+    if name == "events":
+        configure_session(spark)  # driver sessions may lack nanosAsLong
+        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = False
+) -> dict[str, DataFrame]:
+    """Load every table; optionally register temp views for SQL entry."""
+    dfs = {t: table(spark, sf_dir, t) for t in TABLES}
+    if register_views:
+        for t, df in dfs.items():
+            df.createOrReplaceTempView(t)
+    return dfs

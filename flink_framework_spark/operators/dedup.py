@@ -1,0 +1,182 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2
+K1/K2): exact, MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+
+Scale design: every path avoids the all-pairs cross join. Exact dedup
+is a hash groupBy; MinHash/LSH and SimHash generate *candidate pairs*
+via equi-joins on banded signatures / hash prefixes (shuffle on the
+band key, linear in corpus size + output pairs); n-gram Jaccard is the
+verification kernel applied only to candidates (or to an explicit
+blocking key at small scale).
+
+MinHash here is expressed with JVM-side expressions only: shingles via
+``transform`` over a token array, per-shingle hashes via ``xxhash64``
+with per-permutation seeds, signature minima via ``array_min`` — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """The canonical form exact dedup hashes: trimmed, lower-cased."""
+    return F.lower(F.trim(col))
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup stats: total docs vs distinct normalized
+    md5 fingerprints (K1)."""
+    fp = F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (token sets
+    saturate on small vocabularies — SURVEY.md §5.3 — so shingle)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.array_distinct(
+        F.when(count > 0, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM expressions."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature
+    become a candidate pair (doc_a < doc_b).
+
+    Plan shape: explode to ``bands`` rows per doc, equi-join on
+    (band_id, band_hash) — linear work + one shuffle; no cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    left = banded.select(
+        F.col("__id").alias("doc_a"), "band", "bucket"
+    )
+    right = banded.select(F.col("__id").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard."""
+    sh = df.select(
+        F.col(id_col).alias("__jid"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    a = sh.select(F.col("__jid").alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("__jid").alias("doc_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full MinHash near-dedup: LSH candidates -> exact Jaccard filter."""
+    cands = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
+    return jaccard_pairs(df, cands, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(shingle_col: Column) -> Column:
+    """64-bit SimHash of a shingle set, built from per-bit majority
+    votes over xxhash64 shingle hashes (JVM expressions only).
+
+    For each bit b: sum over shingles of (+1 if bit set else -1); the
+    fingerprint sets bit b when the sum is positive. Near-dups then
+    differ in few bits; candidate generation joins on rotated prefix
+    blocks (pigeonhole over Hamming distance).
+    """
+    h = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    mask = lambda b: F.shiftleft(F.lit(1).cast("long"), b)  # noqa: E731
+    bit = lambda b: F.aggregate(  # noqa: E731
+        h,
+        F.lit(0),
+        lambda acc, x: acc + F.when(x.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(bit(b) > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+    return out

@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns (SURVEY.md §2 K3).
+
+Two paths, same per-pair kernel (``functions.helpers.cosine_sim``, a
+JVM higher-order-function fold in double precision):
+
+- ``brute_force_topk``: exact top-k by scoring every (query, corpus)
+  pair. The small query side is broadcast, so the plan is a broadcast
+  nested-loop with no shuffle of the corpus — correct baseline, O(Q·N).
+- ``bucketed_topk``: the scale path — restrict candidates to a
+  precomputed coarse bucket (IVF-style cell id: here any integer
+  column, e.g. a k-means cluster id computed offline; the fixtures'
+  ``label`` column plays that role). Candidate generation becomes an
+  equi-join on the bucket id — shuffle-partitioned, skew-handled by
+  AQE — and scoring cost drops by the bucket fan-out factor. At 100 TB
+  this is the difference between an impossible cross join and a
+  bounded per-cell scan; recall depends on bucket quality, which is
+  why the exact path stays as the verification baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import cosine_sim, round_duck, to_double_array
+
+
+def _score_and_rank(
+    pairs: DataFrame, k: int, query_id: str, neighbor_id: str
+) -> DataFrame:
+    cos = cosine_sim(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.col(neighbor_id))
+    return (
+        pairs.withColumn("__cos", cos)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id,
+            neighbor_id,
+            round_duck("__cos", 4).alias("cosim"),
+            "rn",
+        )
+    )
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
+          extra: list[str] | None = None) -> DataFrame:
+    cols = [F.col(id_col).alias(out_id), to_double_array(vec_col).alias(out_vec)]
+    cols += [F.col(c) for c in (extra or [])]
+    return df.select(*cols)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set over the
+    corpus. Output: query_id, neighbor_id, cosim (rounded 4), rn."""
+    q = _prep(queries, id_col, vec_col, "query_id", "__qv")
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    return _score_and_rank(pairs, k, "query_id", "neighbor_id")
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k searching only the query's coarse bucket
+    (IVF cell / LSH bucket). Equi-join on the bucket id keeps the
+    candidate set per query bounded."""
+    q = _prep(queries, id_col, vec_col, "query_id", "__qv", [bucket_col]).withColumnRenamed(
+        bucket_col, "__qb"
+    )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "__cv", [bucket_col]).withColumnRenamed(
+        bucket_col, "__cb"
+    )
+    pairs = q.join(
+        c,
+        (F.col("__qb") == F.col("__cb"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    return _score_and_rank(pairs, k, "query_id", "neighbor_id")

@@ -1,0 +1,86 @@
+"""Shared logical expressions for the streaming operators.
+
+Each function takes a DataFrame that may come from ``spark.read`` OR
+``spark.readStream`` and applies the identical transformation — this
+is how the engine guarantees batch/stream equivalence (property-tested
+in the suite): one logical definition, two execution modes, exactly
+the Flink model of "batch is a bounded stream" (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import fmt_ts, round_duck
+
+
+def hourly_tumble(events: DataFrame) -> DataFrame:
+    """1-hour tumbling event-time windows per event type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+        .select(fmt_ts("w.start").alias("wstart"), "event_type", "n", "sumv")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (4 windows per event)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+        .select(fmt_ts("w.start").alias("wstart"), "n", "sumv")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Per (user, 30-min-gap session): event count and ms duration.
+
+    Duration is DuckDB ``date_diff('millisecond', ...)`` semantics:
+    truncate each endpoint to the millisecond, then subtract."""
+    trunc_ms = lambda c: F.date_trunc("millisecond", c)  # noqa: E731
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+        .select(
+            "user_id",
+            "n_ev",
+            (
+                F.expr(
+                    "timestampdiff(MICROSECOND, date_trunc('MILLISECOND', mn),"
+                    " date_trunc('MILLISECOND', mx))"
+                )
+                / F.lit(1000)
+            )
+            .cast("long")
+            .alias("dur_ms"),
+        )
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Roll session windows up to per-user stats (q_stream_session)."""
+    sess = session_windows(events)
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("dur_ms").alias("max_dur_ms"),
+    )
+
+
+def stream_dedup(events: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Dedup on keys; in streaming mode pair with withWatermark so
+    state stays bounded (streaming.twins does)."""
+    return events.select(*keys).dropDuplicates(list(keys))

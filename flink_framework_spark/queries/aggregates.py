@@ -1,0 +1,210 @@
+"""D. Aggregations — the reference's ``keyBy().aggregate()`` surface
+(SURVEY.md §2 D1-D12 [F]) as hash aggregates.
+
+Catalyst plans every ``groupBy().agg`` as partial (map-side) + final
+aggregation automatically, so these scale without explicit combiners.
+Oracle SQL carries explicit BIGINT casts wherever DuckDB would widen
+to HUGEINT (SUM of integers) so value types match Spark's longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import round_duck
+from flink_framework_spark.io import table
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_agg_pricing",
+    family="D",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: multi-agg grouped hash aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        round_duck(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_duck(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        round_duck(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+        round_duck(F.avg("l_quantity"), 4).alias("avg_qty"),
+        round_duck(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    family="D",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count per group (expand + two-phase agg under the hood)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    family="D",
+    oracle="""
+SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_cust
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total)."""
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    joined = cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey).join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("c_custkey").alias("n_cust")
+    )
+
+
+@register(
+    "q_agg_cube",
+    family="D",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    od = table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_duck(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    family="D",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the native DataFrame API (Spark 4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_agg_filtered",
+    family="D",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE value > 100) AS n_big,
+       ROUND(SUM(value) FILTER (WHERE value > 100), 2) AS sum_big
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER'd) aggregates."""
+    ev = table(spark, sf_dir, "events")
+    big = F.col("value") > 100
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(big, 1)).alias("n_big"),
+        round_duck(F.sum(F.when(big, F.col("value"))), 2).alias("sum_big"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    family="D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd,
+       ROUND(VAR_SAMP(l_extendedprice), 2) AS var,
+       ROUND(AVG(l_extendedprice), 2) AS mean,
+       MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_duck(F.stddev_samp("l_extendedprice"), 2).alias("sd"),
+        round_duck(F.var_samp("l_extendedprice"), 2).alias("var"),
+        round_duck(F.avg("l_extendedprice"), 2).alias("mean"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    family="D",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+FROM events GROUP BY user_id
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-set per group, stringified for stable hashing."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        )
+    )
+
+
+@register(
+    "q_agg_median",
+    family="D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.9), 2) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approx twin (D11) is property-
+    tested in the suite since approx sketches differ by design."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_duck(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
+        round_duck(F.percentile("l_quantity", 0.9), 2).alias("p90_qty"),
+    )

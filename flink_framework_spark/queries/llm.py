@@ -1,0 +1,105 @@
+"""K. LLM-data-pipeline operators (SURVEY.md §2 K1-K6): dedup,
+similarity search, and text analysis over the documents/embeddings
+tables. These are first-class engine components — the operators live
+in ``operators.dedup`` / ``operators.similarity`` / ``operators.text``;
+the queries here are their oracle-checked spellings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import round_duck
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.dedup import exact_dedup_stats
+from flink_framework_spark.operators.similarity import brute_force_topk, bucketed_topk
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_dedup_exact",
+    family="K",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique
+FROM documents
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text md5 (K1). Negative control on
+    the fixtures: no exact dups exist at sf0.01 (SURVEY.md §5.3)."""
+    return exact_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_sim_topk",
+    family="K",
+    oracle="""
+SELECT query_id, neighbor_id, cosim, rn FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS cosim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.vec_id) t
+WHERE rn <= 5
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN, 10 queries x corpus, top-5 (K3 baseline).
+    All math in double; ordering on the raw score with vec_id
+    tiebreak; rounding only on output (SURVEY.md §5.3)."""
+    em = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+@register(
+    "q_sim_topk_bucketed",
+    family="K",
+    oracle="""
+SELECT query_id, neighbor_id, cosim, rn FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS cosim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label = q.label) t
+WHERE rn <= 5
+""",
+)
+def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate kNN (K3 scale path): candidates restricted
+    to the query's coarse bucket (the ``label`` column stands in for an
+    offline k-means cell id). Equi-join on the bucket replaces the
+    cross join — this is the plan that survives 100 TB."""
+    em = table(spark, sf_dir, "embeddings")
+    return bucketed_topk(
+        em.filter(F.col("vec_id") < 10), em, k=5, bucket_col="label"
+    )
+
+
+@register(
+    "q_text_stats",
+    family="K",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_words
+FROM documents GROUP BY lang
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (K4)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round_duck(F.avg("n_chars"), 2).alias("avg_chars"),
+        round_duck(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias("avg_words"),
+    )

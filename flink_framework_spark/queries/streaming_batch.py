@@ -1,0 +1,176 @@
+"""I. Streaming operators, batch-checkable form (SURVEY.md §2 I1-I8).
+
+These are the reference's core identity: event-time windows, session
+gaps, watermarks, dedup, funnels. Spark's ``window``/``session_window``
+expressions evaluate identically over a batch DataFrame and a
+``readStream`` DataFrame, so each query here shares its logical
+expression with the true streaming twin in ``streaming.twins`` (the
+oracle can only check the batch side; the stream side is
+property-tested batch==stream in the suite).
+
+The shared logical ops live in ``operators.streaming_ops``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.streaming_ops import (
+    hourly_tumble,
+    session_stats,
+    sliding_counts,
+    stream_dedup,
+)
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_stream_tumble",
+    family="I",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sumv
+FROM events GROUP BY wstart, event_type
+""",
+)
+def q_stream_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate (Flink
+    TumblingEventTimeWindows ≡ Spark ``window(ts, '1 hour')``)."""
+    return hourly_tumble(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_slide",
+    family="I",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                - to_minutes(15 * CAST(r.range AS INT)),
+                '%Y-%m-%d %H:%M:%S') AS wstart,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sumv
+FROM events, range(4) r
+GROUP BY wstart
+""",
+)
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window aggregate (1h window, 15m slide — each event
+    lands in exactly 4 windows)."""
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_session",
+    family="I",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m),
+sess AS (
+  SELECT user_id, sid, COUNT(*) AS n_ev,
+         date_diff('millisecond', MIN(ts), MAX(ts)) AS dur_ms
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
+FROM sess GROUP BY user_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) + per-user session stats.
+
+    Boundary semantics: a gap >= 30min starts a NEW session (both
+    engines, SURVEY.md §5.3). Durations are millisecond *boundary*
+    diffs (DuckDB date_diff), i.e. truncate-each-then-subtract — the
+    fixtures carry sub-millisecond timestamps, so truncating the
+    difference instead would be off by one."""
+    return session_stats(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_stream_dedup",
+    family="I",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup's batch twin (dropDuplicates)."""
+    return stream_dedup(table(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+@register(
+    "q_stream_late",
+    family="I",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_late FROM (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY ts + to_minutes(CAST(3 * (event_id % 10) AS INT)),
+                       event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events) t
+WHERE wm IS NOT NULL AND ts < wm - INTERVAL '10 minutes'
+GROUP BY event_type
+""",
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark / late-data emulation (I4).
+
+    events.ts is fully sorted by event_id (no natural disorder), so
+    arrival order is deterministically jittered by 3*(event_id%10)
+    minutes; the running max of event time over already-arrived rows
+    is the watermark, and rows more than 10 minutes behind it are
+    'late' — exactly what ``withWatermark('ts','10 minutes')`` drops
+    in the streaming twin. The global ordered window mirrors the fact
+    that a watermark is a single global monotone bound."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "arrival", F.col("ts") + F.expr("make_dt_interval(0, 0, CAST(3*(event_id % 10) AS INT), 0)")
+    )
+    w = (
+        Window.orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.withColumn("wm", F.max("ts").over(w)).filter(
+        F.col("wm").isNotNull()
+        & (F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    return late.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_late"))
+
+
+@register(
+    "q_funnel",
+    family="I",
+    oracle="""
+SELECT COUNT(DISTINCT e1.user_id) AS n_users
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_type = 'view' AND e2.event_type = 'purchase'
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL '30 minutes'
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful CEP pattern (I8): users with a
+    view->purchase conversion within 30 minutes. The streaming twin
+    keeps per-user state (streaming.stateful)."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        views.join(
+            buys,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .agg(F.countDistinct("v_user").alias("n_users"))
+    )

@@ -1,0 +1,129 @@
+"""J. UDF / UDAF / grouped-map surface (SURVEY.md §2 J1-J4).
+
+The reference's entire job surface is user code over streams (Scala
+map/flatMap/process functions [R]); PySpark's tiers are demonstrated
+here deliberately — one row-at-a-time UDF (J1, the slow path, kept off
+hot paths everywhere else), Arrow-vectorized pandas UDFs (J2/J4), and
+a grouped-map applyInPandas (J3). Oracles inline the same logic as SQL.
+
+UDFs are created inside the query functions (PySpark requires an
+active session to resolve DDL return types).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from flink_framework_spark.functions.helpers import round_duck
+from flink_framework_spark.io import table
+from flink_framework_spark.registry import register
+
+
+def _bucket(revenue: float) -> str:
+    if revenue > 50000:
+        return "high"
+    if revenue > 20000:
+        return "mid"
+    return "low"
+
+
+@register(
+    "q_udf_python",
+    family="J",
+    oracle="""
+SELECT bucket, COUNT(*) AS n FROM (
+  SELECT CASE WHEN l_extendedprice * (1 - l_discount) > 50000 THEN 'high'
+              WHEN l_extendedprice * (1 - l_discount) > 20000 THEN 'mid'
+              ELSE 'low' END AS bucket
+  FROM lineitem) t
+GROUP BY bucket
+""",
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (J1). The revenue arithmetic stays
+    JVM-side; only the bucketing crosses into Python."""
+    bucket_udf = F.udf(_bucket, StringType())
+    li = table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        li.select(rev)
+        .select(bucket_udf("revenue").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_udf_pandas",
+    family="J",
+    oracle="""
+SELECT event_id, ROUND((value - 250.0) / 100.0, 4) AS zvalue FROM events
+""",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas UDF (J2); final ROUND runs
+    JVM-side so rounding semantics match the oracle exactly."""
+
+    @F.pandas_udf(DoubleType())
+    def zscale(value: pd.Series) -> pd.Series:
+        return (value - 250.0) / 100.0
+
+    ev = table(spark, sf_dir, "events")
+    return ev.select("event_id", round_duck(zscale("value"), 4).alias("zvalue"))
+
+
+def _demean(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf[["user_id"]].copy()
+    out["dev"] = pdf["value"] - pdf["value"].mean()
+    return out
+
+
+@register(
+    "q_udf_grouped_map",
+    family="J",
+    oracle="""
+SELECT user_id, ROUND(SUM(POW(value - avgv, 2)), 2) AS ss FROM (
+  SELECT user_id, value,
+         AVG(value) OVER (PARTITION BY user_id) AS avgv
+  FROM events) t
+GROUP BY user_id
+""",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (J3): demean per user in pandas, then
+    aggregate the squared deviations JVM-side."""
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    deviations = ev.groupBy("user_id").applyInPandas(
+        _demean, schema="user_id long, dev double"
+    )
+    return deviations.groupBy("user_id").agg(
+        round_duck(F.sum(F.col("dev") * F.col("dev")), 2).alias("ss")
+    )
+
+
+@register(
+    "q_udaf_geomean",
+    family="J",
+    oracle="""
+SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS gmean
+FROM events GROUP BY event_type
+""",
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF as a grouped-agg pandas UDF (J4): geometric mean
+    (exp∘avg∘ln — LN-safe, fixture values are strictly positive)."""
+
+    @F.pandas_udf(DoubleType())
+    def geomean(value: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(value.to_numpy()).mean()))
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round_duck(geomean("value"), 4).alias("gmean")
+    )

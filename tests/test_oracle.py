@@ -1,0 +1,37 @@
+"""Every registered query vs its DuckDB oracle (driver-t2 replica)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_framework_spark.registry import all_queries
+from tests.harness import assert_matches_oracle
+
+QUERIES = all_queries()
+ORACLE_NAMES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert_matches_oracle(df, q.oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    names = {n for n, _ in e.queries().items()}
+    oracles = e.oracle_sql()
+    assert set(oracles) <= names
