@@ -36,17 +36,23 @@ TABLES = (
 )
 
 
-def _normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Make events.ts a TIMESTAMP_NTZ at µs precision, tz-independently."""
+def _normalize_events_ts(df: DataFrame, as_instant: bool = False) -> DataFrame:
+    """Normalize events.ts to µs precision, timezone-independently.
+
+    Batch/oracle form (default): TIMESTAMP_NTZ whose wall-clock equals
+    DuckDB's ns→µs truncation. Streaming form (``as_instant=True``):
+    TIMESTAMP (absolute instant, same epoch µs) — required by Spark
+    watermarks; the UTC rendering of that instant equals the NTZ value.
+    """
     dtype = df.schema["ts"].dataType.simpleString()
     if dtype in ("bigint", "long"):
-        # ns since epoch -> µs (truncating, like DuckDB) -> naive UTC.
-        return df.withColumn(
-            "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
-        )
+        instant = "timestamp_micros(ts div 1000)"
+        expr = instant if as_instant else f"convert_timezone('UTC', {instant})"
+        return df.withColumn("ts", F.expr(expr))
     if dtype == "timestamp":
-        # UTC-adjusted parquet timestamp: render in UTC as naive.
-        return df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+        return df if as_instant else df.withColumn(
+            "ts", F.expr("convert_timezone('UTC', ts)")
+        )
     return df  # already timestamp_ntz
 
 

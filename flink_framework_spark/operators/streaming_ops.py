@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from flink_framework_spark.functions.helpers import fmt_ts, round_duck
 
 
+def _is_instant(events: DataFrame) -> bool:
+    return events.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def _fmt_event_time(events: DataFrame, col):
+    """Render an event-time boundary as the UTC wall-clock string.
+
+    Batch twins carry TIMESTAMP_NTZ (naive UTC); streaming twins carry
+    TIMESTAMP instants (watermarks require it). Both render to the
+    same string: instants are converted to UTC-naive first so the
+    output never depends on the session timezone."""
+    if _is_instant(events):
+        col = F.convert_timezone(None, F.lit("UTC"), col)
+    return fmt_ts(col)
+
+
 def hourly_tumble(events: DataFrame) -> DataFrame:
     """1-hour tumbling event-time windows per event type."""
     return (
@@ -25,7 +41,12 @@ def hourly_tumble(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             round_duck(F.sum("value"), 2).alias("sumv"),
         )
-        .select(fmt_ts("w.start").alias("wstart"), "event_type", "n", "sumv")
+        .select(
+            _fmt_event_time(events, F.col("w.start")).alias("wstart"),
+            "event_type",
+            "n",
+            "sumv",
+        )
     )
 
 
@@ -37,7 +58,7 @@ def sliding_counts(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             round_duck(F.sum("value"), 2).alias("sumv"),
         )
-        .select(fmt_ts("w.start").alias("wstart"), "n", "sumv")
+        .select(_fmt_event_time(events, F.col("w.start")).alias("wstart"), "n", "sumv")
     )
 
 

@@ -30,6 +30,37 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Functions executed on workers (pandas UDFs, applyInPandas*,
+    stateful processors) are pickled by reference to this module — if
+    the driving process runs from a different cwd, workers cannot
+    import it. Shipping a zip via addPyFile fixes that for ANY session
+    we are handed. Idempotent per session.
+    """
+    try:
+        sc = spark.sparkContext
+        if getattr(sc, "_ffs_package_shipped", False):
+            return
+        import os
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        staging = tempfile.mkdtemp(prefix="ffs_pkg_")
+        archive = shutil.make_archive(
+            os.path.join(staging, "flink_framework_spark"),
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        sc.addPyFile(archive)
+        sc._ffs_package_shipped = True
+    except Exception:  # pragma: no cover - best effort (e.g. Connect)
+        pass
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session."""
     for k, v in RUNTIME_CONFS.items():
@@ -37,6 +68,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -1,0 +1,73 @@
+"""Custom keyed state — the Flink ``KeyedProcessFunction`` analogue
+(SURVEY.md §2 I8/J6): per-key state + event-time logic via
+``applyInPandasWithState``.
+
+``funnel_conversions`` detects the view→purchase-within-30-minutes
+pattern per user. The batch-checkable twin is ``q_funnel`` (a
+time-bounded self-join); this streaming form keeps only the pending
+view timestamps per user in state — bounded by the pattern horizon,
+the way a Flink process function would hold ValueState + timers.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FUNNEL_SCHEMA = "user_id long, purchase_ts timestamp_ntz"
+_STATE_SCHEMA = "views array<double>"
+_HORIZON_S = 30 * 60
+
+
+def _funnel_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit one row per purchase that converts a prior view (<=30 min).
+
+    State: epoch-second floats of views still inside the horizon.
+    Event-time ordering inside a batch is restored by sorting — the
+    file source preserves arrival order per file, but state logic must
+    not depend on intra-batch order.
+    """
+    (user_id,) = key
+    views: list[float] = list(state.get[0]) if state.exists else []
+    out_ts: list[pd.Timestamp] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            sec = ts.timestamp()
+            if etype == "view":
+                views.append(sec)
+            elif etype == "purchase":
+                views = [v for v in views if sec - v <= _HORIZON_S]
+                if any(v < sec for v in views):
+                    out_ts.append(ts)
+    # trim state to the horizon of the latest seen event
+    if views:
+        horizon_floor = max(views) - _HORIZON_S
+        views = [v for v in views if v >= horizon_floor]
+    state.update((views,))
+    if out_ts:
+        yield pd.DataFrame({"user_id": user_id, "purchase_ts": out_ts})
+
+
+def funnel_conversions(events: DataFrame) -> DataFrame:
+    """Streaming view→purchase conversions per user (update mode)."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,146 @@
+"""Batch ≡ stream equivalence properties (SURVEY.md §5.2.3).
+
+Each streaming operator runs the SAME logical expression as its
+oracle-checked batch twin over a readStream source; results must be
+identical. Also: watermarked append-mode aggregation over in-order
+arrival drops nothing; checkpointed restart emits no duplicates; the
+stateful funnel finds the same converting users as the batch join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.streaming_ops import (
+    hourly_tumble,
+    session_stats,
+    sliding_counts,
+    stream_dedup,
+)
+from flink_framework_spark.streaming.stateful import funnel_conversions
+from flink_framework_spark.streaming.twins import read_events_stream, run_to_memory
+
+
+def _assert_same(a_df, b_df):
+    cols = sorted(a_df.columns)
+    assert cols == sorted(b_df.columns)
+    a = sorted(map(repr, a_df.toPandas()[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, b_df.toPandas()[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+@pytest.mark.parametrize(
+    "name,op",
+    [
+        ("tumble", hourly_tumble),
+        ("slide", sliding_counts),
+    ],
+)
+def test_stream_equals_batch_windows(spark, sf_dir, name, op):
+    batch = op(table(spark, sf_dir, "events"))
+    stream = run_to_memory(
+        op(read_events_stream(spark, sf_dir)),
+        query_name=f"t_{name}",
+        output_mode="complete",
+    )
+    _assert_same(stream, batch)
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    """Session windows: stream the single stateful op (streaming
+    forbids chaining a second aggregation after it), roll up the sink
+    output in batch — result must equal the all-batch session_stats."""
+    from flink_framework_spark.operators.streaming_ops import session_windows
+
+    batch = session_stats(table(spark, sf_dir, "events"))
+    sessions = run_to_memory(
+        session_windows(read_events_stream(spark, sf_dir)),
+        query_name="t_session",
+        output_mode="complete",
+    )
+    rolled = sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("dur_ms").alias("max_dur_ms"),
+    )
+    _assert_same(rolled, batch)
+
+
+def test_stream_dedup_with_watermark(spark, sf_dir):
+    batch = stream_dedup(table(spark, sf_dir, "events"), ["user_id", "event_type"])
+    sdf = read_events_stream(spark, sf_dir, with_watermark="10 minutes")
+    stream = run_to_memory(
+        sdf.dropDuplicates(["user_id", "event_type"]).select(
+            "user_id", "event_type"
+        ),
+        query_name="t_dedup",
+        output_mode="append",
+    )
+    _assert_same(stream, batch)
+
+
+def test_watermarked_tumble_emits_finalized_windows(spark, sf_dir):
+    """Append-mode watermarked aggregation emits exactly the windows
+    the final watermark (max event time - 10 min) has closed; in-order
+    arrival means no data is *dropped*, only the tail windows are
+    withheld as not-yet-final — precisely Flink/Spark watermark
+    semantics (SURVEY.md §2 I4)."""
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - pd.Timedelta(minutes=10)
+    batch = hourly_tumble(events).toPandas()
+    finalized = batch[
+        pd.to_datetime(batch["wstart"]) + pd.Timedelta(hours=1) <= cutoff
+    ]
+    sdf = read_events_stream(spark, sf_dir, with_watermark="10 minutes")
+    stream = run_to_memory(
+        hourly_tumble(sdf), query_name="t_wm_tumble", output_mode="append"
+    ).toPandas()
+    assert 0 < len(stream) < len(batch)
+    cols = sorted(stream.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, finalized[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir):
+    """applyInPandasWithState funnel == batch time-bounded self-join."""
+    from flink_framework_spark.registry import all_queries
+
+    batch_n = all_queries()["q_funnel"].fn(spark, sf_dir).collect()[0]["n_users"]
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        funnel_conversions(sdf), query_name="t_funnel", output_mode="update"
+    )
+    stream_n = out.select("user_id").distinct().count()
+    assert stream_n == batch_n
+
+
+def test_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Checkpointed availableNow run twice: second run adds no rows
+    (exactly-once sink contract, SURVEY.md §2 I10)."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        sdf = read_events_stream(spark, sf_dir, with_watermark="10 minutes")
+        q = (
+            hourly_tumble(sdf)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    run_once()
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
