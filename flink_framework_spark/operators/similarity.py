@@ -88,3 +88,37 @@ def bucketed_topk(
         & (F.col("query_id") != F.col("neighbor_id")),
     )
     return _score_and_rank(pairs, k, "query_id", "neighbor_id")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    bucket_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse buckets.
+
+    Same candidate-pruning discipline as ``bucketed_topk``: the
+    equi-join on the bucket id bounds the pair space; the cosine
+    kernel verifies. Output: vec_a < vec_b with cosine >= threshold.
+    """
+    e = df.select(
+        F.col(id_col).alias("__eid"),
+        to_double_array(vec_col).alias("__v"),
+        F.col(bucket_col).alias("__bk"),
+    )
+    a = e.select(
+        F.col("__eid").alias("vec_a"), F.col("__v").alias("__va"), "__bk"
+    )
+    b = e.select(
+        F.col("__eid").alias("vec_b"), F.col("__v").alias("__vb"), "__bk"
+    )
+    cos = cosine_sim(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, ["__bk"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b", round_duck("__cos", 4).alias("cosim"))
+    )

@@ -2,14 +2,17 @@
 
 from flink_framework_spark.queries import (  # noqa: F401
     aggregates,
+    dedup_ext,
     functions_lib,
     joins,
     llm,
+    multimodal_q,
     projection,
     scan,
     setops,
     sort_limit,
     streaming_batch,
+    text_analysis,
     udfs,
     windows,
 )

@@ -1,0 +1,88 @@
+"""K1/K2 extended: near-duplicate detection queries — n-gram Jaccard
+(oracle-checked via min-shingle blocking), embedding-cosine pairs
+(oracle-checked), MinHash-LSH and SimHash (rows-only here; quality
+properties tested with planted duplicates in tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.dedup import (
+    near_dup_pairs_minhash,
+    ngram_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from flink_framework_spark.operators.similarity import embedding_near_dup_pairs
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_dedup_ngram",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh)
+SELECT doc_a, doc_b, ROUND(jac, 4) AS jac FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id) t
+WHERE jac >= 0.5
+""",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs, min-shingle (1-permutation
+    MinHash) blocking — recovers all planted near-dups on the fixtures
+    from ~0.1% of the all-pairs candidate space (operators.dedup)."""
+    return ngram_near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "q_dedup_embed",
+    family="K",
+    oracle="""
+SELECT vec_a, vec_b, ROUND(cos, 4) AS cosim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id) t
+WHERE cos >= 0.4
+""",
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, bucketed by the coarse label
+    (IVF-cell discipline: no cross join at any scale)."""
+    return embedding_near_dup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.4, bucket_col="label"
+    )
+
+
+@register("q_dedup_minhash", family="K", oracle=None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs with exact-Jaccard
+    verification (rows-only: 64 seeded xxhash64 permutations are not
+    reproducible in DuckDB SQL; precision/recall proven with planted
+    duplicates in tests/test_dedup.py)."""
+    return near_dup_pairs_minhash(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register("q_dedup_simhash", family="K", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup candidates via 16-bit block pigeonhole
+    join + exact Hamming verify (rows-only; property-tested)."""
+    return simhash_near_dup_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=8
+    )

@@ -1,0 +1,105 @@
+"""K4 extended: text-analysis queries over the documents table —
+quality scoring, BPE-ish token counting, bag-of-words fingerprinting,
+language ID. Operators live in ``operators.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.text import (
+    bow_fingerprint,
+    predict_lang,
+    quality_score,
+    token_count,
+    train_char_ngram_langid,
+)
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_text_quality",
+    family="K",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(lower(trim(text)), ' ') AS w
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS nw,
+         CAST(len(list_filter(w, x -> x = 'a' OR x = 'the')) AS DOUBLE) AS ns,
+         (CAST(n_chars AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+           / CAST(len(w) AS DOUBLE) AS awl
+  FROM t)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       ROUND(ns / nw, 4) AS stop_ratio,
+       ROUND(awl, 4) AS avg_wlen,
+       ROUND(0.5 * LEAST(nw / 60.0, 1.0)
+             + 0.3 * (1.0 - ns / nw)
+             + 0.2 * LEAST(awl / 6.0, 1.0), 4) AS quality
+FROM q
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score: saturating length reward,
+    non-stopword ratio, average word length (operators.text)."""
+    docs = table(spark, sf_dir, "documents")
+    cols = quality_score(F.col("text"), F.col("n_chars"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "q_text_tokens",
+    family="K",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(lower(text),
+                    '([a-z]{1,4}|[0-9]{1,3})', 1))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY source
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish greedy chunking regex, rolled up
+    per source — the 'how many training tokens per provider' query."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    family="K",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           string_split(lower(trim(text)), ' '))), ' ')) AS fp
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint per document — the
+    first-stage fuzzy-dedup key (robust to token reordering)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bow_fingerprint(F.col("text")).alias("fp"))
+
+
+@register("q_text_langid", family="K", oracle=None)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (rows-only: the classifier is not
+    SQL-expressible). Train on the corpus labels, predict, report the
+    confusion counts. The fixture vocabulary carries no real language
+    signal, so accuracy here is incidental — the *operator* is
+    accuracy-tested on a genuinely multilingual corpus in the suite
+    (tests/test_text.py)."""
+    docs = table(spark, sf_dir, "documents")
+    model = train_char_ngram_langid(docs)
+    return (
+        predict_lang(docs, model)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

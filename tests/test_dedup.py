@@ -1,0 +1,102 @@
+"""Near-dedup quality properties (SURVEY.md §5.2.3, K2).
+
+MinHash/SimHash cannot be oracle-checked (seeded hash permutations
+aren't reproducible in DuckDB SQL), so we prove them against ground
+truth: plant near-duplicates with known perturbations and require
+recall/precision floors.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.dedup import (
+    jaccard_pairs,
+    near_dup_pairs_minhash,
+    ngram_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+
+N_BASE = 120
+N_DUP = 30
+VOCAB = [f"w{i}" for i in range(400)]
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus of random docs + near-duplicates (2 word substitutions
+    in ~50-word docs => shingle Jaccard ~0.75-0.9)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(N_BASE):
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(50))))
+    truth = set()
+    for j in range(N_DUP):
+        base_id = j
+        words = rows[base_id][1].split()
+        for _ in range(2):
+            words[rng.randrange(len(words))] = rng.choice(VOCAB)
+        dup_id = N_BASE + j
+        rows.append((dup_id, " ".join(words)))
+        truth.add((base_id, dup_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, truth
+
+
+def test_minhash_recovers_planted_dups(spark, planted):
+    df, truth = planted
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_minhash(df, threshold=0.5).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}: {sorted(truth - found)}"
+    # precision against exact Jaccard ground truth: every reported
+    # pair really is >= 0.5 (the verify stage guarantees this).
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a, b in found], "doc_a long, doc_b long"
+    )
+    exact = jaccard_pairs(df, all_pairs).collect()
+    assert all(r["jaccard"] >= 0.5 for r in exact)
+
+
+def test_minhash_no_false_positives_on_random_docs(spark, planted):
+    df, truth = planted
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs_minhash(df, threshold=0.5).collect()
+    }
+    # random 50-word docs over a 400-word vocab share almost no
+    # 3-gram shingles — anything found beyond the planted set is a
+    # false positive.
+    assert found <= truth | {(b, a) for a, b in truth}
+
+
+def test_ngram_blocked_matches_planted(spark, planted):
+    df, truth = planted
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    # single-permutation blocking collides with probability ~= Jaccard
+    assert recall >= 0.6
+    assert found <= truth
+
+
+def test_simhash_finds_planted_dups(spark, planted):
+    df, truth = planted
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(df, max_hamming=16).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.7
+    # distinct random docs should sit near Hamming 32 (independent
+    # fingerprints); require separation
+    assert found <= truth
