@@ -1,0 +1,83 @@
+"""Sources/sinks/catalog: partition pruning on the lake layout, csv
+and json round-trips, subject registry contract, rate source."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.plans.inspect import formatted_plan
+from flink_framework_spark.sources.batch import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_partitioned_lake,
+)
+from flink_framework_spark.sources.catalog import SubjectRegistry
+from flink_framework_spark.sources.streaming import rate_source
+
+
+def test_partitioned_lake_prunes(spark, sf_dir, tmp_path):
+    """Writing partitioned by a coarse key and filtering on it must
+    produce a scan with PartitionFilters — IO eliminated pre-read,
+    the property that makes a 100 TB lake usable."""
+    lake = str(tmp_path / "orders_lake")
+    od = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned_lake(od, lake, partition_by=["order_year"])
+    pruned = read_parquet(spark, lake).filter(F.col("order_year") == 1997)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: [" in plan
+    assert "order_year" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # correctness of the pruned read
+    expected = od.filter(F.col("order_year") == 1997).count()
+    assert pruned.count() == expected > 0
+
+
+def test_csv_json_round_trip(spark, sf_dir, tmp_path):
+    re_df = table(spark, sf_dir, "region")
+    csv_path = str(tmp_path / "region_csv")
+    json_path = str(tmp_path / "region_json")
+    re_df.write.option("header", "true").csv(csv_path)
+    re_df.write.json(json_path)
+    back_csv = read_csv(spark, csv_path, schema=re_df.schema)
+    back_json = read_json(spark, json_path, schema=re_df.schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(
+        map(tuple, re_df.collect())
+    )
+    assert sorted(map(tuple, back_json.collect())) == sorted(
+        map(tuple, re_df.collect())
+    )
+
+
+def test_subject_registry_contract(spark, sf_dir):
+    reg = SubjectRegistry(spark)
+    ev = table(spark, sf_dir, "events")
+    reg.register("subject_events", ev, "event stream")
+    assert reg.get("subject_events").count() == ev.count()
+    assert reg.schema("subject_events") == ev.schema
+    assert [s.name for s in reg.list()] == ["subject_events"]
+    # same name + same schema: fine (idempotent)
+    reg.register("subject_events", ev)
+    # different schema: refused
+    with pytest.raises(ValueError):
+        reg.register("subject_events", ev.select("user_id"))
+    reg.unregister("subject_events")
+    with pytest.raises(KeyError):
+        reg.get("subject_events")
+
+
+def test_rate_source_streams(spark):
+    src = rate_source(spark, rows_per_second=500)
+    assert src.isStreaming
+    assert src.columns == ["timestamp", "value"]
+    q = src.writeStream.format("memory").queryName("t_rate").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # query started and produced the expected schema
+    assert spark.table("t_rate").columns == ["timestamp", "value"]
