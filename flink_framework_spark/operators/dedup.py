@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 from flink_framework_spark.functions.helpers import round_duck
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's parallelism before CPU-heavy
+    expression stages. Small-file inputs (a single parquet file = a
+    single task) would otherwise serialize shingling/hashing on one
+    core; at warehouse scale the input already has enough splits and
+    this is a cheap round-robin of compact rows."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def normalize_text(col: Column) -> Column:
     """The canonical form exact dedup hashes: trimmed, lower-cased."""
     return F.lower(F.trim(col))
@@ -51,17 +60,48 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Pure JVM expressions."""
+# 2-universal permutation family over a Mersenne prime: h_i(x) =
+# (a_i * x + b_i) mod P applied to ONE base xxhash64 per shingle.
+# Deterministic parameters (seeded), small enough that a_i * x never
+# overflows a 64-bit long under ANSI arithmetic.
+_MINHASH_P = 2147483647  # 2^31 - 1
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from a column of base shingle hashes.
+
+    ``hash_col`` MUST be a materialized column reference (not an
+    inline expression): each of the ``num_hashes`` permutations
+    references it, and an inline expression would be duplicated
+    per-permutation by projection collapse — a 64x blowup measured at
+    ~400s for 5000 docs before this restructuring.
+    """
     return F.array(
         *[
             F.array_min(
-                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
+                F.transform(
+                    hash_col,
+                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MINHASH_P)),
+                )
             )
-            for i in range(num_hashes)
+            for a, b in _perm_params(num_hashes)
         ]
     )
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """One 2^31-bounded base hash per shingle (computed exactly once;
+    permutations derive from it arithmetically)."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
 
 
 def minhash_candidates(
@@ -79,11 +119,15 @@ def minhash_candidates(
     (band_id, band_hash) — linear work + one shuffle; no cross join.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # staged projections: shingles -> base hashes -> signature, each a
+    # materialized column so no stage's expression is duplicated
+    sh = _spread(df).select(
         F.col(id_col).alias("__id"),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "__sig"
-        ),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    )
+    hs = sh.select("__id", shingle_hashes(F.col("__sh")).alias("__hs"))
+    sig = hs.select(
+        "__id", minhash_signature(F.col("__hs"), num_hashes).alias("__sig")
     )
     banded = sig.select(
         "__id",
@@ -127,7 +171,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("__jid"),
         shingles(F.col(text_col), shingle_n).alias("__sh"),
     )
@@ -162,19 +206,20 @@ def near_dup_pairs_minhash(
     )
 
 
-def simhash64(shingle_col: Column) -> Column:
-    """64-bit SimHash of a shingle set, built from per-bit majority
-    votes over xxhash64 shingle hashes (JVM expressions only).
+def simhash64(hash_col: Column) -> Column:
+    """64-bit SimHash from a column of 64-bit shingle hashes (must be
+    a materialized column reference — see minhash_signature — or the
+    hash expression is duplicated 64x), built from per-bit majority
+    votes (JVM expressions only).
 
     For each bit b: sum over shingles of (+1 if bit set else -1); the
     fingerprint sets bit b when the sum is positive. Near-dups then
     differ in few bits; candidate generation joins on rotated prefix
     blocks (pigeonhole over Hamming distance).
     """
-    h = F.transform(shingle_col, lambda s: F.xxhash64(s))
     mask = lambda b: F.shiftleft(F.lit(1).cast("long"), b)  # noqa: E731
     bit = lambda b: F.aggregate(  # noqa: E731
-        h,
+        hash_col,
         F.lit(0),
         lambda acc, x: acc + F.when(x.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
     )
@@ -204,7 +249,7 @@ def ngram_near_dup_pairs(
     """
     toks_ok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= shingle_n
     sh = (
-        df.filter(toks_ok)
+        _spread(df).filter(toks_ok)
         .select(
             F.col(id_col).alias("__id"),
             shingles(F.col(text_col), shingle_n).alias("__sh"),
@@ -246,10 +291,14 @@ def simhash_near_dup_pairs(
     band (Hamming <= 16 of 64) with ~90% per-pair block-collision
     probability at the band edge.
     """
-    sh = df.select(
+    grams = _spread(df).select(
         F.col(id_col).alias("__id"),
-        simhash64(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        shingles(F.col(text_col), shingle_n).alias("__gr"),
     )
+    hashes = grams.select(
+        "__id", F.transform("__gr", lambda s: F.xxhash64(s)).alias("__hx")
+    )
+    sh = hashes.select("__id", simhash64(F.col("__hx")).alias("__sh"))
     blocks = sh.select(
         "__id",
         "__sh",

@@ -1,0 +1,110 @@
+"""True streaming joins (SURVEY.md §2 I6/I7) + processing-time windows
+(I11) + salted-join equivalence (K6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.skew import salted_join
+from flink_framework_spark.registry import all_queries
+from flink_framework_spark.streaming.twins import read_events_stream, run_to_memory
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join == the oracle-checked
+    batch interval join (in-order arrival => nothing dropped)."""
+    batch = (
+        all_queries()["q_join_interval"].fn(spark, sf_dir).toPandas()
+    )
+    views = read_events_stream(spark, sf_dir, with_watermark="30 minutes")
+    buys = read_events_stream(spark, sf_dir, with_watermark="30 minutes")
+    v = views.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = buys.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("view_id", "purchase_id")
+    stream = run_to_memory(
+        joined, query_name="t_ssjoin", output_mode="append"
+    ).toPandas()
+    a = sorted(map(tuple, stream[["view_id", "purchase_id"]].itertuples(index=False)))
+    b = sorted(map(tuple, batch[["view_id", "purchase_id"]].itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+def test_stream_static_enrichment_join(spark, sf_dir):
+    """Streaming events joined to a static per-user dimension (I7 —
+    Flink's broadcast-state enrichment pattern; stateless in Spark)."""
+    events = table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    sdf = read_events_stream(spark, sf_dir)
+    enriched = sdf.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "user_events"
+    )
+    out = run_to_memory(enriched, query_name="t_enrich", output_mode="append")
+    assert out.count() == events.count()
+    # every event carries its user's total
+    chk = (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("user_events").alias("m"))
+        .filter(F.col("n") != F.col("m"))
+    )
+    assert chk.count() == 0
+
+
+def test_processing_time_window(spark):
+    """I11: windows over arrival (processing) time via the rate
+    source's timestamp — inherently non-deterministic content, so the
+    check is structural (rows-only)."""
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+    )
+    agg = src.groupBy(F.window("timestamp", "1 second").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_proctime")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        time.sleep(3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("t_proctime")
+    assert out.columns == ["w", "n"]
+    assert out.agg(F.sum("n")).collect()[0][0] >= 0
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """salted_join == plain join on a skewed key distribution."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # skew it: fold most keys onto one hot key
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_partkey") % 4 == 0, 0).otherwise(F.col("l_partkey"))
+    )
+    dim = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("k"), "p_brand")
+        .union(spark.createDataFrame([(0, "HOT")], "k long, p_brand string"))
+    )
+    plain = skewed.join(dim, "k").groupBy("p_brand").count()
+    salted = salted_join(skewed, dim, ["k"], salt=8).groupBy("p_brand").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
