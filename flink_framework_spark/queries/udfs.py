@@ -110,12 +110,13 @@ def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     family="J",
     oracle="""
 SELECT event_type, ROUND(EXP(AVG(LN(value))), 4) AS gmean
-FROM events GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY event_type
 """,
 )
 def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF as a grouped-agg pandas UDF (J4): geometric mean
-    (exp∘avg∘ln — LN-safe, fixture values are strictly positive)."""
+    (exp∘avg∘ln) over the positive domain — sf0.1 events contain a
+    handful of exact zeros, so both sides filter value > 0."""
 
     @F.pandas_udf(DoubleType())
     def geomean(value: pd.Series) -> float:
@@ -123,7 +124,7 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return float(np.exp(np.log(value.to_numpy()).mean()))
 
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         round_duck(geomean("value"), 4).alias("gmean")
     )
