@@ -78,3 +78,16 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
         assert a == b, (
             f"row {i} differs (after sorting):\n  spark : {a}\n  oracle: {b}"
         )
+
+
+def canonical_hash(df_pandas: pd.DataFrame) -> dict:
+    """Order-insensitive fingerprint of a result frame (the golden-file
+    format): sha256 over sorted canonical rows + column names + count."""
+    import hashlib
+
+    cols, rows = _canon_frame(df_pandas)
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    for r in rows:
+        h.update(repr(r).encode())
+    return {"columns": cols, "rows": len(rows), "sha256": h.hexdigest()}
