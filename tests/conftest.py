@@ -42,3 +42,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture()
+def spark_session_holder(spark):
+    """Ensures the shared session exists before hypothesis @given
+    bodies run (they can't take fixtures directly)."""
+    return spark

@@ -1,0 +1,91 @@
+"""Randomized properties for the hand-built operators (hypothesis):
+the as-of join against a naive per-row reference, and the salted join
+against the plain join, over adversarial small inputs (duplicate
+timestamps, empty sides, hot keys)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_framework_spark.operators.asof import asof_join
+from flink_framework_spark.operators.skew import salted_join
+
+_spark = None
+
+
+def _get_spark():
+    # hypothesis can't take pytest fixtures in @given functions;
+    # reuse the session-scoped instance lazily.
+    global _spark
+    if _spark is None:
+        from pyspark.sql import SparkSession
+
+        _spark = SparkSession.getActiveSession()
+    return _spark
+
+
+row = st.tuples(
+    st.integers(0, 2),  # key
+    st.integers(0, 20),  # time
+    st.integers(0, 999),  # id
+)
+
+
+def _naive_asof(left, right):
+    out = []
+    for (lk, lt, lid) in left:
+        cands = [(rt, rid) for (rk, rt, rid) in right if rk == lk and rt <= lt]
+        if cands:
+            rt, rid = max(cands)
+            out.append((lk, lt, lid, rid))
+    return sorted(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(row, min_size=0, max_size=12, unique_by=lambda r: r[2]),
+    right=st.lists(row, min_size=0, max_size=12, unique_by=lambda r: r[2]),
+)
+def test_asof_join_matches_naive(spark_session_holder, left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        left or [(None, None, None)], "k int, t int, lid int"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        right or [(None, None, None)], "k int, t int, rid int"
+    ).filter("k is not null")
+    got = sorted(
+        (r["k"], r["t"], r["lid"], r["rid"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t",
+            right_tiebreak="rid", how="inner",
+        ).collect()
+    )
+    assert got == _naive_asof(left, right)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=8),
+)
+def test_salted_join_matches_plain(spark_session_holder, left, right):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(left or [(None, None)], "k int, lv int").filter(
+        "k is not null"
+    )
+    rdf = spark.createDataFrame(right or [(None, None)], "k int, rv int").filter(
+        "k is not null"
+    )
+    plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(ldf, rdf, ["k"], salt=4).collect()))
+    assert salted == plain
