@@ -22,12 +22,23 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    """The formatted physical plan as a string."""
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    """The formatted physical plan as a string (works on classic
+    sessions via the JVM handle, falls back to capturing
+    df.explain for Spark Connect)."""
+    try:
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
+    except Exception:  # pragma: no cover - Connect sessions
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

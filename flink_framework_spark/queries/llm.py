@@ -103,3 +103,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_duck(F.avg("n_chars"), 2).alias("avg_chars"),
         round_duck(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias("avg_words"),
     )
+
+
+@register("q_sim_topk_ivf", family="K", oracle=None)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF kNN: k-means-trained coarse cells, nprobe=2 probing
+    (rows-only: k-means assignments are not SQL-reproducible; recall
+    vs brute force is property-tested in tests/test_text.py). The
+    oracle-checked q_sim_topk_bucketed demonstrates the same plan
+    shape on precomputed cells."""
+    from flink_framework_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(em, n_cells=8)
+    return ivf_topk(em.filter(F.col("vec_id") < 10), em, centroids, k=5, nprobe=2)

@@ -18,7 +18,7 @@ from tests.harness import canonical_hash
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden_sf0.001.json")
 SF_DIR = "/root/testdata/sf0.001"
-SKIP = {"q_text_langid"}
+SKIP = {"q_text_langid", "q_sim_topk_ivf"}
 
 with open(GOLDEN_PATH) as f:
     GOLDEN = json.load(f)

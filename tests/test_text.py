@@ -59,3 +59,33 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.02, r
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with k-means cells: recall@5 vs exact brute force must rise
+    with nprobe and clear a floor at nprobe=4 of 8 cells."""
+    from flink_framework_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, em, k=5)
+    truth = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    cents = train_ivf_centroids(em, n_cells=8)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, em, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, recall
+    got1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, em, cents, k=5, nprobe=1).collect()
+    }
+    recall1 = len(got1 & truth) / len(truth)
+    assert recall1 <= recall

@@ -17,6 +17,9 @@ from flink_framework_spark.session import get_spark  # noqa: E402
 from tests.harness import canonical_hash  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+# excluded: trained-model queries whose exact outputs may shift with
+# library versions / partitioning (covered by property tests instead)
+SKIP = {"q_text_langid", "q_sim_topk_ivf"}
 OUT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "tests", "golden_sf0.001.json"
 )
@@ -26,6 +29,8 @@ def main() -> None:
     spark = get_spark(app_name="freeze-golden")
     golden = {}
     for name, q in sorted(all_queries().items()):
+        if name in SKIP:
+            continue
         golden[name] = canonical_hash(q.fn(spark, SF_DIR).toPandas())
         print(name, golden[name]["sha256"][:12], golden[name]["rows"])
     with open(os.path.abspath(OUT), "w") as f:
