@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import fmt_ts, round_duck
@@ -105,3 +105,32 @@ def stream_dedup(events: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Dedup on keys; in streaming mode pair with withWatermark so
     state stays bounded (streaming.twins does)."""
     return events.select(*keys).dropDuplicates(list(keys))
+
+
+def late_data_split(
+    events: DataFrame,
+    arrival_order: list,
+    delay: str = "10 minutes",
+    ts_col: str = "ts",
+):
+    """Flink-style late-data SIDE OUTPUT, batch form (SURVEY.md §4.3.4).
+
+    Spark's streaming watermark silently DROPS late rows; Flink can
+    divert them to a side output. This operator closes that parity
+    gap for bounded replays: given the arrival order (columns sorting
+    the stream as it arrived), it computes the running-max watermark
+    and returns (on_time, late) DataFrames — the late one is exactly
+    the set a Flink job would side-output and a Spark streaming job
+    would drop.
+    """
+    w = (
+        Window.orderBy(*arrival_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = events.withColumn("__wm", F.max(ts_col).over(w))
+    is_late = F.col("__wm").isNotNull() & (
+        F.col(ts_col) < F.col("__wm") - F.expr(f"INTERVAL {delay}")
+    )
+    on_time = marked.filter(~is_late).drop("__wm")
+    late = marked.filter(is_late).drop("__wm")
+    return on_time, late

@@ -144,3 +144,84 @@ def test_restart_is_idempotent(spark, sf_dir, tmp_path):
     run_once()
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 > 0
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf, not "
+    "installed in this container (applyInPandasWithState twin covers I8)",
+)
+def test_tws_funnel_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas funnel == batch self-join
+    (and == the applyInPandasWithState implementation)."""
+    from flink_framework_spark.registry import all_queries
+    from flink_framework_spark.streaming.stateful import funnel_conversions_tws
+
+    batch_n = all_queries()["q_funnel"].fn(spark, sf_dir).collect()[0]["n_users"]
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        funnel_conversions_tws(sdf), query_name="t_tws_funnel", output_mode="update"
+    )
+    assert out.select("user_id").distinct().count() == batch_n
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
+    """The exactly-once production sink pattern: foreachBatch writing
+    batchId-keyed directories — a replayed batch overwrites instead of
+    duplicating (SURVEY.md §2 I10 / §3.2)."""
+    out_dir = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    def run_once():
+        sdf = read_events_stream(spark, sf_dir, with_watermark="10 minutes")
+        q = (
+            hourly_tumble(sdf)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    run_once()  # replay: no new batches, nothing duplicated
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 > 0
+
+
+def test_late_data_side_output_matches_oracle_late_set(spark, sf_dir):
+    """late_data_split's late side == q_stream_late's counted set
+    (the parity op for Flink's side-output; Spark streaming drops)."""
+    from flink_framework_spark.operators.streaming_ops import late_data_split
+    from flink_framework_spark.io import table as t
+    from flink_framework_spark.registry import all_queries
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "arrival",
+        F.col("ts") + F.expr("make_dt_interval(0, 0, CAST(3*(event_id % 10) AS INT), 0)"),
+    )
+    on_time, late = late_data_split(ev, ["arrival", "event_id"], "10 minutes")
+    assert on_time.count() + late.count() == ev.count()
+    got = {
+        (r["event_type"], r["n"])
+        for r in late.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r["event_type"], r["n_late"])
+        for r in all_queries()["q_stream_late"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
