@@ -129,7 +129,7 @@ def train_ivf_centroids(
     n_cells: int = 8,
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 20,
+    max_iter: int = 8,
 ):
     """Train IVF coarse cells: k-means over the corpus (Spark MLlib).
 
@@ -141,38 +141,51 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        array_to_vector(to_double_array(vec_col)).alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    feats = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(array_to_vector(to_double_array(vec_col)).alias("features"))
+    # random init: for an IVF *coarse* quantizer the cells only need to
+    # partition space roughly; k-means|| init doubles the pass count
+    # for no recall benefit here
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="random"
+    ).fit(feats)
     return [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
 
 
+def _cell_dists(vec_col: Column, centroids) -> Column:
+    """array<struct<d,cell>> of squared-L2 distances to each centroid,
+    built from LITERAL centroids — a pure per-row expression, so cell
+    assignment is a narrow map with NO join and NO shuffle. vec_col
+    must be a materialized column reference (see minhash_signature)."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in centroids
+        ]
+    )
+
+
 def _cell_assign(df: DataFrame, centroids, vec_col: str, out: str) -> DataFrame:
-    """Assign each vector to its nearest centroid (squared L2) with a
-    broadcast of the tiny centroid set — a narrow map, no shuffle."""
-    spark = df.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(centroids, "cell int, centroid array<double>")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("__cid").orderBy("__dist", "cell")
-    return (
-        df.withColumn("__v", to_double_array(vec_col))
-        .withColumn("__cid", F.monotonically_increasing_id())
-        .join(cdf)
-        .withColumn("__dist", dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumnRenamed("cell", out)
-        .drop("centroid", "__dist", "__rn", "__v", "__cid")
-    )
+    """Assign each vector to its nearest centroid (min by (d, cell)
+    struct order — deterministic tiebreak), as a narrow map."""
+    staged = df.withColumn("__v", to_double_array(vec_col))
+    return staged.withColumn(
+        out, F.array_min(_cell_dists(F.col("__v"), centroids)).getField("cell")
+    ).drop("__v")
 
 
 def ivf_topk(
@@ -189,27 +202,21 @@ def ivf_topk(
     generation is an equi-join on cell id — the 100 TB plan — and
     recall grows with nprobe (property-tested against brute force).
     """
-    spark = queries.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(centroids, "cell int, centroid array<double>")
-    )
     corpus_cells = _cell_assign(corpus, centroids, vec_col, "__cell")
 
-    qdist = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("query_id").orderBy("__qdist", "cell")
     probes = (
         queries.select(
             F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
         )
-        .join(cdf)
-        .withColumn("__qdist", qdist)
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", F.col("cell").alias("__cell"))
+        .withColumn(
+            "__probe",
+            F.explode(
+                F.slice(
+                    F.array_sort(_cell_dists(F.col("__qv"), centroids)), 1, nprobe
+                )
+            ),
+        )
+        .select("query_id", "__qv", F.col("__probe.cell").alias("__cell"))
     )
 
     cands = probes.join(

@@ -97,7 +97,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy-tested on a genuinely multilingual corpus in the suite
     (tests/test_text.py)."""
     docs = table(spark, sf_dir, "documents")
-    model = train_char_ngram_langid(docs)
+    # train on a deterministic 1/3 subset (profiles saturate quickly;
+    # production would train the tiny model offline on a sample)
+    model = train_char_ngram_langid(docs.filter(F.col("doc_id") % 3 == 0))
     return (
         predict_lang(docs, model)
         .groupBy("lang", "pred_lang")

@@ -81,3 +81,30 @@ def test_rate_source_streams(spark):
         q.stop()
     # query started and produced the expected schema
     assert spark.table("t_rate").columns == ["timestamp", "value"]
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables on the join key: the join plans with NO shuffle
+    exchange on either side (co-located join) — the layout that
+    removes the dominant cost of fact-fact joins at 100 TB."""
+    from flink_framework_spark.plans.inspect import count_exchanges
+    from flink_framework_spark.sources.batch import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    try:
+        od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed_table(od, "b_orders", ["o_orderkey"], 8)
+        write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8)
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert count_exchanges(joined) == 0
+        assert joined.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
