@@ -108,3 +108,48 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_subject_hub_job_composition(spark, sf_dir, tmp_path):
+    """The reference's core pattern end-to-end: job A publishes a
+    derived subject; job B — knowing only the subject NAME — discovers
+    its schema from the hub and consumes it as a stream. Re-publishing
+    is exactly-once (checkpointed); schema drift is refused."""
+    from flink_framework_spark.sources.subjects import StreamingSubjectHub
+    from flink_framework_spark.streaming.twins import read_events_stream, run_to_memory
+
+    hub = StreamingSubjectHub(spark, str(tmp_path / "subjects"))
+
+    # job A: enrich the raw event stream, publish as a subject
+    raw = read_events_stream(spark, sf_dir)
+    enriched = raw.select(
+        "event_id", "user_id", "event_type",
+        (F.col("value") * 100).alias("value_cents"),
+    )
+    q = hub.publish("enriched_events", enriched)
+    q.awaitTermination(120)
+
+    assert hub.list_subjects() == ["enriched_events"]
+    assert "value_cents" in [f.name for f in hub.schema("enriched_events").fields]
+
+    # job B: independent consumer, schema via the hub only
+    consumed = run_to_memory(
+        hub.subscribe("enriched_events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        query_name="t_subject_consumer",
+        output_mode="complete",
+    )
+    batch = table(spark, sf_dir, "events").groupBy("event_type").count()
+    got = {(r["event_type"], r["n"]) for r in consumed.collect()}
+    want = {(r["event_type"], r["count"]) for r in batch.collect()}
+    assert got == want
+
+    # replay of job A: checkpoint makes it a no-op (no duplicates)
+    q2 = hub.publish("enriched_events", enriched)
+    q2.awaitTermination(120)
+    assert hub.read("enriched_events").count() == sum(n for _, n in want)
+
+    # schema drift refused
+    with pytest.raises(ValueError):
+        hub.publish("enriched_events", raw.select("event_id"))
