@@ -76,7 +76,7 @@ def test_rate_source_streams(spark):
     assert src.columns == ["timestamp", "value"]
     q = src.writeStream.format("memory").queryName("t_rate").start()
     try:
-        q.processAllAvailable()
+        q.awaitTermination(3)  # rate source never drains; sample then stop
     finally:
         q.stop()
     # query started and produced the expected schema
