@@ -174,3 +174,28 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("v_user").alias("n_users"))
     )
+
+
+@register(
+    "q_cep_sequence",
+    family="I",
+    oracle="""
+SELECT COUNT(DISTINCT v.user_id) AS n_users
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view'
+""",
+)
+def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite 3-step pattern (I8 generalization): users completing
+    view -> click -> purchase, in order, within 30 minutes of the
+    view. Built by operators.cep.match_sequence as chained per-key
+    interval joins."""
+    from flink_framework_spark.operators.cep import match_sequence
+
+    ev = table(spark, sf_dir, "events")
+    matches = match_sequence(ev, ["view", "click", "purchase"], "30 MINUTES")
+    return matches.agg(F.countDistinct("user_id").alias("n_users"))
