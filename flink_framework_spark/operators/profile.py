@@ -1,0 +1,64 @@
+"""Table profiler — per-column statistics in ONE pass (SURVEY.md §2
+K6 utility): the data-quality sweep every ingestion pipeline runs
+before committing a 100 TB batch.
+
+One ``agg`` with all statistics for all columns = a single scan and a
+single-row reduction; the per-column rows are then unpivoted with
+``stack`` (pure plan, no second read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from flink_framework_spark.functions.helpers import round_duck
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+    """Per-column profile: rows, nulls, distinct count, min/max/mean
+    of numeric columns (rounded for stable comparison).
+
+    ``approx_distinct=True`` swaps exact distinct counts for HLL
+    sketches — the right default at warehouse scale.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in df.schema.fields:
+        c = f.name
+        distinct = (
+            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        )
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"))
+        aggs.append(distinct.alias(f"__dist_{c}"))
+        if isinstance(f.dataType, NumericType):
+            aggs.append(round_duck(F.min(c).cast("double"), 4).alias(f"__min_{c}"))
+            aggs.append(round_duck(F.max(c).cast("double"), 4).alias(f"__max_{c}"))
+            aggs.append(round_duck(F.avg(c), 4).alias(f"__mean_{c}"))
+    stats = df.agg(*aggs)
+
+    cells = []
+    for f in df.schema.fields:
+        c = f.name
+        numeric = isinstance(f.dataType, NumericType)
+        cells.append(
+            ", ".join(
+                [
+                    f"'{c}'",
+                    f"'{f.dataType.simpleString()}'",
+                    "__rows",
+                    f"__nulls_{c}",
+                    f"__dist_{c}",
+                    f"__min_{c}" if numeric else "CAST(NULL AS DOUBLE)",
+                    f"__max_{c}" if numeric else "CAST(NULL AS DOUBLE)",
+                    f"__mean_{c}" if numeric else "CAST(NULL AS DOUBLE)",
+                ]
+            )
+        )
+    stack = f"stack({len(cells)}, {', '.join(cells)})"
+    return stats.select(
+        F.expr(
+            stack
+            + " as (column, dtype, n_rows, n_nulls, n_distinct, min, max, mean)"
+        )
+    )

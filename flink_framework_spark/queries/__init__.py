@@ -13,6 +13,7 @@ from flink_framework_spark.queries import (  # noqa: F401
     sort_limit,
     streaming_batch,
     text_analysis,
+    tpch,
     udfs,
     windows,
 )

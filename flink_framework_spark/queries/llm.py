@@ -120,3 +120,55 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(em, n_cells=8)
     return ivf_topk(em.filter(F.col("vec_id") < 10), em, centroids, k=5, nprobe=2)
+
+
+@register(
+    "q_profile_events",
+    family="K",
+    oracle="""
+WITH s AS (SELECT COUNT(*) AS n FROM events)
+SELECT 'event_id' AS column, 'bigint' AS dtype, s.n AS n_rows,
+       CAST(0 AS BIGINT) AS n_nulls,
+       (SELECT COUNT(DISTINCT event_id) FROM events) AS n_distinct,
+       ROUND((SELECT CAST(MIN(event_id) AS DOUBLE) FROM events), 4) AS min,
+       ROUND((SELECT CAST(MAX(event_id) AS DOUBLE) FROM events), 4) AS max,
+       ROUND((SELECT AVG(event_id) FROM events), 4) AS mean
+FROM s
+UNION ALL
+SELECT 'ts', 'timestamp_ntz', s.n, CAST(0 AS BIGINT),
+       (SELECT COUNT(DISTINCT ts) FROM events),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM s
+UNION ALL
+SELECT 'user_id', 'bigint', s.n, CAST(0 AS BIGINT),
+       (SELECT COUNT(DISTINCT user_id) FROM events),
+       ROUND((SELECT CAST(MIN(user_id) AS DOUBLE) FROM events), 4),
+       ROUND((SELECT CAST(MAX(user_id) AS DOUBLE) FROM events), 4),
+       ROUND((SELECT AVG(user_id) FROM events), 4)
+FROM s
+UNION ALL
+SELECT 'event_type', 'string', s.n, CAST(0 AS BIGINT),
+       (SELECT COUNT(DISTINCT event_type) FROM events),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM s
+UNION ALL
+SELECT 'value', 'double', s.n, CAST(0 AS BIGINT),
+       (SELECT COUNT(DISTINCT value) FROM events),
+       ROUND((SELECT CAST(MIN(value) AS DOUBLE) FROM events), 4),
+       ROUND((SELECT CAST(MAX(value) AS DOUBLE) FROM events), 4),
+       ROUND((SELECT AVG(value) FROM events), 4)
+FROM s
+UNION ALL
+SELECT 'props', 'string', s.n, CAST(0 AS BIGINT),
+       (SELECT COUNT(DISTINCT props) FROM events),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM s
+""",
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the events table (the
+    data-quality sweep run before committing an ingestion batch) —
+    operators.profile.profile_table."""
+    from flink_framework_spark.operators.profile import profile_table
+
+    return profile_table(table(spark, sf_dir, "events"))
