@@ -1,0 +1,71 @@
+"""Iterative computation — the Flink ``iterate()`` surface (SURVEY.md
+§2 [F]: DataStream/DataSet iterations) in Spark's model: a
+driver-coordinated loop of declarative steps with a convergence check,
+lineage cut per round (``localCheckpoint``) so plans don't grow
+unboundedly — the standard Pregel-lite shape on Spark.
+
+``connected_components``: min-label propagation over an undirected
+edge list. Per round: one shuffle join (labels ⋈ edges) + one
+aggregation; rounds ≤ graph diameter. At 100 TB-scale graphs one adds
+large-star/small-star optimizations, but the loop skeleton is the
+same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id of its component.
+
+    ``edges`` is an undirected edge list (long ids). Returns
+    ``(id, component)``. Converges in at most ``max_iter`` rounds or
+    raises if the diameter exceeds it.
+    """
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -89,3 +89,60 @@ def test_salted_join_matches_plain(spark_session_holder, left, right):
     plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
     salted = sorted(map(tuple, salted_join(ldf, rdf, ["k"], salt=4).collect()))
     assert salted == plain
+
+
+def test_connected_components_known_graph(spark_session_holder):
+    """3 known components (a chain, a triangle + pendant, a pair)."""
+    from flink_framework_spark.operators.iterative import connected_components
+
+    spark = _get_spark()
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain  -> comp 1
+            (10, 11), (11, 12), (12, 10), (12, 13),  # triangle+pendant -> 10
+            (20, 21),                          # pair -> 20
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_random_unions(spark_session_holder):
+    """Random graphs vs a union-find reference."""
+    import random
+
+    from flink_framework_spark.operators.iterative import connected_components
+
+    spark = _get_spark()
+    rng = random.Random(5)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    for n in nodes:
+        root = find(n)
+        rep = min(m for m in nodes if find(m) == root)
+        want[n] = rep
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
