@@ -1,0 +1,106 @@
+"""Cross-micro-batch state: split the event stream into several files
+processed one per trigger, so keyed state (funnel), window state, and
+the watermark genuinely carry across micro-batches — the execution
+shape a production stream actually has."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.streaming_ops import hourly_tumble
+from flink_framework_spark.streaming.stateful import funnel_conversions
+from flink_framework_spark.streaming.twins import run_to_memory
+
+N_FILES = 5
+
+
+@pytest.fixture(scope="module")
+def spooled_dir(spark, tmp_path_factory):
+    """events as N_FILES parquet files in arrival (event_id) order —
+    file i holds the i-th contiguous slice of the stream."""
+    sf_dir = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("spool")
+    ev = table(spark, sf_dir, "events").orderBy("event_id").toPandas()
+    # spool ts as epoch-microsecond int64 so the stream can rebuild a
+    # true instant (timestamp_micros) independent of session timezone
+    ev["ts"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    chunk = (len(ev) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        part = ev.iloc[i * chunk : (i + 1) * chunk]
+        part.to_parquet(out / f"part-{i:05d}.parquet", index=False)
+    return str(out), sf_dir
+
+
+def _stream(spark, directory, sf_dir, watermark=None):
+    schema = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.lit(0).cast("long"))
+        .schema
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    if watermark:
+        sdf = sdf.withWatermark("ts", watermark)
+    return sdf
+
+
+def test_funnel_state_across_batches(spark, spooled_dir):
+    """Per-user pending-view state must survive micro-batch boundaries
+    (a view in batch k converting in batch k+1 still counts)."""
+    directory, sf_dir = spooled_dir
+    from flink_framework_spark.registry import all_queries
+
+    batch_n = all_queries()["q_funnel"].fn(spark, sf_dir).collect()[0]["n_users"]
+    out = run_to_memory(
+        funnel_conversions(_stream(spark, directory, sf_dir)),
+        query_name="t_mb_funnel",
+        output_mode="update",
+    )
+    assert out.select("user_id").distinct().count() == batch_n
+
+
+def test_windows_merge_across_batches(spark, spooled_dir):
+    """Complete-mode window aggregation over 5 triggers equals the
+    one-shot batch result (window state accumulates per batch)."""
+    directory, sf_dir = spooled_dir
+    batch = hourly_tumble(table(spark, sf_dir, "events")).toPandas()
+    stream = run_to_memory(
+        hourly_tumble(_stream(spark, directory, sf_dir)),
+        query_name="t_mb_tumble",
+        output_mode="complete",
+    ).toPandas()
+    cols = sorted(batch.columns)
+    assert sorted(map(repr, stream[cols].itertuples(index=False, name=None))) == sorted(
+        map(repr, batch[cols].itertuples(index=False, name=None))
+    )
+
+
+def test_watermark_advances_across_batches(spark, spooled_dir):
+    """Append mode with 5 triggers: windows finalized by intermediate
+    watermarks are emitted as the stream progresses; the final output
+    is exactly the batch windows whose end <= final watermark."""
+    directory, sf_dir = spooled_dir
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - pd.Timedelta(minutes=10)
+    batch = hourly_tumble(events).toPandas()
+    finalized = batch[
+        pd.to_datetime(batch["wstart"]) + pd.Timedelta(hours=1) <= cutoff
+    ]
+    stream = run_to_memory(
+        hourly_tumble(_stream(spark, directory, sf_dir, watermark="10 minutes")),
+        query_name="t_mb_wm",
+        output_mode="append",
+    ).toPandas()
+    cols = sorted(batch.columns)
+    assert sorted(map(repr, stream[cols].itertuples(index=False, name=None))) == sorted(
+        map(repr, finalized[cols].itertuples(index=False, name=None))
+    )
