@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.streaming_ops import (
     hourly_tumble,
@@ -199,3 +200,35 @@ def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     matches = match_sequence(ev, ["view", "click", "purchase"], "30 MINUTES")
     return matches.agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q_stream_count_window",
+    family="I",
+    oracle="""
+SELECT user_id, CAST(FLOOR((rn - 1) / 20.0) AS BIGINT) AS win_id,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sumv
+FROM (SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+GROUP BY user_id, win_id
+""",
+)
+def q_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count windows — Flink ``keyBy().countWindow(20)``: every 20
+    events per key form a window, independent of time. Spark has no
+    native streaming count window (it would be a small
+    applyInPandasWithState: counter + buffer per key); the batch form
+    is a ranked bucket assignment, oracle-checked here."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("win_id", F.floor((F.col("rn") - 1) / 20.0))
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+    )

@@ -146,3 +146,35 @@ def test_connected_components_random_unions(spark_session_holder):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_async_enrich_matches_sync(spark_session_holder, sf_dir):
+    """async_enrich with a deterministic fake service == the plain
+    column expression it simulates; concurrency cap respected."""
+    import asyncio
+
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.async_io import async_enrich
+
+    spark = _get_spark()
+    peak = {"now": 0, "max": 0}
+
+    async def fake_service(user_id):
+        peak["now"] += 1
+        peak["max"] = max(peak["max"], peak["now"])
+        await asyncio.sleep(0)
+        peak["now"] -= 1
+        return f"user-{user_id % 7}"
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id").limit(500)
+    got = async_enrich(
+        ev, fake_service, "user_id", "segment", max_concurrency=8
+    )
+    expected = ev.withColumn(
+        "segment", F.concat(F.lit("user-"), (F.col("user_id") % 7).cast("string"))
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, expected.collect()))
+    assert a == b
