@@ -16,6 +16,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,10 +48,19 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (token sets
-    saturate on small vocabularies — SURVEY.md §5.3 — so shingle)."""
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
+def tokens(col: Column) -> Column:
+    """Normalized whitespace tokens of a text column. Stage this as a
+    named projection before building shingles: the split (a regex over
+    the whole document) is the most expensive scalar here and must be
+    evaluated exactly once per row, not once per referencing
+    expression."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (token sets saturate on small vocabularies — SURVEY.md §5.3
+    — so shingle)."""
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
@@ -57,6 +68,25 @@ def shingles(col: Column, n: int = 3) -> Column:
         F.when(count > 0, F.transform(idx, gram)).otherwise(
             F.array().cast("array<string>")
         )
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (convenience
+    form; hot paths stage ``tokens`` first — see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(__id, __sh) with tokens staged through a named projection so
+    the document-regex split runs once per row."""
+    toks = _spread(df).select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toks.filter(F.size("__toks") >= shingle_n).select(
+        "__id", shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh")
     )
 
 
@@ -104,6 +134,47 @@ def shingle_hashes(shingle_col: Column) -> Column:
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
 
 
+def minhash_signature_vec(num_hashes: int = 64):
+    """Arrow-vectorized twin of ``minhash_signature``: identical
+    integer arithmetic ((a*h + b) mod P per permutation, min over
+    shingles) done in numpy per batch instead of ``num_hashes``
+    interpreted higher-order-function passes per row. Bit-identical
+    output (pure int64 math, no floats); ~3x faster on the signature
+    stage. The JVM-expression form is kept for the pure-SQL path."""
+    params = _perm_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # a < 2^31 and h < 2^31 so a*h + b < 2^63: no overflow
+            out.append((A * hv + B).__mod__(_MINHASH_P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash64_vec():
+    """Arrow-vectorized twin of ``simhash64``: per-bit ±1 majority
+    votes over the shingle-hash array, computed with numpy bit
+    unpacking (exact integer math, identical fingerprints)."""
+    bits = np.arange(64, dtype=np.uint64)[None, :]
+
+    @F.pandas_udf("long")
+    def fp(hx: pd.Series) -> pd.Series:
+        out = np.empty(len(hx), dtype=np.int64)
+        for i, h in enumerate(hx):
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+            votes = (((hv >> bits) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            out[i] = ((votes > 0).astype(np.uint64) << bits[0]).sum().astype(np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return fp
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -119,16 +190,18 @@ def minhash_candidates(
     (band_id, band_hash) — linear work + one shuffle; no cross join.
     """
     rows_per_band = num_hashes // bands
-    # staged projections: shingles -> base hashes -> signature, each a
-    # materialized column so no stage's expression is duplicated
-    sh = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
-    )
+    # staged projections: tokens -> shingles -> base hashes ->
+    # signature, each a materialized column so no stage's expression is
+    # duplicated
+    sh = _shingled(df, id_col, text_col, shingle_n)
     hs = sh.select("__id", shingle_hashes(F.col("__sh")).alias("__hs"))
     sig = hs.select(
-        "__id", minhash_signature(F.col("__hs"), num_hashes).alias("__sig")
+        "__id", minhash_signature_vec(num_hashes)(F.col("__hs")).alias("__sig")
     )
+    # coalesce: bucket is always non-null, but its lineage runs through
+    # the signature UDF, so Catalyst would otherwise infer
+    # isnotnull(bucket) at the join and push the inlined signature
+    # pipeline below the repartition (see simhash_near_dup_pairs note)
     banded = sig.select(
         "__id",
         F.explode(
@@ -136,14 +209,17 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                        F.coalesce(
+                            F.xxhash64(
+                                F.array_join(
+                                    F.transform(
+                                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                    ",",
+                                )
+                            ),
+                            F.lit(0),
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -170,15 +246,22 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard."""
-    sh = _spread(df).select(
-        F.col(id_col).alias("__jid"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    """Verify candidate pairs with exact shingle-set Jaccard (computed
+    over the hashed shingle sets — see ngram_near_dup_pairs note (2);
+    per-doc set sizes precomputed per vector, not per pair)."""
+    sh = _shingled(df, id_col, text_col, shingle_n).select(
+        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh")
+    ).withColumn("__nsh", F.size("__shh").cast("double"))
+    a = sh.select(
+        F.col("__id").alias("doc_a"), F.col("__shh").alias("__sa"),
+        F.col("__nsh").alias("__na"),
     )
-    a = sh.select(F.col("__jid").alias("doc_a"), F.col("__sh").alias("__sa"))
-    b = sh.select(F.col("__jid").alias("doc_b"), F.col("__sh").alias("__sb"))
+    b = sh.select(
+        F.col("__id").alias("doc_b"), F.col("__shh").alias("__sb"),
+        F.col("__nsh").alias("__nb"),
+    )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    union = F.col("__na") + F.col("__nb") - inter
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -247,27 +330,57 @@ def ngram_near_dup_pairs(
     be DuckDB-oracle-checked. Plan: shingle map -> equi-join on the
     blocking key -> exact Jaccard verify. No cross join anywhere.
     """
-    toks_ok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= shingle_n
-    sh = (
-        _spread(df).filter(toks_ok)
-        .select(
-            F.col(id_col).alias("__id"),
-            shingles(F.col(text_col), shingle_n).alias("__sh"),
-        )
-        .withColumn("__mink", F.array_min("__sh"))
+    # coalesce makes the blocking key provably non-null (it always is:
+    # _shingled guarantees >= 1 shingle): otherwise the join's inferred
+    # isnotnull(key) predicate inlines the WHOLE shingle pipeline and
+    # gets pushed below the _spread repartition, re-computing every
+    # shingle in the single-task parquet-scan stage (measured 3.6s of
+    # the query's 4s at sf0.1)
+    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
+        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
     )
+    # Two hot-path representation choices, both exactness-preserving:
+    # (1) join on the 64-bit hash of the blocking key, not the key
+    #     string — hashed-relation probing on longs measured 7x faster
+    #     than on variable-length min-shingle strings; the post-join
+    #     equality filter on the actual strings restores exact blocking
+    #     semantics (a collision could only ADD a candidate, and the
+    #     filter removes it);
+    # (2) verify Jaccard on the HASHED shingle sets (array<long>), not
+    #     the string sets — array_intersect is re-evaluated by both the
+    #     pushed-down threshold predicate and the output projection, so
+    #     each evaluation must be cheap; per-doc set sizes are also
+    #     precomputed (per-vector, not per-pair — same discipline as
+    #     the cosine norms in operators.similarity).
+    sh = sh.select(
+        "__id",
+        "__mink",
+        F.xxhash64("__mink").alias("__minh"),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+    ).withColumn("__nsh", F.size("__shh").cast("double"))
     a = sh.select(
-        F.col("__id").alias("doc_a"), F.col("__sh").alias("__sa"), "__mink"
+        F.col("__id").alias("doc_a"), F.col("__shh").alias("__sa"),
+        F.col("__nsh").alias("__na"), F.col("__mink").alias("__minka"), "__minh",
     )
     b = sh.select(
-        F.col("__id").alias("doc_b"), F.col("__sh").alias("__sb"), "__mink"
+        F.col("__id").alias("doc_b"), F.col("__shh").alias("__sb"),
+        F.col("__nsh").alias("__nb"), F.col("__mink").alias("__minkb"), "__minh",
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    union = F.col("__na") + F.col("__nb") - inter
     jac = inter / union
+    # NOTE the string-equality verify is spelled as <= AND >= : a plain
+    # == would be extracted by ExtractEquiJoinKeys into a join KEY,
+    # putting variable-length strings back into the hashed relation
+    # (the 7x slowdown (1) avoids); the range spelling stays a cheap
+    # residual filter over matched pairs only
     return (
-        a.join(b, ["__mink"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["__minh"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("__minka") <= F.col("__minkb"))
+            & (F.col("__minka") >= F.col("__minkb"))
+        )
         .withColumn("__jac", jac)
         .filter(F.col("__jac") >= threshold)
         .select("doc_a", "doc_b", round_duck("__jac", 4).alias("jac"))
@@ -291,14 +404,20 @@ def simhash_near_dup_pairs(
     band (Hamming <= 16 of 64) with ~90% per-pair block-collision
     probability at the band edge.
     """
-    grams = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), shingle_n).alias("__gr"),
-    )
+    grams = _shingled(df, id_col, text_col, shingle_n)
     hashes = grams.select(
-        "__id", F.transform("__gr", lambda s: F.xxhash64(s)).alias("__hx")
+        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hx")
     )
-    sh = hashes.select("__id", simhash64(F.col("__hx")).alias("__sh"))
+    # coalesce: the fingerprint is always non-null, but Catalyst can't
+    # prove a UDF output is — without this, the join's inferred
+    # isnotnull(val) inlines the WHOLE pipeline (split+shingles+UDF)
+    # and pushes it below the _spread repartition, re-running it
+    # single-threaded in the scan task (measured 3.4s at sf0.1; see
+    # the same note in ngram_near_dup_pairs)
+    sh = hashes.select(
+        "__id",
+        F.coalesce(simhash64_vec()(F.col("__hx")), F.lit(0)).alias("__sh"),
+    )
     blocks = sh.select(
         "__id",
         "__sh",
@@ -322,6 +441,10 @@ def simhash_near_dup_pairs(
     b = blocks.select(
         F.col("__id").alias("doc_b"), F.col("__sh").alias("__hb"), "blk", "val"
     )
+    # evaluate the (cheap) Hamming verify on the raw join output and
+    # filter BEFORE the distinct: the per-pair block-collision fan-out
+    # (up to n_blocks rows per pair) then never reaches the dedup
+    # shuffle — only verified near-dup pairs do
     return (
         a.join(b, ["blk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -330,6 +453,6 @@ def simhash_near_dup_pairs(
             "doc_b",
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

