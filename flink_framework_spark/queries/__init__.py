@@ -14,6 +14,7 @@ from flink_framework_spark.queries import (  # noqa: F401
     streaming_batch,
     text_analysis,
     tpch,
+    tpch_ext,
     udfs,
     windows,
 )
