@@ -3,6 +3,7 @@
 from flink_framework_spark.queries import (  # noqa: F401
     aggregates,
     dedup_ext,
+    driver_suite,
     functions_lib,
     joins,
     llm,

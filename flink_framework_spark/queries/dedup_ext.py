@@ -68,21 +68,42 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_minhash", family="K", oracle=None)
+@register(
+    "q_dedup_minhash",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_minhash_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs with exact-Jaccard
-    verification (rows-only: 64 seeded xxhash64 permutations are not
-    reproducible in DuckDB SQL; precision/recall proven with planted
-    duplicates in tests/test_dedup.py)."""
+    verification. The 64 seeded xxhash64 permutations are not
+    reproducible in DuckDB SQL, but the output is fully deterministic
+    (seeded hashes, shuffle-invariant — verified under varying core /
+    partition counts), so the oracle is a frozen golden snapshot at
+    the driver's sf0.01 (tools/freeze_driver_golden.py); planted-dup
+    precision/recall properties live in tests/test_dedup.py."""
     return near_dup_pairs_minhash(
         table(spark, sf_dir, "documents"), threshold=0.5
     )
 
 
-@register("q_dedup_simhash", family="K", oracle=None)
+@register(
+    "q_dedup_simhash",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_simhash_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup candidates via 16-bit block pigeonhole
-    join + exact Hamming verify (rows-only; property-tested)."""
+    join + exact Hamming verify. Deterministic (xxhash64 token
+    hashes); value-checked against a frozen golden snapshot at sf0.01
+    (tools/freeze_driver_golden.py) + planted-dup properties."""
     return simhash_near_dup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=8
     )

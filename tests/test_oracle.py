@@ -15,6 +15,10 @@ ROWS_ONLY_NAMES = sorted(n for n, q in QUERIES.items() if not q.oracle)
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, sf_dir, name):
     q = QUERIES[name]
+    if q.oracle_sf:
+        # Golden-snapshot oracle: only valid at the SF it was frozen
+        # at (the driver's sf0.01) — run the comparison there.
+        sf_dir = f"/root/testdata/{q.oracle_sf}"
     df = q.fn(spark, sf_dir)
     assert_matches_oracle(df, q.oracle, sf_dir)
 
