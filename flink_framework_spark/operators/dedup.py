@@ -390,20 +390,33 @@ def ngram_near_dup_pairs(
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 16,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit fingerprints, pigeonhole
-    blocking on ``n_blocks`` equal bit-blocks (any pair with Hamming
-    distance < n_blocks is GUARANTEED to share a block; pairs up to
-    ~2x that are found with high probability), then exact bit_count
-    verification. Linear work + equi-join — the same no-cross-join
-    discipline as MinHash. 8 blocks of 8 bits covers the near-dup
-    band (Hamming <= 16 of 64) with ~90% per-pair block-collision
-    probability at the band edge.
+    """SimHash near-dup pairs: 64-bit fingerprints, pigeonhole
+    blocking on ``n_blocks`` bit-blocks, then exact bit_count
+    verification (``hamming <= max_hamming``). Linear work + equi-join
+    — the same no-cross-join discipline as MinHash.
+
+    Recall contract: a pair at Hamming distance d shares at least one
+    block whenever d < n_blocks (pigeonhole), so the default
+    ``n_blocks = max_hamming + 1`` makes the returned set EXACTLY the
+    pairs within ``max_hamming`` — no silent misses. Passing a smaller
+    ``n_blocks`` explicitly trades that guarantee for fewer candidate
+    collisions: recall then only holds for d < n_blocks, and pairs in
+    (n_blocks-1, max_hamming] are found with decaying probability.
+    Blocks are near-equal width (64/n_blocks rounded), which the
+    pigeonhole argument does not require to be uniform.
     """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    width, extra = divmod(64, n_blocks)
+    widths = [width + 1] * extra + [width] * (n_blocks - extra)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     grams = _shingled(df, id_col, text_col, shingle_n)
     hashes = grams.select(
         "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hx")
@@ -426,8 +439,8 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("__sh", (64 // n_blocks) * i)
-                        .bitwiseAND(F.lit((1 << (64 // n_blocks)) - 1))
+                        F.shiftrightunsigned("__sh", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("val"),
                     )
                     for i in range(n_blocks)

@@ -22,21 +22,33 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    vertices: DataFrame | None = None,
+    vertex_id: str = "id",
 ) -> DataFrame:
     """Label every node with the minimum node id of its component.
 
     ``edges`` is an undirected edge list (long ids). Returns
     ``(id, component)``. Converges in at most ``max_iter`` rounds or
     raises if the diameter exceeds it.
+
+    Every endpoint appearing in ``edges`` is labeled — including nodes
+    whose only edges are self-loops (singleton components). Nodes with
+    no edges at all cannot be discovered from the edge list; pass the
+    optional ``vertices`` DataFrame to label isolated nodes as
+    singleton components too.
     """
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # seed labels from BOTH endpoints before dropping self-loops, so
+    # self-loop-only nodes still appear (as singletons)
+    seeds = und.select(F.col("a").alias("id"))
+    if vertices is not None:
+        seeds = seeds.unionByName(vertices.select(F.col(vertex_id).alias("id")))
     und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
     labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
+        seeds.distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )

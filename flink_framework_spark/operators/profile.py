@@ -16,12 +16,17 @@ from pyspark.sql.types import NumericType
 from flink_framework_spark.functions.helpers import round_duck
 
 
-def profile_table(df: DataFrame, approx_distinct: bool = False) -> DataFrame:
+def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
     """Per-column profile: rows, nulls, distinct count, min/max/mean
     of numeric columns (rounded for stable comparison).
 
-    ``approx_distinct=True`` swaps exact distinct counts for HLL
-    sketches — the right default at warehouse scale.
+    The default uses HLL sketches (``approx_count_distinct``) for the
+    distinct counts: exact multi-column distinct plans an Expand that
+    multiplies the scanned rows by the column count — at 100 TB that
+    is the profiler's whole cost, while HLL keeps it one streaming
+    pass with ~2% error. Pass ``approx_distinct=False`` only when
+    exact cardinalities are required (the oracle-checked
+    ``q_profile_events`` does, to stay SQL-comparable).
     """
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for f in df.schema.fields:

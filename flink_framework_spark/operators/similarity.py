@@ -171,6 +171,10 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([r["__v"] for r in sample], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    # tiny-corpus clamp: k-means needs n_cells distinct seed rows
+    n_cells = min(n_cells, len(X))
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(max_iter):

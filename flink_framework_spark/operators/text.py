@@ -73,25 +73,53 @@ def bow_fingerprint(text: Column) -> Column:
 
 def train_char_ngram_langid(
     df: DataFrame, text_col: str = "text", label_col: str = "lang",
-    n: int = 2, top_k: int = 60,
+    n: int = 2, top_k: int = 60, train_cap: int = 16384,
 ) -> dict[str, list[str]]:
     """Train a char-n-gram language-ID model: per language, the top-k
-    most frequent character n-grams. The profile set is tiny (langs x
-    top_k strings) — a driver-side artifact, broadcast into the
-    predict UDF by closure. Training aggregates per-partition counts
-    (one shuffle on language)."""
-    rows = (
-        df.select(F.col(label_col).alias("l"), F.lower(F.col(text_col)).alias("t"))
-        .groupBy("l")
-        .agg(F.concat_ws(" ", F.collect_list("t")).alias("txt"))
+    most frequent character n-grams.
+
+    Fully distributed: n-grams are extracted with a JVM higher-order
+    function (``transform(sequence(..), i -> substring(..))``),
+    counted with a hash aggregate on ``(lang, gram)``, and cut to the
+    per-language top-k with a window — only ``langs x top_k`` tiny
+    rows ever reach the driver, so training is safe at any corpus
+    size. ``train_cap`` additionally bounds the per-language sample to
+    a deterministic subset (lowest md5(text) first — same ``train_cap``
+    discipline as ``similarity.train_ivf_centroids``), because a
+    frequency profile saturates long before the full 100 TB corpus.
+    Ties rank deterministically (count desc, gram asc)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(label_col).alias("l"), F.lower(F.col(text_col)).alias("t")
+    )
+    if train_cap is not None:
+        wcap = Window.partitionBy("l").orderBy(F.md5("t"), "t")
+        base = (
+            base.withColumn("__rn", F.row_number().over(wcap))
+            .filter(F.col("__rn") <= train_cap)
+            .drop("__rn")
+        )
+    grams = base.select(
+        "l",
+        F.explode(
+            F.when(
+                F.length("t") >= n,
+                F.expr(f"transform(sequence(1, length(t) - {n - 1}), i -> substring(t, i, {n}))"),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    wtop = Window.partitionBy("l").orderBy(F.desc("cnt"), "g")
+    top = (
+        grams.groupBy("l", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= top_k)
         .collect()
     )
     model: dict[str, list[str]] = {}
-    for r in rows:
-        grams = Counter(
-            r["txt"][i : i + n] for i in range(len(r["txt"]) - n + 1)
-        )
-        model[r["l"]] = [g for g, _ in grams.most_common(top_k)]
+    for r in sorted(top, key=lambda r: (r["l"], r["rk"])):
+        model.setdefault(r["l"], []).append(r["g"])
     return model
 
 

@@ -183,4 +183,6 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.profile.profile_table."""
     from flink_framework_spark.operators.profile import profile_table
 
-    return profile_table(table(spark, sf_dir, "events"))
+    # exact distincts so the DuckDB oracle can reproduce the values;
+    # the operator's scale default is approx_distinct=True (HLL)
+    return profile_table(table(spark, sf_dir, "events"), approx_distinct=False)

@@ -25,6 +25,27 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
+def _erase_nullability(schema: StructType) -> StructType:
+    """Copy of a schema with every nullable flag (incl. nested fields'
+    and array/map element containsNull) forced true, for semantic
+    comparison."""
+    d = schema.jsonValue()
+
+    def scrub(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("nullable", "containsNull", "valueContainsNull"):
+                    node[k] = True
+                else:
+                    scrub(v)
+        elif isinstance(node, list):
+            for v in node:
+                scrub(v)
+
+    scrub(d)
+    return StructType.fromJson(d)
+
+
 class StreamingSubjectHub:
     def __init__(self, spark: SparkSession, root: str):
         self._spark = spark
@@ -47,7 +68,12 @@ class StreamingSubjectHub:
         streaming DataFrame to its directory (exactly-once via the
         subject's own checkpoint)."""
         existing = self.schema(name)
-        if existing is not None and existing != df.schema:
+        # Compare with nullability erased: a schema recovered from the
+        # persisted JSON after a parquet round-trip can legitimately
+        # differ only in nullable flags, which is not a semantic change.
+        if existing is not None and _erase_nullability(
+            existing
+        ) != _erase_nullability(df.schema):
             raise ValueError(
                 f"subject {name!r} already registered with different schema"
             )

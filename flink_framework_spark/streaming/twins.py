@@ -71,7 +71,14 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # Never return a partially-processed memory table: batch ==
+            # stream equivalence tests must fail loudly, not flakily.
+            raise TimeoutError(
+                f"streaming query {query_name!r} still active after "
+                f"{timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()
