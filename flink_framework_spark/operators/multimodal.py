@@ -64,10 +64,13 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+def _fake_decode(payload: bytes | None) -> tuple[int | None, ...]:
     """Deterministic stand-in for an image decoder: derives fake
-    dimensions from the payload length. Replace with a real codec via
-    ``decode_image_real``."""
+    dimensions from the payload length; a NULL payload decodes to NULL
+    features (undecodable rows must flow through, not crash the
+    stage). Replace with a real codec via ``decode_image_real``."""
+    if payload is None:
+        return None, None, None
     n = len(payload)
     return n, 64 + n % 256, 64 + (n * 7) % 256
 
@@ -82,23 +85,32 @@ def decode_image_real(payload: bytes):  # pragma: no cover - stub
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, keep_meta: bool = False) -> DataFrame:
     """Arrow-batched decode stage: binary payloads -> feature columns.
 
     mapInPandas streams record batches, so executor memory is bounded
-    by the Arrow batch size regardless of table size.
+    by the Arrow batch size regardless of table size. NULL payloads
+    yield NULL features (the row is preserved for lineage, not
+    dropped). ``keep_meta=True`` round-trips the typed ``meta`` struct
+    through the Arrow boundary as flattened columns — structs arrive
+    in pandas as per-row dicts (or None for a NULL struct); both the
+    NULL struct and NULL fields inside it survive the crossing.
     """
+    schema = DECODED_SCHEMA + (", mime string, source_uri string" if keep_meta else "")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_fake_decode(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload_bytes": [d[0] for d in decoded],
-                    "width": [d[1] for d in decoded],
-                    "height": [d[2] for d in decoded],
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "payload_bytes": [d[0] for d in decoded],
+                "width": [d[1] for d in decoded],
+                "height": [d[2] for d in decoded],
+            }
+            if keep_meta:
+                metas = [m if isinstance(m, dict) else {} for m in pdf["meta"]]
+                out["mime"] = [m.get("mime") for m in metas]
+                out["source_uri"] = [m.get("source_uri") for m in metas]
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    return media.mapInPandas(_decode, schema=schema)

@@ -12,8 +12,17 @@ checkpointing), exactly what a cluster deployment uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -42,6 +51,53 @@ def file_stream_source(
     return reader.format(fmt).load(directory)
 
 
+# The fixed schema every Kafka DSv2 source produces (Spark docs,
+# "Structured Streaming + Kafka Integration Guide"). Pinned as a
+# contract so downstream deserialization code is testable without a
+# broker: tests/test_kafka_contract.py builds frames of this schema
+# and runs the real deserializers against them.
+KAFKA_SOURCE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("timestampType", IntegerType()),
+    ]
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    subscribe: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Reader options for a Kafka subject source — the exact DSv2
+    option set a cluster deployment passes (pure, contract-tested)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": subscribe,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+
+
+def kafka_sink_options(
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_location: str,
+) -> dict[str, str]:
+    """Writer options for a Kafka subject sink (pure, contract-tested)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_location,
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -54,9 +110,11 @@ def kafka_source(
     try:
         return (
             spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap_servers)
-            .option("subscribe", subscribe)
-            .option("startingOffsets", starting_offsets)
+            .options(
+                **kafka_source_options(
+                    bootstrap_servers, subscribe, starting_offsets
+                )
+            )
             .load()
         )
     except Exception as exc:  # pragma: no cover - connector not bundled
@@ -75,12 +133,42 @@ def kafka_sink(
 ) -> DataStreamWriter:
     """Kafka subject sink (value must be a serialized string/binary
     column named 'value'). Returned writer still needs ``.start()``."""
-    return (
-        df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_location)
+    return df.writeStream.format("kafka").options(
+        **kafka_sink_options(bootstrap_servers, topic, checkpoint_location)
     )
+
+
+def serialize_for_kafka(
+    df: DataFrame, key_col: str, value_cols: list[str] | None = None
+) -> DataFrame:
+    """Producer-side record shape: (key, value) with the payload
+    serialized to JSON — the engine's standard subject encoding. Pure
+    column expressions (JVM json serde), usable on batch or stream."""
+    payload = (
+        F.struct(*[F.col(c) for c in value_cols]) if value_cols
+        else F.struct(*[F.col(c) for c in df.columns])
+    )
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(payload).alias("value"),
+    )
+
+
+def deserialize_from_kafka(
+    df: DataFrame, value_schema: StructType, key_type: str = "string"
+) -> DataFrame:
+    """Consumer-side decode of the DSv2 record shape
+    (``KAFKA_SOURCE_SCHEMA``): cast the key, parse the JSON value into
+    typed columns, keep the broker metadata."""
+    return df.select(
+        # binary -> string first (UTF-8 wire encoding), then the target
+        F.col("key").cast("string").cast(key_type).alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        "timestamp",
+    ).select("key", "v.*", "topic", "partition", "offset", "timestamp")
 
 
 def console_sink(df: DataFrame, output_mode: str = "append") -> DataStreamWriter:

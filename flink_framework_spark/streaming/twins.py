@@ -8,9 +8,10 @@ bounded input is just a stream that ends.
 Watermarks: ``with_watermark`` applies ``withWatermark(ts, delay)``.
 Semantic note (SURVEY.md §2 I4): Spark *drops* rows later than the
 watermark in streaming aggregations; Flink can also side-output them.
-The batch emulation of the drop set is ``q_stream_late``; a parity
-side-output would be a parallel ``foreachBatch`` computing the same
-running-max filter.
+The batch emulation of the drop set is ``q_stream_late``; the parity
+side-output is ``streaming.late.LateSideOutputProcessor`` (a
+``foreachBatch`` split against the carried running-max watermark),
+property-tested equal to the batch emulation.
 """
 
 from __future__ import annotations
