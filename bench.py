@@ -35,7 +35,15 @@ def main() -> None:
     spark = get_spark(app_name="flink-framework-spark-bench")
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
 
-    materialize(queries["q_join_multi"].fn(spark, sf_dir))  # warmup
+    # Warmup: JVM/codegen via the flagship join, plus the Python/Arrow
+    # worker pool (first pandas-UDF stage in a session pays a one-time
+    # worker fork + import cost ~3s that would otherwise be billed to
+    # whichever UDF query happens to run first).
+    materialize(queries["q_join_multi"].fn(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    materialize(spark.range(10_000).select(_warm("id")))
 
     timings: dict[str, float] = {}
     for name, q in queries.items():

@@ -33,6 +33,38 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _staged(df: DataFrame) -> DataFrame:
+    """Persist a stage that multiple plan branches consume (the
+    self-joins below reference their input twice — without this, the
+    whole upstream pipeline, including the signature UDF, executes
+    once PER BRANCH). ``persist`` keeps the plan pure SQL (branches
+    read an InMemoryTableScan; a localCheckpoint would insert an RDD
+    scan, which the plan guard forbids). The cached stage is compact —
+    ids + fixed-width hash arrays, not document text. A production
+    deployment materializes the same stage as a signature table in the
+    lake; memory-and-disk cache is the single-job equivalent."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def hashed_shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(__id, __shh): one 64-bit xxhash per distinct shingle — the
+    shared, persisted base every near-dedup stage derives from
+    (MinHash permutations via pmod, SimHash bit votes, Jaccard
+    verification), so the expensive tokenize+shingle+hash scan of the
+    corpus runs exactly once per pipeline."""
+    sh = _shingled(df, id_col, text_col, shingle_n)
+    return _staged(
+        sh.select("__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"))
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """The canonical form exact dedup hashes: trimmed, lower-cased."""
     return F.lower(F.trim(col))
@@ -182,21 +214,31 @@ def minhash_candidates(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature
     become a candidate pair (doc_a < doc_b).
 
     Plan shape: explode to ``bands`` rows per doc, equi-join on
     (band_id, band_hash) — linear work + one shuffle; no cross join.
+    ``hashed`` optionally supplies a precomputed
+    ``hashed_shingle_frame`` shared with the verification stage.
     """
     rows_per_band = num_hashes // bands
     # staged projections: tokens -> shingles -> base hashes ->
     # signature, each a materialized column so no stage's expression is
-    # duplicated
-    sh = _shingled(df, id_col, text_col, shingle_n)
-    hs = sh.select("__id", shingle_hashes(F.col("__sh")).alias("__hs"))
-    sig = hs.select(
-        "__id", minhash_signature_vec(num_hashes)(F.col("__hs")).alias("__sig")
+    # duplicated; the signature stage is persisted because the banding
+    # self-join below consumes it in BOTH branches
+    if hashed is None:
+        hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    hs = hashed.select(
+        "__id",
+        F.transform("__shh", lambda x: F.pmod(x, F.lit(_MINHASH_P))).alias("__hs"),
+    )
+    sig = _staged(
+        hs.select(
+            "__id", minhash_signature_vec(num_hashes)(F.col("__hs")).alias("__sig")
+        )
     )
     # coalesce: bucket is always non-null, but its lineage runs through
     # the signature UDF, so Catalyst would otherwise infer
@@ -245,13 +287,16 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard (computed
     over the hashed shingle sets — see ngram_near_dup_pairs note (2);
-    per-doc set sizes precomputed per vector, not per pair)."""
-    sh = _shingled(df, id_col, text_col, shingle_n).select(
-        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh")
-    ).withColumn("__nsh", F.size("__shh").cast("double"))
+    per-doc set sizes precomputed per vector, not per pair).
+    ``hashed`` optionally supplies a precomputed, persisted
+    ``hashed_shingle_frame`` (shared with candidate generation)."""
+    if hashed is None:
+        hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    sh = hashed.withColumn("__nsh", F.size("__shh").cast("double"))
     a = sh.select(
         F.col("__id").alias("doc_a"), F.col("__shh").alias("__sa"),
         F.col("__nsh").alias("__na"),
@@ -282,11 +327,18 @@ def near_dup_pairs_minhash(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Full MinHash near-dedup: LSH candidates -> exact Jaccard filter."""
-    cands = minhash_candidates(df, id_col, text_col, shingle_n, num_hashes, bands)
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= threshold
+    """Full MinHash near-dedup: LSH candidates -> exact Jaccard filter.
+
+    The hashed-shingle base is computed once and shared between the
+    LSH candidate stage and the Jaccard verification stage (three plan
+    branches total) instead of re-shingling the corpus per branch."""
+    hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    cands = minhash_candidates(
+        df, id_col, text_col, shingle_n, num_hashes, bands, hashed=hashed
     )
+    return jaccard_pairs(
+        df, cands, id_col, text_col, shingle_n, hashed=hashed
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(hash_col: Column) -> Column:
@@ -352,12 +404,16 @@ def ngram_near_dup_pairs(
     #     each evaluation must be cheap; per-doc set sizes are also
     #     precomputed (per-vector, not per-pair — same discipline as
     #     the cosine norms in operators.similarity).
-    sh = sh.select(
-        "__id",
-        "__mink",
-        F.xxhash64("__mink").alias("__minh"),
-        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
-    ).withColumn("__nsh", F.size("__shh").cast("double"))
+    # _staged: the blocking self-join consumes this in both branches —
+    # persist so the shingle pipeline runs once, not per branch
+    sh = _staged(
+        sh.select(
+            "__id",
+            "__mink",
+            F.xxhash64("__mink").alias("__minh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        ).withColumn("__nsh", F.size("__shh").cast("double"))
+    )
     a = sh.select(
         F.col("__id").alias("doc_a"), F.col("__shh").alias("__sa"),
         F.col("__nsh").alias("__na"), F.col("__mink").alias("__minka"), "__minh",
@@ -417,19 +473,20 @@ def simhash_near_dup_pairs(
     width, extra = divmod(64, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    grams = _shingled(df, id_col, text_col, shingle_n)
-    hashes = grams.select(
-        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hx")
-    )
+    hashes = hashed_shingle_frame(df, id_col, text_col, shingle_n)
     # coalesce: the fingerprint is always non-null, but Catalyst can't
     # prove a UDF output is — without this, the join's inferred
     # isnotnull(val) inlines the WHOLE pipeline (split+shingles+UDF)
     # and pushes it below the _spread repartition, re-running it
     # single-threaded in the scan task (measured 3.4s at sf0.1; see
     # the same note in ngram_near_dup_pairs)
-    sh = hashes.select(
-        "__id",
-        F.coalesce(simhash64_vec()(F.col("__hx")), F.lit(0)).alias("__sh"),
+    # _staged: the block self-join consumes the fingerprints in both
+    # branches — persist so the UDF runs once, not per branch
+    sh = _staged(
+        hashes.select(
+            "__id",
+            F.coalesce(simhash64_vec()(F.col("__shh")), F.lit(0)).alias("__sh"),
+        )
     )
     blocks = sh.select(
         "__id",

@@ -113,11 +113,17 @@ def embedding_near_dup_pairs(
     equi-join on the bucket id bounds the pair space; the cosine
     kernel verifies. Output: vec_a < vec_b with cosine >= threshold.
     """
-    e = df.select(
-        F.col(id_col).alias("__eid"),
-        to_double_array(vec_col).alias("__v"),
-        F.col(bucket_col).alias("__bk"),
-    ).withColumn("__n", norm(F.col("__v")))
+    from flink_framework_spark.operators.dedup import _staged
+
+    # _staged: the bucket self-join consumes the normed vectors in
+    # both branches — persist so the cast + norm pass runs once
+    e = _staged(
+        df.select(
+            F.col(id_col).alias("__eid"),
+            to_double_array(vec_col).alias("__v"),
+            F.col(bucket_col).alias("__bk"),
+        ).withColumn("__n", norm(F.col("__v")))
+    )
     a = e.select(
         F.col("__eid").alias("vec_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), "__bk",
