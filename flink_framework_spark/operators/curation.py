@@ -1,0 +1,175 @@
+"""Corpus-curation operators — the remaining steps a production
+training-data pipeline runs between raw crawl and tokenizer:
+deterministic splits/sampling, benchmark decontamination, PII
+scrubbing, and sequence packing.
+
+All are pure Catalyst expressions (codegen'd, shuffle-minimal) and
+cross-engine deterministic: randomness is *derived* (md5 of stable
+keys — identical in DuckDB SQL), never drawn, so every operator is
+oracle-checkable and reproducible across reruns/retries — the
+property that matters most in a 100 TB pipeline, where "resample on
+retry" silently changes the training set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_framework_spark.operators.text import token_count
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from a stable key: first 8
+    hex digits of md5, mod n. Identical in DuckDB
+    (``strtol(substring(md5(k),1,8),16) % n``), uniform enough for
+    split/sample quotas, and independent of partitioning — a narrow
+    map, no shuffle."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out_col: str = "split",
+) -> DataFrame:
+    """train/val/test assignment by hash bucket of a stable key.
+    Splitting on a KEY (not row position) keeps all rows of an entity
+    on one side — the standard leakage guard."""
+    b = hash_bucket(F.col(key_col))
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its key's hash
+    bucket falls under the stratum's percentage. Used for language /
+    domain rebalancing. No shuffle, no RNG state; exactly reproducible
+    and incrementally stable (adding rows never flips old decisions)."""
+    b = hash_bucket(F.col(key_col))
+    quota = F.lit(default_pct)
+    for stratum, pct in sorted(fraction_pct.items()):
+        quota = F.when(F.col(strata_col) == stratum, pct).otherwise(quota)
+    return df.filter(b < quota)
+
+
+# --- benchmark decontamination -------------------------------------------
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a lowercased text column (JVM
+    higher-order expressions; see operators.dedup.shingles)."""
+    toks = F.split(F.lower(F.trim(text)), " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.array_distinct(
+        F.when(count > 0, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Drop training documents sharing any ``ngram_n``-gram with a
+    benchmark/eval set (the standard n-gram decontamination used for
+    pretraining corpora).
+
+    Plan shape: explode both sides to (doc, gram-hash) and LEFT ANTI
+    join on the 64-bit gram hash — linear work, one shuffle keyed on
+    the hash, no cross join. The benchmark side is typically tiny
+    (evals), so Catalyst broadcasts it; at 100 TB the training side
+    never materializes its gram set, it streams through the join.
+    Hash collisions can only *over*-remove (safe direction), and with
+    64-bit hashes are ~impossible at eval-set sizes.
+    """
+    t_grams = train.select(
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("__g")
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    b_grams = benchmark.select(
+        F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("__g")
+    ).select(F.xxhash64("__g").alias("__gh")).distinct()
+    contaminated = t_grams.join(b_grams, "__gh", "left_semi").select(id_col).distinct()
+    return train.join(contaminated, id_col, "left_anti")
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+# Pragmatic pretraining-scrub patterns (RE2 ∩ Java-compatible, so the
+# DuckDB oracle matches byte-for-byte).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4s with typed placeholders
+    and count redactions per document (audit column). Pure JVM regex —
+    a narrow codegen'd map at any scale."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    scrubbed = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed, F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(scrubbed, F.lit(IPV4_RE), 0))
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    return df.withColumn(out_col, scrubbed).withColumn(
+        "n_redactions", (n_email + n_phone + n_ip).cast("long")
+    )
+
+
+# --- sequence packing -----------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 2048,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    ("packing"): in stable ``id_col`` order, running token count ->
+    ``bin = floor((cumsum - tokens) / target)`` (i.e. the bin the
+    document STARTS in). Deterministic, one window pass; the
+    ``partition_cols`` (e.g. split or shard id) keep the window
+    partitioned — at 100 TB you never run one global cumsum, you pack
+    per shard, which is also what the trainer consumes.
+
+    Output: (partition_cols..., id, n_tokens, bin, bin_offset) —
+    bin_offset is where the doc starts inside its bin, for the
+    downstream concatenation step.
+    """
+    part = Window.partitionBy(*partition_cols)
+    w = part.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.select(
+        *partition_cols, id_col, token_count(F.col(text_col)).alias("n_tokens")
+    ).withColumn("__cum", F.sum("n_tokens").over(w))
+    return out.select(
+        *partition_cols,
+        id_col,
+        "n_tokens",
+        F.floor((F.col("__cum") - F.col("n_tokens")) / target_tokens).alias("bin"),
+        F.pmod(F.col("__cum") - F.col("n_tokens"), F.lit(target_tokens)).alias(
+            "bin_offset"
+        ),
+    )

@@ -2,6 +2,7 @@
 
 from flink_framework_spark.queries import (  # noqa: F401
     aggregates,
+    curation,
     dedup_ext,
     driver_suite,
     functions_lib,

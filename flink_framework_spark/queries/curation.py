@@ -1,0 +1,187 @@
+"""Corpus-curation queries (operators.curation): deterministic
+splits/sampling, benchmark decontamination, PII scrubbing, sequence
+packing — the pipeline steps between raw corpus and tokenizer, each
+oracle-checked (derived randomness via md5 makes them
+SQL-reproducible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.curation import (
+    assign_split,
+    decontaminate,
+    pack_sequences,
+    scrub_pii,
+    stratified_sample,
+)
+from flink_framework_spark.registry import register
+
+# shared oracle fragment: the hash_bucket formula in DuckDB
+_BUCKET = "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "q_split_assign",
+    family="K",
+    oracle=f"""
+WITH b AS (SELECT lang, {_BUCKET} AS bk FROM documents)
+SELECT CASE WHEN bk < 90 THEN 'train'
+            WHEN bk < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n
+FROM b GROUP BY 1, 2
+""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash (leakage-
+    safe: decided per doc_id, stable under reruns and appends)."""
+    docs = assign_split(table(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_strat_sample",
+    family="K",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n FROM (
+  SELECT lang, {_BUCKET} AS bk FROM documents) b
+WHERE bk < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 100 END
+GROUP BY lang
+""",
+)
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: downsample the dominant
+    language, keep the tail — per-stratum hash quotas, no RNG state,
+    no shuffle."""
+    docs = stratified_sample(
+        table(spark, sf_dir, "documents"),
+        strata_col="lang",
+        key_col="doc_id",
+        fraction_pct={"en": 30, "zh": 80},
+        default_pct=100,
+    )
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q_decontam",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 6),
+           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+                       w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]))) AS g
+  FROM toks WHERE len(w) >= 8),
+bench AS (
+  SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE doc_id % 97 <> 0) t
+  JOIN bench USING (gram))
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: drop training docs sharing
+    any 8-gram with the held-out slice (doc_id % 97 == 0 stands in for
+    the eval set; on the fixtures the planted near-dups make the
+    overlap non-trivial)."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench).select("doc_id")
+
+
+@register(
+    "q_pii_scrub",
+    family="K",
+    oracle="""
+WITH contact AS (
+  SELECT c_custkey,
+         concat(c_name, ' <c', CAST(c_custkey AS VARCHAR),
+                '@example.com> or +1 555-867-',
+                lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM customer)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}',
+           '<PHONE>', 'g'),
+         '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')
+         AS clean_text,
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}')) +
+            len(regexp_extract_all(
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}',
+                '<PHONE>', 'g'),
+              '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+         AS BIGINT) AS n_redactions
+FROM contact
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with audit counts over a constructed contact
+    string (the fixture corpus carries no natural PII, so the query
+    derives one deterministic email + phone per customer row — both
+    engines build and scrub the identical string)."""
+    cu = table(spark, sf_dir, "customer")
+    contact = cu.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <c"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com> or +1 555-867-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(contact).select("c_custkey", "clean_text", "n_redactions")
+
+
+@register(
+    "q_pack_sequences",
+    family="K",
+    oracle="""
+WITH tok AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(lower(text),
+              '([a-z]{1,4}|[0-9]{1,3})', 1)) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok)
+SELECT lang, doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget sequence packing per language shard: one
+    windowed cumsum pass assigns each doc its training-sequence bin
+    and offset (BPE-ish regex token counts, same tokenizer as
+    q_text_tokens)."""
+    return pack_sequences(
+        table(spark, sf_dir, "documents"),
+        target_tokens=2048,
+        partition_cols=("lang",),
+    )
