@@ -68,16 +68,20 @@ def stratified_sample(
 
 # --- benchmark decontamination -------------------------------------------
 
-def _word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-grams of a lowercased text column (JVM
-    higher-order expressions; see operators.dedup.shingles)."""
+def _word_ngram_hashes(text: Column, n: int) -> Column:
+    """Distinct 64-bit hashes of the word n-grams of a lowercased text
+    column. Hashes the token *slice* directly (``xxhash64`` accepts
+    arrays) instead of materializing each n-gram as a joined string —
+    tokens come from a single-space split, so slice identity ==
+    joined-string identity, and skipping the string build is ~2× on
+    gram-heavy corpora. JVM higher-order expressions throughout."""
     toks = F.split(F.lower(F.trim(text)), " ")
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
-    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    gram = lambda i: F.xxhash64(F.slice(toks, i + 1, n))  # noqa: E731
     return F.array_distinct(
         F.when(count > 0, F.transform(idx, gram)).otherwise(
-            F.array().cast("array<string>")
+            F.array().cast("array<long>")
         )
     )
 
@@ -101,12 +105,19 @@ def decontaminate(
     Hash collisions can only *over*-remove (safe direction), and with
     64-bit hashes are ~impossible at eval-set sizes.
     """
-    t_grams = train.select(
-        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("__g")
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    from flink_framework_spark.operators.dedup import _spread
+
+    # _spread: gram hashing inflates each doc ~|words| times — re-chunk
+    # the compact (id, text) rows to full parallelism before the
+    # CPU-heavy explode (a single-file input would otherwise shingle on
+    # one core; at warehouse scale the scan already has enough splits).
+    t_grams = _spread(train.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(_word_ngram_hashes(F.col(text_col), ngram_n)).alias("__gh"),
+    )
     b_grams = benchmark.select(
-        F.explode(_word_ngrams(F.col(text_col), ngram_n)).alias("__g")
-    ).select(F.xxhash64("__g").alias("__gh")).distinct()
+        F.explode(_word_ngram_hashes(F.col(text_col), ngram_n)).alias("__gh")
+    ).distinct()
     contaminated = t_grams.join(b_grams, "__gh", "left_semi").select(id_col).distinct()
     return train.join(contaminated, id_col, "left_anti")
 
