@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.operators.text import token_count
 
 
@@ -146,6 +147,44 @@ def scrub_pii(
     scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
     return df.withColumn(out_col, scrubbed).withColumn(
         "n_redactions", (n_email + n_phone + n_ip).cast("long")
+    )
+
+
+# --- domain mixture -------------------------------------------------------
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-domain mixing report for a target token distribution: the
+    DoReMi/Pile-style reweighting step. For each domain, the actual
+    token share and the repeat factor (``target_share / actual_share``)
+    a sampler must apply to hit the target mixture.
+
+    One hash aggregate over the corpus (token counts are a narrow map,
+    partial-aggregated map-side); the domain table is tiny, so the
+    share/repeat arithmetic happens post-agg on grouped rows. Domains
+    absent from ``targets`` get a target share of 0 (drop).
+    """
+    tok = token_count(F.col(text_col))
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    target = F.lit(0.0)
+    for dom, share in sorted((targets or {}).items()):
+        target = F.when(F.col("domain") == dom, F.lit(float(share))).otherwise(target)
+    actual = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    return agg.select(
+        "domain",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        round_duck(actual, 6).alias("actual_share"),
+        target.alias("target_share"),
+        round_duck(target / actual, 4).alias("repeat_factor"),
     )
 
 

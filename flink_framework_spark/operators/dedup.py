@@ -526,3 +526,59 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-cluster manifest: MinHash-LSH near-dup pairs ->
+    connected components -> one canonical doc per cluster. This is the
+    step a production dedup actually ships — pairwise output alone
+    can't answer "which rows do I keep" when duplicates chain
+    (A~B, B~C but A!~C must still collapse to one survivor).
+
+    Returns every document labeled ``(id_col, cluster, cluster_size,
+    keep)`` where ``cluster`` is the component's minimum doc id (the
+    canonical survivor, ``keep=true``; singletons keep themselves).
+
+    Scale shape: the pair stage is the banded equi-join of
+    ``near_dup_pairs_minhash`` (no cross join), and the component
+    stage is the Pregel-lite min-label loop of
+    ``operators.iterative.connected_components`` — iterations ~
+    cluster diameter, which for dedup graphs is tiny (dups are
+    near-cliques). The full-corpus ``vertices`` pass labels
+    non-duplicated docs as their own singleton clusters.
+    """
+    from flink_framework_spark.operators.iterative import connected_components
+
+    pairs = near_dup_pairs_minhash(
+        df, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    # CC only over edge endpoints (the duplicated minority — ~5-10% of
+    # a typical corpus): the min-label loop then iterates over a frame
+    # proportional to the DUP set, not the corpus. Singletons never
+    # enter the loop; they are attached afterward as their own cluster
+    # via a left join (coalesce to self).
+    labeled = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    from pyspark.sql import Window
+
+    size_w = Window.partitionBy("cluster")
+    return (
+        df.select(F.col(id_col))
+        .join(labeled.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.count(F.lit(1)).over(size_w).alias("cluster_size"),
+            (F.col(id_col) == F.col("cluster")).alias("keep"),
+        )
+    )

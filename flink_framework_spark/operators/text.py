@@ -71,6 +71,59 @@ def bow_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(canon, "UTF-8"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the standard
+    boilerplate/degenerate-text filters a pretraining pipeline runs:
+
+    - ``top_word_frac``: share of the document taken by its single
+      most frequent word (high -> keyword stuffing / boilerplate);
+    - ``dup_word_frac``: 1 - distinct/total words;
+    - ``dup_bigram_frac``: 1 - distinct/total word bigrams (high ->
+      looping generation / templated text).
+
+    Plan shape: the per-word mode cannot be a bounded per-row
+    expression for arbitrarily long documents (an array-mode via
+    nested higher-order functions is O(|doc|^2) per row), so the word
+    counts go through an explode + two-level hash aggregate — linear,
+    map-side combinable, the shape that survives 10k-word documents at
+    100 TB. Bigram distinctness IS bounded per row (array_distinct of
+    the hashed-slice bigrams, O(|doc|)), so it stays a narrow map and
+    joins back on ``id_col``.
+    """
+    from flink_framework_spark.operators.curation import _word_ngram_hashes
+
+    w = words(F.col(text_col))
+    word_counts = (
+        df.select(F.col(id_col), F.explode(w).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_words"),
+            F.max("__c").alias("__top"),
+            F.count(F.lit(1)).alias("__distinct"),
+        )
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.size(_word_ngram_hashes(F.col(text_col), 2)).alias("__bi_distinct"),
+        (F.greatest(F.size(w) - 1, F.lit(0))).alias("__bi_total"),
+    )
+    nw = F.col("n_words").cast("double")
+    return word_counts.join(bigrams, id_col).select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        round_duck(F.col("__top") / nw, 4).alias("top_word_frac"),
+        round_duck(F.lit(1.0) - F.col("__distinct") / nw, 4).alias("dup_word_frac"),
+        F.when(F.col("__bi_total") > 0, round_duck(
+            F.lit(1.0) - F.col("__bi_distinct") / F.col("__bi_total").cast("double"),
+            4,
+        )).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
 def train_char_ngram_langid(
     df: DataFrame, text_col: str = "text", label_col: str = "lang",
     n: int = 2, top_k: int = 60, train_cap: int = 16384,

@@ -13,6 +13,7 @@ from flink_framework_spark.io import table
 from flink_framework_spark.operators.curation import (
     assign_split,
     decontaminate,
+    domain_mixture,
     pack_sequences,
     scrub_pii,
     stratified_sample,
@@ -184,4 +185,34 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"),
         target_tokens=2048,
         partition_cols=("lang",),
+    )
+
+
+@register(
+    "q_domain_mix",
+    family="K",
+    oracle="""
+WITH a AS (
+  SELECT source AS domain, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text),
+              '([a-z]{1,4}|[0-9]{1,3})', 1))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM a)
+SELECT domain, n_docs, n_tokens,
+       ROUND(n_tokens / tot, 6) AS actual_share,
+       CASE domain WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+                   WHEN 'src2' THEN 0.1 ELSE 0.0 END AS target_share,
+       ROUND((CASE domain WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+                          WHEN 'src2' THEN 0.1 ELSE 0.0 END)
+             / (n_tokens / tot), 4) AS repeat_factor
+FROM a, t
+""",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting report (DoReMi/Pile-style): actual
+    vs target token share per source and the repeat factor a sampler
+    applies to hit the target mixture; unlisted domains target 0."""
+    return domain_mixture(
+        table(spark, sf_dir, "documents"),
+        targets={"src0": 0.3, "src1": 0.2, "src2": 0.1},
     )

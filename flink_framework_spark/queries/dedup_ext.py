@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import (
+    dedup_clusters,
     near_dup_pairs_minhash,
     ngram_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -107,3 +108,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=8
     )
+
+
+@register(
+    "q_dedup_clusters",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_clusters_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster manifest: MinHash-LSH pairs -> connected
+    components -> canonical survivor per cluster (keep = min doc id).
+    Deterministic end-to-end (seeded hashes, min-label components), so
+    the oracle is a frozen golden snapshot at the driver's sf0.01;
+    transitive-chain behavior is property-tested in tests/test_dedup.py."""
+    return dedup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)

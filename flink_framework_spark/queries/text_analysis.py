@@ -13,6 +13,7 @@ from flink_framework_spark.operators.text import (
     bow_fingerprint,
     predict_lang,
     quality_score,
+    repetition_stats,
     token_count,
     train_char_ngram_langid,
 )
@@ -105,3 +106,38 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_text_repetition",
+    family="K",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(w) AS word FROM w) GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, MAX(cnt) AS top,
+         COUNT(*) AS nd
+  FROM c GROUP BY 1),
+b AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(range(1, len(w)),
+             i -> concat(w[i], ' ', w[i+1])))) AS bd,
+         len(w) - 1 AS bt
+  FROM w)
+SELECT d.doc_id, n_words,
+       ROUND(top / CAST(n_words AS DOUBLE), 4) AS top_word_frac,
+       ROUND(1.0 - nd / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
+       CASE WHEN bt > 0 THEN ROUND(1.0 - bd / CAST(bt AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM d JOIN b USING (doc_id)
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document:
+    top-word share, duplicate-word fraction, duplicate-bigram
+    fraction (operators.text.repetition_stats — explode + two-level
+    hash agg for the word mode, bounded array math for bigrams)."""
+    return repetition_stats(table(spark, sf_dir, "documents"))

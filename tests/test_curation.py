@@ -69,3 +69,55 @@ def test_decontaminate_removes_exactly_overlapping_docs(spark):
     bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
     kept = {r["doc_id"] for r in decontaminate(train, bench).collect()}
     assert kept == {2, 3}
+
+
+def test_domain_mixture_shares_sum_to_one(spark):
+    from flink_framework_spark.operators.curation import domain_mixture
+
+    out = domain_mixture(
+        table(spark, SF_DIR, "documents"), targets={"src0": 0.5}
+    ).collect()
+    assert abs(sum(r["actual_share"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        if r["domain"] == "src0":
+            assert r["target_share"] == 0.5 and r["repeat_factor"] > 0
+        else:
+            assert r["target_share"] == 0.0 and r["repeat_factor"] == 0.0
+
+
+def test_dedup_clusters_collapse_transitive_chains(spark):
+    """A~B and B~C (A!~C directly) must share one cluster with one
+    survivor; unrelated docs stay singletons."""
+    from flink_framework_spark.operators.dedup import dedup_clusters
+
+    words20 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron pi rho sigma tau upsilon ")
+    base = words20 * 2                               # J(1 word swap) ~ 0.74
+    mid = base.replace("theta", "townhall")          # ~ base (J ~ 0.74)
+    far = mid.replace("sigma", "sheriff")            # ~ mid, J(base) ~ 0.54
+    rows = [(1, base), (2, mid), (3, far),
+            (4, "completely different vocabulary with no overlap at all " * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_clusters(df, threshold=0.6).collect()}
+    assert len(out) == 4
+    assert out[1]["cluster"] == out[2]["cluster"] == out[3]["cluster"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+    assert out[4]["cluster"] == 4 and out[4]["cluster_size"] == 1 and out[4]["keep"]
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    from flink_framework_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_word_frac"] > 0.8
+    assert out[1]["dup_bigram_frac"] == 0.8  # 5 bigrams, 1 distinct
+    assert out[2]["top_word_frac"] == 0.1
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_bigram_frac"] == 0.0

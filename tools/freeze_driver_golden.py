@@ -25,7 +25,12 @@ from flink_framework_spark.session import get_spark  # noqa: E402
 
 SF = "sf0.01"  # the driver's correctness scale factor
 SF_DIR = f"/root/testdata/{SF}"
-GOLDEN_QUERIES = ("q_dedup_minhash", "q_dedup_simhash", "q_sim_topk_ivf")
+GOLDEN_QUERIES = (
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_sim_topk_ivf",
+    "q_dedup_clusters",
+)
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests",
