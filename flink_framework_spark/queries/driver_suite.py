@@ -19,6 +19,8 @@ total orders) — so one driver row attests several §2 IDs:
 - ``q_setops_suite``    G1 + G2 + G3 + G4
 - ``q_string_suite``    H1 (string funcs) + H2 (regex)
 - ``q_datetime_cond``   H3 (date/time) + H5 (coalesce/nullif/greatest/least)
+- ``q_dedup_suite``     K2: ngram + embed + minhash + simhash near-dedup
+- ``q_curation_suite``  split/stratified/PII/domain-mix/packing/repetition
 """
 
 from __future__ import annotations
@@ -400,3 +402,298 @@ def q_datetime_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_duck(F.greatest(F.col("o_totalprice"), F.lit(100000.0)), 2).alias("hi"),
         round_duck(F.least(F.col("o_totalprice"), F.lit(100000.0)), 2).alias("lo"),
     )
+
+
+@register(
+    "q_dedup_suite",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh)
+SELECT 'ngram' AS method, doc_a AS id_a, doc_b AS id_b, jac AS score FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jac
+  FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id) t
+WHERE jac >= 0.5
+UNION ALL
+SELECT 'embed', vec_a, vec_b, cosim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cosim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id) t
+WHERE cosim >= 0.4
+UNION ALL
+SELECT 'minhash', doc_a, doc_b, jaccard FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_minhash_sf0.01.parquet')
+UNION ALL
+SELECT 'simhash', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_simhash_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+    bench=False,  # the granular K2 queries carry the bench signal
+)
+def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four near-dedup methods (K2) tagged into one driver slot,
+    value-complete: n-gram Jaccard + embedding cosine (live SQL
+    oracles) and MinHash-LSH + SimHash (deterministic; frozen golden
+    snapshots at the driver's sf0.01). The granular queries stay
+    registered for bench + local hash checks."""
+    from flink_framework_spark.operators.dedup import (
+        near_dup_pairs_minhash,
+        ngram_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from flink_framework_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+
+    def tag(df: DataFrame, method: str, a: str, b: str, score) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            F.col(a).alias("id_a"),
+            F.col(b).alias("id_b"),
+            score.alias("score"),
+        )
+
+    ng = tag(ngram_near_dup_pairs(docs, threshold=0.5),
+             "ngram", "doc_a", "doc_b", F.col("jac"))
+    em = tag(embedding_near_dup_pairs(emb, threshold=0.4, bucket_col="label"),
+             "embed", "vec_a", "vec_b", F.col("cosim"))
+    mh = tag(near_dup_pairs_minhash(docs, threshold=0.5),
+             "minhash", "doc_a", "doc_b", F.col("jaccard"))
+    sh = tag(simhash_near_dup_pairs(docs, max_hamming=8),
+             "simhash", "doc_a", "doc_b", F.col("hamming").cast("double"))
+    return ng.unionByName(em).unionByName(mh).unionByName(sh)
+
+
+_SUITE_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "q_curation_suite",
+    family="K",
+    oracle=f"""
+WITH split_b AS (SELECT lang, {_SUITE_BUCKET} AS bk FROM documents),
+strat_b AS (SELECT lang, {_SUITE_BUCKET} AS bk FROM documents),
+contact AS (
+  SELECT c_custkey,
+         concat(c_name, ' <c', CAST(c_custkey AS VARCHAR),
+                '@example.com> or +1 555-867-',
+                lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM customer),
+mix_a AS (
+  SELECT source AS domain, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(lower(text),
+              '([a-z]{{1,4}}|[0-9]{{1,3}})', 1))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+mix_t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot FROM mix_a),
+pack_tok AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(lower(text),
+              '([a-z]{{1,4}}|[0-9]{{1,3}})', 1)) AS BIGINT) AS n_tokens
+  FROM documents),
+pack_c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pack_tok),
+rep_w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+rep_c AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, UNNEST(w) AS word FROM rep_w) GROUP BY 1, 2),
+rep_d AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, MAX(cnt) AS top,
+         COUNT(*) AS nd
+  FROM rep_c GROUP BY 1),
+rep_b AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(range(1, len(w)),
+             i -> concat(w[i], ' ', w[i+1])))) AS bd,
+         len(w) - 1 AS bt
+  FROM rep_w)
+SELECT 'split' AS tag,
+       concat(CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+                   ELSE 'test' END, ':', lang) AS k,
+       CAST(COUNT(*) AS DOUBLE) AS v
+FROM split_b GROUP BY 2
+UNION ALL
+SELECT 'strat', lang, CAST(COUNT(*) AS DOUBLE)
+FROM strat_b
+WHERE bk < CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 80 ELSE 100 END
+GROUP BY 2
+UNION ALL
+SELECT 'pii',
+       concat(CAST(c_custkey AS VARCHAR), '|',
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+             '\\+?[0-9]{{1,3}}[- .]?\\(?[0-9]{{3}}\\)?[- .]?[0-9]{{3}}[- .]?[0-9]{{4}}',
+             '<PHONE>', 'g'),
+           '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+           '<IP>', 'g')),
+       CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) +
+            len(regexp_extract_all(
+              regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                '<EMAIL>', 'g'),
+              '\\+?[0-9]{{1,3}}[- .]?\\(?[0-9]{{3}}\\)?[- .]?[0-9]{{3}}[- .]?[0-9]{{4}}')) +
+            len(regexp_extract_all(
+              regexp_replace(
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                  '<EMAIL>', 'g'),
+                '\\+?[0-9]{{1,3}}[- .]?\\(?[0-9]{{3}}\\)?[- .]?[0-9]{{3}}[- .]?[0-9]{{4}}',
+                '<PHONE>', 'g'),
+              '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+            AS DOUBLE)
+FROM contact
+UNION ALL
+SELECT 'mix', concat(domain, '|docs'), CAST(n_docs AS DOUBLE)
+FROM mix_a
+UNION ALL
+SELECT 'mix', concat(domain, '|tok'), CAST(n_tokens AS DOUBLE) FROM mix_a
+UNION ALL
+SELECT 'mix', concat(domain, '|share'), ROUND(n_tokens / tot, 6)
+FROM mix_a, mix_t
+UNION ALL
+SELECT 'mix', concat(domain, '|rf'),
+       ROUND((CASE domain WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.2
+                          WHEN 'src2' THEN 0.1 ELSE 0.0 END)
+             / (n_tokens / tot), 4)
+FROM mix_a, mix_t
+UNION ALL
+SELECT 'pack', concat(lang, '|', CAST(doc_id AS VARCHAR), '|bin'),
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS DOUBLE)
+FROM pack_c
+UNION ALL
+SELECT 'pack', concat(lang, '|', CAST(doc_id AS VARCHAR), '|off'),
+       CAST((cum - n_tokens) % 2048 AS DOUBLE)
+FROM pack_c
+UNION ALL
+SELECT 'pack', concat(lang, '|', CAST(doc_id AS VARCHAR), '|tok'),
+       CAST(n_tokens AS DOUBLE)
+FROM pack_c
+UNION ALL
+SELECT 'rep', concat(CAST(d.doc_id AS VARCHAR), '|nw'),
+       CAST(n_words AS DOUBLE)
+FROM rep_d d
+UNION ALL
+SELECT 'rep', concat(CAST(d.doc_id AS VARCHAR), '|top'),
+       ROUND(top / CAST(n_words AS DOUBLE), 4)
+FROM rep_d d
+UNION ALL
+SELECT 'rep', concat(CAST(d.doc_id AS VARCHAR), '|dw'),
+       ROUND(1.0 - nd / CAST(n_words AS DOUBLE), 4)
+FROM rep_d d
+UNION ALL
+SELECT 'rep', concat(CAST(b.doc_id AS VARCHAR), '|db'),
+       CASE WHEN bt > 0 THEN ROUND(1.0 - bd / CAST(bt AS DOUBLE), 4)
+            ELSE 0.0 END
+FROM rep_b b
+""",
+    bench=False,  # the granular curation queries carry the bench signal
+)
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation pipeline in one value-complete driver slot:
+    split assignment + stratified sampling + PII scrubbing + domain
+    mixture + sequence packing + repetition metrics, each sub-result
+    melted to (tag, k, v) rows carrying every output value (strings in
+    k, numerics in v — no float-to-string formatting in the compare
+    path). Decontamination has its own slot (q_decontam)."""
+    from flink_framework_spark.operators.curation import (
+        assign_split,
+        domain_mixture,
+        pack_sequences,
+        scrub_pii,
+        stratified_sample,
+    )
+    from flink_framework_spark.operators.text import repetition_stats
+
+    docs = table(spark, sf_dir, "documents")
+
+    split = (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("split").alias("tag"),
+            F.concat("split", F.lit(":"), "lang").alias("k"),
+            F.col("n").cast("double").alias("v"),
+        )
+    )
+    strat = (
+        stratified_sample(docs, "lang", "doc_id",
+                          {"en": 30, "zh": 80}, default_pct=100)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("strat").alias("tag"),
+            F.col("lang").alias("k"),
+            F.col("n").cast("double").alias("v"),
+        )
+    )
+    cu = table(spark, sf_dir, "customer")
+    contact = cu.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <c"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com> or +1 555-867-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    pii = scrub_pii(contact).select(
+        F.lit("pii").alias("tag"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit("|"),
+                 F.col("clean_text")).alias("k"),
+        F.col("n_redactions").cast("double").alias("v"),
+    )
+
+    def melt(df: DataFrame, tag: str, key_cols, pairs) -> DataFrame:
+        kv = F.explode(F.array(*[
+            F.struct(
+                F.concat(*key_cols, F.lit("|" + suffix)).alias("k"),
+                F.col(c).cast("double").alias("v"),
+            )
+            for suffix, c in pairs
+        ])).alias("s")
+        return df.select(F.lit(tag).alias("tag"), kv).select("tag", "s.k", "s.v")
+
+    mix = melt(
+        domain_mixture(docs, targets={"src0": 0.3, "src1": 0.2, "src2": 0.1}),
+        "mix",
+        [F.col("domain")],
+        [("docs", "n_docs"), ("tok", "n_tokens"),
+         ("share", "actual_share"), ("rf", "repeat_factor")],
+    )
+    pack = melt(
+        pack_sequences(docs, target_tokens=2048, partition_cols=("lang",)),
+        "pack",
+        [F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")],
+        [("bin", "bin"), ("off", "bin_offset"), ("tok", "n_tokens")],
+    )
+    rep = melt(
+        repetition_stats(docs),
+        "rep",
+        [F.col("doc_id").cast("string")],
+        [("nw", "n_words"), ("top", "top_word_frac"),
+         ("dw", "dup_word_frac"), ("db", "dup_bigram_frac")],
+    )
+    return split.unionByName(strat).unionByName(pii) \
+        .unionByName(mix).unionByName(pack).unionByName(rep)

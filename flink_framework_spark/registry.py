@@ -97,10 +97,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_udaf_geomean",         # J4 (J5 via q_multimodal_meta)
     # K. LLM-pipeline operators
     "q_dedup_exact",          # K1 (+ D12 global agg)
-    "q_dedup_minhash",        # K2 (golden oracle @ sf0.01)
-    "q_dedup_simhash",        # K2 (golden oracle @ sf0.01)
-    "q_dedup_ngram",          # K2
-    "q_dedup_embed",          # K2
+    "q_dedup_suite",          # K2: ngram + embed (live SQL) + minhash +
+                              #     simhash (golden @ sf0.01), tagged union
+    "q_dedup_clusters",       # K2 manifest: pairs -> components -> survivor
+    "q_decontam",             # benchmark n-gram decontamination
+    "q_curation_suite",       # split/strat/PII/mix/pack/repetition,
+                              #     value-complete melt
     "q_sim_topk_bucketed",    # K3 scale path
     "q_sim_topk_ivf",         # K3 (golden oracle @ sf0.01)
     "q_text_stats",           # K4
