@@ -59,23 +59,23 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the previous label alongside the new one so the
+        # convergence check is a narrow filter-count over the already
+        # checkpointed rows (1 tiny job) instead of a second shuffle
+        # join against the old labels (which doubled per-round cost).
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("component").alias("__prev"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("component") != F.col("__prev")).count()
+        labels = stepped.drop("__prev")
         if changed == 0:
             return labels
     raise RuntimeError(
