@@ -10,6 +10,7 @@ from flink_framework_spark.queries import (  # noqa: F401
     llm,
     multimodal_q,
     projection,
+    retrieval,
     scan,
     setops,
     sort_limit,
