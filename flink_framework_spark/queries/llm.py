@@ -186,3 +186,23 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact distincts so the DuckDB oracle can reproduce the values;
     # the operator's scale default is approx_distinct=True (HLL)
     return profile_table(table(spark, sf_dir, "events"), approx_distinct=False)
+
+
+@register(
+    "q_kmeans",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_kmeans_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table (k=8,
+    5 fixed rounds): narrow literal-centroid assignment + exact
+    DECIMAL centroid sums, so the clustering is deterministic and
+    golden-snapshot checkable (operators.iterative.kmeans_lloyd;
+    determinism + quality property-tested in tests/test_kmeans.py)."""
+    from flink_framework_spark.operators.iterative import kmeans_lloyd
+
+    return kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=8, n_iter=5)

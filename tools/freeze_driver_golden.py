@@ -30,6 +30,7 @@ GOLDEN_QUERIES = (
     "q_dedup_simhash",
     "q_sim_topk_ivf",
     "q_dedup_clusters",
+    "q_kmeans",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
