@@ -103,10 +103,11 @@ def kmeans_lloyd(
     Fully deterministic — golden-snapshot safe:
 
     - init: farthest-first traversal (maxmin seeding) from the
-      lowest-id vector — no RNG, and unlike lowest-k-ids it cannot
-      seed every centroid inside one cluster; each of the k-1 steps
-      is a narrow distance map + TakeOrdered(1), ties on distance
-      broken by ascending id;
+      lowest-id vector, computed driver-side over a BOUNDED
+      deterministic sample (lowest ``init_cap`` ids — the same
+      train_cap discipline as ``train_ivf_centroids``): no RNG, it
+      cannot seed every centroid inside one cluster, and it costs
+      one capped collect instead of k passes over the corpus;
     - a fixed ``n_iter`` rounds (no data-dependent stopping);
     - centroid updates sum components as DECIMAL, which Spark
       aggregates exactly (order-independent), so the result does not
@@ -122,25 +123,25 @@ def kmeans_lloyd(
         to_double_array,
     )
 
+    import numpy as np
+
+    init_cap = 4096
     staged = df.select(
         F.col(id_col), to_double_array(vec_col).alias("__v")
     )
-    first = staged.orderBy(id_col).limit(1).collect()
-    if not first:
+    sample = staged.orderBy(id_col).limit(init_cap).collect()
+    if not sample:
         raise ValueError("cannot run k-means on an empty input")
-    chosen: list[list[float]] = [list(first[0]["__v"])]
-    while len(chosen) < k:
-        dmin = F.array_min(
-            _cell_dists(F.col("__v"), list(enumerate(chosen)))
-        ).getField("d")
-        far = (
-            staged.select(F.col(id_col), F.col("__v"), dmin.alias("__d"))
-            .orderBy(F.col("__d").desc(), F.col(id_col))
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append(list(far["__v"]))
-    centroids = list(enumerate(chosen))
+    X = np.array([r["__v"] for r in sample], dtype=np.float64)
+    picked = [0]
+    dmin = ((X - X[0]) ** 2).sum(axis=1)
+    while len(picked) < min(k, len(X)):
+        nxt = int(dmin.argmax())  # ties: numpy argmax -> lowest index
+        picked.append(nxt)
+        dmin = np.minimum(dmin, ((X - X[nxt]) ** 2).sum(axis=1))
+    centroids = [
+        (i, [float(x) for x in X[p]]) for i, p in enumerate(picked)
+    ]
 
     for _ in range(n_iter):
         assigned = staged.withColumn(
@@ -186,4 +187,78 @@ def kmeans_lloyd(
         F.col(id_col),
         F.col("__best.cell").cast("long").alias("cluster"),
         round_duck(F.col("__best.d"), 4).alias("d2"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: int = 85,
+    handle_dangling: bool = True,
+) -> DataFrame:
+    """PageRank power iteration over a directed edge list, in exact
+    fixed-point arithmetic so the result is deterministic under any
+    partitioning (golden-snapshot safe).
+
+    Ranks are carried as int64 scaled by 1e12: integer sums are exact
+    and order-independent, and every division is a floor div — the
+    per-op bias is ~1e-12, invisible at the 6-decimal output rounding
+    but (unlike double summation) identical on every run.
+
+    Per round: one join of the static (src, dst, outdeg) edge frame
+    against the current ranks (Catalyst broadcasts the small rank
+    side; the big edge frame never moves), a partial-aggregated sum
+    per destination, and a lineage-cut ``localCheckpoint``. With
+    ``handle_dangling`` the mass of nodes without out-edges is
+    redistributed uniformly (one extra 1-row aggregate per round);
+    pass ``False`` for graphs where every node has an out-edge (e.g.
+    bidirectional edge lists) to skip that job.
+
+    Returns (id, rank) with rank rounded to 6 decimals; ranks sum to
+    ~1 over the node set.
+    """
+    SCALE = 10**12
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    e2 = e.join(outdeg, "s").localCheckpoint()
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("cannot run pagerank on an empty edge list")
+    base = ((100 - damping) * SCALE) // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
+
+    for _ in range(n_iter):
+        if handle_dangling:
+            dang = (
+                ranks.join(outdeg, ranks.id == outdeg.s, "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+        else:
+            dang = 0
+        contrib = e2.join(ranks, e2.s == ranks.id).select(
+            F.col("d").alias("id"), F.expr("r div od").alias("c")
+        )
+        in_sum = contrib.groupBy("id").agg(F.sum("c").alias("s_in"))
+        ranks = (
+            nodes.join(in_sum, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"{base}L + (({damping}L * (coalesce(s_in, 0L)"
+                    f" + {dang // n}L)) div 100)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "id", round_duck(F.col("r").cast("double") / SCALE, 6).alias("rank")
     )

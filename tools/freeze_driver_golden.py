@@ -31,6 +31,7 @@ GOLDEN_QUERIES = (
     "q_sim_topk_ivf",
     "q_dedup_clusters",
     "q_kmeans",
+    "q_pagerank",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
