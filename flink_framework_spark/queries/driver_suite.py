@@ -697,3 +697,240 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return split.unionByName(strat).unionByName(pii) \
         .unionByName(mix).unionByName(pack).unionByName(rep)
+
+
+@register(
+    "q_stream_window_suite",
+    family="I",
+    oracle="""
+SELECT 'tumble' AS tag,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2, COUNT(*) AS n, CAST(0 AS BIGINT) AS m,
+       ROUND(SUM(value), 2) AS v
+FROM events GROUP BY k1, k2
+UNION ALL
+SELECT 'slide',
+       strftime(time_bucket(INTERVAL '15 minutes', ts)
+                - to_minutes(15 * CAST(r.range AS INT)),
+                '%Y-%m-%d %H:%M:%S'),
+       '', COUNT(*), CAST(0 AS BIGINT), ROUND(SUM(value), 2)
+FROM events, range(4) r
+GROUP BY 2
+UNION ALL
+SELECT 'session', CAST(user_id AS VARCHAR), '', n_sessions, n_events,
+       CAST(max_dur_ms AS DOUBLE)
+FROM (
+  WITH m AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  s AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sid
+    FROM m),
+  sess AS (
+    SELECT user_id, sid, COUNT(*) AS n_ev,
+           date_diff('millisecond', MIN(ts), MAX(ts)) AS dur_ms
+    FROM s GROUP BY user_id, sid)
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
+  FROM sess GROUP BY user_id) t
+""",
+    bench=False,  # granular I1-I3 queries carry the bench signal
+)
+def q_stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 + I2 + I3 in one value-complete driver slot: tumbling,
+    sliding, and session event-time windows tagged into a common
+    (tag, k1, k2, n, m, v) melt. The granular queries (and their true
+    streaming twins) stay registered; this row exists so the driver's
+    50-slot correctness pass attests all three window kinds."""
+    from flink_framework_spark.operators.streaming_ops import (
+        hourly_tumble,
+        session_stats,
+        sliding_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("long")
+    t = hourly_tumble(ev).select(
+        F.lit("tumble").alias("tag"),
+        F.col("wstart").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n"),
+        zero.alias("m"),
+        F.col("sumv").alias("v"),
+    )
+    s = sliding_counts(ev).select(
+        F.lit("slide").alias("tag"),
+        F.col("wstart").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n"),
+        zero.alias("m"),
+        F.col("sumv").alias("v"),
+    )
+    g = session_stats(ev).select(
+        F.lit("session").alias("tag"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_sessions").alias("n"),
+        F.col("n_events").alias("m"),
+        F.col("max_dur_ms").cast("double").alias("v"),
+    )
+    return t.unionByName(s).unionByName(g)
+
+
+@register(
+    "q_retrieval_suite",
+    family="K",
+    oracle="""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) AS tot_dl
+  FROM dl),
+post AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2),
+qpost AS (SELECT * FROM post WHERE term IN ('hash', 'join', 'merge')),
+qdfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM qpost GROUP BY 1),
+bm25 AS (
+  SELECT doc_id, score FROM (
+    SELECT p.doc_id,
+           ROUND(SUM(
+             ln(1.0 + ((s.n_docs - f.df_t) + 0.5) / (f.df_t + 0.5))
+             * ((CAST(p.tf AS DOUBLE) * 2.2)
+                / (CAST(p.tf AS DOUBLE)
+                   + (1.2 * (0.25 + ((0.75 * CAST(d.dl AS DOUBLE))
+                                     / (s.tot_dl / s.n_docs))))))
+           ), 4) AS score
+    FROM qpost p
+    JOIN qdfreq f USING (term)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY 1) t
+  ORDER BY score DESC, doc_id
+  LIMIT 20),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t FROM post GROUP BY 1),
+tfidf AS (
+  SELECT doc_id, term, kw_rank, tfidf FROM (
+    SELECT p.doc_id, p.term, s2.tfidf,
+           ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                              ORDER BY s2.tfidf DESC, p.term) AS kw_rank
+    FROM post p JOIN (
+      SELECT p2.doc_id, p2.term,
+             ROUND((CAST(p2.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))
+                   * ln(n.n_docs / f.df_t), 6) AS tfidf
+      FROM post p2
+      JOIN dl d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+                  FROM documents) n) s2
+      ON p.doc_id = s2.doc_id AND p.term = s2.term) t
+  WHERE kw_rank <= 3),
+chunks AS (
+  SELECT doc_id,
+         CAST(chunk_start AS BIGINT) AS chunk_start,
+         CAST(len(list_slice(w, chunk_start + 1, chunk_start + 32)) AS BIGINT)
+           AS n_tokens,
+         md5(array_to_string(list_slice(w, chunk_start + 1, chunk_start + 32),
+                             ' ')) AS chunk_md5
+  FROM (SELECT doc_id, w, UNNEST(range(0, len(w), 24)) AS chunk_start
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+              FROM documents) t1) t2)
+SELECT 'bm25' AS tag, doc_id AS id, '' AS k, CAST(0 AS BIGINT) AS n,
+       score AS v
+FROM bm25
+UNION ALL
+SELECT 'tfidf', doc_id, term, kw_rank, tfidf FROM tfidf
+UNION ALL
+SELECT 'chunks', doc_id, chunk_md5, chunk_start, CAST(n_tokens AS DOUBLE)
+FROM chunks
+""",
+    bench=False,  # granular retrieval queries carry the bench signal
+)
+def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-family retrieval in one value-complete driver slot: BM25
+    top-k + TF-IDF keywords + token-window chunking, tagged into a
+    common (tag, id, k, n, v) melt (operators.retrieval)."""
+    from flink_framework_spark.operators.retrieval import (
+        bm25_topk,
+        chunk_documents,
+        tfidf_keywords,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("long")
+    b = bm25_topk(docs, ["hash", "join", "merge"], k=20).select(
+        F.lit("bm25").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.lit("").alias("k"),
+        zero.alias("n"),
+        F.col("score").alias("v"),
+    )
+    t = tfidf_keywords(docs, per_doc=3).select(
+        F.lit("tfidf").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("term").alias("k"),
+        F.col("kw_rank").cast("long").alias("n"),
+        F.col("tfidf").alias("v"),
+    )
+    c = chunk_documents(docs, 32, 24).select(
+        F.lit("chunks").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.col("chunk_md5").alias("k"),
+        F.col("chunk_start").alias("n"),
+        F.col("n_tokens").cast("double").alias("v"),
+    )
+    return b.unionByName(t).unionByName(c)
+
+
+@register(
+    "q_cluster_graph_suite",
+    family="K",
+    oracle="""
+SELECT 'kmeans' AS tag, vec_id AS id, cluster AS grp, d2 AS v
+FROM read_parquet('/root/repo/tests/golden_driver/q_kmeans_sf0.01.parquet')
+UNION ALL
+SELECT 'pagerank', id, CAST(0 AS BIGINT), rank
+FROM read_parquet('/root/repo/tests/golden_driver/q_pagerank_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+    bench=False,  # granular q_kmeans / q_pagerank carry the bench signal
+)
+def q_cluster_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-algorithm flagships in one driver slot: distributed
+    Lloyd's k-means over embeddings + fixed-point PageRank over the
+    trade graph, tagged into (tag, id, grp, v). Both deterministic
+    end-to-end (decimal/int64 exact aggregation), value-checked
+    against frozen sf0.01 goldens."""
+    from flink_framework_spark.operators.iterative import kmeans_lloyd, pagerank
+    from flink_framework_spark.queries.graph import q_pagerank
+
+    km = kmeans_lloyd(
+        table(spark, sf_dir, "embeddings"), k=8, n_iter=5
+    ).select(
+        F.lit("kmeans").alias("tag"),
+        F.col("vec_id").alias("id"),
+        F.col("cluster").alias("grp"),
+        F.col("d2").alias("v"),
+    )
+    pr = q_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("tag"),
+        F.col("id"),
+        F.lit(0).cast("long").alias("grp"),
+        F.col("rank").alias("v"),
+    )
+    return km.unionByName(pr)

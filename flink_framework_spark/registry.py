@@ -84,9 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_map_json",             # H7
     # I. streaming semantics (oracle-checked batch twins; stream
     # equivalence is property-tested in tests/test_streaming*.py)
-    "q_stream_tumble",        # I1
-    "q_stream_slide",         # I2
-    "q_stream_session",       # I3
+    "q_stream_window_suite",  # I1 + I2 + I3 (tumble | slide | session,
+                              #     tagged melt; granulars in slots 51+)
     "q_stream_late",          # I4
     "q_stream_dedup",         # I5
     "q_funnel",               # I8
@@ -107,6 +106,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sim_topk_ivf",         # K3 (golden oracle @ sf0.01)
     "q_text_stats",           # K4
     "q_multimodal_meta",      # K5 + J5
+    "q_retrieval_suite",      # K: BM25 + TF-IDF keywords + chunking
+    "q_cluster_graph_suite",  # K: distributed k-means + PageRank
+                              #     (golden @ sf0.01)
 )
 
 

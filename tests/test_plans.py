@@ -94,7 +94,12 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
     # lineage cut for iterative plans (without it the plan doubles
     # every round); the checkpointed frames are the compact per-node
     # state (labels / fixed-point ranks), not fact data.
-    local_artifact_ok = {"q_sim_topk_ivf", "q_dedup_clusters", "q_pagerank"}
+    local_artifact_ok = {
+        "q_sim_topk_ivf",
+        "q_dedup_clusters",
+        "q_pagerank",
+        "q_cluster_graph_suite",  # embeds q_pagerank's checkpointed loop
+    }
     for name, q in QUERIES.items():
         plan = formatted_plan(q.fn(spark, sf_dir))
         if name not in local_artifact_ok:
