@@ -582,3 +582,65 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster")).alias("keep"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Typo-level near-dedup: all pairs of rows whose ``str_col``
+    values are within Levenshtein distance 1, via SYMMETRIC-DELETE
+    blocking (the SymSpell scheme): two strings within distance 1
+    necessarily share a key in {s} ∪ {s minus one character}, so
+    candidate generation is an explode (|s|+1 keys per row, a narrow
+    map) + one equi-join on the key — never a cross join — and the
+    exact ``levenshtein`` verify runs on candidates only. Guaranteed
+    recall at distance <= 1; ``max_dist`` is fixed at 1 because the
+    delete-neighborhood grows as |s|^d (the standard SymSpell
+    trade-off — for coarser matching use the shingle/MinHash ops).
+
+    Returns (id_a, id_b, dist) with id_a < id_b, one row per pair.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "symmetric-delete blocking is implemented for max_dist=1"
+        )
+    s = F.col("__s")
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1),
+            F.substr(s, i + 1, F.length(s)),
+        ),
+    )
+    keyed = _staged(
+        _spread(
+            df.select(F.col(id_col), F.col(str_col).alias("__s"))
+        ).select(
+            id_col,
+            "__s",
+            F.explode(
+                F.array_distinct(F.array_union(F.array(s), deletes))
+            ).alias("__k"),
+        )
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"), "__k"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"), "__k"
+    )
+    return (
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import (
     dedup_clusters,
+    edit_distance_pairs,
     near_dup_pairs_minhash,
     ngram_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -126,3 +127,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is a frozen golden snapshot at the driver's sf0.01;
     transitive-chain behavior is property-tested in tests/test_dedup.py."""
     return dedup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "q_dedup_edit",
+    family="K",
+    oracle="""
+WITH keyed AS (
+  SELECT c_custkey AS id, c_name AS s,
+         UNNEST(list_distinct(list_prepend(c_name,
+           list_transform(range(1, len(c_name) + 1),
+             i -> substr(c_name, 1, i - 1)
+                  || substr(c_name, i + 1, len(c_name)))))) AS k
+  FROM customer)
+SELECT id_a, id_b, dist FROM (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id) t
+CROSS JOIN LATERAL (SELECT levenshtein(sa, sb) AS dist) d
+WHERE dist <= 1
+""",
+)
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dedup over customer names: symmetric-delete
+    (SymSpell) blocking -> equi-join on delete key -> exact
+    Levenshtein verify. Guaranteed recall at distance <= 1
+    (operators.dedup.edit_distance_pairs). The zero-padded fixture
+    names make every single-digit substitution a planted near-dup."""
+    return edit_distance_pairs(
+        table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

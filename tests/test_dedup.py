@@ -100,3 +100,40 @@ def test_simhash_finds_planted_dups(spark, planted):
     # distinct random docs should sit near Hamming 32 (independent
     # fingerprints); require separation
     assert found <= truth
+
+
+class TestEditDistancePairs:
+    def test_planted_typos_guaranteed_recall(self, spark):
+        from flink_framework_spark.operators.dedup import edit_distance_pairs
+
+        rows = [
+            (1, "shuffle"),
+            (2, "shuffel"),   # transposition = distance 2 -> NOT found
+            (3, "shuffles"),  # insertion     = distance 1
+            (4, "shuffl"),    # deletion      = distance 1
+            (5, "shiffle"),   # substitution  = distance 1
+            (6, "broadcast"), # unrelated
+        ]
+        df = spark.createDataFrame(rows, ["id", "s"])
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_pairs(df, "id", "s").collect()
+        }
+        assert {(1, 3), (1, 4), (1, 5)} <= pairs
+        assert all(6 not in p for p in pairs)
+        assert (1, 2) not in pairs  # distance 2: correctly out of contract
+
+    def test_identical_strings_distance_zero(self, spark):
+        from flink_framework_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "dup"), (2, "dup")], ["id", "s"])
+        out = edit_distance_pairs(df, "id", "s").collect()
+        assert len(out) == 1 and out[0]["dist"] == 0
+
+    def test_no_cross_join_in_plan(self, spark, sf_dir):
+        from flink_framework_spark.plans.inspect import formatted_plan
+        from flink_framework_spark.registry import all_queries
+
+        plan = formatted_plan(all_queries()["q_dedup_edit"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan

@@ -75,7 +75,12 @@ def test_agg_is_partial_then_final(spark, sf_dir):
 def test_scan_filters_pushed_on_dedup_blocking(spark, sf_dir):
     """Near-dedup must be equi-join based — no CartesianProduct or
     BroadcastNestedLoopJoin may appear in any dedup plan."""
-    for name in ("q_dedup_ngram", "q_dedup_embed", "q_dedup_minhash"):
+    for name in (
+        "q_dedup_ngram",
+        "q_dedup_embed",
+        "q_dedup_minhash",
+        "q_dedup_edit",
+    ):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
