@@ -134,3 +134,50 @@ def late_data_split(
     on_time = marked.filter(~is_late).drop("__wm")
     late = marked.filter(is_late).drop("__wm")
     return on_time, late
+
+
+def hierarchical_rollup(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate style hierarchical time rollup: minute ->
+    hour -> day, where each coarser grain re-aggregates the FINER
+    pre-aggregate, never the raw table — the TimescaleDB/materialized-
+    rollup pattern. At 100 TB the raw scan happens once (minute
+    grain); the hour re-agg reads 60x fewer rows and the day re-agg
+    24x fewer again, and in a lake deployment each level is its own
+    materialized table refreshed incrementally.
+
+    Value sums are carried as DECIMAL(18,6) from the leaf level up so
+    the nested re-aggregation is exact and engine-order-independent
+    (nested double sums would differ from a flat sum by ulps).
+
+    Returns (grain, bucket, n, sumv) for grains minute/hour/day.
+    """
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("bucket")).alias("bucket")
+        ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket")
+        ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+
+    def lvl(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            _fmt_event_time(events, F.col("bucket")).alias("bucket"),
+            F.col("n"),
+            F.col("s").cast("double").alias("sumv"),
+        )
+
+    return (
+        lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(lvl(day, "day"))
+    )

@@ -232,3 +232,38 @@ def q_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_duck(F.sum("value"), 2).alias("sumv"),
         )
     )
+
+
+@register(
+    "q_rollup_hier",
+    family="I",
+    oracle="""
+WITH minute AS (
+  SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+  FROM events GROUP BY 1),
+hour AS (
+  SELECT time_bucket(INTERVAL '1 hour', bucket) AS bucket,
+         SUM(n) AS n, SUM(s) AS s
+  FROM minute GROUP BY 1),
+day AS (
+  SELECT time_bucket(INTERVAL '1 day', bucket) AS bucket,
+         SUM(n) AS n, SUM(s) AS s
+  FROM hour GROUP BY 1)
+SELECT 'minute' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(n AS BIGINT) AS n, CAST(s AS DOUBLE) AS sumv FROM minute
+UNION ALL
+SELECT 'hour', strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+       CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM hour
+UNION ALL
+SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'),
+       CAST(n AS BIGINT), CAST(s AS DOUBLE) FROM day
+""",
+)
+def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous-aggregate rollup (minute -> hour ->
+    day), each grain re-aggregating the previous pre-aggregate with
+    exact DECIMAL carries (operators.streaming_ops.hierarchical_rollup)."""
+    from flink_framework_spark.operators.streaming_ops import hierarchical_rollup
+
+    return hierarchical_rollup(table(spark, sf_dir, "events"))
