@@ -181,3 +181,38 @@ def hierarchical_rollup(events: DataFrame) -> DataFrame:
     return (
         lvl(minute, "minute").unionByName(lvl(hour, "hour")).unionByName(lvl(day, "day"))
     )
+
+
+def compact_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Materialize an upsert/retract changelog into final table state
+    — the Flink "upsert stream -> table" conversion, batch form:
+    last-writer-wins per key (ordered by ``seq_cols``), rows whose
+    final op is ``delete_op`` are dropped. ``seq_cols`` must be a
+    deterministic total order per key (e.g. event time + a unique id
+    as tiebreak).
+
+    One window over the key partitioning (row_number desc, no global
+    sort) — at scale this is a single shuffle on the key, and in a
+    lake deployment it is exactly the compaction step a CDC ingest
+    job runs per partition. Keeps every input column plus
+    ``n_versions`` (changelog depth per key, an audit column).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(
+            Window.partitionBy(*key_cols)
+        ))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

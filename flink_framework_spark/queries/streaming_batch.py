@@ -267,3 +267,45 @@ def q_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_framework_spark.operators.streaming_ops import hierarchical_rollup
 
     return hierarchical_rollup(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_changelog_compact",
+    family="I",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_op,
+       ROUND(value, 2) AS last_value,
+       CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-stream materialization (Flink changelog -> table, batch
+    form): events as a per-user changelog ordered by (ts, event_id),
+    last-writer-wins, final 'error' op acts as the tombstone/DELETE
+    (operators.streaming_ops.compact_changelog)."""
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+        compact_changelog,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = compact_changelog(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", "error"
+    )
+    return out.select(
+        "user_id",
+        _fmt_event_time(ev, F.col("ts")).alias("last_ts"),
+        F.col("event_type").alias("last_op"),
+        round_duck(F.col("value"), 2).alias("last_value"),
+        F.col("n_versions"),
+    )

@@ -529,3 +529,90 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q21",
+    family="C",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name IN
+     ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the reduced schema: no commit/receipt dates, so the 'waiting'
+    lineitem is one shipped >60 days after the order date that is also
+    the strictly-latest ship among the order's suppliers. Exercises
+    the full Q21 decorrelation stack: correlated EXISTS (left semi on
+    the order key with a supplier-inequality residual) AND correlated
+    NOT EXISTS (left anti with inequality + non-equi date residual) on
+    the same fact self-joins, then agg + TakeOrdered."""
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    l1 = (
+        li.alias("l1")
+        .join(orders.alias("o"), F.col("l1.l_orderkey") == F.col("o.o_orderkey"))
+        .filter(
+            F.col("l1.l_shipdate")
+            > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l1.l_orderkey", "l1.l_suppkey", "l1.l_shipdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
+                "s_suppkey", "s_name"
+            ),
+            waiting.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
