@@ -197,6 +197,7 @@ def pagerank(
     n_iter: int = 5,
     damping: int = 85,
     handle_dangling: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank power iteration over a directed edge list, in exact
     fixed-point arithmetic so the result is deterministic under any
@@ -214,21 +215,31 @@ def pagerank(
     ``handle_dangling`` the mass of nodes without out-edges is
     redistributed uniformly (one extra 1-row aggregate per round);
     pass ``False`` for graphs where every node has an out-edge (e.g.
-    bidirectional edge lists) to skip that job.
+    bidirectional edge lists) to skip that job AND derive the node
+    set from sources only (halves the node-dedup shuffle).
+    ``assume_distinct`` skips the defensive edge dedup for callers
+    whose edge list is already distinct.
 
     Returns (id, rank) with rank rounded to 6 decimals; ranks sum to
     ~1 over the node set.
     """
     SCALE = 10**12
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not assume_distinct:  # callers that pre-deduped skip a full shuffle
+        e = e.distinct()
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
     e2 = e.join(outdeg, "s").localCheckpoint()
-    nodes = (
+    # handle_dangling=False asserts every node has an out-edge, so the
+    # node set is exactly the distinct sources — half the dedup input
+    # of the general src∪dst scan.
+    node_src = (
         e.select(F.col("s").alias("id"))
-        .unionByName(e.select(F.col("d").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        if not handle_dangling
+        else e.select(F.col("s").alias("id")).unionByName(
+            e.select(F.col("d").alias("id"))
+        )
     )
+    nodes = node_src.distinct().localCheckpoint()
     n = nodes.count()
     if n == 0:
         raise ValueError("cannot run pagerank on an empty edge list")

@@ -50,4 +50,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(edges, n_iter=5, handle_dangling=False)
+    # pairs are distinct and the reversed copies cannot collide with
+    # the originals (supplier ids are offset), so the union is already
+    # a distinct edge list
+    return pagerank(edges, n_iter=5, handle_dangling=False, assume_distinct=True)
