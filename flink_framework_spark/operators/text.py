@@ -209,3 +209,40 @@ def predict_lang(
     # than one worker streaming Arrow batches at this corpus size. At
     # real scale the input arrives already partitioned.
     return df.withColumn(out_col, _predict(F.col(text_col)))
+
+
+def unigram_cross_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram language
+    model — the classic perplexity-style quality signal (documents
+    far from the corpus distribution score high): for each doc,
+    ``avg(-ln p(token))`` with p estimated from the whole corpus.
+
+    Plan: one explode + hash agg builds the unigram table (vocab-
+    sized), a second explode joins tokens back to their probabilities
+    (shuffle on term; Catalyst broadcasts the vocab side when it
+    fits) and aggregates per doc. Double-rounding on the output
+    absorbs summation-order ulps (same discipline as the TPC-H
+    revenue sums).
+
+    Returns (id, n_tokens, xent).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("__t")
+    )
+    totals = toks.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    vocab = (
+        toks.groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .crossJoin(F.broadcast(totals))
+        .select("__t", (F.col("__c") / F.col("__n")).alias("__p"))
+    )
+    return (
+        toks.join(vocab, "__t")
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_duck(round_duck(F.avg(-F.log("__p")), 6), 4).alias("xent"),
+        )
+    )

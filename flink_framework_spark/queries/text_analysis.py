@@ -141,3 +141,29 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (operators.text.repetition_stats — explode + two-level
     hash agg for the word mode, bounded array math for bigrams)."""
     return repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_perplexity",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(lower(trim(text)), ' ')) AS t
+  FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+vocab AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS p
+  FROM toks GROUP BY t)
+SELECT doc_id AS id, COUNT(*) AS n_tokens,
+       ROUND(ROUND(AVG(-ln(p)), 6), 4) AS xent
+FROM toks JOIN vocab USING (t)
+GROUP BY doc_id
+""",
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus unigram LM — the
+    perplexity-style outlier/quality filter
+    (operators.text.unigram_cross_entropy)."""
+    from flink_framework_spark.operators.text import unigram_cross_entropy
+
+    return unigram_cross_entropy(table(spark, sf_dir, "documents"))
