@@ -223,3 +223,42 @@ def pack_sequences(
             "bin_offset"
         ),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-``n``
+    overall, or per stratum): the Efraimidis–Spirakis A-Res scheme
+    with *derived* randomness — u = unit-uniform from md5(key),
+    priority = -ln(u) / w, keep the ``n`` lowest priorities. Rows
+    with larger ``weight_col`` win proportionally more often, every
+    rerun picks the identical sample, and adding rows never flips
+    decisions among survivors with better priorities.
+
+    One narrow map + a per-stratum top-n window (no global sort when
+    stratified; a TakeOrdered-shaped global top-n otherwise). The
+    priority is rounded to 10 decimals before ranking (with the key
+    as tiebreak) so 1-ulp ln/pow differences between engines cannot
+    reorder the cut.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(float(16**8 + 1))  # (0, 1]
+    pri = round_duck(
+        -F.log(u) / F.col(weight_col).cast("double"), 10
+    )
+    out = df.withColumn("pri", pri)
+    if strata_col is None:
+        return out.orderBy(F.col("pri"), F.col(key_col)).limit(n)
+    w = Window.partitionBy(strata_col).orderBy(F.col("pri"), F.col(key_col))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

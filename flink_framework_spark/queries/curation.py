@@ -17,6 +17,7 @@ from flink_framework_spark.operators.curation import (
     pack_sequences,
     scrub_pii,
     stratified_sample,
+    weighted_sample,
 )
 from flink_framework_spark.registry import register
 
@@ -216,3 +217,35 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"),
         targets={"src0": 0.3, "src1": 0.2, "src2": 0.1},
     )
+
+
+@register(
+    "q_weighted_sample",
+    family="K",
+    oracle="""
+WITH pri AS (
+  SELECT lang, doc_id,
+         ROUND(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1.0) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE), 10) AS pri
+  FROM documents)
+SELECT lang, doc_id, pri FROM (
+  SELECT lang, doc_id, pri,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY pri, doc_id) AS rn
+  FROM pri) t
+WHERE rn <= 25
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    derived randomness): 25 docs per language, selection probability
+    proportional to document length
+    (operators.curation.weighted_sample)."""
+    return weighted_sample(
+        table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        n=25,
+        strata_col="lang",
+    ).select("lang", "doc_id", "pri")

@@ -121,3 +121,41 @@ def test_repetition_stats_flags_degenerate_text(spark):
     assert out[2]["top_word_frac"] == 0.1
     assert out[2]["dup_word_frac"] == 0.0
     assert out[2]["dup_bigram_frac"] == 0.0
+
+
+class TestWeightedSample:
+    def test_huge_weight_always_selected(self, spark):
+        from flink_framework_spark.operators.curation import weighted_sample
+
+        rows = [(i, "g", 1.0) for i in range(200)] + [(999, "g", 1e9)]
+        df = spark.createDataFrame(rows, ["id", "grp", "w"])
+        out = weighted_sample(df, "id", "w", n=5, strata_col="grp")
+        assert 999 in {r["id"] for r in out.collect()}
+
+    def test_n_exceeding_group_returns_all(self, spark):
+        from flink_framework_spark.operators.curation import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 3.0)], ["id", "grp", "w"]
+        )
+        assert weighted_sample(df, "id", "w", n=10, strata_col="grp").count() == 2
+
+    def test_deterministic_across_partitioning(self, spark):
+        from flink_framework_spark.operators.curation import weighted_sample
+
+        rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "grp", "w"])
+        a = sorted(
+            map(tuple, weighted_sample(df.repartition(3), "id", "w", 20, "grp").collect())
+        )
+        b = sorted(
+            map(tuple, weighted_sample(df.repartition(17), "id", "w", 20, "grp").collect())
+        )
+        assert a == b
+
+    def test_global_topn_without_strata(self, spark):
+        from flink_framework_spark.operators.curation import weighted_sample
+
+        rows = [(i, float(1 + i % 5)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        assert weighted_sample(df, "id", "w", n=10).count() == 10
