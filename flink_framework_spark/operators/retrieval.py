@@ -38,10 +38,13 @@ def _postings(
     )
 
 
-def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.size(words(F.col(text_col))).cast("long").alias("dl")
-    )
+def doc_lengths(post: DataFrame, id_col: str) -> DataFrame:
+    """Document lengths re-aggregated from the postings frame (sum of
+    term frequencies == token count, empty tokens included in both),
+    so BM25/TF-IDF tokenize the corpus ONCE — the second full scan +
+    explode that a separate length pass would cost dominates at
+    scale."""
+    return post.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
 
 
 def bm25_topk(
@@ -68,15 +71,19 @@ def bm25_topk(
     rounded to 4 decimals, ties broken by ascending doc id
     (TakeOrderedAndProject, no global sort).
     """
-    dl = doc_lengths(df, id_col, text_col)
+    from flink_framework_spark.operators.dedup import _staged
+
+    # staged: dl and the query-term slice both consume the postings
+    # aggregate; without the stage the tokenize+count pipeline runs
+    # once PER BRANCH (see SCALING.md on self-join branch duplication)
+    post_all = _staged(_postings(df, id_col, text_col))
+    dl = doc_lengths(post_all, id_col)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").cast("double").alias("tot_dl"),
     )
 
-    post = _postings(df, id_col, text_col).filter(
-        F.col("term").isin(*query_terms)
-    )
+    post = post_all.filter(F.col("term").isin(*query_terms))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df_t")
     )
@@ -123,8 +130,10 @@ def tfidf_keywords(
     """
     from pyspark.sql.window import Window
 
-    post = _postings(df, id_col, text_col)
-    dl = doc_lengths(df, id_col, text_col)
+    from flink_framework_spark.operators.dedup import _staged
+
+    post = _staged(_postings(df, id_col, text_col))
+    dl = doc_lengths(post, id_col)
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
