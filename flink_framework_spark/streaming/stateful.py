@@ -125,3 +125,65 @@ def funnel_conversions_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+CHANGELOG_SCHEMA = (
+    "user_id long, last_ts timestamp, last_op string,"
+    " last_value double, n_versions long"
+)
+_CL_STATE_SCHEMA = "last_us long, last_eid long, last_op string, last_value double, n long"
+
+
+def _changelog_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key upsert materialization: keep the (ts, event_id)-max row
+    and a version counter in state; emit the current materialized row
+    each batch (update mode). Timestamps are carried as exact epoch
+    MICROSECONDS (int) in state — float seconds would round near ns
+    boundaries. Intra-batch arrival order must not matter, so the
+    max-row comparison is by value, not position."""
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, last_op, last_value, n = state.get
+    else:
+        last_us, last_eid, last_op, last_value, n = -1, -1, None, None, 0
+    for pdf in pdfs:
+        for ts, eid, op, val in zip(
+            pdf["ts"], pdf["event_id"], pdf["event_type"], pdf["value"]
+        ):
+            us = ts.value // 1000
+            n += 1
+            if (us, eid) > (last_us, last_eid):
+                last_us, last_eid, last_op, last_value = us, int(eid), op, float(val)
+    state.update((last_us, last_eid, last_op, last_value, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+            "last_op": [last_op],
+            "last_value": [last_value],
+            "n_versions": [n],
+        }
+    )
+
+
+def changelog_materialize(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.streaming_ops.compact_changelog``:
+    Flink's upsert-stream -> table conversion with keyed state. Emits
+    the current last-writer-wins row per key every batch (update
+    mode); the consumer's final state per key — minus tombstone ops —
+    equals the batch compaction (property-tested)."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _changelog_fn,
+            outputStructType=CHANGELOG_SCHEMA,
+            stateStructType=_CL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

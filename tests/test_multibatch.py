@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
@@ -104,3 +105,40 @@ def test_watermark_advances_across_batches(spark, spooled_dir):
     assert sorted(map(repr, stream[cols].itertuples(index=False, name=None))) == sorted(
         map(repr, finalized[cols].itertuples(index=False, name=None))
     )
+
+
+def test_changelog_state_across_batches(spark, spooled_dir):
+    """Last-writer-wins state must survive micro-batch boundaries: the
+    winning version and the version counter accumulate across all
+    triggers and equal the batch compaction."""
+    directory, sf_dir = spooled_dir
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.registry import all_queries
+    from flink_framework_spark.streaming.stateful import changelog_materialize
+
+    batch = all_queries()["q_changelog_compact"].fn(spark, sf_dir).toPandas()
+    raw = run_to_memory(
+        changelog_materialize(_stream(spark, directory, sf_dir)),
+        query_name="t_mb_changelog",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_versions").desc())
+    stream = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("last_op") != "error"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.convert_timezone(None, F.lit("UTC"), F.col("last_ts")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_ts"),
+            "last_op",
+            round_duck(F.col("last_value"), 2).alias("last_value"),
+            "n_versions",
+        )
+        .toPandas()
+    )
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b

@@ -225,3 +225,45 @@ def test_late_data_side_output_matches_oracle_late_set(spark, sf_dir):
         for r in all_queries()["q_stream_late"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_changelog_stream_matches_batch_compaction(spark, sf_dir):
+    """Streaming upsert materialization (keyed state) == batch
+    compact_changelog: take each key's LAST emitted row, drop
+    tombstones, compare against q_changelog_compact."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.registry import all_queries
+    from flink_framework_spark.streaming.stateful import changelog_materialize
+
+    batch = all_queries()["q_changelog_compact"].fn(spark, sf_dir).toPandas()
+
+    sdf = read_events_stream(spark, sf_dir)
+    raw = run_to_memory(
+        changelog_materialize(sdf), query_name="t_changelog", output_mode="update"
+    )
+    # update-mode memory sink may hold one row per key per batch; the
+    # materialized table is each key's row with the highest version
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_versions").desc())
+    stream = (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("last_op") != "error"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.convert_timezone(None, F.lit("UTC"), F.col("last_ts")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("last_ts"),
+            "last_op",
+            round_duck(F.col("last_value"), 2).alias("last_value"),
+            "n_versions",
+        )
+        .toPandas()
+    )
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b
