@@ -309,3 +309,37 @@ def q_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_duck(F.col("value"), 2).alias("last_value"),
         F.col("n_versions"),
     )
+
+
+@register(
+    "q_window_topn",
+    family="I",
+    oracle="""
+SELECT wstart, event_type, n, rnk FROM (
+  SELECT wstart, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY wstart
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM (
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS wstart,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2) a) b
+WHERE rnk <= 2
+""",
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink SQL's Window Top-N pattern: rank inside each event-time
+    window, keep the top 2 event types per hour. Tumbling agg then a
+    window-partitioned row_number — no global sort."""
+    ev = table(spark, sf_dir, "events")
+    from flink_framework_spark.operators.streaming_ops import hourly_tumble
+
+    counts = hourly_tumble(ev).select("wstart", "event_type", "n")
+    w = Window.partitionBy("wstart").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("wstart", "event_type", "n", "rnk")
+    )
