@@ -128,3 +128,45 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         round_duck(geomean("value"), 4).alias("gmean")
     )
+
+
+@register(
+    "q_udtf_ngrams",
+    family="J",
+    oracle="""
+SELECT doc_id, pos, gram FROM (
+  SELECT doc_id,
+         UNNEST(range(1, greatest(len(w), 1))) AS pos,
+         w
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE doc_id % 20 = 0) t) u
+CROSS JOIN LATERAL (
+  SELECT w[pos] || ' ' || w[pos + 1] AS gram) g
+""",
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true Python UDTF (Spark 4 ``@udtf``, 1->N table function —
+    the J5 contract in its native API, beside the mapInPandas
+    spelling in q_multimodal_meta): emit (pos, bigram) rows per
+    document. Restricted to every 20th doc — a UDTF runs row-at-a-
+    time Python, so the engine keeps it off wide paths (the
+    JVM-expression bigram spelling lives in the dedup shinglers);
+    this query pins the API surface, not a hot path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, gram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = str(text).lower().strip().split(" ")
+            for i in range(max(len(toks) - 1, 0)):
+                yield i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.gram
+        FROM udtf_docs d, LATERAL bigrams_udtf(d.doc_id, d.text) b
+        """
+    )
