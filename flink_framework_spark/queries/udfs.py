@@ -170,3 +170,65 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL bigrams_udtf(d.doc_id, d.text) b
         """
     )
+
+
+@register(
+    "q_udf_cogroup",
+    family="J",
+    oracle="""
+SELECT c.c_custkey,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(o.total, 0.0) / c.c_acctbal, 4) AS spend_ratio
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total
+  FROM orders GROUP BY 1) o
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 0
+""",
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input keyed operator — the Flink connect/CoProcessFunction
+    analogue: ``cogroup(...).applyInPandas`` receives BOTH groups for
+    a key in one call (customers and their orders) and emits a fused
+    row. Arrow-vectorized per key-group; one shuffle per side on the
+    key, exactly the two-stream keyed-state plan shape.
+
+    Kept semantically SQL-checkable (count/sum/ratio) so the driver
+    oracle can verify the cogroup wiring end-to-end."""
+    import pandas as pd
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def fuse(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # order rows for a filtered-out customer
+            return pd.DataFrame(
+                {"c_custkey": [], "n_orders": [], "spend_ratio": []}
+            )
+        bal = float(left["c_acctbal"].iloc[0])
+        total = float(right["o_totalprice"].sum()) if not right.empty else 0.0
+        import math
+
+        ratio = math.floor(abs(r := total / bal) * 1e4 + 0.5) / 1e4 * (
+            1 if r >= 0 else -1
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(left["c_custkey"].iloc[0])],
+                "n_orders": [int(len(right))],
+                "spend_ratio": [ratio],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            fuse, schema="c_custkey long, n_orders long, spend_ratio double"
+        )
+    )
