@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.text import (
     bow_fingerprint,
@@ -167,3 +168,40 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_framework_spark.operators.text import unigram_cross_entropy
 
     return unigram_cross_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_outliers",
+    family="K",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       ROUND(ROUND((e.value - s.mu) / s.sd, 6), 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 3.0
+""",
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise anomaly flags: per event type, rows more than 3
+    sample standard deviations from the group mean — the data-quality
+    sweep before a training batch ships. One grouped aggregate
+    broadcast back onto the stream; double-rounded z absorbs
+    summation-order ulps."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            round_duck(round_duck(z, 6), 4).alias("z"),
+        )
+    )
