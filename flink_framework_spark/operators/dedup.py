@@ -644,3 +644,60 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def incremental_dedup_ngram(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental (cross-batch) near-dedup: drop NEW documents that
+    near-duplicate the EXISTING corpus — the production ingest shape,
+    where each crawl batch dedups against the accumulated lake
+    without re-clustering it. Candidate generation joins the new
+    side's min-shingle blocking keys against the corpus side ONLY:
+    cost is |new| x collision-rate, never corpus x corpus. Same
+    hashed-key + hashed-set verification discipline as
+    ``ngram_near_dup_pairs`` (see the notes there); intra-batch dups
+    among the new docs are the existing self-join operator's job.
+
+    Returns the surviving rows of ``new_df`` (left anti on the dup
+    id set). A real deployment persists the corpus shingle frame as
+    a signature table; here it is computed in-plan.
+    """
+
+    def rep(df: DataFrame) -> DataFrame:
+        sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
+            "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
+        )
+        return sh.select(
+            "__id",
+            "__mink",
+            F.xxhash64("__mink").alias("__minh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        ).withColumn("__nsh", F.size("__shh").cast("double"))
+
+    n = rep(new_df).select(
+        F.col("__id").alias("__nid"), F.col("__shh").alias("__sa"),
+        F.col("__nsh").alias("__na"), F.col("__mink").alias("__minka"), "__minh",
+    )
+    c = rep(corpus_df).select(
+        F.col("__shh").alias("__sb"), F.col("__nsh").alias("__nb"),
+        F.col("__mink").alias("__minkb"), "__minh",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.col("__na") + F.col("__nb") - inter
+    dup_ids = (
+        n.join(c, ["__minh"])
+        .filter(
+            (F.col("__minka") <= F.col("__minkb"))
+            & (F.col("__minka") >= F.col("__minkb"))
+        )
+        .filter(inter / union >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dup_ids, id_col, "left_anti")

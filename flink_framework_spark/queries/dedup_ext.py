@@ -7,11 +7,13 @@ properties tested with planted duplicates in tests/test_dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import (
     dedup_clusters,
     edit_distance_pairs,
+    incremental_dedup_ngram,
     near_dup_pairs_minhash,
     ngram_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -156,3 +158,38 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(
         table(spark, sf_dir, "customer"), "c_custkey", "c_name"
     )
+
+
+@register(
+    "q_dedup_incremental",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh),
+newb AS (SELECT * FROM kb WHERE doc_id % 10 = 0),
+corp AS (SELECT * FROM kb WHERE doc_id % 10 <> 0),
+dup AS (
+  SELECT DISTINCT n.doc_id
+  FROM newb n JOIN corp c ON n.mink = c.mink
+  WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.5)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 10 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup: docs with id % 10 == 0 play the
+    new crawl batch, the rest the accumulated corpus; new docs
+    near-duplicating the corpus (min-shingle-blocked Jaccard >= 0.5)
+    are dropped (operators.dedup.incremental_dedup_ngram)."""
+    docs = table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup_ngram(new_batch, corpus).select("doc_id")

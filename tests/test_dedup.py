@@ -137,3 +137,37 @@ class TestEditDistancePairs:
         plan = formatted_plan(all_queries()["q_dedup_edit"].fn(spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestIncrementalDedup:
+    def test_new_dups_of_corpus_dropped_fresh_kept(self, spark):
+        from flink_framework_spark.operators.dedup import incremental_dedup_ngram
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different content about query engines here")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [
+                (100, base + " extra"),            # near-dup of corpus doc 1
+                (101, "fresh unseen writing with novel phrasing throughout it all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"] for r in incremental_dedup_ngram(new, corpus).collect()}
+        assert out == {101}
+
+    def test_does_not_dedup_within_new_batch(self, spark):
+        from flink_framework_spark.operators.dedup import incremental_dedup_ngram
+
+        dup = "identical new content repeated across the incoming batch rows"
+        corpus = spark.createDataFrame(
+            [(1, "existing corpus text unrelated to the batch entirely")],
+            ["doc_id", "text"],
+        )
+        new = spark.createDataFrame(
+            [(100, dup), (101, dup)], ["doc_id", "text"]
+        )
+        # intra-batch dups are the self-join operator's contract
+        assert incremental_dedup_ngram(new, corpus).count() == 2

@@ -80,6 +80,7 @@ def test_scan_filters_pushed_on_dedup_blocking(spark, sf_dir):
         "q_dedup_embed",
         "q_dedup_minhash",
         "q_dedup_edit",
+        "q_dedup_incremental",
     ):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, name
