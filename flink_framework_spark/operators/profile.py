@@ -9,7 +9,7 @@ single-row reduction; the per-column rows are then unpivoted with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -67,3 +67,34 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
             + " as (column, dtype, n_rows, n_nulls, n_distinct, min, max, mean)"
         )
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    bucket_expr: Column,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Mergeable-sketch distinct rollup — the 100 TB pattern for
+    distinct counts over hierarchies: build ONE DataSketches HLL
+    sketch per bucket (order-independent register maxima, so the
+    sketch is deterministic under any partitioning), then UNION the
+    bucket sketches for the grand total instead of re-scanning the
+    fact table. In a lake deployment the per-bucket sketches persist
+    as a tiny summary table; any time-range's distinct count is a
+    sketch union over that range — no raw scan.
+
+    Returns one row per bucket plus an ``__all__`` row whose estimate
+    comes from the sketch union (property-tested equal to the
+    direct whole-table sketch)."""
+    per = df.groupBy(bucket_expr.alias(bucket_name)).agg(
+        F.hll_sketch_agg(key_col).alias("__sk")
+    )
+    buckets = per.select(
+        F.col(bucket_name).cast("string").alias(bucket_name),
+        F.hll_sketch_estimate("__sk").alias("est_distinct"),
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("est_distinct")
+    ).select(F.lit("__all__").alias(bucket_name), "est_distinct")
+    return buckets.unionByName(total)

@@ -208,3 +208,25 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_duck(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
         round_duck(F.percentile("l_quantity", 0.9), 2).alias("p90_qty"),
     )
+
+
+@register(
+    "q_hll_rollup",
+    family="D",
+    # No DuckDB oracle: DuckDB's approx_count_distinct is a different
+    # sketch (driver records rows-only). The sketch IS deterministic
+    # (register maxima are order-independent), and the local suite
+    # pins: merged-union estimate == direct whole-table estimate, both
+    # within 5% of exact, and determinism across partitioning
+    # (tests/test_hll.py).
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct users per day + sketch-union grand
+    total (operators.profile.hll_rollup) — distinct counts over
+    hierarchies without re-scanning the fact table."""
+    from flink_framework_spark.operators.profile import hll_rollup
+
+    ev = table(spark, sf_dir, "events")
+    return hll_rollup(
+        ev, "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"), "day"
+    )
