@@ -98,3 +98,23 @@ def hll_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("est_distinct")
     ).select(F.lit("__all__").alias(bucket_name), "est_distinct")
     return buckets.unionByName(total)
+
+
+def observe_quality(df: DataFrame, cols: list[str], name: str = "quality"):
+    """Piggyback data-quality counters onto whatever action consumes
+    ``df`` — the Flink metrics/accumulator analogue, Spark-native:
+    ``Observation`` metrics are computed inside the existing job (no
+    second scan, streaming-compatible via the same ``observe`` API).
+    Returns ``(df_with_observation, observation)``; after any action
+    on the returned frame, ``observation.get`` yields ``n_rows`` and
+    a ``nulls_<col>`` counter per requested column.
+
+    At 100 TB this is the difference between "profile then load" (two
+    scans) and "load, observing" (one)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
+    ]
+    return df.observe(obs, *metrics), obs

@@ -52,3 +52,19 @@ def test_sketch_deterministic_across_partitioning(spark, sf_dir):
         )
 
     assert run(3) == run(17)
+
+
+def test_observe_quality_counts_without_second_scan(spark, sf_dir):
+    """Observation metrics computed inside the consuming action match
+    a direct profile of the same frame."""
+    from flink_framework_spark.operators.profile import observe_quality
+
+    ev = table(spark, sf_dir, "events").select("user_id", "props")
+    observed, obs = observe_quality(ev, ["props"], name="q")
+    n = observed.count()  # the action the metrics piggyback on
+    got = obs.get
+    assert got["n_rows"] == n
+    direct = ev.agg(
+        F.sum(F.col("props").isNull().cast("long")).alias("k")
+    ).collect()[0]["k"]
+    assert got["nulls_props"] == (direct or 0)
