@@ -153,3 +153,17 @@ def test_subject_hub_job_composition(spark, sf_dir, tmp_path):
     # schema drift refused
     with pytest.raises(ValueError):
         hub.publish("enriched_events", raw.select("event_id"))
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A lake partition written before a column existed must read
+    back unified under mergeSchema, nulls filling the gap — the
+    append-only schema-evolution contract an ingest pipeline needs."""
+    old = spark.createDataFrame([(1, "a")], ["id", "txt"])
+    new = spark.createDataFrame([(2, "b", 0.5)], ["id", "txt", "score"])
+    old.write.parquet(f"{tmp_path}/batch=0")
+    new.write.parquet(f"{tmp_path}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path))
+    assert set(merged.columns) == {"id", "txt", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
