@@ -263,3 +263,46 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
     )
+
+
+@register(
+    "q_theta_sets",
+    family="D",
+    oracle="""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value >= 150),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'click' AND value >= 150)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS est_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS est_b,
+       CAST((SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+            AS BIGINT) AS est_inter,
+       CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u)
+            AS BIGINT) AS est_union,
+       CAST((SELECT COUNT(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+            AS BIGINT) AS est_diff
+""",
+)
+def q_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: distinct-user sets (big purchasers vs
+    big clickers) built as mergeable sketches, then intersected /
+    unioned / differenced WITHOUT touching raw data again — the
+    summary-table pattern for audience-overlap questions that HLL
+    cannot answer (HLL only unions). At fixture scale the sketches sit
+    in exact mode (< 4096 retained hashes) so the DuckDB oracle checks
+    exact values; at 100 TB the same plan degrades gracefully to
+    estimation."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    ).agg(F.theta_sketch_agg("user_id").alias("sa"))
+    b = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") >= 150)
+    ).agg(F.theta_sketch_agg("user_id").alias("sb"))
+    return a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("sa")).alias("est_a"),
+        F.theta_sketch_estimate(F.col("sb")).alias("est_b"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias("est_inter"),
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_union"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("est_diff"),
+    )
