@@ -118,3 +118,46 @@ def observe_quality(df: DataFrame, cols: list[str], name: str = "quality"):
         F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}") for c in cols
     ]
     return df.observe(obs, *metrics), obs
+
+
+def kll_quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    bucket_expr: Column,
+    bucket_name: str = "bucket",
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Mergeable quantile summaries (DataSketches KLL): one sketch per
+    bucket, plus an ``__all__`` row whose quantiles come from MERGING
+    the bucket sketches — the summary-table pattern for latency/size
+    percentiles over hierarchies without re-scanning facts. KLL
+    compaction is randomized, so results carry rank-error guarantees
+    rather than exact values (property-tested against exact
+    percentiles); use ``percentile_approx``/exact percentiles when a
+    value-reproducible answer is required."""
+    per = df.groupBy(bucket_expr.alias(bucket_name)).agg(
+        F.kll_sketch_agg_double(value_col).alias("__sk")
+    )
+
+    def qcols(sk):
+        return [
+            F.kll_sketch_get_quantile_double(sk, F.lit(q)).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in quantiles
+        ]
+
+    buckets = per.select(
+        F.col(bucket_name).cast("string").alias(bucket_name), *qcols(F.col("__sk"))
+    )
+    # kll_sketch_merge is a BINARY scalar: fold the (small) list of
+    # bucket sketches — the merge tree a summary-table rollup runs
+    merged = F.aggregate(
+        F.slice(F.col("__l"), 2, F.greatest(F.size("__l") - 1, F.lit(0))),
+        F.element_at(F.col("__l"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    total = per.agg(F.collect_list("__sk").alias("__l")).select(
+        F.lit("__all__").alias(bucket_name), *qcols(merged)
+    )
+    return buckets.unionByName(total)

@@ -306,3 +306,22 @@ def q_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("est_union"),
         F.theta_sketch_estimate(F.theta_difference("sa", "sb")).alias("est_diff"),
     )
+
+
+@register(
+    "q_kll_quantiles",
+    family="D",
+    # No oracle and no golden: KLL compaction is randomized (rank-error
+    # guarantees, not value reproducibility) — the driver records a
+    # rows-only check; the local suite pins the rank-error contract
+    # against exact percentiles (tests/test_hll.py).
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day quantile summaries + merged global quantiles
+    (operators.profile.kll_quantile_summary)."""
+    from flink_framework_spark.operators.profile import kll_quantile_summary
+
+    ev = table(spark, sf_dir, "events")
+    return kll_quantile_summary(
+        ev, "value", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"), "day"
+    )

@@ -68,3 +68,37 @@ def test_observe_quality_counts_without_second_scan(spark, sf_dir):
         F.sum(F.col("props").isNull().cast("long")).alias("k")
     ).collect()[0]["k"]
     assert got["nulls_props"] == (direct or 0)
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
+    """Merged per-day KLL sketches must give global quantiles within
+    KLL's rank-error bound of the exact percentiles (KLL is
+    randomized — value equality is NOT the contract)."""
+    from flink_framework_spark.operators.profile import kll_quantile_summary
+
+    ev = table(spark, sf_dir, "events")
+    out = {
+        r["day"]: r
+        for r in kll_quantile_summary(
+            ev,
+            "value",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+            "day",
+        ).collect()
+    }
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q*100)}")
+            for q in (0.5, 0.95, 0.99)
+        ]
+    ).collect()[0]
+    n = ev.count()
+    # default k=200 -> normalized rank error ~1.65%; allow 3% of rank,
+    # translated to value space via a window around the exact rank
+    vals = ev.select("value").orderBy("value").collect()
+    sorted_vals = [r["value"] for r in vals]
+    for q in (0.5, 0.95, 0.99):
+        got = out["__all__"][f"p{int(q*100)}"]
+        lo = sorted_vals[max(0, int((q - 0.03) * n))]
+        hi = sorted_vals[min(n - 1, int((q + 0.03) * n))]
+        assert lo <= got <= hi, (q, got, lo, hi)
