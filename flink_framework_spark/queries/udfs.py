@@ -189,45 +189,65 @@ WHERE c.c_acctbal > 0
 )
 def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-input keyed operator — the Flink connect/CoProcessFunction
-    analogue: ``cogroup(...).applyInPandas`` receives BOTH groups for
-    a key in one call (customers and their orders) and emits a fused
-    row. Arrow-vectorized per key-group; one shuffle per side on the
-    key, exactly the two-stream keyed-state plan shape.
+    analogue: ``cogroup(...).applyInPandas`` receives BOTH inputs for
+    a key partition in one call (customers and their orders) and emits
+    fused rows.
+
+    Scale shape: cogrouping on the raw key would invoke Python once per
+    key (~15k calls at sf0.1, measured 18 s). Instead we cogroup on a
+    KEY GROUP — ``xxhash64(key) % 64`` — exactly Flink's key-group
+    mechanism (keys are hashed into maxParallelism key groups and
+    operator state is partitioned by group, not by key). Each Python
+    call then fuses a whole group's customers and orders with a
+    vectorized pandas merge: 64 calls total, and the call count stays
+    64 at 100 TB while per-call batch size scales with data/64.
 
     Kept semantically SQL-checkable (count/sum/ratio) so the driver
     oracle can verify the cogroup wiring end-to-end."""
+    import numpy as np
     import pandas as pd
 
+    n_key_groups = 64
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0)
         .select("c_custkey", "c_acctbal")
+        .withColumn("kg", F.pmod(F.xxhash64("c_custkey"), F.lit(n_key_groups)))
     )
-    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .withColumn("kg", F.pmod(F.xxhash64("o_custkey"), F.lit(n_key_groups)))
+    )
 
     def fuse(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:  # order rows for a filtered-out customer
+        if left.empty:  # order rows whose customers were all filtered out
             return pd.DataFrame(
                 {"c_custkey": [], "n_orders": [], "spend_ratio": []}
             )
-        bal = float(left["c_acctbal"].iloc[0])
-        total = float(right["o_totalprice"].sum()) if not right.empty else 0.0
-        import math
-
-        ratio = math.floor(abs(r := total / bal) * 1e4 + 0.5) / 1e4 * (
-            1 if r >= 0 else -1
-        )
+        if right.empty:
+            agg = pd.DataFrame({"n_orders": [], "total": []})
+            agg.index.name = "o_custkey"
+        else:
+            agg = right.groupby("o_custkey")["o_totalprice"].agg(
+                n_orders="count", total="sum"
+            )
+        m = left.merge(agg, left_on="c_custkey", right_index=True, how="left")
+        total = m["total"].fillna(0.0).to_numpy()
+        r = total / m["c_acctbal"].to_numpy()
+        # round-half-away-from-zero at 4 dp, matching DuckDB ROUND
+        ratio = np.floor(np.abs(r) * 1e4 + 0.5) / 1e4 * np.where(r < 0, -1, 1)
         return pd.DataFrame(
             {
-                "c_custkey": [int(left["c_custkey"].iloc[0])],
-                "n_orders": [int(len(right))],
-                "spend_ratio": [ratio],
+                "c_custkey": m["c_custkey"].astype("int64"),
+                "n_orders": m["n_orders"].fillna(0).astype("int64"),
+                "spend_ratio": ratio,
             }
         )
 
     return (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        cust.groupBy("kg")
+        .cogroup(orders.groupBy("kg"))
         .applyInPandas(
             fuse, schema="c_custkey long, n_orders long, spend_ratio double"
         )
