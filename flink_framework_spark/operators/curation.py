@@ -262,3 +262,80 @@ def weighted_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def dedup_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level cross-document dedup (the RefinedWeb/CCNet line-
+    dedup shape): split each document into non-overlapping ``window``-
+    word passages, find passages occurring in >= ``min_docs`` DISTINCT
+    documents corpus-wide, and rebuild each document without them.
+
+    Returns (id, n_passages, n_dup_passages, dup_frac, clean_fp) where
+    ``clean_fp`` is the md5 of the rebuilt text — proof the in-order
+    reassembly is correct without carrying full text downstream.
+
+    Plan shape at 100 TB: the passage table is ~corpus-sized but every
+    step is an equi-shuffle — posexplode (narrow), hash-aggregate on
+    the passage fingerprint (count of distinct docs: two-level agg),
+    shuffle-join passages to their corpus frequency on the
+    fingerprint, then one hash-aggregate back to docs. No window over
+    the corpus, no driver state; conditional aggregation (not a
+    filter) keeps fully-duplicated documents in the output with
+    dup_frac = 1.0.
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("w"),
+    )
+    # ceil(size/window) passages; sequence() counts DOWN for negative
+    # spans, so the empty-doc case must short-circuit to array()
+    passages = words.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"case when size(w) = 0 then array() else "
+                f"transform(sequence(0, (size(w) + {window - 1}) div {window} - 1),"
+                f" i -> array_join(slice(w, i * {window} + 1, {window}), ' ')) end"
+            )
+        ).alias("pos", "win"),
+    ).withColumn("f", F.md5("win"))
+    freq = passages.groupBy("f").agg(
+        F.count_distinct("id").alias("nd")
+    )
+    keep = F.col("nd") < min_docs
+    return (
+        passages.join(freq, "f")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(~keep, 1).otherwise(0)).alias("n_dup_passages"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("pos", "win"))
+                            )
+                        ),
+                        lambda s: s["win"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_fp"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_passages",
+            "n_dup_passages",
+            round_duck(
+                F.col("n_dup_passages") / F.col("n_passages").cast("double"), 4
+            ).alias("dup_frac"),
+            "clean_fp",
+        )
+    )

@@ -13,6 +13,7 @@ from flink_framework_spark.io import table
 from flink_framework_spark.operators.curation import (
     assign_split,
     decontaminate,
+    dedup_passages,
     domain_mixture,
     pack_sequences,
     scrub_pii,
@@ -249,3 +250,37 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=25,
         strata_col="lang",
     ).select("lang", "doc_id", "pri")
+
+
+@register(
+    "q_dedup_passages",
+    family="K",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(words, i*8+1, i*8+8), ' ') AS win
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS words
+        FROM documents),
+       UNNEST(range(CAST(ceil(len(words)/8.0) AS BIGINT))) AS t(i)),
+freq AS (
+  SELECT md5(win) AS f, COUNT(DISTINCT doc_id) AS nd
+  FROM w GROUP BY 1)
+SELECT w.doc_id,
+       COUNT(*) AS n_passages,
+       COUNT(*) FILTER (freq.nd >= 2) AS n_dup_passages,
+       ROUND(COUNT(*) FILTER (freq.nd >= 2)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac,
+       md5(COALESCE(string_agg(CASE WHEN freq.nd < 2 THEN w.win END,
+                               ' ' ORDER BY w.pos), '')) AS clean_fp
+FROM w JOIN freq ON freq.f = md5(w.win)
+GROUP BY 1
+""",
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level cross-document dedup (RefinedWeb line-dedup
+    shape): 8-word passages occurring in >= 2 distinct documents are
+    stripped and each document is rebuilt in order (clean_fp = md5 of
+    the rebuilt text). Equi-shuffles only — fingerprint aggregate,
+    fingerprint join, per-doc aggregate; no corpus-wide window
+    (operators.curation.dedup_passages)."""
+    return dedup_passages(table(spark, sf_dir, "documents"))
