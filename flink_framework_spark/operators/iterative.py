@@ -273,3 +273,84 @@ def pagerank(
     return ranks.select(
         "id", round_duck(F.col("r").cast("double") / SCALE, 6).alias("rank")
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph given as distinct ``(u, v)`` pairs with u < v.
+
+    Algorithm: degree-ordered edge orientation (Schank's node-
+    iterator++ / the standard MR triangle algorithm). Every edge is
+    oriented from its lower-(degree, id) endpoint to the higher one;
+    wedges are enumerated by self-joining oriented edges on the source
+    and closed by an equi-join back onto the oriented edge list. The
+    orientation bounds every node's out-degree by O(sqrt(m)) on any
+    graph (arboricity bound) — the wedge join that would blow up on a
+    skewed hub (degree d -> d^2 wedges) instead does sum(outdeg^2) <=
+    O(m^1.5) work, the best known for exact counting. All joins are
+    equi-joins; no node ever sees the whole graph.
+
+    Returns (node, degree, tri, lcc): triangles through the node and
+    2*tri / (deg*(deg-1)) rounded to 4 dp (0.0 for degree-1 nodes).
+    """
+    from flink_framework_spark.operators.dedup import _staged
+
+    e = _staged(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
+    deg = _staged(
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ke = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = _staged(
+        ke.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    dst_order = (F.col("o1.ddst") < F.col("o2.ddst")) | (
+        (F.col("o1.ddst") == F.col("o2.ddst"))
+        & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & dst_order).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    # the closing edge b-c is oriented b -> c because b precedes c in
+    # the same (degree, id) order the wedge condition just enforced
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").alias("degree"),
+            F.coalesce("tri", F.lit(0)).alias("tri"),
+            round_duck(
+                F.when(
+                    F.col("deg") > 1,
+                    2.0
+                    * F.coalesce("tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("lcc"),
+        )
+    )

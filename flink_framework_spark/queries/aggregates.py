@@ -325,3 +325,40 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantile_summary(
         ev, "value", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"), "day"
     )
+
+
+@register(
+    "q_unpivot",
+    family="D",
+    oracle="""
+WITH a AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price,
+         ROUND(AVG(l_discount), 4) AS avg_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM a
+UNION ALL
+SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the q_pivot inverse: wide per-flag measures fold
+    back to (flag, measure, val) rows via ``DataFrame.unpivot`` (one
+    Expand node, rows x n_measures, no shuffle beyond the aggregate
+    that feeds it). Measures are rounded BEFORE the melt so the
+    union'd double column compares exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        round_duck(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_duck(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        round_duck(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

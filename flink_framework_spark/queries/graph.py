@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
-from flink_framework_spark.operators.iterative import pagerank
+from flink_framework_spark.operators.iterative import pagerank, triangle_counts
 from flink_framework_spark.registry import register
 
 # supplier node ids are offset so they cannot collide with customer
@@ -54,3 +54,48 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the originals (supplier ids are offset), so the union is already
     # a distinct edge list
     return pagerank(edges, n_iter=5, handle_dangling=False, assume_distinct=True)
+
+
+@register(
+    "q_triangles",
+    family="K",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity >= 48),
+e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+deg AS (SELECT n, COUNT(*) AS degree FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+pn AS (SELECT n, COUNT(*) AS tri FROM (
+         SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+         UNION ALL SELECT c FROM tri) GROUP BY 1)
+SELECT deg.n AS node, deg.degree,
+       COALESCE(pn.tri, 0) AS tri,
+       ROUND(CASE WHEN deg.degree > 1
+             THEN 2.0 * COALESCE(pn.tri, 0)
+                  / (deg.degree * (deg.degree - 1))
+             ELSE 0.0 END, 4) AS lcc
+FROM deg LEFT JOIN pn ON pn.n = deg.n
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over the
+    supplier co-occurrence graph (suppliers sharing a high-quantity
+    order line). Degree-ordered orientation bounds the wedge join by
+    the arboricity — O(m^1.5) total work with no skew blowup — and the
+    id-ordered oracle closes the same triangle set
+    (operators.iterative.triangle_counts)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_counts(edges)
