@@ -161,3 +161,99 @@ def kll_quantile_summary(
         F.lit("__all__").alias(bucket_name), *qcols(merged)
     )
     return buckets.unionByName(total)
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str = "term",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch over a key column: ``depth x width``
+    counters, one DataFrame row per non-empty cell.
+
+    Hashing is md5-derived (row seed || ':' || key), so the sketch is
+    deterministic under any partitioning AND reproducible in ANSI SQL
+    — the DuckDB oracle builds the bit-identical sketch. The sketch is
+    MERGEABLE by construction: cell counts are sums, so partial
+    aggregation combines map-side and sketches from separate corpus
+    shards/days union+sum into the sketch of the union — the
+    fixed-size (depth*width cells) summary a 100 TB frequency monitor
+    actually ships around, vs. a full term->count table that grows
+    with the vocabulary.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit(str(d)), F.col(key_col)
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("b"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(rows).alias("x"))
+        .groupBy(F.col("x.d").alias("d"), F.col("x.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "term",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Probe a count-min sketch: for each key, min over the depth rows
+    of its cell counts (the classic upward-biased CMS estimate). The
+    probe explodes each key to its ``depth`` cells and equi-joins the
+    sketch — the sketch side is depth*width rows at most, so Catalyst
+    broadcasts it; no corpus rescan."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":", F.lit(str(d)), F.col(key_col)
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("b"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probe = keys.select(key_col, F.explode(cells).alias("x")).select(
+        key_col, F.col("x.d").alias("d"), F.col("x.b").alias("b")
+    )
+    return (
+        probe.join(F.broadcast(cms), ["d", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -362,3 +362,64 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "q_cms_heavy",
+    family="D",
+    oracle="""
+WITH tok AS (
+  SELECT UNNEST(string_split(trim(text), ' ')) AS term FROM documents),
+cms AS (
+  SELECT s.d,
+         CAST(('0x' || substring(md5(CAST(s.d AS VARCHAR) || ':' || term),
+                                 1, 8)) AS BIGINT) % 256 AS b,
+         COUNT(*) AS cnt
+  FROM tok, UNNEST([0, 1, 2, 3]) AS s(d) GROUP BY 1, 2),
+top AS (
+  SELECT term, COUNT(*) AS exact_cnt FROM tok GROUP BY 1
+  ORDER BY exact_cnt DESC, term LIMIT 10)
+SELECT t.term, t.exact_cnt, MIN(c.cnt) AS cms_est,
+       ROUND(MIN(c.cnt) / CAST(t.exact_cnt AS DOUBLE), 4) AS over_ratio
+FROM top t, UNNEST([0, 1, 2, 3]) AS s(d)
+JOIN cms c ON c.d = s.d
+  AND c.b = CAST(('0x' || substring(md5(CAST(s.d AS VARCHAR) || ':'
+                                        || t.term), 1, 8)) AS BIGINT) % 256
+GROUP BY 1, 2
+""",
+)
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch: build a 4x256
+    md5-derived CMS over the document token stream (fixed-size,
+    mergeable, partitioning-independent), probe it for the exact
+    top-10 terms, and report estimate vs truth. The tokenized corpus
+    is staged once for both the sketch and the exact top-k; the probe
+    broadcasts the 1024-cell sketch (operators.profile.cms_build /
+    cms_estimate)."""
+    from flink_framework_spark.operators.dedup import _staged
+    from flink_framework_spark.operators.profile import (
+        cms_build,
+        cms_estimate,
+    )
+
+    tok = _staged(
+        table(spark, sf_dir, "documents").select(
+            F.explode(F.split(F.trim("text"), " ")).alias("term")
+        )
+    )
+    cms = cms_build(tok)
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "term")
+        .limit(10)
+    )
+    est = cms_estimate(cms, top.select("term"))
+    return top.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        round_duck(
+            F.col("cms_est") / F.col("exact_cnt").cast("double"), 4
+        ).alias("over_ratio"),
+    )

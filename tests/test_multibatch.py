@@ -142,3 +142,52 @@ def test_changelog_state_across_batches(spark, spooled_dir):
     a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
     b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
     assert a == b
+
+
+def test_broadcast_rules_versioned_across_batches(spark, spooled_dir):
+    """Flink broadcast-state pattern: every micro-batch is processed
+    under the rules snapshot current AT THAT BATCH; a control update
+    landing between batches affects later batches only. Streamed
+    output must equal a batch-mode replay that applies each batch's
+    recorded rules version to that batch's slice."""
+    from flink_framework_spark.streaming.broadcast_state import (
+        BroadcastRulesProcessor,
+        run_broadcast_rules,
+    )
+
+    directory, sf_dir = spooled_dir
+    initial = [("purchase", 100.0, "big_purchase"), ("error", 0.0, "err")]
+
+    def control(batch_id, rules):
+        if batch_id == 2:  # tighten mid-stream + add a rule
+            return [
+                ("purchase", 200.0, "big_purchase"),
+                ("error", 0.0, "err"),
+                ("signup", 0.0, "signup"),
+            ]
+        return rules
+
+    proc = run_broadcast_rules(
+        _stream(spark, directory, sf_dir),
+        BroadcastRulesProcessor(spark, initial, control=control),
+    )
+    assert set(proc.rule_versions) == set(range(N_FILES))
+    assert proc.rule_versions[0] == initial
+    assert proc.rule_versions[4] == control(2, initial)
+
+    # batch-mode replay: same slices, same per-batch rules
+    ev = table(spark, sf_dir, "events").orderBy("event_id").toPandas()
+    chunk = (len(ev) + N_FILES - 1) // N_FILES
+    expected: list[tuple] = []
+    for i in range(N_FILES):
+        part = ev.iloc[i * chunk : (i + 1) * chunk]
+        sl = spark.createDataFrame(part)
+        out = proc.apply_rules(sl, proc.rule_versions[i])
+        expected.extend(
+            tuple(r) for r in out.select(
+                "event_id", "event_type", "tag"
+            ).collect()
+        )
+    got = [(r["event_id"], r["event_type"], r["tag"]) for r in proc.rows]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > 0
