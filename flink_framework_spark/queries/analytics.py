@@ -177,6 +177,196 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lateral_topk",
+    family="C",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_top,
+       ROUND((SUM(CAST(ROUND(o.v * 100, 0) AS BIGINT)) / 100.0)
+             / COUNT(*), 2) AS avg_top_price,
+       MAX(o.v) AS max_top_price
+FROM customer c,
+     LATERAL (SELECT o_totalprice AS v FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+GROUP BY c.c_mktsegment
+""",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    customer's top-2 order totals, rolled up per market segment.
+    Exercises Catalyst's LateralJoin decorrelation (it rewrites the
+    per-row limit into a ranked window join — the same physical shape
+    as the F2 top-k operator, derived by the optimizer rather than
+    hand-written). The orderkey tiebreak keeps ties deterministic,
+    and the average sums exact integer cents so the result is
+    independent of float addition order (the naive AVG landed on a
+    half-cent knife edge at sf0.01)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_top,
+               ROUND((SUM(CAST(ROUND(o.v * 100, 0) AS BIGINT)) / 100.0D)
+                     / COUNT(*) * 100.0D, 0) / 100.0D AS avg_top_price,
+               MAX(o.v) AS max_top_price
+        FROM lat_customer c,
+             LATERAL (SELECT o_totalprice AS v FROM lat_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "q_regr_stats",
+    family="D",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_extendedprice, l_quantity), 4) AS r,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       ROUND(covar_samp(l_extendedprice, l_quantity) / 1000, 3) AS covar_k,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics suite per return flag: Pearson r, OLS
+    slope/intercept, R², and sample covariance (reported in thousands
+    so 3-decimal rounding sits far above float merge-order noise).
+    All are single-pass co-moment aggregates — Catalyst plans partial
+    + final merges, so one shuffle of constant-size state at any
+    scale."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        round_duck(F.corr(x, y), 4).alias("r"),
+        round_duck(F.regr_slope(x, y), 4).alias("slope"),
+        round_duck(F.regr_intercept(x, y), 4).alias("intercept"),
+        round_duck(F.regr_r2(x, y), 4).alias("r2"),
+        round_duck(F.covar_samp(x, y) / 1000, 3).alias("covar_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_ewma_recursive",
+    family="K",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS series, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY date_trunc('day', ts)) - 1 AS idx
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+ew (series, day, idx, y) AS (
+  SELECT series, day, idx, x FROM daily WHERE idx = 0
+  UNION ALL
+  SELECT d.series, d.day, d.idx, 0.3 * d.x + 0.7 * ew.y
+  FROM daily d JOIN ew ON d.series = ew.series AND d.idx = ew.idx + 1)
+SELECT series, strftime(day, '%Y-%m-%d') AS day, ROUND(y, 4) AS ewma
+FROM ew
+""",
+)
+def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.3) of daily event
+    counts per series, computed by the *recurrence itself* via WITH
+    RECURSIVE — each step is `0.3·x + 0.7·y_prev`, the identical
+    float op sequence on both engines, so results are bit-exact
+    (a closed-form `Σ x·(1-α)^(i-j)` spelling would hit libm pow
+    divergence). Iteration count = series length in days; at 100 TB
+    the pre-aggregation to daily grain keeps the recursive input tiny
+    (series × days), which is the scale-correct split."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("ewma_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE daily AS (
+          SELECT event_type AS series, date_trunc('day', ts) AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY date_trunc('day', ts)) - 1 AS idx
+          FROM ewma_events GROUP BY event_type, date_trunc('day', ts)),
+        ew (series, day, idx, y) AS (
+          SELECT series, day, idx, x FROM daily WHERE idx = 0
+          UNION ALL
+          SELECT d.series, d.day, d.idx, 0.3 * d.x + 0.7 * ew.y
+          FROM daily d JOIN ew ON d.series = ew.series AND d.idx = ew.idx + 1)
+        SELECT series, date_format(day, 'yyyy-MM-dd') AS day,
+               ROUND(y * 10000.0, 0) / 10000.0 AS ewma
+        FROM ew
+        """
+    )
+
+
+@register(
+    "q_ab_welch",
+    family="D",
+    oracle="""
+WITH g AS (
+  SELECT user_id % 2 AS variant, value
+  FROM events WHERE event_type = 'purchase'),
+s AS (
+  SELECT COUNT(*) FILTER (WHERE variant = 0) AS n0,
+         COUNT(*) FILTER (WHERE variant = 1) AS n1,
+         AVG(value) FILTER (WHERE variant = 0) AS m0,
+         AVG(value) FILTER (WHERE variant = 1) AS m1,
+         VAR_SAMP(value) FILTER (WHERE variant = 0) AS v0,
+         VAR_SAMP(value) FILTER (WHERE variant = 1) AS v1
+  FROM g)
+SELECT n0, n1, ROUND(m0, 4) AS mean0, ROUND(m1, 4) AS mean1,
+       ROUND((m1 - m0) / SQRT(v0 / n0 + v1 / n1), 4) AS t_stat,
+       ROUND(POWER(v0 / n0 + v1 / n1, 2)
+             / (POWER(v0 / n0, 2) / (n0 - 1)
+                + POWER(v1 / n1, 2) / (n1 - 1)), 2) AS welch_df
+FROM s
+""",
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test over purchase values, variants split
+    by user parity: conditional (FILTER) aggregates produce both
+    groups' moments in ONE pass — no self-join, no second scan — then
+    the t statistic and Welch–Satterthwaite df are scalar arithmetic
+    on the single moment row. POWER(x, 2) is plain x·x in both
+    engines, so no libm divergence."""
+    g = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("variant"), "value")
+    )
+    v = F.col("value")
+    is0, is1 = F.col("variant") == 0, F.col("variant") == 1
+    s = g.agg(
+        F.count(F.when(is0, 1)).alias("n0"),
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.avg(F.when(is0, v)).alias("m0"),
+        F.avg(F.when(is1, v)).alias("m1"),
+        F.var_samp(F.when(is0, v)).alias("v0"),
+        F.var_samp(F.when(is1, v)).alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    return s.select(
+        "n0",
+        "n1",
+        round_duck(F.col("m0"), 4).alias("mean0"),
+        round_duck(F.col("m1"), 4).alias("mean1"),
+        round_duck((F.col("m1") - F.col("m0")) / F.sqrt(se2), 4).alias("t_stat"),
+        round_duck(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+                + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@register(
     "q_recursive_depth",
     family="K",
     oracle="""
