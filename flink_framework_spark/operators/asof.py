@@ -48,7 +48,9 @@ def asof_join(
     ``inner`` (drop unmatched left rows) or ``left``.
     """
     keys = list(on)
-    lpayload = [c for c in left.columns if c not in keys]
+    # left_time is restored from the merged __t column; keeping it in
+    # the payload too would emit a duplicate (ambiguous) column.
+    lpayload = [c for c in left.columns if c not in keys and c != left_time]
     rpayload = [c for c in right.columns if c not in keys and c != right_time]
     if right_tiebreak is not None and right_tiebreak not in rpayload:
         rpayload.append(right_tiebreak)

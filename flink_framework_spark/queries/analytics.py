@@ -16,7 +16,20 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
+from flink_framework_spark.operators.asof import asof_join
+from flink_framework_spark.operators.layout import morton_code
 from flink_framework_spark.registry import register
+
+
+def _morton_sql(d1: str, d2: str, bits: int) -> str:
+    """ANSI-SQL spelling of ``operators.layout.morton_code`` for two
+    dimensions: a sum of disjoint shifted bits (d1 → odd positions,
+    d2 → even), so the oracle runs the same integer arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({d1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({d2} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
 
 
 @register(
@@ -363,6 +376,108 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_attribution",
+    family="K",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'purchase')
+SELECT COALESCE(t.event_type, 'direct') AS channel,
+       COUNT(*) AS n_purchases,
+       ROUND(SUM(p.value), 2) AS revenue,
+       ROUND(AVG(date_diff('second', t.ts, p.ts)), 2) AS avg_lag_s
+FROM p ASOF LEFT JOIN t
+  ON p.user_id = t.user_id AND p.ts >= t.ts
+GROUP BY COALESCE(t.event_type, 'direct')
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding non-purchase event of the same user ('direct'
+    when none exists), then revenue and touch-to-purchase lag roll up
+    per channel. Composes the C10 as-of operator (one shuffle+sort,
+    no pair blow-up) — the oracle is DuckDB's *native* ASOF LEFT
+    JOIN, pinning our composed operator against a first-class
+    implementation. Lag uses truncate-then-subtract second semantics
+    to match ``date_diff('second', ...)`` exactly."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    t = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "ts", F.col("event_type"))
+        .withColumn("touch_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        p, t, on=["user_id"], left_time="pts", right_time="ts", how="left"
+    )
+    lag_s = F.expr(
+        "timestampdiff(MICROSECOND, date_trunc('SECOND', touch_ts),"
+        " date_trunc('SECOND', pts))"
+    ) / F.lit(1000000)
+    return (
+        joined.select(
+            F.coalesce("event_type", F.lit("direct")).alias("channel"),
+            "value",
+            lag_s.cast("long").alias("lag_s"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            round_duck(F.sum("value"), 2).alias("revenue"),
+            round_duck(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        )
+    )
+
+
+@register(
+    "q_zorder_layout",
+    family="K",
+    oracle=f"""
+WITH d AS (
+  SELECT o_custkey % 1024 AS d1,
+         LEAST(CAST(FLOOR(o_totalprice / 600) AS BIGINT), 1023) AS d2
+  FROM orders),
+z AS (SELECT d1, d2, {_morton_sql('d1', 'd2', 10)} AS zcode FROM d)
+SELECT zcode // 4096 AS zbucket, COUNT(*) AS n,
+       MIN(d1) AS min_cust, MAX(d1) AS max_cust,
+       MIN(d2) AS min_price, MAX(d2) AS max_price
+FROM z GROUP BY zcode // 4096
+""",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave 10 bits of
+    customer key and bucketized order value, split the 20-bit code
+    space into 256 range buckets (one per would-be output file), and
+    report each bucket's min/max on BOTH dimensions. Tight per-bucket
+    ranges on every interleaved column are precisely what makes
+    footer-stats skipping work for predicates on either column —
+    `operators.layout.zorder_sort` produces this layout physically
+    with one range-repartition; the audit here is layout-independent
+    (pure integer expression + hash aggregate), so it verifies the
+    code math at any scale."""
+    d = table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("d1"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 600).cast("long"), F.lit(1023)
+        ).alias("d2"),
+    )
+    z = d.withColumn("zcode", morton_code([F.col("d1"), F.col("d2")], 10))
+    return (
+        z.groupBy((F.col("zcode") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d1").alias("min_cust"),
+            F.max("d1").alias("max_cust"),
+            F.min("d2").alias("min_price"),
+            F.max("d2").alias("max_price"),
+        )
     )
 
 
