@@ -5,14 +5,15 @@ and materializes it as a Kafka topic (SURVEY.md §1.1 [R]); here a
 subject is simply a parquet table with a fixed schema, loaded lazily
 so Catalyst sees the scan and can push filters/prune columns into it.
 
-``load_events`` hides the one physical quirk of the fixtures: the
-``ts`` column is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
-a Catalyst type. We read it as a raw long (``nanosAsLong``) and
-rebuild a TIMESTAMP_NTZ with integer division (``div 1000`` — never
-float division, which would lose precision at 1.7e18 ns) followed by
-``convert_timezone('UTC', timestamp_micros(..))`` so the wall-clock
-value is identical to DuckDB's ns→µs truncation *regardless of the
-session timezone*.
+``_normalize_events_ts`` hides the one physical quirk of the
+fixtures: the ``ts`` column's parquet encoding has varied across
+driver-generated datasets (TIMESTAMP(NANOS) in early rounds — read as
+a raw long via ``nanosAsLong`` and rebuilt with integer ``div 1000``;
+TIMESTAMP(MICROS, isAdjustedToUTC=false) since — read natively as
+TIMESTAMP_NTZ). Whatever the input type, the batch form is a
+TIMESTAMP_NTZ whose wall-clock equals DuckDB's reading, and the
+streaming form is the equivalent UTC instant (watermarks require an
+instant type) — both *regardless of the session timezone*.
 """
 
 from __future__ import annotations
@@ -53,7 +54,19 @@ def _normalize_events_ts(df: DataFrame, as_instant: bool = False) -> DataFrame:
         return df if as_instant else df.withColumn(
             "ts", F.expr("convert_timezone('UTC', ts)")
         )
-    return df  # already timestamp_ntz
+    # timestamp_ntz input (µs-precision fixtures): the batch/oracle
+    # form IS the stored wall-clock. The instant form interprets that
+    # wall-clock as UTC via an epoch diff against the NTZ epoch —
+    # session-timezone-independent (a plain CAST would not be).
+    if as_instant:
+        return df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
