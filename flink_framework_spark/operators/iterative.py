@@ -275,6 +275,86 @@ def pagerank(
     )
 
 
+def coreness(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition: label every node with its core number
+    (the largest k such that the node survives in the k-core).
+
+    Algorithm: distributed h-index iteration (Lü et al., "The H-index
+    of a network node", 2016 — public result): start from degrees and
+    repeatedly replace each node's value with the H-index of its
+    neighbors' values; the fixpoint is exactly the core number. Unlike
+    sequential peeling (inherently serial: one minimum-degree node at
+    a time), every round here is two shuffles — neighbor-value join +
+    per-node H-index — and all nodes update in parallel; values are
+    monotone non-increasing integers, so convergence is a changed==0
+    count and the result is deterministic under any partitioning
+    (golden-snapshot safe; no floating point anywhere).
+
+    The per-node H-index is computed without collecting neighbor
+    lists: rank neighbor values descending per node (window), then
+    ``max(rank where value >= rank)`` — hub nodes cost a sort of
+    their degree, never a driver- or executor-side materialized list.
+
+    ``edges``: undirected distinct pairs (any orientation). Returns
+    ``(node, degree, core)``.
+    """
+    und = (
+        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
+        .unionByName(edges.select(F.col(v).alias("a"), F.col(u).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("h")
+    )
+    state = deg.localCheckpoint()
+    degrees = state.select("id", F.col("h").alias("degree"))
+
+    w = Window.partitionBy("a").orderBy(F.desc("nh"), "b")
+    for _ in range(max_iter):
+        nbr = und.join(state, und.b == state.id).select(
+            "a", "b", F.col("h").alias("nh")
+        )
+        hindex = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("a").alias("id"))
+            .agg(
+                F.coalesce(
+                    F.max(F.when(F.col("nh") >= F.col("rn"), F.col("rn"))),
+                    F.lit(0),
+                ).alias("h_new")
+            )
+        )
+        stepped = (
+            state.join(hindex, "id")
+            .select(
+                "id",
+                F.col("h").alias("__prev"),
+                F.least("h", "h_new").alias("h"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("h") != F.col("__prev")).count()
+        state = stepped.drop("__prev")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"coreness did not converge in {max_iter} rounds")
+    return degrees.join(state, "id").select(
+        F.col("id").alias("node"),
+        "degree",
+        F.col("h").cast("long").alias("core"),
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph given as distinct ``(u, v)`` pairs with u < v.

@@ -9,7 +9,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
-from flink_framework_spark.operators.iterative import pagerank, triangle_counts
+from flink_framework_spark.operators.iterative import (
+    coreness,
+    pagerank,
+    triangle_counts,
+)
 from flink_framework_spark.registry import register
 
 # supplier node ids are offset so they cannot collide with customer
@@ -89,13 +93,37 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arboricity — O(m^1.5) total work with no skew blowup — and the
     id-ordered oracle closes the same triangle set
     (operators.iterative.triangle_counts)."""
+    return triangle_counts(_supplier_edges(spark, sf_dir))
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence graph: distinct (u < v) supplier pairs
+    sharing a high-quantity order line."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
-    edges = (
+    return (
         a.join(b, "k")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
     )
-    return triangle_counts(edges)
+
+
+@register(
+    "q_kcore",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_kcore_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the supplier co-occurrence graph
+    (operators.iterative.coreness): every node's core number via
+    distributed h-index iteration — integer-exact, partitioning-
+    independent, value-checked against a frozen sf0.01 golden;
+    equivalence to sequential peeling is property-tested on random
+    graphs (tests/test_kcore.py)."""
+    return coreness(_supplier_edges(spark, sf_dir))

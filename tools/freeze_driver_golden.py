@@ -32,6 +32,7 @@ GOLDEN_QUERIES = (
     "q_dedup_clusters",
     "q_kmeans",
     "q_pagerank",
+    "q_kcore",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
