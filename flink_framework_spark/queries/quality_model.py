@@ -1,0 +1,97 @@
+"""Trained quality-classifier query (operators.mllite).
+
+The fixture corpus is uniformly clean (one shared vocabulary across
+languages — SURVEY.md §5.3), so the classification task plants its
+own negatives: every third document contributes a *corrupted twin*
+(its first word repeated to the original length — the degenerate
+repetition shape real quality filters exist to catch). The classifier
+trains on JVM-computed text statistics (stopword ratio, duplicate-
+word fraction, mean word length) and must separate originals from
+corruptions. The interesting part is the *mechanism*: bounded
+id-ordered training collect, literal-weight sigmoid scoring in
+whole-stage codegen, reproducible floats end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import round_duck
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.mllite import logreg_score, logreg_train
+from flink_framework_spark.operators.text import STOPWORDS, words
+from flink_framework_spark.registry import register
+
+_FEATS = ("f_stop", "f_dup", "f_wlen")
+
+
+def corpus_with_planted_negatives(docs: DataFrame) -> DataFrame:
+    """Originals (label 1) + corrupted twins of every third doc
+    (label 0): the twin is the doc's first word repeated to the
+    original word count — pure JVM expressions, deterministic."""
+    orig = docs.select(
+        "doc_id",
+        F.lit("orig").alias("variant"),
+        F.col("text"),
+        F.lit(1.0).alias("label"),
+    )
+    w = words(F.col("text"))
+    rep = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.lit("rep").alias("variant"),
+            F.array_join(
+                F.array_repeat(F.element_at(w, 1), F.size(w)), " "
+            ).alias("text"),
+            F.lit(0.0).alias("label"),
+        )
+    )
+    return orig.unionByName(rep)
+
+
+def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = corpus_with_planted_negatives(table(spark, sf_dir, "documents"))
+    w = words(F.col("text"))
+    n_words = F.size(w).cast("double")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double")
+    n_distinct = F.size(F.array_distinct(w)).cast("double")
+    avg_wlen = (F.length("text").cast("double") - (n_words - 1)) / n_words
+    return d.select(
+        "doc_id",
+        "variant",
+        "label",
+        (n_stop / n_words).alias("f_stop"),
+        (F.lit(1.0) - n_distinct / n_words).alias("f_dup"),
+        (avg_wlen / 10.0).alias("f_wlen"),
+    )
+
+
+@register(
+    "q_quality_model",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_quality_model_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: train bounded, score everywhere.
+    Output: per-(doc, variant) label, model score (4 dp) and the
+    keep/drop decision at threshold 0.5. Deterministic end-to-end
+    (fixed full-batch GD, id-ordered capped sample) — frozen-golden
+    checked; accuracy floor property in tests/test_mllite.py."""
+    feats = _featurized(spark, sf_dir)
+    weights = logreg_train(
+        feats, _FEATS, label_col="label", order_col=F.struct("doc_id", "variant")
+    )
+    score = logreg_score(feats, _FEATS, weights)
+    return feats.select(
+        "doc_id",
+        "variant",
+        F.col("label").cast("long").alias("label"),
+        round_duck(score, 4).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

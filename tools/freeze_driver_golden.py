@@ -33,6 +33,7 @@ GOLDEN_QUERIES = (
     "q_kmeans",
     "q_pagerank",
     "q_kcore",
+    "q_quality_model",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
