@@ -1,0 +1,57 @@
+"""BPE tokenizer query: learned merge table + per-doc tokenization.
+
+One driver-visible slot carries both artifacts, melted to a common
+``(tag, id, tok, n)`` shape:
+
+- ``merge`` rows: merge rank, the merged token, its pair count at
+  merge time — the vocabulary itself;
+- ``doc`` rows: doc_id, an md5 fingerprint of the full token stream
+  (so the golden pins the exact tokenization, not just counts), and
+  the post-BPE token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.bpe import bpe_tokenize, bpe_train
+from flink_framework_spark.registry import register
+
+
+@register(
+    "q_bpe_vocab",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_bpe_vocab_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training + corpus tokenization
+    (operators.bpe): 60 merges learned from a bounded id-ordered
+    sample, then one Arrow-batched tokenization pass over every
+    document. Deterministic (tie-broken merge selection, greedy
+    lowest-rank encoding) — frozen-golden checked; algorithmic
+    properties in tests/test_bpe.py."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", "doc_id", n_merges=60)
+    mdf = spark.createDataFrame(
+        [
+            ("merge", i, a + b, int(cnt))
+            for i, (a, b, cnt) in enumerate(merges)
+        ],
+        "tag string, id long, tok string, n long",
+    )
+    toks = docs.select(
+        "doc_id", bpe_tokenize(F.col("text"), merges).alias("toks")
+    )
+    ddf = toks.select(
+        F.lit("doc").alias("tag"),
+        F.col("doc_id").alias("id"),
+        F.md5(F.array_join("toks", " ")).alias("tok"),
+        F.size("toks").cast("long").alias("n"),
+    )
+    return mdf.unionByName(ddf)

@@ -34,6 +34,7 @@ GOLDEN_QUERIES = (
     "q_pagerank",
     "q_kcore",
     "q_quality_model",
+    "q_bpe_vocab",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
