@@ -135,6 +135,34 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_topk_ivfpq",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_sim_topk_ivfpq_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ kNN (operators.pq): IVF cells generate candidates,
+    product-quantized codes + an ADC lookup table score them — the
+    compressed-index plan where a 64-dim vector costs 8 table lookups
+    per pair and the corpus index is 8 bytes/vector. Deterministic
+    (seeded per-subspace k-means, lowest-code ties) — frozen-golden
+    checked; recall vs brute force property-tested in
+    tests/test_pq.py."""
+    from flink_framework_spark.operators.pq import ivfpq_topk, pq_train
+    from flink_framework_spark.operators.similarity import train_ivf_centroids
+
+    em = table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(em, n_cells=8)
+    books = pq_train(em, m=8, n_codes=16)
+    return ivfpq_topk(
+        em.filter(F.col("vec_id") < 10), em, centroids, books, k=5, nprobe=2
+    )
+
+
+@register(
     "q_profile_events",
     family="K",
     oracle="""

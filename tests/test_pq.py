@@ -1,0 +1,73 @@
+"""IVF-PQ: recall vs brute force, determinism, code validity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.pq import (
+    ivfpq_topk,
+    pq_codes,
+    pq_train,
+    _unit,
+)
+from flink_framework_spark.operators.similarity import (
+    brute_force_topk,
+    train_ivf_centroids,
+)
+from flink_framework_spark.functions.helpers import to_double_array
+
+
+def test_pq_codes_in_range_and_deterministic(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    books = pq_train(em, m=8, n_codes=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    assert pq_train(em, m=8, n_codes=16) == books  # bit-identical
+    codes = em.select(
+        pq_codes(_unit(to_double_array("embedding")), books).alias("c")
+    ).collect()
+    for r in codes:
+        assert len(r.c) == 8
+        assert all(0 <= ci < 16 for ci in r.c)
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    centroids = train_ivf_centroids(em, n_cells=8)
+    books = pq_train(em, m=8, n_codes=16)
+    approx = ivfpq_topk(queries, em, centroids, books, k=5, nprobe=3)
+    exact = brute_force_topk(queries, em, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # quantized distances + 3-of-8 cells: the standard IVF-PQ recall
+    # trade; the embeddings fixture clusters by label so this is high
+    assert recall >= 0.6, recall
+    # every query returns exactly k ranked neighbors
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in a)
+    assert set(per_q.values()) == {5}
+
+
+def test_ivfpq_scores_close_to_cosine(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 10)
+    centroids = train_ivf_centroids(em, n_cells=8)
+    books = pq_train(em, m=8, n_codes=16)
+    approx = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in ivfpq_topk(
+            queries, em, centroids, books, k=5, nprobe=3
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosim
+        for r in brute_force_topk(queries, em, k=50).collect()
+    }
+    errs = [
+        abs(approx[p] - exact[p]) for p in approx if p in exact
+    ]
+    assert errs, "no overlap to compare"
+    assert sum(errs) / len(errs) < 0.15
