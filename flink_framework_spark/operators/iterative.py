@@ -91,6 +91,7 @@ def kmeans_lloyd(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over a vector column — the classic
     dataset-iteration example, in Spark's model: per round one narrow
@@ -183,11 +184,17 @@ def kmeans_lloyd(
         F.col(id_col),
         F.array_min(_cell_dists(F.col("__v"), centroids)).alias("__best"),
     )
-    return best.select(
+    result = best.select(
         F.col(id_col),
         F.col("__best.cell").cast("long").alias("cluster"),
         round_duck(F.col("__best.d"), 4).alias("d2"),
     )
+    if return_centroids:
+        # expose the final (cell, centroid) artifact so independent
+        # checkers (tests/test_oracle_independent.py) can re-verify
+        # assignment optimality in a different engine
+        return result, centroids
+    return result
 
 
 def pagerank(

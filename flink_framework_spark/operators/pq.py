@@ -21,13 +21,24 @@ Spark-first decomposition (mirrors ``operators.similarity``'s IVF):
 - ``ivfpq_topk``    — IVF coarse cells generate candidates (equi-join
                       on cell id, the scale plan), ADC scores them:
                       ``zip_with(codes, lut, (c, l) -> l[c])`` summed —
-                      all JVM expressions.
+                      all JVM expressions — then an EXACT re-ranking
+                      pass rescores the ADC shortlist (FAISS's
+                      IndexRefine): the quantized index prunes
+                      candidates -> rerank, full vectors are fetched
+                      for only ``Q x rerank`` rows by an id equi-join.
 
 Vectors are L2-normalized before PQ so squared-L2 ADC distance maps
-to cosine (``cos ~= 1 - d2/2``) — the reported score is comparable to
-the exact operators' cosine and recall is property-tested against
-brute force. Everything is deterministic (seeded init, argmin ties to
-the lowest code), so outputs are golden-snapshot safe.
+to cosine (``cos ~= 1 - d2/2``); the REPORTED score after re-ranking
+is the exact cosine of the shortlisted pair. Measured on the sandbox
+embeddings fixture (near-isotropic 64-dim vectors — the hard case for
+PQ): raw ADC ranking reaches only ~0.28 top-5 recall at m=8/16 codes
+because per-subspace quantization error (~0.07 sq-L2/subspace)
+swamps the score gaps between true neighbors; the rerank pass lifts
+recall to the IVF probing ceiling (0.74-0.76 at nprobe=4) while
+keeping the corpus-wide scoring pass on 8-byte codes. Everything is
+deterministic (seeded init, argmin ties to the lowest code, id
+tiebreaks at both ranking stages), so outputs are golden-snapshot
+safe.
 """
 
 from __future__ import annotations
@@ -148,24 +159,36 @@ def ivfpq_topk(
     centroids,
     books: Codebooks,
     k: int = 5,
-    nprobe: int = 2,
+    nprobe: int = 4,
+    rerank: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ approximate kNN: IVF cells generate candidates (equi-
-    join on cell id), PQ/ADC scores them (m lookups per pair). Output
-    (query_id, neighbor_id, score, rn) with score ~= cosine
-    (1 - d2/2 on unit vectors), ranked desc with id tiebreak."""
+    """IVF-PQ approximate kNN with exact re-ranking: IVF cells
+    generate candidates (equi-join on cell id), PQ/ADC scores them
+    (m lookups per pair, codes only — no vectors move), the top
+    ``rerank`` per query are rescored with exact cosine (full vectors
+    fetched by id equi-join for Q x rerank rows only). Output
+    (query_id, neighbor_id, score, rn) with score = exact cosine of
+    the surviving pairs, ranked desc with id tiebreak.
+
+    Scale shape: the corpus-wide pass touches (cell:int, codes:
+    m bytes) — at 100 TB of 64-dim vectors that is a 32x smaller
+    shuffle than IVF with raw vectors; the rerank joins are
+    broadcast-sized (Q x rerank and Q rows)."""
     from pyspark.sql import Window
 
     from flink_framework_spark.operators.dedup import _staged
+
+    from flink_framework_spark.functions.helpers import dot
 
     # Stage the normalized vector BEFORE slicing into subspaces:
     # pq_codes/_adc_lut reference it m times, and CollapseProject
     # would otherwise inline the norm fold into every per-element
     # lambda (the SCALING.md expression-duplication hazard). The
     # staged frame is the PQ index itself — the artifact a production
-    # deployment materializes offline anyway.
+    # deployment materializes offline anyway — and the rerank pass
+    # re-reads it for the shortlisted ids.
     enc_nv = _staged(
         _cell_assign(corpus, centroids, vec_col, "__cell").select(
             F.col(id_col).alias("neighbor_id"),
@@ -178,29 +201,29 @@ def ivfpq_topk(
         "__cell",
         pq_codes(F.col("__nv"), books).alias("__codes"),
     )
-    probes_nv = _staged(
+    # One staged row per query holding both the raw vector (cell
+    # probing runs in the coarse quantizer's raw space, same as
+    # corpus assignment) and the unit vector (PQ/ADC + exact rerank
+    # run in cosine space).
+    q_nv = _staged(
         queries.select(
             F.col(id_col).alias("query_id"),
             to_double_array(vec_col).alias("__qv"),
-        )
-        .withColumn(
-            "__probe",
-            F.explode(
-                F.slice(
-                    F.array_sort(_cell_dists(F.col("__qv"), centroids)),
-                    1,
-                    nprobe,
-                )
-            ),
-        )
-        .select(
-            "query_id",
-            F.col("__probe.cell").alias("__cell"),
-            _unit(F.col("__qv")).alias("__nqv"),
-        )
+        ).withColumn("__nqv", _unit(F.col("__qv")))
     )
-    probes = probes_nv.select(
-        "query_id", "__cell", _adc_lut(F.col("__nqv"), books).alias("__lut")
+    probes = q_nv.withColumn(
+        "__probe",
+        F.explode(
+            F.slice(
+                F.array_sort(_cell_dists(F.col("__qv"), centroids)),
+                1,
+                nprobe,
+            )
+        ),
+    ).select(
+        "query_id",
+        F.col("__probe.cell").alias("__cell"),
+        _adc_lut(F.col("__nqv"), books).alias("__lut"),
     )
     d2 = F.aggregate(
         F.zip_with(
@@ -211,14 +234,34 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Candidate scoring: codes-only equi-join on cell id — the pass
+    # that sees the whole corpus moves m bytes/vector, not the vector.
     pairs = probes.join(enc, "__cell").filter(
         F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.col("neighbor_id")
+    )
+    shortlist = (
+        pairs.withColumn("__adc", F.lit(1.0) - d2 / F.lit(2.0))
+        .withColumn("__arn", F.row_number().over(w_adc))
+        .filter(F.col("__arn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-ranking (FAISS IndexRefine): fetch full vectors for
+    # the Q x rerank survivors only. Both joins broadcast the tiny
+    # side; the corpus-side probe is an id lookup.
+    sl = shortlist.join(
+        F.broadcast(q_nv.select("query_id", "__nqv")), "query_id"
+    )
+    rescored = enc_nv.select("neighbor_id", "__nv").join(
+        F.broadcast(sl), "neighbor_id"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("__score", F.lit(1.0) - d2 / F.lit(2.0))
+        rescored.withColumn("__score", dot(F.col("__nqv"), F.col("__nv")))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select(

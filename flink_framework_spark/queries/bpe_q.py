@@ -38,12 +38,26 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     properties in tests/test_bpe.py."""
     docs = table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", "doc_id", n_merges=60)
-    mdf = spark.createDataFrame(
-        [
-            ("merge", i, a + b, int(cnt))
+    # The merge table is a bounded driver artifact (n_merges rows).
+    # Emit it as an exploded struct-array LITERAL over range(1) — the
+    # same local-relation construction the centroid/codebook operators
+    # use — so the plan stays pure SQL (Range + Generate), with no
+    # Scan ExistingRDD (tests/test_plans.py::test_no_rdd_fallback_anywhere).
+    mrows = F.array(
+        *[
+            F.struct(
+                F.lit("merge").alias("tag"),
+                F.lit(i).cast("long").alias("id"),
+                F.lit(a + b).alias("tok"),
+                F.lit(int(cnt)).cast("long").alias("n"),
+            )
             for i, (a, b, cnt) in enumerate(merges)
-        ],
-        "tag string, id long, tok string, n long",
+        ]
+    )
+    mdf = (
+        spark.range(1)
+        .select(F.explode(mrows).alias("r"))
+        .select("r.tag", "r.id", "r.tok", "r.n")
     )
     toks = docs.select(
         "doc_id", bpe_tokenize(F.col("text"), merges).alias("toks")

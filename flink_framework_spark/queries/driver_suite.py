@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
+from flink_framework_spark.queries.graph import _pagerank_oracle_sql
 from flink_framework_spark.registry import register
 
 
@@ -904,8 +905,11 @@ def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'kmeans' AS tag, vec_id AS id, cluster AS grp, d2 AS v
 FROM read_parquet('/root/repo/tests/golden_driver/q_kmeans_sf0.01.parquet')
 UNION ALL
-SELECT 'pagerank', id, CAST(0 AS BIGINT), rank
-FROM read_parquet('/root/repo/tests/golden_driver/q_pagerank_sf0.01.parquet')
+SELECT 'pagerank', id, CAST(0 AS BIGINT), rank FROM (
+"""
+    + _pagerank_oracle_sql()
+    + """
+)
 """,
     oracle_sf="sf0.01",
     bench=False,  # granular q_kmeans / q_pagerank carry the bench signal
@@ -913,9 +917,12 @@ FROM read_parquet('/root/repo/tests/golden_driver/q_pagerank_sf0.01.parquet')
 def q_cluster_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-algorithm flagships in one driver slot: distributed
     Lloyd's k-means over embeddings + fixed-point PageRank over the
-    trade graph, tagged into (tag, id, grp, v). Both deterministic
-    end-to-end (decimal/int64 exact aggregation), value-checked
-    against frozen sf0.01 goldens."""
+    trade graph, tagged into (tag, id, grp, v). The PageRank half is
+    INDEPENDENTLY recomputed by the oracle (unrolled fixed-point SQL,
+    see queries.graph._pagerank_oracle_sql); the k-means half is
+    frozen-golden (assignment optimality independently verified in
+    tests/test_oracle_independent.py). Both deterministic end-to-end
+    (decimal/int64 exact aggregation)."""
     from flink_framework_spark.operators.iterative import kmeans_lloyd, pagerank
     from flink_framework_spark.queries.graph import q_pagerank
 

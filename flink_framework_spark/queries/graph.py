@@ -21,13 +21,55 @@ from flink_framework_spark.registry import register
 _SUPP_OFFSET = 10_000_000
 
 
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Fully INDEPENDENT PageRank oracle: the 5 power-iteration
+    rounds unrolled as chained CTEs in exact BIGINT fixed-point
+    arithmetic — the same spec ``operators.iterative.pagerank``
+    implements (SCALE=1e12, floor divisions, damping 85/100, no
+    dangling term because the edge list is bidirectional). Integer
+    math is exact in both engines, so the hashes match bit-for-bit;
+    this upgrades q_pagerank from a frozen-golden determinism check
+    to an independently recomputed value check (the golden snapshot
+    stays as a cross-version regression layer,
+    tests/test_golden_regression.py)."""
+    it = """
+r{k} AS (
+  SELECT n.id,
+         CAST((SELECT base FROM params)
+              + (85 * COALESCE(i.s_in, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.d AS id, SUM(p.r // o.od) AS s_in
+    FROM edges e JOIN outdeg o ON e.s = o.s JOIN r{km1} p ON e.s = p.id
+    GROUP BY e.d
+  ) i ON n.id = i.id
+)"""
+    rounds = ",".join(it.format(k=k, km1=k - 1) for k in range(1, n_iter + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT src AS s, dst AS d FROM pairs
+  UNION ALL SELECT dst AS s, src AS d FROM pairs
+),
+outdeg AS (SELECT s, COUNT(*) AS od FROM edges GROUP BY s),
+nodes AS (SELECT DISTINCT s AS id FROM edges),
+params AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS r_init,
+         CAST((15 * 1000000000000) // (100 * COUNT(*)) AS BIGINT) AS base
+  FROM nodes
+),
+r0 AS (SELECT id, (SELECT r_init FROM params) AS r FROM nodes),{rounds}
+SELECT id, ROUND(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+FROM r{n_iter}
+"""
+
+
 @register(
     "q_pagerank",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_pagerank_sf0.01.parquet')
-""",
+    oracle=_pagerank_oracle_sql(),
     oracle_sf="sf0.01",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

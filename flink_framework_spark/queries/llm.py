@@ -144,21 +144,29 @@ SELECT * FROM read_parquet(
     oracle_sf="sf0.01",
 )
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ kNN (operators.pq): IVF cells generate candidates,
-    product-quantized codes + an ADC lookup table score them — the
-    compressed-index plan where a 64-dim vector costs 8 table lookups
-    per pair and the corpus index is 8 bytes/vector. Deterministic
-    (seeded per-subspace k-means, lowest-code ties) — frozen-golden
-    checked; recall vs brute force property-tested in
+    """IVF-PQ kNN with exact re-ranking (operators.pq): IVF cells
+    generate candidates, product-quantized codes + an ADC lookup
+    table score them — the compressed-index plan where the
+    corpus-wide pass reads 8 bytes/vector — and the ADC shortlist is
+    rescored with exact cosine (FAISS IndexRefine shape), so the
+    reported score is exact. Deterministic (seeded per-subspace
+    k-means, lowest-code ties, id tiebreaks at both ranking stages) —
+    frozen-golden checked; recall vs brute force property-tested in
     tests/test_pq.py."""
     from flink_framework_spark.operators.pq import ivfpq_topk, pq_train
     from flink_framework_spark.operators.similarity import train_ivf_centroids
 
     em = table(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(em, n_cells=8)
-    books = pq_train(em, m=8, n_codes=16)
+    books = pq_train(em, m=8, n_codes=64)
     return ivfpq_topk(
-        em.filter(F.col("vec_id") < 10), em, centroids, books, k=5, nprobe=2
+        em.filter(F.col("vec_id") < 10),
+        em,
+        centroids,
+        books,
+        k=5,
+        nprobe=4,
+        rerank=64,
     )
 
 

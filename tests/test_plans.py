@@ -100,10 +100,14 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
     # lineage cut for iterative plans (without it the plan doubles
     # every round); the checkpointed frames are the compact per-node
     # state (labels / fixed-point ranks), not fact data.
+    # q_kcore's h-index coreness loop localCheckpoints per round —
+    # the same required lineage cut as q_pagerank/q_dedup_clusters
+    # (the checkpointed frame is per-node integer state, not facts).
     local_artifact_ok = {
         "q_sim_topk_ivf",
         "q_dedup_clusters",
         "q_pagerank",
+        "q_kcore",
         "q_cluster_graph_suite",  # embeds q_pagerank's checkpointed loop
     }
     for name, q in QUERIES.items():

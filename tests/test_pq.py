@@ -1,4 +1,14 @@
-"""IVF-PQ: recall vs brute force, determinism, code validity."""
+"""IVF-PQ: recall vs brute force, determinism, code validity.
+
+The embeddings fixture is near-isotropic 64-dim (the hard case for
+PQ): raw ADC ranking tops out at ~0.28 top-5 recall at m=8/16 codes
+(measured — per-subspace quantization error swamps neighbor score
+gaps), so ``ivfpq_topk`` re-ranks the ADC shortlist with exact
+cosine, the FAISS IndexRefine shape. With nprobe=4 of 8 cells the
+recall ceiling of the probing stage itself is 0.74-0.78 (exact
+scoring inside probed cells); the assertions below leave margin
+under that ceiling.
+"""
 
 from __future__ import annotations
 
@@ -35,14 +45,17 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
     centroids = train_ivf_centroids(em, n_cells=8)
-    books = pq_train(em, m=8, n_codes=16)
-    approx = ivfpq_topk(queries, em, centroids, books, k=5, nprobe=3)
+    books = pq_train(em, m=8, n_codes=64)
+    approx = ivfpq_topk(
+        queries, em, centroids, books, k=5, nprobe=4, rerank=64
+    )
     exact = brute_force_topk(queries, em, k=5)
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
-    # quantized distances + 3-of-8 cells: the standard IVF-PQ recall
-    # trade; the embeddings fixture clusters by label so this is high
+    # probing ceiling at nprobe=4 is ~0.74-0.78 on this fixture; the
+    # rerank pass tracks it closely (measured 0.74 sf0.001 / 0.76
+    # sf0.01 in numpy replica)
     assert recall >= 0.6, recall
     # every query returns exactly k ranked neighbors
     from collections import Counter
@@ -52,22 +65,22 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
 
 
 def test_ivfpq_scores_close_to_cosine(spark, sf_dir):
+    """Post-rerank scores ARE exact cosine — tolerance only covers
+    the 4-decimal rounding both operators apply."""
     em = table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 10)
     centroids = train_ivf_centroids(em, n_cells=8)
-    books = pq_train(em, m=8, n_codes=16)
+    books = pq_train(em, m=8, n_codes=64)
     approx = {
         (r.query_id, r.neighbor_id): r.score
         for r in ivfpq_topk(
-            queries, em, centroids, books, k=5, nprobe=3
+            queries, em, centroids, books, k=5, nprobe=4, rerank=64
         ).collect()
     }
     exact = {
         (r.query_id, r.neighbor_id): r.cosim
         for r in brute_force_topk(queries, em, k=50).collect()
     }
-    errs = [
-        abs(approx[p] - exact[p]) for p in approx if p in exact
-    ]
+    errs = [abs(approx[p] - exact[p]) for p in approx if p in exact]
     assert errs, "no overlap to compare"
-    assert sum(errs) / len(errs) < 0.15
+    assert max(errs) < 1e-3, max(errs)

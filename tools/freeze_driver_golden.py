@@ -29,6 +29,7 @@ GOLDEN_QUERIES = (
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_sim_topk_ivf",
+    "q_sim_topk_ivfpq",
     "q_dedup_clusters",
     "q_kmeans",
     "q_pagerank",
