@@ -50,6 +50,13 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # staged (persisted) frames are per-query artifacts; dropping
+        # them keeps each timing independent of whatever ran before
+        # (accumulated dead cache was measurably slowing late
+        # alphabet queries, e.g. q_text_* after the dedup family)
+        spark.catalog.clearCache()
+
+    streaming = stream_throughput(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -61,10 +68,66 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "streaming": streaming,
             }
         )
     )
     spark.stop()
+
+
+def stream_throughput(spark, seconds: float = 8.0) -> dict:
+    """Structured Streaming throughput: rate source (offered load set
+    well above sustainable) -> event-time tumbling window + keyed agg
+    with watermark -> noop sink, update mode. Reports the median
+    steady-state processedRowsPerSecond over the observed batches
+    (first batch dropped: it pays stream initialization), plus
+    end-to-end batch latency. This is the reference's identity — a
+    stream processor — measured, not inferred from batch twins."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5_000_000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    agg = (
+        src.withWatermark("timestamp", "2 seconds")
+        .groupBy(
+            F.window("timestamp", "1 second").alias("w"),
+            (F.col("value") % 64).alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", "/tmp/bench_stream_ckpt_" + str(os.getpid()))
+        .start()
+    )
+    time.sleep(seconds)
+    progresses = [p for p in q.recentProgress if p is not None]
+    q.stop()
+    rates = [
+        p["processedRowsPerSecond"]
+        for p in progresses[1:]
+        if p.get("numInputRows", 0) > 0 and "processedRowsPerSecond" in p
+    ]
+    durs = [
+        p["durationMs"]["triggerExecution"]
+        for p in progresses[1:]
+        if "durationMs" in p and "triggerExecution" in p["durationMs"]
+    ]
+    if not rates:
+        return {"rows_per_sec": 0.0, "batches": 0}
+    return {
+        "rows_per_sec": round(statistics.median(rates), 1),
+        "batch_ms_p50": round(statistics.median(durs), 1) if durs else None,
+        "batches": len(rates),
+        "pipeline": "rate->watermark->window1s+key64 agg->noop(update)",
+    }
 
 
 if __name__ == "__main__":

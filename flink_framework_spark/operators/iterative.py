@@ -354,7 +354,24 @@ def coreness(
         if changed == 0:
             break
     else:
-        raise RuntimeError(f"coreness did not converge in {max_iter} rounds")
+        # The h-index sequence is a monotone non-increasing upper
+        # bound on the true core number at every round, so a
+        # non-converged state is still a valid (slightly loose)
+        # bound — large-diameter graphs can legitimately need more
+        # rounds than the default. Warn and return the bound rather
+        # than turning a slow-but-correct computation into a hard
+        # failure; callers needing the exact fixpoint size max_iter
+        # to the graph (tests do, and fixture graphs converge in
+        # far fewer rounds).
+        import warnings
+
+        warnings.warn(
+            f"coreness: h-index iteration still changing after "
+            f"{max_iter} rounds ({changed} nodes); returning the "
+            "monotone upper-bound state",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return degrees.join(state, "id").select(
         F.col("id").alias("node"),
         "degree",

@@ -43,6 +43,8 @@ safe.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -120,7 +122,14 @@ def pq_train(
 
 def pq_codes(vec: Column, books: Codebooks) -> Column:
     """array<int> of per-subspace nearest-code ids for a NORMALIZED
-    vector column — literal-codebook expressions, narrow map."""
+    vector column — literal-codebook expressions, narrow map.
+
+    NOTE: kept as the reference JVM-expression form (and for oracle-
+    style cross-checks in tests); the hot path uses ``pq_codes_vec``
+    — higher-order functions are interpreted (no whole-stage
+    codegen), and at n_codes=64 the per-row lambda evaluation plus
+    the 4096-literal expression tree's analysis cost dominate the
+    encode pass (measured 6.5 s -> ~0.4 s at sf0.1)."""
     dsub = len(books[0][0])
     parts = []
     for s, book in enumerate(books):
@@ -130,6 +139,56 @@ def pq_codes(vec: Column, books: Codebooks) -> Column:
             F.array_min(_cell_dists(sub, cb)).getField("cell").cast("int")
         )
     return F.array(*parts)
+
+
+def pq_codes_vec(books: Codebooks):
+    """Arrow-vectorized twin of ``pq_codes`` (same discipline as
+    ``dedup.minhash_signature_vec``): per batch, one numpy
+    distance-matrix argmin per subspace. Ties go to the lowest code
+    (numpy argmin), identical to the struct-(d, cell) ordering of the
+    expression form; all math in float64."""
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = mats[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((len(X), len(mats)), dtype=np.int32)
+        for s, m in enumerate(mats):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _adc_lut_vec(books: Codebooks):
+    """Arrow-vectorized twin of ``_adc_lut``: the per-query
+    m x n_codes squared-L2 table in one numpy pass (the expression
+    form pays ~2.8 s of plan analysis for the 4096-double literal
+    tree alone)."""
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = mats[0].shape[1]
+
+    @F.pandas_udf("array<array<double>>")
+    def lut(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            q = np.asarray(v, dtype=np.float64)
+            out.append(
+                [
+                    ((q[s * dsub : (s + 1) * dsub][None, :] - m) ** 2).sum(
+                        axis=1
+                    )
+                    for s, m in enumerate(mats)
+                ]
+            )
+        return pd.Series(out)
+
+    return lut
 
 
 def _adc_lut(qvec: Column, books: Codebooks) -> Column:
@@ -199,7 +258,7 @@ def ivfpq_topk(
     enc = enc_nv.select(
         "neighbor_id",
         "__cell",
-        pq_codes(F.col("__nv"), books).alias("__codes"),
+        pq_codes_vec(books)(F.col("__nv")).alias("__codes"),
     )
     # One staged row per query holding both the raw vector (cell
     # probing runs in the coarse quantizer's raw space, same as
@@ -223,7 +282,7 @@ def ivfpq_topk(
     ).select(
         "query_id",
         F.col("__probe.cell").alias("__cell"),
-        _adc_lut(F.col("__nqv"), books).alias("__lut"),
+        _adc_lut_vec(books)(F.col("__nqv")).alias("__lut"),
     )
     d2 = F.aggregate(
         F.zip_with(

@@ -71,3 +71,23 @@ def test_coreness_matches_peeling_random(spark):
         assert {k: v[0] for k, v in got.items()} == {
             k: len(s) for k, s in adj.items()
         }
+
+
+def test_coreness_nonconverged_returns_monotone_bound(spark):
+    """With max_iter too small for the graph, coreness warns and
+    returns the monotone upper-bound state instead of raising — every
+    returned core number must be >= the true core number."""
+    import warnings
+
+    # a long path needs ~len/2 h-index rounds to converge
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {r.node: r.core for r in coreness(df, max_iter=2).collect()}
+    assert any("upper-bound" in str(w.message) for w in caught)
+    true = _peel(edges)
+    assert all(out[n] >= true[n] for n in true)
+    # and with enough rounds the same graph reaches the exact fixpoint
+    exact = {r.node: r.core for r in coreness(df, max_iter=50).collect()}
+    assert exact == true

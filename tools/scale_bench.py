@@ -1,0 +1,81 @@
+"""Measure empirical scaling exponents: run the most expensive / most
+scale-critical queries at 1x (sf0.1), 3x, and 10x tiled data
+(tools/make_scale_data.py) and fit alpha in t ~ n^alpha from the
+3x -> 10x segment (the 1x point is dominated by fixed per-query
+overhead at these sizes). alpha <= ~1.1 = linear scale-out shape;
+alpha near 2 = a quadratic blowup that would kill the operator at
+100 TB. Results are recorded in SCALING.md.
+
+Usage: python tools/scale_bench.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_framework_spark.registry import all_queries  # noqa: E402
+from flink_framework_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "q_scan_counts",
+    "q_agg_pricing",
+    "q_join_multi",
+    "q_win_topn",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_sim_topk_ivf",
+    "q_sim_topk_ivfpq",
+    "q_retrieval_suite",
+    "q_pagerank",
+    "q_kcore",
+    "q_triangles",
+    "q_kmeans",
+    "q_text_repetition",
+    "q_text_tokens",
+    "q_curation_suite",
+]
+
+SCALES = [
+    ("/root/testdata/sf0.1", 1),
+    ("/tmp/scaledata/t3", 3),
+    ("/tmp/scaledata/t10", 10),
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="scale-bench")
+    qs = all_queries()
+    # warm the JVM + Arrow workers like bench.py does
+    qs["q_join_multi"].fn(spark, SCALES[0][0]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict = {"t": {}}
+        for sf_dir, tiles in SCALES:
+            t0 = time.perf_counter()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row["t"][tiles] = round(time.perf_counter() - t0, 3)
+        t3, t10 = row["t"][3], row["t"][10]
+        row["alpha_3_10"] = round(
+            math.log(max(t10, 1e-3) / max(t3, 1e-3)) / math.log(10 / 3), 2
+        )
+        out[name] = row
+        print(json.dumps({name: row}))
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
