@@ -154,3 +154,112 @@ WHERE ABS(got - want) > 1e-9 OR want < {threshold}
 """
     ).fetchall()
     assert not bad, bad[:5]
+
+
+def test_kcore_hindex_fixpoint_in_duckdb(spark):
+    """Independent k-core soundness at the driver's sf0.01: DuckDB
+    rebuilds the supplier co-occurrence graph from raw parquet and
+    re-verifies that the reported cores are (a) a fixpoint of the
+    h-index operator (core(v) == H of neighbor cores — the Lü et al.
+    convergence criterion the operator iterates to) and (b) degree-
+    consistent. Together with the sequential-peeling equivalence
+    property (tests/test_kcore.py, independent algorithm) this pins
+    the golden from two directions; the fixpoint check alone rules
+    out any inflated assignment (claiming core k without k neighbors
+    at level k)."""
+    from flink_framework_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.01"
+    reported = all_queries()["q_kcore"].fn(spark, sf_dir).toPandas()
+
+    con = duckdb.connect()
+    con.register("reported", reported)
+    bad = con.execute(
+        f"""
+WITH li AS (
+  SELECT l_orderkey AS k, l_suppkey AS s
+  FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_quantity >= 48),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.k = b.k WHERE a.s < b.s),
+und AS (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v AS a, u AS b FROM pairs),
+nbr AS (
+  SELECT und.a, r2.core AS nh
+  FROM und JOIN reported r2 ON und.b = r2.node),
+ranked AS (
+  SELECT a, nh, ROW_NUMBER() OVER (PARTITION BY a ORDER BY nh DESC) AS rn
+  FROM nbr),
+h AS (
+  SELECT a, COALESCE(MAX(CASE WHEN nh >= rn THEN rn END), 0) AS h
+  FROM ranked GROUP BY a),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a)
+SELECT r.node, r.core, h.h, deg.d
+FROM reported r JOIN h ON r.node = h.a JOIN deg ON r.node = deg.a
+WHERE r.core <> h.h OR r.degree <> deg.d OR r.core > deg.d
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n_nodes = con.execute(
+        f"""
+WITH li AS (
+  SELECT l_orderkey AS k, l_suppkey AS s
+  FROM read_parquet('{sf_dir}/lineitem.parquet') WHERE l_quantity >= 48),
+pairs AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM li a JOIN li b ON a.k = b.k WHERE a.s < b.s)
+SELECT COUNT(DISTINCT x) FROM (SELECT u AS x FROM pairs UNION SELECT v FROM pairs)
+"""
+    ).fetchone()[0]
+    assert len(reported) == n_nodes
+
+
+def test_dedup_clusters_components_in_duckdb(spark):
+    """Independent cluster-manifest check at sf0.01: take the
+    (independently Jaccard-verified) MinHash pair list, recompute
+    connected components in DuckDB with a recursive-CTE transitive
+    closure, and compare cluster label (component min id), size, and
+    keep flag for every document — including singleton attachment."""
+    from flink_framework_spark.operators.dedup import near_dup_pairs_minhash
+    from flink_framework_spark.registry import all_queries
+
+    sf_dir = "/root/testdata/sf0.01"
+    reported = all_queries()["q_dedup_clusters"].fn(spark, sf_dir).toPandas()
+    pairs = near_dup_pairs_minhash(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    ).toPandas()[["doc_a", "doc_b"]]
+
+    con = duckdb.connect()
+    con.register("reported", reported)
+    con.register("pairs", pairs)
+    bad = con.execute(
+        f"""
+WITH RECURSIVE und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a WHERE e.b <> r.a),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+  FROM reach GROUP BY a),
+all_docs AS (
+  SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')),
+want AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM all_docs d LEFT JOIN comp c ON d.doc_id = c.node),
+sized AS (
+  SELECT doc_id, cluster,
+         COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+         (doc_id = cluster) AS keep
+  FROM want)
+SELECT r.doc_id FROM reported r JOIN sized s ON r.doc_id = s.doc_id
+WHERE r.cluster <> s.cluster OR r.cluster_size <> s.cluster_size
+   OR r.keep <> s.keep
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(reported) == n
