@@ -288,31 +288,48 @@ FROM ew
 )
 def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α=0.3) of daily event
-    counts per series, computed by the *recurrence itself* via WITH
-    RECURSIVE — each step is `0.3·x + 0.7·y_prev`, the identical
-    float op sequence on both engines, so results are bit-exact
-    (a closed-form `Σ x·(1-α)^(i-j)` spelling would hit libm pow
-    divergence). Iteration count = series length in days; at 100 TB
-    the pre-aggregation to daily grain keeps the recursive input tiny
-    (series × days), which is the scale-correct split."""
-    table(spark, sf_dir, "events").createOrReplaceTempView("ewma_events")
-    return spark.sql(
-        """
-        WITH RECURSIVE daily AS (
-          SELECT event_type AS series, date_trunc('day', ts) AS day,
-                 CAST(COUNT(*) AS DOUBLE) AS x,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY date_trunc('day', ts)) - 1 AS idx
-          FROM ewma_events GROUP BY event_type, date_trunc('day', ts)),
-        ew (series, day, idx, y) AS (
-          SELECT series, day, idx, x FROM daily WHERE idx = 0
-          UNION ALL
-          SELECT d.series, d.day, d.idx, 0.3 * d.x + 0.7 * ew.y
-          FROM daily d JOIN ew ON d.series = ew.series AND d.idx = ew.idx + 1)
-        SELECT series, date_format(day, 'yyyy-MM-dd') AS day,
-               ROUND(y * 10000.0, 0) / 10000.0 AS ewma
-        FROM ew
-        """
+    counts per series. The recurrence `y = 0.3·x + 0.7·y_prev` runs
+    as ONE Arrow pass per series (applyInPandas over the tiny
+    pre-aggregated daily grain) executing the identical float op
+    sequence as the oracle's WITH RECURSIVE, so results stay
+    bit-exact (a closed-form `Σ x·(1-α)^(i-j)` spelling would hit
+    libm pow divergence). An earlier recursive-CTE spelling was
+    semantically identical but paid one Spark UnionLoop job per DAY
+    of history (9.9 s at sf0.1 vs ~1 s now); the scale-correct split
+    is unchanged — the distributed agg reduces 100 TB of events to
+    series × days rows, and the sequential tail is per-series."""
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("series"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        ys = np.empty_like(xs)
+        y = xs[0]
+        ys[0] = y
+        for i in range(1, len(xs)):
+            # same op order as the oracle's `0.3 * d.x + 0.7 * ew.y`
+            y = 0.3 * xs[i] + 0.7 * y
+            ys[i] = y
+        pdf["y"] = ys
+        return pdf[["series", "day", "y"]]
+
+    ew = daily.groupBy("series").applyInPandas(
+        _ewma, "series string, day timestamp, y double"
+    )
+    return ew.select(
+        "series",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.round(F.col("y") * 10000.0, 0) / 10000.0).alias("ewma"),
     )
 
 

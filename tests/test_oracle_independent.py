@@ -17,6 +17,25 @@ self-confirm.
   REPORTED pair from the raw text (soundness: reported pairs are
   real near-dups with the exact reported similarity; recall is
   covered by the planted-dup properties in tests/test_dedup.py).
+- IVF / IVF-PQ: DuckDB brute-forces the exact cosine top-k from the
+  raw embeddings (the full O(Q·N) pass the index exists to avoid —
+  fine at sf0.01) and checks both recall against the approximate
+  index and that every REPORTED score equals the true cosine of that
+  pair (the exact-re-ranking contract).
+- SimHash: the 64-bit fingerprint uses xxhash, which DuckDB cannot
+  reproduce, so the check is semantic soundness: every reported pair
+  must be a true near-duplicate by 3-token-shingle Jaccard
+  (calibrated: reported pairs measure >= 0.88 while the background
+  non-pair average is 4e-5).
+- BPE: DuckDB recomputes merge #0 from scratch (weighted adjacent
+  initial-symbol pair counts over the same id-ordered sample) and
+  must reproduce the pair, its count, and the count of merge #1's
+  pair (valid because its symbols are disjoint from merge #0's, so
+  the first merge cannot change its count).
+- Quality model: DuckDB rebuilds the planted-negative corpus and all
+  three features from raw text and re-applies the sigmoid with the
+  trained weight vector (the one bounded driver artifact), matching
+  every reported score and keep decision.
 """
 
 from __future__ import annotations
@@ -263,3 +282,242 @@ WHERE r.cluster <> s.cluster OR r.cluster_size <> s.cluster_size
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchone()[0]
     assert len(reported) == n
+
+def _exact_topk_duckdb(con, sf_dir: str, k: int = 5, n_queries: int = 10):
+    """Brute-force exact cosine top-k per query in DuckDB (the
+    independent engine), doubles end-to-end."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+bf AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), i -> q.v[i] * d.v[i]))
+           / (q.nrm * d.nrm) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> q.v[i] * d.v[i])) / (q.nrm * d.nrm) DESC,
+                    d.vec_id) AS rn
+  FROM n q JOIN n d ON d.vec_id <> q.vec_id WHERE q.vec_id < {n_queries})
+SELECT query_id, neighbor_id, cos FROM bf WHERE rn <= {k}
+"""
+
+
+def _check_ann_against_brute_force(name, score_col, min_recall):
+    from flink_framework_spark.registry import all_queries  # noqa: F401
+
+    sf_dir = "/root/testdata/sf0.01"
+    reported = pd.read_parquet(f"tests/golden_driver/{name}_sf0.01.parquet")
+
+    con = duckdb.connect()
+    con.register("reported", reported)
+    con.execute(f"CREATE TEMP TABLE exact AS {_exact_topk_duckdb(con, sf_dir)}")
+    hits, total = con.execute(
+        """
+SELECT (SELECT COUNT(*) FROM reported r
+        JOIN exact t ON r.query_id = t.query_id
+                    AND r.neighbor_id = t.neighbor_id),
+       (SELECT COUNT(*) FROM reported)
+"""
+    ).fetchone()
+    assert total == 50
+    assert hits / total >= min_recall, (name, hits, total)
+
+    # exact-re-ranking contract: every reported score IS the true
+    # cosine of that (query, neighbor) pair, to the reported 4 dp
+    bad = con.execute(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)
+SELECT r.query_id, r.neighbor_id, r.{score_col},
+  ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * d.v[i]))
+        / (q.nrm * d.nrm), 4) AS want
+FROM reported r
+JOIN n q ON r.query_id = q.vec_id
+JOIN n d ON r.neighbor_id = d.vec_id
+WHERE ABS(r.{score_col}
+          - ROUND(list_sum(list_transform(range(1, 65),
+                   i -> q.v[i] * d.v[i])) / (q.nrm * d.nrm), 4)) > 1e-4
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+
+
+def test_ivf_topk_vs_brute_force_in_duckdb():
+    """q_sim_topk_ivf's golden vs a DuckDB brute-force exact top-5:
+    recall at the nprobe=2/8 probing ceiling (measured 0.58 on the
+    fixture; floor set just below) and exact reported scores."""
+    _check_ann_against_brute_force("q_sim_topk_ivf", "cosim", 0.55)
+
+
+def test_ivfpq_topk_vs_brute_force_in_duckdb():
+    """q_sim_topk_ivfpq's golden vs DuckDB brute force: the re-ranked
+    shortlist reaches higher recall (measured 0.76; floor 0.70) and
+    the IndexRefine contract makes every reported score exact."""
+    _check_ann_against_brute_force("q_sim_topk_ivfpq", "score", 0.70)
+
+
+def test_simhash_pairs_true_similarity_in_duckdb():
+    """Soundness of q_dedup_simhash's golden: every reported pair is
+    a true near-duplicate by 3-token-shingle Jaccard recomputed in
+    DuckDB from raw text (measured: reported pairs >= 0.888, random
+    background averages 4e-5 — floor 0.8 separates them by 4 orders
+    of magnitude). Recall at hamming <= max_hamming is exact by the
+    pigeonhole construction and planted-dup property tests."""
+    sf_dir = "/root/testdata/sf0.01"
+    reported = pd.read_parquet(
+        "tests/golden_driver/q_dedup_simhash_sf0.01.parquet"
+    )
+    assert len(reported) > 0
+
+    con = duckdb.connect()
+    con.register("reported", reported)
+    bad = con.execute(
+        rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM read_parquet('{sf_dir}/documents.parquet')
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+3], ' ')
+                        for i in range(1, len(tk) - 2)]) AS s
+  FROM toks WHERE len(tk) >= 3
+)
+SELECT r.doc_a, r.doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+FROM reported r
+JOIN sh a ON r.doc_a = a.doc_id
+JOIN sh b ON r.doc_b = b.doc_id
+WHERE j < 0.8
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n_joined = con.execute(
+        f"""
+SELECT COUNT(*) FROM reported r
+JOIN read_parquet('{sf_dir}/documents.parquet') a ON r.doc_a = a.doc_id
+JOIN read_parquet('{sf_dir}/documents.parquet') b ON r.doc_b = b.doc_id
+"""
+    ).fetchone()[0]
+    assert n_joined == len(reported)
+
+
+def test_bpe_first_merges_recomputed_in_duckdb():
+    """DuckDB relearns BPE merge #0 from scratch: lowercase
+    whitespace words over the same id-ordered sample, end-of-word
+    marker on the last character, weighted adjacent-pair counts, the
+    operator's (-count, pair) tie-break. Must reproduce the golden's
+    merge-0 token AND count. Merge #1 (ow</w>) shares no symbol with
+    merge #0 (er</w>), so merging #0 cannot change its pair count —
+    its golden count must equal the initial-pair count too."""
+    sf_dir = "/root/testdata/sf0.01"
+    golden = pd.read_parquet("tests/golden_driver/q_bpe_vocab_sf0.01.parquet")
+    merges = golden[golden.tag == "merge"].sort_values("id")
+    m0, m1 = merges.iloc[0], merges.iloc[1]
+
+    con = duckdb.connect()
+    top = con.execute(
+        f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w
+  FROM (SELECT text FROM read_parquet('{sf_dir}/documents.parquet')
+        ORDER BY doc_id LIMIT 4096)
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+wf AS (SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT substr(w, i + 1, 1) AS l,
+         CASE WHEN i = len(w) - 2 THEN substr(w, i + 2, 1) || '</w>'
+              ELSE substr(w, i + 2, 1) END AS r,
+         f
+  FROM wf, UNNEST(range(0, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT l, r, CAST(SUM(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 2
+"""
+    ).fetchall()
+    assert top[0][0] + top[0][1] == m0.tok and top[0][2] == m0.n, (top[0], m0)
+    # disjoint-symbol precondition for the merge-1 count check
+    assert not ({top[1][0], top[1][1]} & {top[0][0], top[0][1]})
+    assert top[1][0] + top[1][1] == m1.tok and top[1][2] == m1.n, (top[1], m1)
+
+
+def test_quality_model_scores_recomputed_in_duckdb(spark):
+    """DuckDB rebuilds the planted-negative corpus (orig + first-word
+    repetition twins), all three features, and the sigmoid from raw
+    text; the only Spark-side input is the trained weight vector (a
+    bounded deterministic driver artifact). Every golden score must
+    match the recomputed sigmoid to the reported 4 dp (tolerance
+    5.1e-5 = half-ulp of the rounding + libm exp slack) and every
+    keep flag must equal (raw score >= 0.5)."""
+    from flink_framework_spark.operators.mllite import logreg_train
+    from flink_framework_spark.queries.quality_model import _FEATS, _featurized
+
+    sf_dir = "/root/testdata/sf0.01"
+    weights = logreg_train(
+        _featurized(spark, sf_dir),
+        _FEATS,
+        label_col="label",
+        order_col=F.struct("doc_id", "variant"),
+    )
+    bias, w_stop, w_dup, w_wlen = (float(x) for x in weights)
+    golden = pd.read_parquet(
+        "tests/golden_driver/q_quality_model_sf0.01.parquet"
+    )
+
+    con = duckdb.connect()
+    con.register("reported", golden)
+    bad = con.execute(
+        f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) AS t
+  FROM read_parquet('{sf_dir}/documents.parquet')),
+corpus AS (
+  SELECT doc_id, 'orig' AS variant, t, 1 AS label FROM base
+  UNION ALL
+  SELECT doc_id, 'rep' AS variant,
+         array_to_string([string_split(t, ' ')[1]
+                          for i in range(1, len(string_split(t, ' ')) + 1)],
+                         ' ') AS t,
+         0 AS label
+  FROM base WHERE doc_id % 3 = 0),
+feats AS (
+  SELECT doc_id, variant, label,
+         CAST(len(list_filter(string_split(t, ' '),
+                              x -> x IN ('a', 'the'))) AS DOUBLE)
+           / len(string_split(t, ' ')) AS f_stop,
+         1.0 - CAST(len(list_distinct(string_split(t, ' '))) AS DOUBLE)
+           / len(string_split(t, ' ')) AS f_dup,
+         ((CAST(len(t) AS DOUBLE) - (len(string_split(t, ' ')) - 1))
+           / len(string_split(t, ' '))) / 10.0 AS f_wlen
+  FROM corpus),
+scored AS (
+  SELECT doc_id, variant, label,
+         1.0 / (1.0 + exp(-({bias} + {w_stop} * f_stop
+                            + {w_dup} * f_dup + {w_wlen} * f_wlen))) AS s
+  FROM feats)
+SELECT r.doc_id, r.variant, r.score, s.s, r.keep
+FROM reported r
+JOIN scored s ON r.doc_id = s.doc_id AND r.variant = s.variant
+WHERE ABS(r.score - s.s) > 5.1e-5
+   OR (ABS(s.s - 0.5) > 1e-9 AND r.keep <> (s.s >= 0.5))
+   OR r.label <> s.label
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n = con.execute(
+        f"""
+SELECT COUNT(*) + COUNT(*) FILTER (doc_id % 3 = 0)
+FROM read_parquet('{sf_dir}/documents.parquet')
+"""
+    ).fetchone()[0]
+    assert len(golden) == n
