@@ -3,6 +3,9 @@
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
@@ -41,6 +44,108 @@ def test_stream_stream_interval_join(spark, sf_dir):
     a = sorted(map(tuple, stream[["view_id", "purchase_id"]].itertuples(index=False)))
     b = sorted(map(tuple, batch[["view_id", "purchase_id"]].itertuples(index=False)))
     assert a == b and len(a) > 0
+
+
+def _outer_join_frames(src_builder, how):
+    """view-side x purchase-side interval join, parameterized over the
+    source builder so batch and stream share the identical expression
+    tree (the twin discipline)."""
+    v = src_builder().filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = src_builder().filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        how,
+    ).select("view_id", "purchase_id")
+
+
+@pytest.mark.parametrize("how", ["leftOuter", "fullOuter"])
+def test_stream_stream_outer_interval_join(spark, sf_dir, tmp_path, how):
+    """Watermarked stream-stream OUTER interval joins (the Flink
+    IntervalJoin emits unmatched rows when the watermark passes the
+    interval's end; Spark evicts join state the same way) == the batch
+    outer join. Outer results only flush once the watermark moves PAST
+    the last real event, so the stream directory carries far-future
+    sentinel rows in a second file (maxFilesPerTrigger=1 => they
+    arrive in a later micro-batch, advancing the watermark over all
+    real state before availableNow's final no-data batch flushes it).
+    The sentinel file needs BOTH event types: Catalyst pushes the
+    event-type filter below each side's watermark node into its scan,
+    so each side's watermark advances only on its own type — a
+    view-only sentinel leaves the purchase watermark pinned at the
+    last real purchase, which then never evicts as unmatched
+    (observed: exactly the max-ts purchase missing)."""
+    import datetime
+    import glob
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{lake}/00_events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    mx = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    sentinel_id = 10**9
+    far = mx + datetime.timedelta(hours=2)
+    spark.createDataFrame(
+        [
+            (sentinel_id, far, -1, "view", 0.0, "{}"),
+            (sentinel_id + 1, far, -1, "purchase", 0.0, "{}"),
+        ],
+        raw_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sent"))
+    shutil.copy(
+        glob.glob(str(tmp_path / "sent" / "part-*.parquet"))[0],
+        f"{lake}/99_sentinel.parquet",
+    )
+
+    def stream_src():
+        r = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+        )
+        from flink_framework_spark.io import _normalize_events_ts
+
+        return _normalize_events_ts(r.parquet(lake), as_instant=True).withWatermark(
+            "ts", "30 minutes"
+        )
+
+    got = run_to_memory(
+        _outer_join_frames(stream_src, how),
+        query_name=f"t_ssouter_{how}",
+        output_mode="append",
+    ).toPandas()
+    got = got[
+        ~(
+            got.view_id.isin([sentinel_id])
+            | got.purchase_id.isin([sentinel_id + 1])
+        )
+    ]
+
+    want = _outer_join_frames(
+        lambda: table(spark, sf_dir, "events"),
+        {"leftOuter": "left_outer", "fullOuter": "full_outer"}[how],
+    ).toPandas()
+
+    a = sorted(map(tuple, got.fillna(-7).itertuples(index=False)))
+    b = sorted(map(tuple, want.fillna(-7).itertuples(index=False)))
+    assert a == b and len(a) > 0
+    # the outer side actually fired (unmatched rows present)
+    assert got.purchase_id.isna().sum() > 0
 
 
 def test_stream_static_enrichment_join(spark, sf_dir):
