@@ -247,6 +247,45 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_interval_outer",
+    family="C",
+    oracle="""
+SELECT e1.event_id AS view_id, e2.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'view') e1
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL '10 minutes'
+""",
+)
+def q_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (C9's outer rung — Flink's
+    IntervalJoin with unmatched-row emission): views that led to a
+    purchase within 10 minutes keep the pair, views that didn't
+    surface with a NULL purchase_id. Same single-shuffle equi-key
+    plan as the inner form; the streaming twin (watermark-evicted
+    outer state, left AND full outer) is verified row-for-row in
+    tests/test_streaming_joins.py."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("view_id", "purchase_id")
+
+
+@register(
     "q_join_asof",
     family="C",
     oracle="""
