@@ -211,6 +211,79 @@ def predict_lang(
     return df.withColumn(out_col, _predict(F.col(text_col)))
 
 
+def bigram_cross_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus bigram LM with add-α
+    smoothing — the CCNet/KenLM-style quality signal one rung above
+    the unigram filter: ``avg(-ln p(w2|w1))`` with
+    ``p(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·V)``.
+
+    Plan (all JVM expressions): one narrow pass forms per-doc bigram
+    structs (indexed ``transform`` over the token array — no
+    positional self-join), a hash agg builds the bigram table, the
+    unigram-context counts and vocab size are two more aggs, and the
+    per-pair probability table joins back onto the doc bigrams on the
+    (w1, w2) key — shuffle on the pair key, probability side
+    broadcast when it fits. Linear in corpus size; the bigram table
+    is the only super-vocab state and it partial-aggregates
+    map-side. Docs with fewer than 2 tokens have no bigrams and drop
+    out (the oracle does the same).
+
+    Returns (id, n_bigrams, xent2), double-rounded 6→4 to absorb
+    summation-order ulps.
+    """
+    w = words(F.col(text_col))
+    # materialize the token array as a named projection first so the
+    # indexed transform references it once (expression-duplication
+    # discipline, see SCALING.md)
+    pairs = df.select(F.col(id_col), w.alias("__w")).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__w, 1, size(__w) - 1), "
+                "(x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))"
+            )
+        ).alias("__b"),
+    ).select(F.col(id_col), F.col("__b.w1"), F.col("__b.w2"))
+
+    toks = df.select(F.explode(w).alias("__t"))
+    c1 = toks.groupBy(F.col("__t").alias("w1")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c1")
+    )
+    vocab_n = toks.agg(
+        F.count_distinct("__t").cast("double").alias("__v")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("__c2")
+    )
+    prob = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("__c2") + F.lit(alpha))
+                / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+            ).alias("__p"),
+        )
+    )
+    return (
+        pairs.join(prob, ["w1", "w2"])
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_duck(round_duck(F.avg(-F.log("__p")), 6), 4).alias(
+                "xent2"
+            ),
+        )
+    )
+
+
 def unigram_cross_entropy(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -171,6 +171,43 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_bigram_ppl",
+    family="K",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM w, UNNEST(range(1, len(w))) AS t(i)),
+c1 AS (
+  SELECT t AS w1, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM (SELECT doc_id, UNNEST(w) AS t FROM w) GROUP BY 1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT UNNEST(w) AS t FROM w)),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM pairs GROUP BY 1, 2),
+prob AS (
+  SELECT c2.w1, c2.w2, (c2 + 0.1) / (c1 + 0.1 * (SELECT v FROM v)) AS p
+  FROM c2 JOIN c1 USING (w1))
+SELECT p.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(ROUND(AVG(-LN(prob.p)), 6), 4) AS xent2
+FROM pairs p JOIN prob ON p.w1 = prob.w1 AND p.w2 = prob.w2
+GROUP BY 1
+""",
+)
+def q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus bigram LM with add-0.1
+    smoothing (operators.text.bigram_cross_entropy) — the CCNet-style
+    LM quality filter, one rung above q_text_perplexity's unigram
+    model: repetitive or out-of-distribution word SEQUENCES score
+    high even when their unigram mix looks normal."""
+    from flink_framework_spark.operators.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
     "q_outliers",
     family="K",
     oracle="""
