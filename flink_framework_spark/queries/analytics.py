@@ -323,8 +323,11 @@ def q_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["y"] = ys
         return pdf[["series", "day", "y"]]
 
+    # day is TIMESTAMP_NTZ (date_trunc of the NTZ event time); declare
+    # it NTZ in the Arrow schema too so no session-timezone
+    # interpretation happens on the way out
     ew = daily.groupBy("series").applyInPandas(
-        _ewma, "series string, day timestamp, y double"
+        _ewma, "series string, day timestamp_ntz, y double"
     )
     return ew.select(
         "series",
