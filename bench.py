@@ -114,15 +114,24 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
     )
+    import shutil
+    import tempfile
+
+    # fresh dir per run: a fixed path keyed by PID would resume a
+    # stale checkpoint after PID reuse and corrupt the measurement
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
     q = (
         agg.writeStream.format("noop")
         .outputMode("update")
-        .option("checkpointLocation", "/tmp/bench_stream_ckpt_" + str(os.getpid()))
+        .option("checkpointLocation", ckpt)
         .start()
     )
-    time.sleep(seconds)
-    progresses = [p for p in q.recentProgress if p is not None]
-    q.stop()
+    try:
+        time.sleep(seconds)
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     rates = [
         p["processedRowsPerSecond"]
         for p in progresses[1:]

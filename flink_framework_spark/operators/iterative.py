@@ -128,7 +128,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Distributed Lloyd's k-means over a vector column — the classic
     dataset-iteration example, in Spark's model: per round one narrow
     assignment map (literal-centroid distances, no join/shuffle — the

@@ -145,8 +145,13 @@ def pq_codes_vec(books: Codebooks):
     """Arrow-vectorized twin of ``pq_codes`` (same discipline as
     ``dedup.minhash_signature_vec``): per batch, one numpy
     distance-matrix argmin per subspace. Ties go to the lowest code
-    (numpy argmin), identical to the struct-(d, cell) ordering of the
-    expression form; all math in float64."""
+    (numpy argmin), matching the struct-(d, cell) ordering of the
+    expression form; all math in float64. NOTE: numpy's pairwise
+    summation can differ from the expression form's sequential fold
+    by 1 ulp, so on sub-ulp distance ties the two forms may pick
+    different codes — each form is individually deterministic (this
+    vec form is the one the goldens pin), but do not assert
+    bit-equality between them."""
     mats = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = mats[0].shape[1]
 
@@ -169,7 +174,8 @@ def _adc_lut_vec(books: Codebooks):
     """Arrow-vectorized twin of ``_adc_lut``: the per-query
     m x n_codes squared-L2 table in one numpy pass (the expression
     form pays ~2.8 s of plan analysis for the 4096-double literal
-    tree alone)."""
+    tree alone). Same 1-ulp pairwise-vs-sequential summation caveat
+    as ``pq_codes_vec``: don't assert bit-equality across forms."""
     mats = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = mats[0].shape[1]
 
@@ -270,19 +276,26 @@ def ivfpq_topk(
             to_double_array(vec_col).alias("__qv"),
         ).withColumn("__nqv", _unit(F.col("__qv")))
     )
-    probes = q_nv.withColumn(
-        "__probe",
-        F.explode(
-            F.slice(
-                F.array_sort(_cell_dists(F.col("__qv"), centroids)),
-                1,
-                nprobe,
-            )
-        ),
-    ).select(
-        "query_id",
-        F.col("__probe.cell").alias("__cell"),
-        _adc_lut_vec(books)(F.col("__nqv")).alias("__lut"),
+    # Compute the per-query ADC table BEFORE the probe explode: the
+    # UDF then runs once per query, not once per (query, probe) —
+    # nprobe x less numpy work and Arrow transfer.
+    probes = (
+        q_nv.withColumn("__lut", _adc_lut_vec(books)(F.col("__nqv")))
+        .withColumn(
+            "__probe",
+            F.explode(
+                F.slice(
+                    F.array_sort(_cell_dists(F.col("__qv"), centroids)),
+                    1,
+                    nprobe,
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("__probe.cell").alias("__cell"),
+            "__lut",
+        )
     )
     d2 = F.aggregate(
         F.zip_with(

@@ -43,22 +43,33 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same local-relation construction the centroid/codebook operators
     # use — so the plan stays pure SQL (Range + Generate), with no
     # Scan ExistingRDD (tests/test_plans.py::test_no_rdd_fallback_anywhere).
-    mrows = F.array(
-        *[
-            F.struct(
-                F.lit("merge").alias("tag"),
-                F.lit(i).cast("long").alias("id"),
-                F.lit(a + b).alias("tok"),
-                F.lit(int(cnt)).cast("long").alias("n"),
-            )
-            for i, (a, b, cnt) in enumerate(merges)
-        ]
-    )
-    mdf = (
-        spark.range(1)
-        .select(F.explode(mrows).alias("r"))
-        .select("r.tag", "r.id", "r.tok", "r.n")
-    )
+    if merges:
+        mrows = F.array(
+            *[
+                F.struct(
+                    F.lit("merge").alias("tag"),
+                    F.lit(i).cast("long").alias("id"),
+                    F.lit(a + b).alias("tok"),
+                    F.lit(int(cnt)).cast("long").alias("n"),
+                )
+                for i, (a, b, cnt) in enumerate(merges)
+            ]
+        )
+        mdf = (
+            spark.range(1)
+            .select(F.explode(mrows).alias("r"))
+            .select("r.tag", "r.id", "r.tok", "r.n")
+        )
+    else:
+        # zero learned merges (no pair occurs twice): F.array() would
+        # type as array<void> and the struct-field selects would fail
+        # — emit an empty, correctly-typed frame instead
+        mdf = spark.range(0).select(
+            F.lit("merge").alias("tag"),
+            F.col("id"),
+            F.lit("").alias("tok"),
+            F.lit(0).cast("long").alias("n"),
+        )
     toks = docs.select(
         "doc_id", bpe_tokenize(F.col("text"), merges).alias("toks")
     )

@@ -43,7 +43,6 @@ OFF = {
 
 
 def tile_sql(t: int) -> dict[str, str]:
-    pfx = f"'t{t}' || " if t else ""
     text_expr = (
         f"regexp_replace(text, '(\\S+)', 't{t}\\1', 'g')" if t else "text"
     )

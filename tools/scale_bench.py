@@ -67,6 +67,9 @@ def main() -> None:
                 "overwrite"
             ).save()
             row["t"][tiles] = round(time.perf_counter() - t0, 3)
+            # per-query staged frames must not contaminate the next
+            # measurement (same discipline as bench.py)
+            spark.catalog.clearCache()
         t3, t10 = row["t"][3], row["t"][10]
         row["alpha_3_10"] = round(
             math.log(max(t10, 1e-3) / max(t3, 1e-3)) / math.log(10 / 3), 2
