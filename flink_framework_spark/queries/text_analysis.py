@@ -17,6 +17,7 @@ from flink_framework_spark.operators.text import (
     repetition_stats,
     token_count,
     train_char_ngram_langid,
+    words,
 )
 from flink_framework_spark.registry import register
 
@@ -168,6 +169,80 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_framework_spark.operators.text import unigram_cross_entropy
 
     return unigram_cross_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_zipf",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(lower(trim(text)), ' ')) AS t
+  FROM documents),
+tf AS (
+  SELECT lang, t, CAST(COUNT(*) AS DOUBLE) AS f FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, f, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, t) AS r
+  FROM tf),
+fit AS (
+  SELECT lang,
+         REGR_SLOPE(LN(f), LN(r)) AS slope,
+         REGR_R2(LN(f), LN(r)) AS r2
+  FROM ranked WHERE r <= 100 GROUP BY 1),
+stats AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(f) AS BIGINT) AS n_tokens
+  FROM tf GROUP BY 1)
+SELECT s.lang, n_types, n_tokens,
+       ROUND(n_types / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+       ROUND(ROUND(slope, 6), 4) AS zipf_slope,
+       ROUND(ROUND(r2, 6), 4) AS zipf_r2
+FROM stats s JOIN fit USING (lang)
+""",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical statistics for corpus profiling: vocab
+    size, token count, type-token ratio, and the Zipf rank-frequency
+    fit (OLS slope + R² of ln f vs ln rank over the top-100 terms) —
+    the sanity panel a corpus curator reads before trusting a new
+    crawl (natural text slopes near -1; near-uniform synthetic or
+    boilerplate-heavy corpora flatten out, as the fixtures do).
+
+    Plan: one explode + hash agg builds the per-lang term table; the
+    rank window partitions by lang over vocab-sized input; the fit is
+    a co-moment aggregate (regr_slope/regr_r2 — partial-merged like
+    any avg). Linear in corpus size, vocab-bounded after the agg."""
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(words(F.col("text"))).alias("t")
+    )
+    tf = toks.groupBy("lang", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "t")
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    fit = (
+        ranked.filter(F.col("r") <= 100)
+        .groupBy("lang")
+        .agg(
+            F.regr_slope(F.log("f"), F.log("r")).alias("slope"),
+            F.regr_r2(F.log("f"), F.log("r")).alias("r2"),
+        )
+    )
+    stats = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").cast("long").alias("n_tokens"),
+    )
+    return stats.join(fit, "lang").select(
+        "lang",
+        "n_types",
+        "n_tokens",
+        round_duck(
+            F.col("n_types") / F.col("n_tokens").cast("double"), 4
+        ).alias("ttr"),
+        round_duck(round_duck(F.col("slope"), 6), 4).alias("zipf_slope"),
+        round_duck(round_duck(F.col("r2"), 6), 4).alias("zipf_r2"),
+    )
 
 
 @register(
