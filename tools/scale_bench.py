@@ -47,6 +47,12 @@ SCALES = [
     ("/tmp/scaledata/t3", 3),
     ("/tmp/scaledata/t10", 10),
 ]
+# deeper tiles are opt-in (generate with make_scale_data.py; picked up
+# automatically when present) — t30 is 18M lineitem rows locally
+for _t in (30, 100):
+    _d = f"/tmp/scaledata/t{_t}"
+    if os.path.isdir(_d):
+        SCALES.append((_d, _t))
 
 
 def main() -> None:
@@ -74,6 +80,12 @@ def main() -> None:
         row["alpha_3_10"] = round(
             math.log(max(t10, 1e-3) / max(t3, 1e-3)) / math.log(10 / 3), 2
         )
+        if 30 in row["t"]:
+            row["alpha_10_30"] = round(
+                math.log(max(row["t"][30], 1e-3) / max(t10, 1e-3))
+                / math.log(3),
+                2,
+            )
         out[name] = row
         print(json.dumps({name: row}))
     spark.stop()
