@@ -450,26 +450,50 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    combine_blocks: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, pigeonhole
     blocking on ``n_blocks`` bit-blocks, then exact bit_count
     verification (``hamming <= max_hamming``). Linear work + equi-join
     — the same no-cross-join discipline as MinHash.
 
-    Recall contract: a pair at Hamming distance d shares at least one
-    block whenever d < n_blocks (pigeonhole), so the default
-    ``n_blocks = max_hamming + 1`` makes the returned set EXACTLY the
-    pairs within ``max_hamming`` — no silent misses. Passing a smaller
-    ``n_blocks`` explicitly trades that guarantee for fewer candidate
-    collisions: recall then only holds for d < n_blocks, and pairs in
-    (n_blocks-1, max_hamming] are found with decaying probability.
-    Blocks are near-equal width (64/n_blocks rounded), which the
-    pigeonhole argument does not require to be uniform.
+    Recall contract (``combine_blocks=1``): a pair at Hamming
+    distance d shares at least one block whenever d < n_blocks
+    (pigeonhole), so the default ``n_blocks = max_hamming + 1`` makes
+    the returned set EXACTLY the pairs within ``max_hamming`` — no
+    silent misses. Passing a smaller ``n_blocks`` explicitly trades
+    that guarantee for fewer candidate collisions: recall then only
+    holds for d < n_blocks, and pairs in (n_blocks-1, max_hamming]
+    are found with decaying probability. Blocks are near-equal width
+    (64/n_blocks rounded), which the pigeonhole argument does not
+    require to be uniform.
+
+    ``combine_blocks=2`` is the SCALE knob (SCALING.md "SimHash
+    blocking"): the single-block key space is only ~2^(64/n_blocks)
+    values, so bucket occupancy — and candidate pairs, a birthday
+    process — grows quadratically with corpus size. Combination keys
+    join on ORDERED PAIRS of block values instead: d mismatched bits
+    can dirty at most d blocks, leaving n_blocks - d clean, and any
+    two clean blocks collide — so with the combine-2 default
+    ``n_blocks = max_hamming + 2`` recall stays exact for
+    d <= max_hamming while the key space squares, collapsing bucket
+    sizes. Measured at the 30x tile (150k docs, max_hamming=8):
+    candidate pairs 770M -> 83M (9.3x), identical verified output.
+    Wall-clock does NOT improve yet at that size — the whole-stage-
+    codegen bit_count verify streams ~50M candidates/s, so the
+    C(n_blocks, 2)-row explode costs more than the verify saves; the
+    knob pays when the quadratically-growing candidate term
+    dominates (corpora another order beyond), and past THAT the real
+    answer is a wider fingerprint (both schemes' key spaces are
+    fixed, so both are asymptotically quadratic — combine-2 just
+    moves the crossover ~two orders out).
     """
+    if combine_blocks not in (1, 2):
+        raise ValueError(f"combine_blocks must be 1 or 2, got {combine_blocks}")
     if n_blocks is None:
-        n_blocks = max_hamming + 1
-    if not 1 <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+        n_blocks = max_hamming + combine_blocks
+    if not combine_blocks <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [{combine_blocks}, 64], got {n_blocks}")
     width, extra = divmod(64, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
@@ -488,22 +512,31 @@ def simhash_near_dup_pairs(
             F.coalesce(simhash64_vec()(F.col("__shh")), F.lit(0)).alias("__sh"),
         )
     )
+    def _blk_val(i):
+        return F.shiftrightunsigned("__sh", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    if combine_blocks == 1:
+        keys = [
+            F.struct(F.lit(i).alias("blk"), _blk_val(i).alias("val"))
+            for i in range(n_blocks)
+        ]
+    else:
+        # ordered pair (i, j): key id i*64+j, value v_i·2^32 + v_j
+        # (block widths are <= 32 bits, so the packing is collision-free)
+        keys = [
+            F.struct(
+                F.lit(i * 64 + j).alias("blk"),
+                (_blk_val(i) * F.lit(1 << 32) + _blk_val(j)).alias("val"),
+            )
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
     blocks = sh.select(
         "__id",
         "__sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned("__sh", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*keys)).alias("bb"),
     ).select("__id", "__sh", "bb.blk", "bb.val")
     a = blocks.select(
         F.col("__id").alias("doc_a"), F.col("__sh").alias("__ha"), "blk", "val"

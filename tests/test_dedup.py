@@ -171,3 +171,21 @@ class TestIncrementalDedup:
         )
         # intra-batch dups are the self-join operator's contract
         assert incremental_dedup_ngram(new, corpus).count() == 2
+
+
+def test_simhash_combine_blocks_equivalent(spark, sf_dir):
+    """combine_blocks=2 (squared key space, pair-combination keys)
+    must return exactly the combine=1 pair set — the recall proof
+    (two clean blocks always exist at d <= n_blocks - 2) made
+    empirical."""
+    from flink_framework_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    p1 = {tuple(r) for r in simhash_near_dup_pairs(docs, max_hamming=8).collect()}
+    p2 = {
+        tuple(r)
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=8, combine_blocks=2
+        ).collect()
+    }
+    assert p1 == p2 and len(p1) > 0
