@@ -71,9 +71,14 @@ def connected_components(
     optional ``vertices`` DataFrame to label isolated nodes as
     singleton components too.
     """
-    und = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    from flink_framework_spark.operators.dedup import _staged
+
+    # the union references `edges` in BOTH branches — without staging,
+    # Spark executes the caller's whole upstream pipeline twice (for
+    # dedup_clusters that is the full MinHash pass; measured ~2x at
+    # the 30x tile). Same branch-duplication rule as SCALING.md.
+    e = _staged(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # seed labels from BOTH endpoints before dropping self-loops, so
     # self-loop-only nodes still appear (as singletons)
     seeds = und.select(F.col("a").alias("id"))
