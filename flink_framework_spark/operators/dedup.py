@@ -523,12 +523,18 @@ def simhash_near_dup_pairs(
             for i in range(n_blocks)
         ]
     else:
-        # ordered pair (i, j): key id i*64+j, value v_i·2^32 + v_j
-        # (block widths are <= 32 bits, so the packing is collision-free)
+        # ordered pair (i, j): key id i*64+j, value = v_i packed above
+        # v_j via shiftleft|OR — bit-level packing, not arithmetic:
+        # v_i can be a full 32-bit block (n_blocks=2), and
+        # v_i * 2^32 would overflow a signed long for v_i >= 2^31
+        # (ANSI mode throws); shiftleft just sets the high bits, is
+        # injective for widths <= 32, and never overflows
         keys = [
             F.struct(
                 F.lit(i * 64 + j).alias("blk"),
-                (_blk_val(i) * F.lit(1 << 32) + _blk_val(j)).alias("val"),
+                F.shiftleft(_blk_val(i), 32)
+                .bitwiseOR(_blk_val(j))
+                .alias("val"),
             )
             for i in range(n_blocks)
             for j in range(i + 1, n_blocks)

@@ -92,6 +92,10 @@ def connected_components(
             .withColumn("component", F.col("id"))
             .localCheckpoint()
         )
+        # both consumers of the staged edge frame (und, labels) are
+        # checkpointed now — drop the cache so repeated calls in a
+        # long-lived session don't accumulate dead storage
+        e.unpersist()
 
         for _ in range(max_iter):
             neighbor_min = (

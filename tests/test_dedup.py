@@ -189,3 +189,23 @@ def test_simhash_combine_blocks_equivalent(spark, sf_dir):
         ).collect()
     }
     assert p1 == p2 and len(p1) > 0
+
+
+def test_simhash_combine_blocks_full_width_no_overflow(spark):
+    """n_blocks=2 under combine_blocks=2 packs two FULL 32-bit blocks
+    into one key; arithmetic packing (v*2^32) would overflow a signed
+    long for v >= 2^31 and throw under ANSI mode — the bit-level
+    shiftleft|OR packing must not."""
+    from flink_framework_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta epsilon zeta " + ("x" * (i % 3)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dup_pairs(
+        docs, max_hamming=0, n_blocks=2, combine_blocks=2
+    )
+    assert out.count() > 0  # exact dups exist by construction

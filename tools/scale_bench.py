@@ -86,6 +86,12 @@ def main() -> None:
                 / math.log(3),
                 2,
             )
+        if 100 in row["t"] and 30 in row["t"]:
+            row["alpha_30_100"] = round(
+                math.log(max(row["t"][100], 1e-3) / max(row["t"][30], 1e-3))
+                / math.log(100 / 30),
+                2,
+            )
         out[name] = row
         print(json.dumps({name: row}))
     spark.stop()
