@@ -143,6 +143,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    eps: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): cluster embeddings into coarse cells, then
+    prune within-cell epsilon-balls — documents whose embeddings are
+    near-identical in meaning, not just in surface text, which MinHash
+    and SimHash cannot see.
+
+    Deterministic keep rule (partition-order-free): a vector is
+    DROPPED iff a lower-id vector exists in the same cell with cosine
+    >= eps; ``dup_of`` records the smallest such witness (an
+    explanation pointer, not necessarily the cluster representative —
+    the paper keeps the member farthest from the centroid instead,
+    which is equally valid but depends on a per-group argmin; the
+    lowest-id rule makes the output reproducible bit-for-bit and is
+    the same convention as this repo's other dedup families).
+
+    Scale shape — identical to the paper's own implementation at
+    LAION scale: cell assignment is a narrow literal-centroid map (no
+    shuffle), within-cell pairing is an EQUI-join on the cell id with
+    O(sum c_i^2) verify work, so the operator never sees a cross
+    join; choose ``n_cells ~ N / target_cell_size`` when training the
+    centroids so per-cell cost stays bounded as the corpus grows, and
+    AQE's skew-join split handles hot cells. Output:
+    (vec_id, cell, kept 0/1, dup_of nullable) — one row per input
+    vector.
+    """
+    from flink_framework_spark.operators.dedup import _staged
+
+    # _staged: both sides of the within-cell self-join (and the final
+    # labeling pass) consume the assigned+normed frame — persist so
+    # the centroid-distance map and norm fold run once per vector.
+    m = _staged(
+        _cell_assign(df, centroids, vec_col, "cell")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "cell",
+            to_double_array(vec_col).alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+    )
+    a = m.select(
+        F.col("vec_id").alias("__ka"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = m.select(
+        F.col("vec_id").alias("__kb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    dup = (
+        a.join(b, ["cell"])
+        .filter(F.col("__ka") < F.col("__kb"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(float(eps)))
+        .groupBy(F.col("__kb").alias("vec_id"))
+        .agg(F.min("__ka").alias("dup_of"))
+    )
+    return (
+        m.select("vec_id", "cell")
+        .join(dup, ["vec_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().cast("int").alias("kept"),
+            "dup_of",
+        )
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_cells: int = 8,

@@ -171,6 +171,37 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_semantic",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (K2 extension): k-means coarse cells +
+    within-cell cosine epsilon-ball pruning with a deterministic
+    lowest-id keep rule (operators.similarity.semantic_dedup). The
+    k-means cells are not SQL-reproducible, so the driver checks a
+    frozen golden; the pruning stage IS independently re-verified in
+    DuckDB from the raw embeddings given the output's cell column
+    (tests/test_oracle_independent.py), and planted-duplicate recall
+    is property-tested in tests/test_text.py. eps=0.35 is calibrated
+    to the near-isotropic fixture (26 same-bucket pairs above it at
+    sf0.01; nearest pair sits 4.7e-4 from the boundary, far beyond
+    float64 noise, so the threshold cannot flake)."""
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(em, n_cells=8)
+    return semantic_dedup(em, centroids, eps=0.35)
+
+
+@register(
     "q_profile_events",
     family="K",
     oracle="""

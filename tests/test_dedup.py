@@ -209,3 +209,61 @@ def test_simhash_combine_blocks_full_width_no_overflow(spark):
         docs, max_hamming=0, n_blocks=2, combine_blocks=2
     )
     assert out.count() > 0  # exact dups exist by construction
+
+
+class TestSemanticDedup:
+    """operators.similarity.semantic_dedup: planted-duplicate recall,
+    orthogonal-vector precision, and the deterministic lowest-id keep
+    rule (the golden + DuckDB recheck cover the fixture corpus)."""
+
+    def _planted(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(6, 8)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v]))
+        # 10..12: near-copies of base vectors 0..2 (tiny jitter, cosine
+        # ~0.9999); 20: orthogonal one-hot far from everything
+        for j, src in enumerate(base[:3]):
+            rows.append((10 + j, [float(x) for x in src + 1e-3 * rng.randn(8)]))
+        onehot = [0.0] * 8
+        onehot[7] = 37.0
+        rows.append((20, onehot))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_planted_near_copies_dropped_originals_kept(self, spark):
+        from flink_framework_spark.operators.similarity import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        df = self._planted(spark)
+        cents = train_ivf_centroids(df, n_cells=3)
+        out = {r.vec_id: r for r in semantic_dedup(df, cents, eps=0.95).collect()}
+        assert len(out) == 10  # one row per input vector
+        for j in range(3):
+            assert out[10 + j].kept == 0, (10 + j, out[10 + j])
+            assert out[10 + j].dup_of == j  # lowest-id witness
+            assert out[j].kept == 1  # original survives
+        assert out[20].kept == 1  # orthogonal vector untouched
+
+    def test_exact_duplicate_chain_keeps_lowest_id(self, spark):
+        from flink_framework_spark.operators.similarity import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        # three identical vectors: only the lowest id is kept, and
+        # every drop points at id 1 (the smallest witness), regardless
+        # of partitioning
+        v = [1.0, 2.0, 3.0, 4.0]
+        df = spark.createDataFrame(
+            [(1, v), (5, v), (9, v)], "vec_id long, embedding array<double>"
+        ).repartition(3)
+        cents = train_ivf_centroids(df, n_cells=1)
+        out = {r.vec_id: r for r in semantic_dedup(df, cents, eps=0.99).collect()}
+        assert out[1].kept == 1 and out[1].dup_of is None
+        assert out[5].kept == 0 and out[5].dup_of == 1
+        assert out[9].kept == 0 and out[9].dup_of == 1

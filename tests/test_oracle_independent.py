@@ -283,6 +283,53 @@ WHERE r.cluster <> s.cluster OR r.cluster_size <> s.cluster_size
     ).fetchone()[0]
     assert len(reported) == n
 
+def test_semantic_dedup_pruning_in_duckdb():
+    """Full independent re-verification of q_dedup_semantic's pruning
+    stage: given the golden's cell assignment (the only k-means-derived
+    input), DuckDB recomputes every within-cell cosine from the raw
+    embeddings and re-derives kept/dup_of under the operator's rule —
+    dropped iff a lower-id same-cell vector has cosine >= eps, dup_of =
+    the smallest such witness. Exact comparison is safe: the nearest
+    within-cell pair sits 2.9e-5 from the 0.35 boundary (measured),
+    ~10 orders above double noise. Soundness AND completeness of the
+    epsilon-ball pruning are both pinned; only the clustering itself
+    rests on the golden (and on kmeans' own optimality test above)."""
+    sf_dir = "/root/testdata/sf0.01"
+    golden = pd.read_parquet(
+        "tests/golden_driver/q_dedup_semantic_sf0.01.parquet"
+    )
+    assert (golden.kept == 0).sum() > 0, "fixture should drop some docs"
+
+    con = duckdb.connect()
+    con.register("reported", golden)
+    bad = con.execute(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+m AS (SELECT r.vec_id, r.cell, e.v FROM reported r JOIN e USING (vec_id)),
+wit AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+  GROUP BY b.vec_id),
+want AS (
+  SELECT m.vec_id,
+         CASE WHEN w.dup_of IS NULL THEN 1 ELSE 0 END AS kept,
+         w.dup_of
+  FROM m LEFT JOIN wit w USING (vec_id))
+SELECT r.vec_id, r.kept, r.dup_of, w.kept AS want_kept, w.dup_of AS want_dup
+FROM reported r JOIN want w USING (vec_id)
+WHERE r.kept <> w.kept
+   OR COALESCE(r.dup_of, -1) <> COALESCE(w.dup_of, -1)
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(golden) == n
+
+
 def _exact_topk_duckdb(con, sf_dir: str, k: int = 5, n_queries: int = 10):
     """Brute-force exact cosine top-k per query in DuckDB (the
     independent engine), doubles end-to-end."""

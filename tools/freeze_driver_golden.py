@@ -31,6 +31,7 @@ GOLDEN_QUERIES = (
     "q_sim_topk_ivf",
     "q_sim_topk_ivfpq",
     "q_dedup_clusters",
+    "q_dedup_semantic",
     "q_kmeans",
     "q_pagerank",
     "q_kcore",
