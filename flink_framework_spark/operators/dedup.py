@@ -567,6 +567,95 @@ def simhash_near_dup_pairs(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans (the distributed shape of Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — their suffix-array pass finds corpus-repeated
+    substrings; here the unit is the token n-gram, the granularity a
+    Spark pipeline can do with two linear shuffles instead of a
+    suffix array).
+
+    A position is *duplicated* when its n-gram occurs >= ``min_count``
+    times corpus-wide (within-document repeats count: boilerplate
+    repeated inside one page is exactly what curation wants flagged).
+    Overlapping/adjacent duplicated n-grams merge into maximal spans
+    per document — gaps-and-islands over the start positions, break
+    when the next start no longer overlaps (gap > n).
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams),
+    token indices 0-based inclusive.
+
+    Scale shape: positional explode (linear, ~len rows/doc) ->
+    partial-agg groupBy on the n-gram key -> LEFT SEMI equi-join of
+    positions against the >=min_count keys -> per-doc window for the
+    island merge. The count uses groupBy + semi-join, NOT a count
+    window over the key: a hot boilerplate n-gram would put its whole
+    corpus-wide occurrence list in one window partition, while the
+    groupBy partial-aggregates map-side and the join's skew is
+    AQE-split. Keys shuffle as xxhash64(ngram) (8 bytes), not the
+    n-gram text; the DuckDB oracle groups by the raw string and
+    matches because the output never exposes the key (a 64-bit
+    collision would need ~2^32 distinct n-grams in one corpus —
+    revisit the key width at that scale)."""
+    from pyspark.sql import Window
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = (
+        toks.filter(F.size("__toks") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__toks") - n),
+                    lambda i: F.xxhash64(F.array_join(F.slice("__toks", i + 1, n), " ")),
+                )
+            ).alias("pos", "__k"),
+        )
+    )
+    # the semi-join consumes grams on one side and its aggregate on
+    # the other — stage so the tokenize+explode pass runs once
+    grams = _staged(grams)
+    hot = (
+        grams.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__k")
+    )
+    dup_pos = grams.join(hot, "__k", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= F.lit(n), F.lit(0)
+    ).otherwise(F.lit(1))
+    running = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dup_pos.withColumn("__new", new_island)
+        .withColumn("__island", running)
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

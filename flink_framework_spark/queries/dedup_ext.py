@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import (
     dedup_clusters,
+    duplicated_spans,
     edit_distance_pairs,
     incremental_dedup_ngram,
     near_dup_pairs_minhash,
@@ -49,6 +50,47 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_near_dup_pairs(
         table(spark, sf_dir, "documents"), threshold=0.5
     )
+
+
+@register(
+    "q_dedup_spans",
+    family="K",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents),
+ng AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - 6)) - 1 AS pos,
+         unnest([array_to_string(tk[i:i+7], ' ')
+                 for i in range(1, len(tk) - 6)]) AS g
+  FROM toks WHERE len(tk) >= 8),
+hot AS (SELECT g FROM ng GROUP BY g HAVING COUNT(*) >= 2),
+dp AS (SELECT doc_id, pos FROM ng WHERE g IN (SELECT g FROM hot)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS nw
+  FROM dp),
+run AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM run GROUP BY doc_id, island
+""",
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 shape at
+    token-8-gram granularity): positions whose 8-gram repeats
+    corpus-wide, merged into maximal per-doc spans
+    (operators.dedup.duplicated_spans). Live SQL oracle — the whole
+    pipeline (positional n-grams, corpus counts, gaps-and-islands
+    merge) is re-expressed in DuckDB."""
+    return duplicated_spans(table(spark, sf_dir, "documents"), n=8, min_count=2)
 
 
 @register(

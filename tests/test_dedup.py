@@ -267,3 +267,62 @@ class TestSemanticDedup:
         assert out[1].kept == 1 and out[1].dup_of is None
         assert out[5].kept == 0 and out[5].dup_of == 1
         assert out[9].kept == 0 and out[9].dup_of == 1
+
+
+class TestDuplicatedSpans:
+    """operators.dedup.duplicated_spans: planted shared passages are
+    localized exactly; unique text produces no spans; within-doc
+    repetition counts toward min_count."""
+
+    def _docs(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        uniq1 = "one two three four five six seven eight nine ten"
+        uniq2 = "red orange yellow green blue indigo violet black white gray"
+        uniq3 = "cat dog fox owl elk bat ant bee cow pig"
+        rep = "mu nu xi omicron pi rho sigma tau"
+        uniq4 = "ash oak elm fir yew birch cedar pine maple larch"
+        return spark.createDataFrame(
+            [
+                (1, f"{uniq1} {shared}"),          # shared at tokens 10..19
+                (2, f"{shared} {uniq2}"),          # shared at tokens 0..9
+                (3, uniq3),                        # no duplicated 8-grams
+                (4, f"{rep} {uniq4} {rep}"),       # self-repeat at 0..7, 18..25
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_planted_spans_localized(self, spark):
+        from flink_framework_spark.operators.dedup import duplicated_spans
+
+        out = duplicated_spans(self._docs(spark), n=8, min_count=2)
+        spans = {
+            r.doc_id: (r.span_start, r.span_end, r.n_dup_grams)
+            for r in out.collect()
+        }
+        # the 10-token shared passage has 3 duplicated 8-gram starts
+        assert spans[1] == (10, 19, 3)
+        assert spans[2] == (0, 9, 3)
+        assert 3 not in spans
+        # self-repetition: both copies of the 8-token block flagged,
+        # 18 apart (> n) so they stay separate islands
+        four = sorted(
+            (r.span_start, r.span_end)
+            for r in out.filter("doc_id = 4").collect()
+        )
+        assert four == [(0, 7), (18, 25)]
+
+    def test_overlapping_islands_merge(self, spark):
+        from flink_framework_spark.operators.dedup import duplicated_spans
+
+        # two docs share a 20-token passage -> ONE maximal span each,
+        # not 13 overlapping 8-gram spans
+        passage = " ".join(f"w{i}" for i in range(20))
+        df = spark.createDataFrame(
+            [(1, f"pre1a pre1b {passage}"), (2, f"{passage} post2a post2b")],
+            "doc_id long, text string",
+        )
+        out = duplicated_spans(df, n=8, min_count=2).collect()
+        spans = {r.doc_id: (r.span_start, r.span_end, r.n_dup_grams) for r in out}
+        assert len(out) == 2
+        assert spans[1] == (2, 21, 13)
+        assert spans[2] == (0, 19, 13)
