@@ -264,6 +264,107 @@ def weighted_sample(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    select_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance resampling (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how target-like it is under hashed
+    bag-of-tokens unigram models, then select ``select_n`` docs by
+    Gumbel-top-k — sampling without replacement proportional to the
+    importance weight, with this repo's derived-randomness convention
+    (md5 of the doc key) so the "sample" is deterministic and
+    rerun-stable.
+
+    log w(doc) = sum over tokens of ln p_target(bucket) / p_raw(bucket),
+    add-1 smoothed over ``n_buckets`` hashed buckets; ``target_pred``
+    marks the in-domain rows of ``df`` (the paper uses a separate
+    target corpus — a boolean partition of one frame is the same math
+    with one fewer scan).
+
+    Scale shape: one token explode (linear) -> one partial-agg
+    groupBy on the bucket id for both models at once (conditional
+    count, single pass) -> the n_buckets-row log-ratio table
+    broadcast back onto the token stream -> per-doc partial-agg sum.
+    The top-k cut is TakeOrderedAndProject (per-partition top-k,
+    driver merges k*p rows) + a 1-row broadcast of the k-th selection
+    key — NO global single-partition window anywhere. Output one row
+    per doc: (doc_id, logratio r4, score r6, selected 0/1).
+    """
+    from flink_framework_spark.operators.dedup import _spread, _staged
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("__tgt"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    )
+    bk = toks.select(
+        "doc_id", "__tgt", hash_bucket(F.col("__tok"), n_buckets).alias("__bk")
+    )
+    # both models in ONE aggregation pass; the explode feeds the
+    # bucket counts and the per-doc sum, so stage it
+    bk = _staged(bk)
+    cnt = bk.groupBy("__bk").agg(
+        F.count(F.lit(1)).alias("__cr"),
+        F.count_if(F.col("__tgt")).alias("__ct"),
+    )
+    tot = cnt.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    B = float(n_buckets)
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "__bk",
+        (
+            F.log((F.col("__ct") + F.lit(1.0)) / (F.col("__nt") + F.lit(B)))
+            - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + F.lit(B)))
+        ).alias("__lr"),
+    )
+    doc = (
+        bk.join(F.broadcast(lr), "__bk")
+        .groupBy("doc_id")
+        .agg(F.sum("__lr").alias("__logratio"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(float(16**8 + 1))  # (0, 1]
+    scored = _staged(
+        doc.select(
+            "doc_id",
+            round_duck("__logratio", 4).alias("logratio"),
+            # Gumbel-top-k == weighted sampling w/o replacement with
+            # P(doc) proportional to exp(logratio); rounded before
+            # ranking so 1-ulp ln differences cannot reorder the cut
+            round_duck(F.col("__logratio") - F.log(-F.log(u)), 6).alias(
+                "score"
+            ),
+        )
+    )
+    # selection key: higher score wins, doc_id ascending breaks ties
+    key = F.struct(F.col("score"), (-F.col("doc_id")).alias("neg"))
+    kth = (
+        scored.orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(select_n)
+        .agg(F.min(key).alias("__kth"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(kth))
+        .select(
+            "doc_id",
+            "logratio",
+            "score",
+            (key >= F.col("__kth")).cast("int").alias("selected"),
+        )
+    )
+
+
 def dedup_passages(
     docs: DataFrame,
     id_col: str = "doc_id",

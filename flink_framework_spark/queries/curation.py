@@ -221,6 +221,58 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dsir_weights",
+    family="K",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS bk
+  FROM toks),
+cnt AS (
+  SELECT bk, COUNT(*) AS cr, COUNT(*) FILTER (tgt) AS ct
+  FROM b GROUP BY bk),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+lr AS (
+  SELECT bk, ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lr
+  FROM cnt, tot),
+doc AS (
+  SELECT b.doc_id, SUM(lr.lr) AS raw_lr
+  FROM b JOIN lr USING (bk) GROUP BY b.doc_id),
+sc AS (
+  SELECT doc_id, ROUND(raw_lr, 4) AS logratio,
+         ROUND(raw_lr
+               - ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) + 1.0) / 4294967297.0)), 6) AS score
+  FROM doc)
+SELECT doc_id, logratio, score,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 100
+            THEN 1 ELSE 0 END AS selected
+FROM sc
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward the English slice: hashed
+    unigram log-likelihood-ratio weight per document + deterministic
+    Gumbel-top-100 selection (operators.curation.dsir_importance).
+    The oracle re-derives both hashed LMs, every weight, and the
+    selection cut in DuckDB; the oracle's global ROW_NUMBER is
+    DuckDB-side only — the Spark plan cuts with TakeOrdered + a 1-row
+    broadcast key, no single-partition window."""
+    from flink_framework_spark.operators.curation import dsir_importance
+
+    return dsir_importance(
+        table(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        n_buckets=256,
+        select_n=100,
+    )
+
+
+@register(
     "q_weighted_sample",
     family="K",
     oracle="""

@@ -159,3 +159,59 @@ class TestWeightedSample:
         rows = [(i, float(1 + i % 5)) for i in range(100)]
         df = spark.createDataFrame(rows, ["id", "w"])
         assert weighted_sample(df, "id", "w", n=10).count() == 10
+
+
+class TestDsirImportance:
+    """operators.curation.dsir_importance: target-like docs outrank
+    off-domain docs, output is one row per doc, exactly select_n are
+    selected, and the result is partition-invariant."""
+
+    def _corpus(self, spark):
+        import pyspark.sql.functions as F  # noqa: F401
+
+        rows = []
+        # 10 in-domain docs (vocab A) marked as target
+        for i in range(10):
+            rows.append((i, "alpha beta gamma delta " * 5, "en"))
+        # 10 raw docs that LOOK in-domain
+        for i in range(10, 20):
+            rows.append((i, "alpha beta gamma delta " * 5, "xx"))
+        # 20 off-domain docs (vocab B)
+        for i in range(20, 40):
+            rows.append((i, "zeta eta theta iota " * 5, "xx"))
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_target_like_docs_outrank_and_get_selected(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_framework_spark.operators.curation import dsir_importance
+
+        out = dsir_importance(
+            self._corpus(spark),
+            target_pred=F.col("lang") == "en",
+            n_buckets=64,
+            select_n=15,
+        ).toPandas()
+        assert len(out) == 40
+        assert int(out.selected.sum()) == 15
+        # every in-domain-looking doc outweighs every off-domain doc
+        in_dom = out[out.doc_id < 20].logratio
+        off_dom = out[out.doc_id >= 20].logratio
+        assert in_dom.min() > off_dom.max()
+        # Gumbel noise is bounded enough here that the 15 selected all
+        # come from the 20 in-domain-looking docs
+        assert set(out[out.selected == 1].doc_id) <= set(range(20))
+
+    def test_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_framework_spark.operators.curation import dsir_importance
+
+        base = self._corpus(spark)
+        a = dsir_importance(
+            base.repartition(7), F.col("lang") == "en", 64, 15
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = dsir_importance(
+            base.coalesce(1), F.col("lang") == "en", 64, 15
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
