@@ -264,6 +264,105 @@ def weighted_sample(
     )
 
 
+def curation_pipeline(
+    docs: DataFrame,
+    quality_min: float = 0.7,
+    near_threshold: float = 0.5,
+    bench_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end pretraining-corpus funnel, composed from this
+    module's operators in the order a production pipeline runs them:
+
+      raw -> quality filter -> exact dedup -> near dedup (n-gram
+      Jaccard, min-shingle blocked) -> benchmark decontamination ->
+      train/val/test split
+
+    Docs with ``doc_id % bench_mod == 0`` play the held-out eval set:
+    excluded from the corpus up front and used as the decontamination
+    benchmark. Emits the funnel itself — one row per stage with
+    surviving doc and whitespace-token counts, plus one
+    ``split:<name>`` row per final split — the observable a pipeline
+    owner actually monitors (how much each gate removes), while
+    proving the stages compose.
+
+    Every stage is individually deterministic and SQL-expressible, so
+    the WHOLE composition is hash-checked against DuckDB (the funnel
+    is the one place a per-stage bug cannot hide behind another
+    stage's filter). Scale: each stage is the documented scale shape
+    of its operator; the funnel aggregates are partial aggs over the
+    staged (persisted) intermediates, so the chain executes once.
+    """
+    from flink_framework_spark.operators.dedup import (
+        _staged,
+        ngram_near_dup_pairs,
+        normalize_text,
+    )
+    from flink_framework_spark.operators.text import quality_score
+
+    did = F.col(id_col)
+    corpus = docs.filter(did % bench_mod != 0)
+    bench = docs.filter(did % bench_mod == 0)
+    q = quality_score(F.col(text_col), F.col("n_chars"))["quality"]
+    base = _staged(
+        corpus.select(
+            id_col,
+            text_col,
+            F.size(F.split(F.lower(F.trim(F.col(text_col))), " "))
+            .cast("long")
+            .alias("__ntok"),
+            q.alias("__q"),
+            F.md5(F.encode(normalize_text(F.col(text_col)), "UTF-8")).alias(
+                "__fp"
+            ),
+        )
+    )
+    s_q = base.filter(F.col("__q") >= F.lit(float(quality_min)))
+    w = Window.partitionBy("__fp").orderBy(did)
+    s_e = _staged(
+        s_q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    near_drop = (
+        ngram_near_dup_pairs(s_e, threshold=near_threshold, id_col=id_col,
+                             text_col=text_col)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    s_n = _staged(s_e.join(near_drop, id_col, "left_anti"))
+    s_d = _staged(decontaminate(s_n, bench, id_col=id_col, text_col=text_col))
+    splits = (
+        assign_split(s_d, id_col)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("n_tokens"),
+        )
+        .select(
+            F.concat(F.lit("split:"), F.col("split")).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+    def stage_row(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ntok").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    return (
+        stage_row("1_raw", base)
+        .unionByName(stage_row("2_quality", s_q))
+        .unionByName(stage_row("3_exact_dedup", s_e))
+        .unionByName(stage_row("4_near_dedup", s_n))
+        .unionByName(stage_row("5_decontam", s_d))
+        .unionByName(splits)
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred: Column,

@@ -221,6 +221,81 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_curation_pipeline",
+    family="K",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, text, n_chars,
+         string_split(lower(trim(text)), ' ') AS w,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS ntok
+  FROM documents WHERE doc_id % 97 <> 0),
+qual AS (
+  SELECT doc_id, text, ntok, w,
+         ROUND(0.5 * LEAST(CAST(len(w) AS DOUBLE) / 60.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(list_filter(w, x -> x = 'a' OR x = 'the')) AS DOUBLE)
+                            / len(w))
+             + 0.2 * LEAST(((CAST(n_chars AS DOUBLE) - (len(w) - 1)) / len(w)) / 6.0,
+                           1.0), 4) AS q,
+         md5(lower(trim(text))) AS fp
+  FROM base),
+sq AS (SELECT * FROM qual WHERE q >= 0.7),
+se AS (SELECT * FROM sq
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM se WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh),
+ndrop AS (
+  SELECT DISTINCT b.doc_id
+  FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+sn AS (SELECT * FROM se WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+                       w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7])))) AS gram
+  FROM sn WHERE len(w) >= 8),
+bgrams AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 6),
+           i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+                       w[i+4], ' ', w[i+5], ' ', w[i+6], ' ', w[i+7]))) AS gram
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE doc_id % 97 = 0)
+  WHERE len(w) >= 8),
+contam AS (SELECT DISTINCT doc_id FROM grams JOIN bgrams USING (gram)),
+sd AS (SELECT * FROM sn WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+splits AS (
+  SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+              ELSE 'test' END AS sp, ntok
+  FROM (SELECT ntok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bk
+        FROM sd) x)
+SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT '2_quality', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM sq
+UNION ALL SELECT '3_exact_dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM se
+UNION ALL SELECT '4_near_dedup', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM sn
+UNION ALL SELECT '5_decontam', COUNT(*), CAST(SUM(ntok) AS BIGINT) FROM sd
+UNION ALL SELECT 'split:' || sp, COUNT(*), CAST(SUM(ntok) AS BIGINT)
+FROM splits GROUP BY sp
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (operators.curation.curation_pipeline):
+    quality gate -> exact dedup -> blocked n-gram near-dedup ->
+    benchmark decontamination -> split assignment, with per-stage doc
+    and token counts. The oracle recomputes the ENTIRE composition in
+    DuckDB, so a bug in any stage shifts a funnel row and fails the
+    hash."""
+    from flink_framework_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(table(spark, sf_dir, "documents"))
+
+
+@register(
     "q_dsir_weights",
     family="K",
     oracle=r"""

@@ -215,3 +215,23 @@ class TestDsirImportance:
             base.coalesce(1), F.col("lang") == "en", 64, 15
         ).toPandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+def test_curation_pipeline_funnel_consistent(spark, sf_dir):
+    """The funnel is internally consistent: stage counts are monotone
+    non-increasing and the split rows partition the decontam
+    survivors (docs and tokens)."""
+    from flink_framework_spark.operators.curation import curation_pipeline
+    from flink_framework_spark.io import table
+
+    rows = {
+        r.stage: (r.n_docs, r.n_tokens)
+        for r in curation_pipeline(table(spark, sf_dir, "documents")).collect()
+    }
+    order = ["1_raw", "2_quality", "3_exact_dedup", "4_near_dedup", "5_decontam"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0], (a, b, rows)
+    split_docs = sum(rows[s][0] for s in rows if s.startswith("split:"))
+    split_toks = sum(rows[s][1] for s in rows if s.startswith("split:"))
+    assert (split_docs, split_toks) == rows["5_decontam"]
+    assert rows["1_raw"][0] > rows["5_decontam"][0]  # gates actually fire
