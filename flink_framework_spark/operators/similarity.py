@@ -143,6 +143,112 @@ def embedding_near_dup_pairs(
     )
 
 
+def gemm_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 4096,
+) -> DataFrame:
+    """Exact cosine top-k via blocked GEMM — SURVEY.md §4.3.2's
+    "block-matrix pandas_udf" scale path for K3, the distributed form
+    of brute force: the bounded query set ships as a numpy matrix
+    inside a ``mapInPandas`` closure, each corpus Arrow batch scores
+    ALL queries with one float64 matrix multiply (BLAS, ~dim times
+    fewer interpreter dispatches than per-pair folds), keeps its
+    per-query top-k candidates, and a global window merges the
+    <= k * n_batches survivors. Exact by the same argument as
+    TakeOrderedAndProject: per-batch selection uses the same total
+    order (score desc, neighbor id asc) as the global rank, so no
+    globally-selected row can be pruned locally.
+
+    Scale shape: ONE narrow pass over the corpus (no shuffle of
+    vectors), candidate shuffle is k rows per query per batch. For
+    query sets beyond ``query_cap`` (driver-artifact bound), tile the
+    query side and union — each tile is this same plan.
+
+    Determinism note: numpy's GEMM uses pairwise/FMA summation, so a
+    score can differ from the sequential-fold cosine by ~1e-14; ranks
+    flip only if two true cosines are closer than that, and the
+    output rounds to 4 dp like every cosine in this repo. Output:
+    (query_id, neighbor_id, cosim, rn) — same contract as
+    ``brute_force_topk``, which remains the bit-exact oracle form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
+        queries.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(query_cap + 1)
+        .collect()
+    )
+    if len(qrows) > query_cap:
+        raise ValueError(
+            f"gemm_topk query side exceeds query_cap={query_cap}; "
+            "tile the query set and union the results"
+        )
+    if not qrows:
+        raise ValueError("gemm_topk needs a non-empty query set")
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    Qm = np.array([r["__v"] for r in qrows], dtype=np.float64)
+    Qt = (Qm / np.linalg.norm(Qm, axis=1, keepdims=True)).T  # (dim, q)
+
+    def scorer(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            S = Xn @ Qt  # (batch, q)
+            # self-pairs never compete
+            S[ids[:, None] == qids[None, :]] = -np.inf
+            kk = min(k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                if len(col) > 4 * kk:
+                    pre = np.argpartition(-col, 4 * kk - 1)[: 4 * kk]
+                else:
+                    pre = np.arange(len(col))
+                # exact per-batch order: score desc, neighbor id asc —
+                # the global merge's own order, so pruning is safe
+                # even on score ties
+                order = pre[np.lexsort((ids[pre], -col[pre]))][:kk]
+                keep = order[np.isfinite(col[order])]
+                out_q.append(np.full(len(keep), qids[j]))
+                out_n.append(ids[keep])
+                out_s.append(col[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "__score": np.concatenate(out_s),
+                }
+            )
+
+    cand = corpus.mapInPandas(
+        scorer, "query_id long, neighbor_id long, __score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_duck("__score", 4).alias("cosim"),
+            "rn",
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids,

@@ -86,6 +86,35 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_topk_gemm",
+    family="K",
+    oracle="""
+SELECT query_id, neighbor_id, cosim, rn FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS cosim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.vec_id) t
+WHERE rn <= 5
+""",
+)
+def q_sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via blocked float64 GEMM (SURVEY §4.3.2 block-matrix
+    path): one narrow mapInPandas pass over the corpus, per-batch
+    top-k, global merge — same results as brute force (identical live
+    oracle), with BLAS doing the dot products instead of per-pair
+    expression folds (operators.similarity.gemm_topk)."""
+    from flink_framework_spark.operators.similarity import gemm_topk
+
+    em = table(spark, sf_dir, "embeddings")
+    return gemm_topk(em.filter(F.col("vec_id") < 10), em, k=5)
+
+
+@register(
     "q_text_stats",
     family="K",
     oracle="""

@@ -84,3 +84,32 @@ def test_ivfpq_scores_close_to_cosine(spark, sf_dir):
     errs = [abs(approx[p] - exact[p]) for p in approx if p in exact]
     assert errs, "no overlap to compare"
     assert max(errs) < 1e-3, max(errs)
+
+
+def test_gemm_topk_equals_brute_force(spark, sf_dir):
+    """The blocked-GEMM exact path returns the identical top-k as the
+    sequential-fold brute force, regardless of corpus partitioning
+    (per-batch pruning uses the global merge's own total order)."""
+    from flink_framework_spark.operators.similarity import gemm_topk
+
+    em = table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    want = {
+        (r.query_id, r.neighbor_id, r.cosim, r.rn)
+        for r in brute_force_topk(q, em, k=5).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            (r.query_id, r.neighbor_id, r.cosim, r.rn)
+            for r in gemm_topk(q, em.repartition(parts), k=5).collect()
+        }
+        assert got == want, parts
+
+
+def test_gemm_topk_query_cap_enforced(spark, sf_dir):
+    from flink_framework_spark.operators.similarity import gemm_topk
+    import pytest
+
+    em = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="query_cap"):
+        gemm_topk(em, em, k=5, query_cap=10)

@@ -66,8 +66,30 @@ def tile_sql(t: int) -> dict[str, str]:
             f"SELECT doc_id + {t * OFF['doc']} AS doc_id, {text_expr} AS text, "
             "lang, source, n_chars FROM documents"
         ),
-        "embeddings": f"SELECT vec_id + {t * OFF['vec']} AS vec_id, embedding, label FROM embeddings",
+        "embeddings": (
+            f"SELECT vec_id + {t * OFF['vec']} AS vec_id, {_emb_expr(t)} AS "
+            "embedding, label FROM embeddings"
+        ),
     }
+
+
+def _emb_expr(t: int) -> str:
+    """Per-tile vector variation: rotate components by t (mod 64) and
+    negate for t >= 64 — norm-preserving, deterministic, and (r, neg)
+    is unique per tile for T <= 128. Without this every vector would
+    be a T-way EXACT duplicate across tiles, making within-cell
+    pairwise work (semantic dedup) quadratic in T — a tiling artifact,
+    not corpus growth; a real growing corpus adds NEW vectors. For
+    near-isotropic fixtures cosine(x, rotate(x, r)) is near zero, so
+    cross-tile near-dup structure stays realistic (none), while IVF
+    cell occupancy still grows linearly."""
+    if t == 0:
+        return "embedding"
+    r = t % 64
+    rot = f"(embedding[{r + 1}:] || embedding[:{r}])" if r else "embedding"
+    if t >= 64:
+        return f"list_transform({rot}, x -> -x)"
+    return rot
 
 
 def main() -> None:
