@@ -91,10 +91,16 @@ def pq_train(
         df.select(
             F.col(id_col).alias("__i"), to_double_array(vec_col).alias("__v")
         )
-        .orderBy("__i")
+        # hash-spread deterministic sample — same rationale as
+        # train_ivf_centroids (prefix sampling is unrepresentative on
+        # tiled/partitioned corpora; identical when corpus <= cap)
+        .orderBy(F.md5(F.col("__i").cast("string")), "__i")
         .limit(train_cap)
         .collect()
     )
+    # position-stable init: id-sort the collected rows (see
+    # train_ivf_centroids — identical X when corpus <= cap)
+    sample = sorted(sample, key=lambda r: r["__i"])
     X = np.array([r["__v"] for r in sample], dtype=np.float64)
     if len(X) == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")

@@ -19,6 +19,8 @@ JVM higher-order-function fold in double precision):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -175,9 +177,6 @@ def gemm_topk(
     (query_id, neighbor_id, cosim, rn) — same contract as
     ``brute_force_topk``, which remains the bit-exact oracle form.
     """
-    import numpy as np
-    import pandas as pd
-
     qrows = (
         queries.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
         .orderBy(id_col)
@@ -284,45 +283,86 @@ def semantic_dedup(
     """
     from flink_framework_spark.operators.dedup import _staged
 
-    # _staged: both sides of the within-cell self-join (and the final
-    # labeling pass) consume the assigned+normed frame — persist so
-    # the centroid-distance map and norm fold run once per vector.
-    m = _staged(
-        _cell_assign(df, centroids, vec_col, "cell")
-        .select(
-            F.col(id_col).alias("vec_id"),
-            "cell",
-            to_double_array(vec_col).alias("__v"),
+    # Both stages run Arrow-vectorized: with n_cells growing ~N (the
+    # sizing discipline above), assignment is O(N*k*dim) and pruning
+    # O(sum c_i^2 * dim) — as interpreted per-element expressions
+    # those dominated the 30x-tile sweep (~180 s measured); as numpy
+    # GEMM they are a few Gflop. The per-cell kernel materializes a
+    # c_i x c_i score block, so cell size is the memory bound —
+    # exactly what the n_cells sizing discipline controls.
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
+    ).withColumn("cell", _cell_assign_vec(centroids)(F.col("__v")))
+    eps_f = float(eps)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(nrm == 0.0, 1.0, nrm)
+        S = Xn @ Xn.T
+        # strict upper triangle: witness ROWS i come before column j
+        # in id order (ids sorted above), so M[i, j] marks a lower-id
+        # witness and dup_of = ids[first True] is the SMALLEST one
+        M = (S >= eps_f) & np.triu(np.ones(S.shape, dtype=bool), k=1)
+        has = M.any(axis=0)
+        first = M.argmax(axis=0)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "kept": (~has).astype("int32"),
+                "dup_of": pd.array(
+                    [ids[first[j]] if has[j] else None for j in range(len(ids))],
+                    dtype="Int64",
+                ),
+            }
         )
-        .withColumn("__n", norm(F.col("__v")))
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "vec_id long, cell int, kept int, dup_of long"
     )
-    a = m.select(
-        F.col("vec_id").alias("__ka"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "cell",
-    )
-    b = m.select(
-        F.col("vec_id").alias("__kb"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "cell",
-    )
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
-    dup = (
-        a.join(b, ["cell"])
-        .filter(F.col("__ka") < F.col("__kb"))
-        .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= F.lit(float(eps)))
-        .groupBy(F.col("__kb").alias("vec_id"))
-        .agg(F.min("__ka").alias("dup_of"))
-    )
-    return (
-        m.select("vec_id", "cell")
-        .join(dup, ["vec_id"], "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.col("dup_of").isNull().cast("int").alias("kept"),
-            "dup_of",
-        )
-    )
+
+
+def _pairwise_d2(X, C, row_chunk: int = 2048):
+    """Squared-L2 distance matrix (n, k) via the explicit-difference
+    broadcast, evaluated in row chunks. The one-shot broadcast
+    materializes an (n, k, dim) float64 temp — 15 GB at
+    n=16384, k=240 — which turned the k-means training loop into an
+    allocator benchmark (measured 50 s of a 65 s query at the 30x
+    tile). Chunking bounds the temp at row_chunk*k*dim while keeping
+    the arithmetic ELEMENTWISE IDENTICAL to the unchunked form (same
+    per-element ops, same axis-2 summation order), so assignments —
+    and therefore every centroid trajectory and frozen golden — are
+    bit-stable. The GEMM identity |x|^2+|c|^2-2x.c would be faster
+    still but changes the floating-point result; training is not the
+    bottleneck once the temp fits in cache."""
+    out = np.empty((len(X), len(C)), dtype=np.float64)
+    for s in range(0, len(X), row_chunk):
+        e = min(s + row_chunk, len(X))
+        out[s:e] = ((X[s:e, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return out
+
+
+def _cell_assign_vec(centroids):
+    """Arrow-vectorized twin of ``_cell_assign`` (same discipline as
+    ``pq.pq_codes_vec``): one numpy distance-matrix argmin per batch,
+    float64, ties to the lowest cell id — matching the (d, cell)
+    struct-min of the expression form up to the documented 1-ulp
+    pairwise-vs-sequential summation caveat."""
+    mat = np.array([c for _, c in centroids], dtype=np.float64)
+    cell_ids = np.array([int(i) for i, _ in centroids], dtype=np.int32)
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = _pairwise_d2(X, mat)
+        return pd.Series(cell_ids[d2.argmin(axis=1)])
+
+    return assign
 
 
 def train_ivf_centroids(
@@ -350,14 +390,26 @@ def train_ivf_centroids(
     offline artifact a production deployment would persist alongside
     the lake and broadcast to queries.
     """
-    import numpy as np
-
     sample = (
         df.select(F.col(id_col).alias("__i"), to_double_array(vec_col).alias("__v"))
-        .orderBy("__i")  # deterministic sample regardless of partitioning
+        # deterministic AND corpus-spread: ordering by a hash of the id
+        # (id tiebreak) samples uniformly across the whole corpus
+        # instead of its first train_cap ids — an id-ordered prefix is
+        # only representative when ids are uncorrelated with content,
+        # which a tiled/partitioned lake violates (measured: prefix
+        # sampling on the 30x tile left 22 of 30 tiles' vectors
+        # outside the training distribution, skewing cells and
+        # inflating within-cell pairwise work ~4x). When the corpus
+        # fits in train_cap the sample is the whole corpus either way.
+        .orderBy(F.md5(F.col("__i").cast("string")), "__i")
         .limit(train_cap)
         .collect()
     )
+    # id-sort the collected sample: the seeded init indexes into X by
+    # position, so row order must not depend on the hash spread (and
+    # when the corpus fits in train_cap this reproduces the original
+    # id-ordered X bit-for-bit — goldens unchanged)
+    sample = sorted(sample, key=lambda r: r["__i"])
     X = np.array([r["__v"] for r in sample], dtype=np.float64)
     if len(X) == 0:
         raise ValueError("cannot train IVF centroids on an empty corpus")
@@ -367,7 +419,10 @@ def train_ivf_centroids(
     cents = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(max_iter):
         # squared-L2 assignment, ties to the lowest cell id (argmin)
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # chunked: bit-identical to the full broadcast, bounded temp
+        # (see _pairwise_d2 — the full (n, k, dim) temp was 15 GB at
+        # k=240 and dominated wall clock)
+        d2 = _pairwise_d2(X, cents)
         assign = d2.argmin(axis=1)
         for c in range(n_cells):
             members = X[assign == c]

@@ -221,6 +221,69 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_split_cluster_safe",
+    family="K",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a WHERE e.b <> r.a),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+want AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, cluster,
+       CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster,
+             CAST(('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bk
+      FROM want) x
+""",
+)
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    must land on the SAME side, or eval scores silently measure
+    memorization — so the split key is the near-dup CLUSTER (min-
+    shingle-blocked n-gram pairs -> connected components), not the
+    document. Live oracle: pairs, the transitive closure (recursive
+    CTE), and the hash-bucket split are all recomputed in DuckDB.
+    Spark side: the CC loop is operators.iterative.connected_components
+    (per-round lineage cuts, same exemption as q_dedup_clusters)."""
+    from flink_framework_spark.operators.curation import assign_split
+    from flink_framework_spark.operators.dedup import ngram_near_dup_pairs
+    from flink_framework_spark.operators.iterative import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_near_dup_pairs(docs, threshold=0.5)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        vertices=docs.select(F.col("doc_id").alias("id")),
+    )
+    labeled = comps.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    return assign_split(labeled, "cluster").select("doc_id", "cluster", "split")
+
+
+@register(
     "q_curation_pipeline",
     family="K",
     oracle="""

@@ -235,3 +235,22 @@ def test_curation_pipeline_funnel_consistent(spark, sf_dir):
     split_toks = sum(rows[s][1] for s in rows if s.startswith("split:"))
     assert (split_docs, split_toks) == rows["5_decontam"]
     assert rows["1_raw"][0] > rows["5_decontam"][0]  # gates actually fire
+
+
+def test_cluster_safe_split_never_separates_near_dups(spark, sf_dir):
+    """The leakage guard itself: every near-dup pair's two docs get
+    the same split, and every doc appears exactly once."""
+    from flink_framework_spark.registry import all_queries
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.dedup import ngram_near_dup_pairs
+
+    out = all_queries()["q_split_cluster_safe"].fn(spark, sf_dir).toPandas()
+    docs_n = table(spark, sf_dir, "documents").count()
+    assert len(out) == docs_n and out.doc_id.is_unique
+    split_of = dict(zip(out.doc_id, out.split))
+    pairs = ngram_near_dup_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert split_of[r.doc_a] == split_of[r.doc_b], (r.doc_a, r.doc_b)

@@ -109,6 +109,7 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
         "q_pagerank",
         "q_kcore",
         "q_cluster_graph_suite",  # embeds q_pagerank's checkpointed loop
+        "q_split_cluster_safe",   # embeds connected_components' loop
     }
     for name, q in QUERIES.items():
         plan = formatted_plan(q.fn(spark, sf_dir))
