@@ -182,24 +182,34 @@ def predict_lang(
 ) -> DataFrame:
     """Classify each document to the language whose n-gram profile has
     the highest rank-weighted overlap with the document's n-grams."""
-    profiles = {
-        lang: {g: len(grams) - i for i, g in enumerate(grams)}
-        for lang, grams in model.items()
-    }
+    # inverted index gram -> [(lang_idx, rank_weight)]: scoring then
+    # touches each document gram once per PROFILE CONTAINING it (few)
+    # instead of once per language — measured ~2x on the sf0.1 corpus.
+    # Languages are index-ordered sorted, and ties resolve to the
+    # lowest index (np-style first armgax) == the previous
+    # first-in-sorted-order-wins rule.
+    langs = sorted(model)
+    inv: dict[str, list[tuple[int, int]]] = {}
+    for li, lang in enumerate(langs):
+        grams_l = model[lang]
+        for i, g in enumerate(grams_l):
+            inv.setdefault(g, []).append((li, len(grams_l) - i))
 
     @F.pandas_udf(StringType())
     def _predict(texts: pd.Series) -> pd.Series:
         out = []
+        nl = len(langs)
         for t in texts:
             t = (t or "").lower()
             grams = Counter(t[i : i + n] for i in range(len(t) - n + 1))
+            scores = [0] * nl
+            for g, cnt in grams.items():
+                for li, w in inv.get(g, ()):
+                    scores[li] += cnt * w
             best, best_score = None, -1.0
-            for lang in sorted(profiles):
-                score = sum(
-                    cnt * profiles[lang].get(g, 0) for g, cnt in grams.items()
-                )
-                if score > best_score:
-                    best, best_score = lang, float(score)
+            for li in range(nl):
+                if scores[li] > best_score:
+                    best, best_score = langs[li], float(scores[li])
             out.append(best)
         return pd.Series(out)
 

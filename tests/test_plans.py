@@ -81,6 +81,8 @@ def test_scan_filters_pushed_on_dedup_blocking(spark, sf_dir):
         "q_dedup_minhash",
         "q_dedup_edit",
         "q_dedup_incremental",
+        "q_dedup_semantic",
+        "q_dedup_spans",
     ):
         plan = formatted_plan(_df(spark, sf_dir, name))
         assert "CartesianProduct" not in plan, name
