@@ -91,14 +91,62 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", bow_fingerprint(F.col("text")).alias("fp"))
 
 
-@register("q_text_langid", family="K", oracle=None)
+@register(
+    "q_text_langid",
+    family="K",
+    oracle="""
+WITH train AS (
+  SELECT lang AS l, lower(text) AS t
+  FROM documents WHERE doc_id % 3 = 0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(lower(text)), lower(text)) <= 16384),
+tg AS (
+  SELECT l, unnest(list_transform(range(1, length(t)),
+                                  i -> substring(t, i, 2))) AS g
+  FROM train WHERE length(t) >= 2),
+cnt AS (SELECT l, g, COUNT(*) AS c FROM tg GROUP BY l, g),
+prof60 AS (
+  SELECT l, g, rk FROM (
+    SELECT l, g, ROW_NUMBER() OVER (PARTITION BY l
+                    ORDER BY c DESC, g) AS rk
+    FROM cnt) x WHERE rk <= 60),
+profw AS (
+  SELECT l, g, COUNT(*) OVER (PARTITION BY l) - rk + 1 AS w FROM prof60),
+docs AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+dg AS (
+  SELECT doc_id, g, COUNT(*) AS cg FROM (
+    SELECT doc_id, unnest(list_transform(range(1, length(t)),
+                                         i -> substring(t, i, 2))) AS g
+    FROM docs WHERE length(t) >= 2) y GROUP BY doc_id, g),
+langs AS (SELECT DISTINCT l FROM train),
+scores AS (
+  SELECT d.doc_id, d.lang, langs.l AS cand,
+         COALESCE(SUM(dg.cg * profw.w), 0) AS score
+  FROM docs d
+  CROSS JOIN langs
+  LEFT JOIN dg ON dg.doc_id = d.doc_id
+  LEFT JOIN profw ON profw.l = langs.l AND profw.g = dg.g
+  GROUP BY d.doc_id, d.lang, langs.l),
+best AS (
+  SELECT doc_id, lang, cand,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cand) AS rn
+  FROM scores)
+SELECT lang, cand AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY lang, cand
+""",
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-n-gram language ID (rows-only: the classifier is not
-    SQL-expressible). Train on the corpus labels, predict, report the
-    confusion counts. The fixture vocabulary carries no real language
-    signal, so accuracy here is incidental — the *operator* is
-    accuracy-tested on a genuinely multilingual corpus in the suite
-    (tests/test_text.py)."""
+    """Char-n-gram language ID. Train on the corpus labels, predict,
+    report the confusion counts. Upgraded from rows-only to a LIVE
+    oracle: profile training (per-lang top-60 bigram window over the
+    capped md5-ordered sample) and rank-weighted-overlap scoring are
+    pure integer arithmetic, so DuckDB re-derives the whole
+    classifier exactly — argmax ties resolve to the first language in
+    sorted order on both sides. The fixture vocabulary carries no
+    real language signal, so accuracy here is incidental — the
+    *operator* is accuracy-tested on a genuinely multilingual corpus
+    in tests/test_text.py."""
     docs = table(spark, sf_dir, "documents")
     # train on a deterministic 1/3 subset (profiles saturate quickly;
     # production would train the tiny model offline on a sample)

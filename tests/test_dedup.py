@@ -326,3 +326,54 @@ class TestDuplicatedSpans:
         assert len(out) == 2
         assert spans[1] == (2, 21, 13)
         assert spans[2] == (0, 19, 13)
+
+
+class TestNewOperatorEdgeCases:
+    def test_duplicated_spans_short_docs_and_no_dups(self, spark):
+        from flink_framework_spark.operators.dedup import duplicated_spans
+
+        df = spark.createDataFrame(
+            [
+                (1, "too short"),                       # < n tokens: excluded
+                (2, "aa bb cc dd ee ff gg hh ii jj"),   # unique 8-grams
+                (3, "kk ll mm nn oo pp qq rr ss tt"),
+            ],
+            "doc_id long, text string",
+        )
+        out = duplicated_spans(df, n=8, min_count=2)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "span_start", "span_end", "span_tokens", "n_dup_grams",
+        ]
+
+    def test_dsir_no_target_docs_still_scores(self, spark):
+        from pyspark.sql import functions as F
+
+        from flink_framework_spark.operators.curation import dsir_importance
+
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma", "xx") for i in range(6)],
+            "doc_id long, text string, lang string",
+        )
+        out = dsir_importance(
+            df, F.col("lang") == "en", n_buckets=16, select_n=3
+        ).toPandas()
+        # uniform-smoothed target LM: every doc gets the same finite
+        # weight; the Gumbel tiebreak still selects exactly 3
+        assert len(out) == 6
+        assert out.logratio.notna().all()
+        assert int(out.selected.sum()) == 3
+
+    def test_gemm_topk_small_corpus(self, spark):
+        from flink_framework_spark.operators.similarity import (
+            brute_force_topk,
+            gemm_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i + 1), float((i * 7) % 5), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        got = sorted(map(tuple, gemm_topk(df, df, k=10).collect()))
+        want = sorted(map(tuple, brute_force_topk(df, df, k=10).collect()))
+        assert got == want  # k > corpus: all 3 neighbors each, same order
