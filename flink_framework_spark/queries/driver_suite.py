@@ -437,22 +437,60 @@ SELECT 'minhash', doc_a, doc_b, jaccard FROM read_parquet(
 UNION ALL
 SELECT 'simhash', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM read_parquet(
   '/root/repo/tests/golden_driver/q_dedup_simhash_sf0.01.parquet')
+UNION ALL
+SELECT 'spans', doc_id, span_start, CAST(span_end AS DOUBLE) FROM (
+  WITH stoks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+    FROM documents),
+  sng AS (
+    SELECT doc_id,
+           unnest(range(1, len(tk) - 6)) - 1 AS pos,
+           unnest([array_to_string(tk[i:i+7], ' ')
+                   for i in range(1, len(tk) - 6)]) AS g
+    FROM stoks WHERE len(tk) >= 8),
+  shot AS (SELECT g FROM sng GROUP BY g HAVING COUNT(*) >= 2),
+  sdp AS (SELECT doc_id, pos FROM sng WHERE g IN (SELECT g FROM shot)),
+  sisl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+    FROM sdp),
+  srun AS (
+    SELECT doc_id, pos,
+           SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+    FROM sisl)
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+  FROM srun GROUP BY doc_id, island) sp
+UNION ALL
+SELECT 'semantic', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
+WHERE kept = 0
 """,
     oracle_sf="sf0.01",
     bench=False,  # the granular K2 queries carry the bench signal
 )
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four near-dedup methods (K2) tagged into one driver slot,
-    value-complete: n-gram Jaccard + embedding cosine (live SQL
-    oracles) and MinHash-LSH + SimHash (deterministic; frozen golden
-    snapshots at the driver's sf0.01). The granular queries stay
-    registered for bench + local hash checks."""
+    """All six near-dedup methods (K2) tagged into one driver slot,
+    value-complete: n-gram Jaccard + embedding cosine + duplicated
+    8-gram spans (live SQL oracles) and MinHash-LSH + SimHash +
+    SemDeDup (deterministic; frozen golden snapshots at the driver's
+    sf0.01 — SemDeDup's pruning additionally re-verified
+    independently in tests/test_oracle_independent.py). The granular
+    queries stay registered for bench + local hash checks. Span rows
+    encode (doc_id, span_start, span_end-as-score); semantic rows
+    encode the dropped pairs (witness, dropped, cell-as-score)."""
     from flink_framework_spark.operators.dedup import (
+        duplicated_spans,
         near_dup_pairs_minhash,
         ngram_near_dup_pairs,
         simhash_near_dup_pairs,
     )
-    from flink_framework_spark.operators.similarity import embedding_near_dup_pairs
+    from flink_framework_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
@@ -460,8 +498,8 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def tag(df: DataFrame, method: str, a: str, b: str, score) -> DataFrame:
         return df.select(
             F.lit(method).alias("method"),
-            F.col(a).alias("id_a"),
-            F.col(b).alias("id_b"),
+            F.col(a).cast("long").alias("id_a"),
+            F.col(b).cast("long").alias("id_b"),
             score.alias("score"),
         )
 
@@ -473,7 +511,16 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              "minhash", "doc_a", "doc_b", F.col("jaccard"))
     sh = tag(simhash_near_dup_pairs(docs, max_hamming=8),
              "simhash", "doc_a", "doc_b", F.col("hamming").cast("double"))
-    return ng.unionByName(em).unionByName(mh).unionByName(sh)
+    sp = tag(duplicated_spans(docs, n=8, min_count=2),
+             "spans", "doc_id", "span_start", F.col("span_end").cast("double"))
+    se = tag(
+        semantic_dedup(emb, train_ivf_centroids(emb, n_cells=8), eps=0.35)
+        .filter(F.col("kept") == 0),
+        "semantic", "dup_of", "vec_id", F.col("cell").cast("double"))
+    return (
+        ng.unionByName(em).unionByName(mh).unionByName(sh)
+        .unionByName(sp).unionByName(se)
+    )
 
 
 _SUITE_BUCKET = (
