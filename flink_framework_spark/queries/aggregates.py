@@ -213,12 +213,17 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hll_rollup",
     family="D",
-    # No DuckDB oracle: DuckDB's approx_count_distinct is a different
-    # sketch (driver records rows-only). The sketch IS deterministic
-    # (register maxima are order-independent), and the local suite
-    # pins: merged-union estimate == direct whole-table estimate, both
-    # within 5% of exact, and determinism across partitioning
-    # (tests/test_hll.py).
+    # DuckDB's approx_count_distinct is a different sketch, so no live
+    # SQL oracle — but the sketch IS deterministic (register maxima
+    # are order-independent, verified across partitionings in
+    # tests/test_hll.py), so the driver value-checks a frozen golden;
+    # the local suite additionally pins merged-union == direct
+    # whole-table estimate, both within 5% of exact.
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_hll_rollup_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct users per day + sketch-union grand

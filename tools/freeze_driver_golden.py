@@ -37,6 +37,7 @@ GOLDEN_QUERIES = (
     "q_kcore",
     "q_quality_model",
     "q_bpe_vocab",
+    "q_hll_rollup",
 )
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
