@@ -345,6 +345,82 @@ def _pairwise_d2(X, C, row_chunk: int = 2048):
     return out
 
 
+def semantic_dedup_incremental(
+    new: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    eps: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-batch SemDeDup — the rolling-crawl shape (same contract
+    as ``dedup.incremental_dedup_ngram``): drop NEW vectors that are
+    semantic near-dups of the accumulated CORPUS, comparing only
+    new-vs-corpus within each coarse cell — never corpus x corpus,
+    and intra-batch dups among the new vectors are ``semantic_dedup``'s
+    job. Ids must be disjoint between the two frames (a lake invariant
+    for append batches).
+
+    Per cell the kernel is one (corpus_c x new_c) float64 GEMM, so
+    each round of a rolling ingest costs |new| x cell-occupancy work.
+    Output: one row per input vector from BOTH frames —
+    (vec_id, cell, is_new, kept, dup_of) — corpus rows always kept;
+    a new row is dropped iff a corpus vector in its cell has cosine
+    >= eps, with ``dup_of`` the smallest such witness. Emitting the
+    corpus rows too makes the decision INDEPENDENTLY CHECKABLE from
+    raw embeddings given the output's cell column (the DuckDB
+    recheck in tests/test_oracle_independent.py verifies soundness
+    and completeness of every drop)."""
+    tagged = new.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
+    ).withColumn("is_new", F.lit(1)).unionByName(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            to_double_array(vec_col).alias("__v"),
+        ).withColumn("is_new", F.lit(0))
+    )
+    assigned = tagged.withColumn(
+        "cell", _cell_assign_vec(centroids)(F.col("__v"))
+    )
+    eps_f = float(eps)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(nrm == 0.0, 1.0, nrm)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        isn = pdf["is_new"].to_numpy(dtype=np.int64)
+        cmask, nmask = isn == 0, isn == 1
+        kept = np.ones(len(ids), dtype=np.int32)
+        dup = np.full(len(ids), -1, dtype=np.int64)
+        if cmask.any() and nmask.any():
+            S = Xn[cmask] @ Xn[nmask].T  # (corpus_c, new_c)
+            M = S >= eps_f
+            has = M.any(axis=0)
+            # corpus rows are id-sorted, so argmax = smallest witness
+            first = M.argmax(axis=0)
+            cids = ids[cmask]
+            new_idx = np.flatnonzero(nmask)
+            kept[new_idx[has]] = 0
+            dup[new_idx[has]] = cids[first[has]]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "is_new": isn.astype("int32"),
+                "kept": kept,
+                "dup_of": pd.array(
+                    [int(d) if d >= 0 else None for d in dup], dtype="Int64"
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "vec_id long, cell int, is_new int, kept int, dup_of long"
+    )
+
+
 def _cell_assign_vec(centroids):
     """Arrow-vectorized twin of ``_cell_assign`` (same discipline as
     ``pq.pq_codes_vec``): one numpy distance-matrix argmin per batch,

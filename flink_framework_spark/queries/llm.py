@@ -231,6 +231,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_semantic_inc",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_semantic_inc_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch SemDeDup (rolling-ingest shape): the first 400
+    vectors play the accumulated corpus, the rest the incoming batch;
+    new vectors drop iff a same-cell corpus vector sits within the
+    cosine epsilon-ball (operators.similarity.semantic_dedup_incremental).
+    Frozen golden at sf0.01; the drop decisions are independently
+    re-derived in DuckDB from raw embeddings given the output's cells
+    (tests/test_oracle_independent.py), and planted cross-batch dups
+    are property-tested."""
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        train_ivf_centroids,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    corpus = em.filter(F.col("vec_id") < 400)
+    new = em.filter(F.col("vec_id") >= 400)
+    centroids = train_ivf_centroids(corpus, n_cells=8)
+    return semantic_dedup_incremental(new, corpus, centroids, eps=0.35)
+
+
+@register(
     "q_profile_events",
     family="K",
     oracle="""

@@ -377,3 +377,41 @@ class TestNewOperatorEdgeCases:
         got = sorted(map(tuple, gemm_topk(df, df, k=10).collect()))
         want = sorted(map(tuple, brute_force_topk(df, df, k=10).collect()))
         assert got == want  # k > corpus: all 3 neighbors each, same order
+
+
+class TestSemanticDedupIncremental:
+    def test_new_dups_of_corpus_dropped_fresh_and_intra_batch_kept(self, spark):
+        import numpy as np
+
+        from flink_framework_spark.operators.similarity import (
+            semantic_dedup_incremental,
+            train_ivf_centroids,
+        )
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(5, 8)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+            "vec_id long, embedding array<double>",
+        )
+        dupv = [float(x) for x in base[2] + 1e-3 * rng.randn(8)]
+        fresh = [float(x) for x in rng.randn(8) * 3]
+        new = spark.createDataFrame(
+            # 100: near-copy of corpus vec 2 -> dropped
+            # 101/102: identical to each other but unseen -> BOTH kept
+            #          (intra-batch dedup is semantic_dedup's job)
+            [(100, dupv), (101, fresh), (102, fresh)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = train_ivf_centroids(corpus, n_cells=2)
+        out = {
+            r.vec_id: r
+            for r in semantic_dedup_incremental(
+                new, corpus, cents, eps=0.95
+            ).collect()
+        }
+        assert len(out) == 8
+        assert out[100].kept == 0 and out[100].dup_of == 2
+        assert out[101].kept == 1 and out[102].kept == 1
+        for i in range(5):  # corpus rows pass through untouched
+            assert out[i].kept == 1 and out[i].is_new == 0

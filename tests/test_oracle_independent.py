@@ -330,6 +330,52 @@ WHERE r.kept <> w.kept
     assert len(golden) == n
 
 
+def test_semantic_dedup_incremental_in_duckdb():
+    """Same full recheck for the cross-batch variant: given the
+    output's cells, DuckDB re-derives every new-row drop decision
+    from raw embeddings — dropped iff a same-cell CORPUS vector has
+    cosine >= eps, dup_of = the smallest such witness — and asserts
+    corpus rows are untouched."""
+    sf_dir = "/root/testdata/sf0.01"
+    golden = pd.read_parquet(
+        "tests/golden_driver/q_dedup_semantic_inc_sf0.01.parquet"
+    )
+    assert ((golden.is_new == 1) & (golden.kept == 0)).sum() > 0
+    assert (golden[golden.is_new == 0].kept == 1).all()
+    assert golden[golden.is_new == 0].dup_of.isna().all()
+
+    con = duckdb.connect()
+    con.register("reported", golden)
+    bad = con.execute(
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+m AS (SELECT r.vec_id, r.cell, r.is_new, e.v
+      FROM reported r JOIN e USING (vec_id)),
+wit AS (
+  SELECT n.vec_id, MIN(c.vec_id) AS dup_of
+  FROM m n JOIN m c ON n.cell = c.cell AND n.is_new = 1 AND c.is_new = 0
+  WHERE list_cosine_similarity(n.v, c.v) >= 0.35
+  GROUP BY n.vec_id),
+want AS (
+  SELECT m.vec_id,
+         CASE WHEN m.is_new = 1 AND w.dup_of IS NOT NULL THEN 0
+              ELSE 1 END AS kept,
+         CASE WHEN m.is_new = 1 THEN w.dup_of END AS dup_of
+  FROM m LEFT JOIN wit w USING (vec_id))
+SELECT r.vec_id, r.kept, r.dup_of, w.kept, w.dup_of
+FROM reported r JOIN want w USING (vec_id)
+WHERE r.kept <> w.kept
+   OR COALESCE(r.dup_of, -1) <> COALESCE(w.dup_of, -1)
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(golden) == n
+
+
 def _exact_topk_duckdb(con, sf_dir: str, k: int = 5, n_queries: int = 10):
     """Brute-force exact cosine top-k per query in DuckDB (the
     independent engine), doubles end-to-end."""

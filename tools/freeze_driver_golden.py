@@ -32,6 +32,7 @@ GOLDEN_QUERIES = (
     "q_sim_topk_ivfpq",
     "q_dedup_clusters",
     "q_dedup_semantic",
+    "q_dedup_semantic_inc",
     "q_kmeans",
     "q_pagerank",
     "q_kcore",
