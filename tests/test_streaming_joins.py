@@ -213,3 +213,46 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_stream_static_temporal_table_join(spark, sf_dir):
+    """Flink's event-time temporal TABLE join on a stream: the fact
+    stream enriched with the SCD2 version valid at each fact's event
+    time (streaming.temporal.temporal_join_stream, containment form)
+    must equal the batch as-of form (operators.scd.temporal_join) —
+    the half-open-tiling equivalence, exercised through the streaming
+    engine's micro-batches."""
+    from flink_framework_spark.io import _normalize_events_ts
+    from flink_framework_spark.operators.scd import scd2_build, temporal_join
+    from flink_framework_spark.streaming.temporal import temporal_join_stream
+
+    ev = _normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), as_instant=True
+    )
+    # dim changelog: each user's purchases open a new "tier" version
+    chg = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value"), 0).alias("tier")
+    )
+    dim = scd2_build(chg, key_cols=["user_id"], ts_col="ts",
+                     attr_cols=["tier"], seq_col=None)
+
+    want = (
+        temporal_join(
+            ev.select("user_id", "event_id", "ts"), dim,
+            on=["user_id"], fact_ts="ts",
+        )
+        .select("event_id", "tier", "version")
+        .toPandas()
+    )
+    facts = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts"
+    )
+    got = run_to_memory(
+        temporal_join_stream(facts, dim, on=["user_id"], fact_ts="ts")
+        .select("event_id", "tier", "version"),
+        query_name="t_temporal_tbl",
+        output_mode="append",
+    ).toPandas()
+    a = sorted(map(tuple, got.itertuples(index=False)))
+    b = sorted(map(tuple, want.itertuples(index=False)))
+    assert a == b and len(a) > 0
