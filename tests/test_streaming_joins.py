@@ -256,3 +256,34 @@ def test_stream_static_temporal_table_join(spark, sf_dir):
     a = sorted(map(tuple, got.itertuples(index=False)))
     b = sorted(map(tuple, want.itertuples(index=False)))
     assert a == b and len(a) > 0
+
+
+def test_stream_static_temporal_table_join_left(spark, sf_dir):
+    """LEFT variant: facts before a key's first version (or for keys
+    with no versions) survive with null attributes — count must equal
+    the full fact stream."""
+    from flink_framework_spark.io import _normalize_events_ts
+    from flink_framework_spark.operators.scd import scd2_build
+    from flink_framework_spark.streaming.temporal import temporal_join_stream
+
+    ev = _normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), as_instant=True
+    )
+    chg = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value"), 0).alias("tier")
+    )
+    dim = scd2_build(chg, key_cols=["user_id"], ts_col="ts",
+                     attr_cols=["tier"], seq_col=None)
+    facts = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts"
+    )
+    got = run_to_memory(
+        temporal_join_stream(facts, dim, on=["user_id"], fact_ts="ts",
+                             how="left")
+        .select("event_id", "tier"),
+        query_name="t_temporal_left",
+        output_mode="append",
+    ).toPandas()
+    n_ev = ev.count()
+    assert len(got) == n_ev
+    assert got.tier.isna().sum() > 0  # pre-first-version facts present

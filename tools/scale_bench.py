@@ -64,9 +64,34 @@ def _semantic_scaled(spark, sf_dir: str, tiles: int):
     return semantic_dedup(em, cents, eps=0.35)
 
 
+def _semantic_inc_scaled(spark, sf_dir: str, tiles: int):
+    """Rolling-ingest shape at scale: the LAST tile is the incoming
+    batch, everything before it the accumulated corpus, n_cells sized
+    to the combined volume. Measures the contract that per-round cost
+    is |new| x cell-occupancy, not corpus x corpus."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        train_ivf_centroids,
+    )
+    import pyspark.sql.functions as F
+
+    em = table(spark, sf_dir, "embeddings")
+    # last tile = incoming batch (tile offset from make_scale_data);
+    # at 1x split the single tile 3:1 instead
+    cut = (tiles - 1) * 100_000 if tiles > 1 else 1500
+    corpus = em.filter(F.col("vec_id") < cut)
+    new = em.filter(F.col("vec_id") >= cut)
+    cents = train_ivf_centroids(corpus, n_cells=8 * tiles)
+    return semantic_dedup_incremental(new, corpus, cents, eps=0.35)
+
+
 # name -> fn(spark, sf_dir, tiles); measured alongside the registered
 # queries when the sweep needs a scale-aware configuration
-CUSTOM = {"q_dedup_semantic@scaled_cells": _semantic_scaled}
+CUSTOM = {
+    "q_dedup_semantic@scaled_cells": _semantic_scaled,
+    "q_dedup_semantic_inc@scaled": _semantic_inc_scaled,
+}
 
 SCALES = [
     ("/root/testdata/sf0.1", 1),
