@@ -62,13 +62,34 @@ Codebooks = list[list[list[float]]]  # [subspace][code][component]
 
 
 def _unit(vec: Column) -> Column:
-    """L2-normalize. The norm fold is loop-invariant but Catalyst
-    re-evaluates it per element (O(d^2) per row); both call sites
-    evaluate this exactly once per vector inside a staged index-build
-    pass, where d^2 flops/row is noise next to the materialization —
-    a production lake would store precomputed norms instead."""
+    """L2-normalize (expression form — kept for oracle-style
+    cross-checks in tests). The norm fold is loop-invariant but
+    Catalyst re-evaluates it per element (O(d^2) per row,
+    interpreted); the hot index-build path uses ``_unit_vec``, one
+    numpy pass per Arrow batch — a production lake would store
+    precomputed norms instead."""
     n = norm(vec)
     return F.transform(vec, lambda x: x / n)
+
+
+def _unit_vec(col: Column) -> Column:
+    """Arrow-vectorized L2 normalization (float64; zero vectors pass
+    through unscaled). Same 1-ulp pairwise-vs-sequential summation
+    caveat as ``pq_codes_vec`` — don't assert bit-equality with the
+    expression form; rounded outputs (4 dp cosines) are unaffected.
+    (The udf is built per call: pandas_udf parses its DDL return type
+    against the ACTIVE session, so a module-level decorator would
+    fail at import time in session-less contexts.)"""
+
+    @F.pandas_udf("array<double>")
+    def u(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series(list(X / np.where(nrm == 0.0, 1.0, nrm)))
+
+    return u(col)
 
 
 def pq_train(
@@ -264,7 +285,7 @@ def ivfpq_topk(
         _cell_assign(corpus, centroids, vec_col, "__cell").select(
             F.col(id_col).alias("neighbor_id"),
             "__cell",
-            _unit(to_double_array(vec_col)).alias("__nv"),
+            _unit_vec(to_double_array(vec_col)).alias("__nv"),
         )
     )
     enc = enc_nv.select(
@@ -280,7 +301,7 @@ def ivfpq_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             to_double_array(vec_col).alias("__qv"),
-        ).withColumn("__nqv", _unit(F.col("__qv")))
+        ).withColumn("__nqv", _unit_vec(F.col("__qv")))
     )
     # Compute the per-query ADC table BEFORE the probe explode: the
     # UDF then runs once per query, not once per (query, probe) —
