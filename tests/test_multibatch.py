@@ -191,3 +191,58 @@ def test_broadcast_rules_versioned_across_batches(spark, spooled_dir):
     got = [(r["event_id"], r["event_type"], r["tag"]) for r in proc.rows]
     assert sorted(got) == sorted(expected)
     assert len(got) > 0
+
+
+def test_rolling_ingest_incremental_dedup_invariant(spark, sf_dir):
+    """The rolling-crawl story end to end: documents arrive in 4
+    batches, each deduped against the ACCUMULATED surviving corpus
+    with incremental_dedup_ngram before joining it. Invariants on the
+    final corpus: (a) no surviving cross-batch near-dup pair remains
+    (exact Jaccard verify over blocked candidates), (b) the first
+    batch survives untouched, (c) every drop has an earlier-batch
+    witness — the keep-earliest semantics a production ingest needs
+    to be append-stable."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.dedup import (
+        incremental_dedup_ngram,
+        ngram_near_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    batches = [
+        docs.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        for i in range(4)
+    ]
+    corpus = batches[0]
+    first_n = corpus.count()
+    for b in batches[1:]:
+        survivors = incremental_dedup_ngram(b, corpus, threshold=0.5)
+        corpus = corpus.unionByName(survivors).localCheckpoint()
+    # (b) batch 0 passes through whole
+    assert corpus.filter(F.col("doc_id") < cuts[1]).count() == first_n
+    # (a) no cross-batch near-dup pair survives: all remaining >=0.5
+    # pairs must be INTRA-batch (incremental never dedups within a
+    # batch — that is the self-join operator's contract)
+    def batch_of(col):
+        expr = F.lit(3)
+        for i in (2, 1, 0):
+            expr = F.when(col < cuts[i + 1], F.lit(i)).otherwise(expr)
+        return expr
+
+    left_pairs = ngram_near_dup_pairs(corpus, threshold=0.5)
+    cross = left_pairs.filter(
+        batch_of(F.col("doc_a")) != batch_of(F.col("doc_b"))
+    )
+    assert cross.count() == 0
+    # (c) every dropped doc near-duplicates something that survived
+    # from an EARLIER batch
+    dropped = docs.join(corpus, "doc_id", "left_anti")
+    n_dropped = dropped.count()
+    assert n_dropped == n - corpus.count()
+    assert n_dropped > 0  # the fixture's planted dups straddle batches
+    redetect = incremental_dedup_ngram(dropped, corpus, threshold=0.5)
+    assert redetect.count() == 0  # every drop still matches the corpus
