@@ -567,6 +567,180 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash128_vec():
+    """Arrow-vectorized 128-bit SimHash fingerprints as ``[lo, hi]``
+    (two signed longs).
+
+    Word 0 (bits 0-63) votes on the base xxhash64 shingle hashes —
+    bit-identical to ``simhash64_vec`` output (cross-checked in
+    tests/test_simhash128.py); word 1 votes on a splitmix64 remix of
+    each shingle hash (Steele et al., "Fast Splittable Pseudorandom
+    Number Generators", OOPSLA 2014 — the standard 64->64 finalizer),
+    which supplies 64 additional independent hyperplanes without a
+    second tokenize/shingle pass over the corpus.
+
+    Why a wider fingerprint exists (SCALING.md "SimHash blocking"):
+    pigeonhole blocking's per-block key space is ``2^(bits /
+    (max_hamming + c))`` — at a FIXED angular threshold the exact-
+    recall block width is invariant in fingerprint size (max_hamming
+    scales with bits), but the tight-threshold regime LLM dedup
+    actually runs (near-exact dups, hamming <= 8) keeps max_hamming
+    ABSOLUTE, so doubling the bits doubles the block width: 13-bit
+    blocks instead of 7-bit, squaring the single-block key space and
+    quartering it again under combination keys.
+    """
+    bits = np.arange(64, dtype=np.uint64)[None, :]
+
+    @F.pandas_udf("array<long>")
+    def fp(hx: pd.Series) -> pd.Series:
+        out = []
+        for h in hx:
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            # splitmix64 finalizer: independent second word per shingle
+            z = hv + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            words = []
+            for w in (hv, z):
+                votes = (((w[:, None] >> bits) & 1).astype(np.int64) * 2 - 1).sum(
+                    axis=0
+                )
+                words.append(
+                    int(
+                        ((votes > 0).astype(np.uint64) << bits[0])
+                        .sum()
+                        .astype(np.uint64)
+                        .astype(np.int64)
+                    )
+                )
+            out.append(words)
+        return pd.Series(out)
+
+    return fp
+
+
+def simhash128_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    n_blocks: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    combine_blocks: int = 2,
+) -> DataFrame:
+    """128-bit SimHash near-dup pairs with Manku-style combination-
+    block keys (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    for Web Crawling", WWW 2007 — their permuted-table scheme is
+    exactly "join on every C(n_blocks, c) combination of c blocks").
+
+    Recall contract (pigeonhole, same argument as the 64-bit
+    operator's combine-2 case generalized): d mismatched bits dirty at
+    most d blocks, so with ``n_blocks = max_hamming + combine_blocks``
+    every pair within ``max_hamming`` shares at least ``combine_blocks``
+    clean blocks — i.e. collides on at least one combination key.
+    The returned set is then EXACTLY the pairs with 128-bit Hamming
+    distance <= max_hamming (verified pair-for-pair against numpy
+    brute force in tests).
+
+    Key-space arithmetic at the defaults (max_hamming=8, c=2):
+    n_blocks=10 -> ~13-bit blocks -> ~26-bit combination keys, versus
+    the 64-bit operator's 14-bit combine-2 keys — 4096x more key
+    values, pushing the birthday-process candidate blowup another ~2
+    orders of corpus size out, at the same C(10,2)=45 rows/doc explode
+    the 64-bit combine-2 already pays. Combination keys are hashed
+    (xxhash64 over the block values + block-set id) rather than
+    bit-packed: hash collisions only ADD candidates, and the exact
+    bit_count verify removes them, so correctness is unaffected while
+    the key stays one long for any c.
+
+    Scale shape: identical to ``simhash_near_dup_pairs`` — linear
+    fingerprint pass, explode to C(n_blocks, c) key rows, equi-join,
+    codegen bit_count verify on the raw join output, distinct last.
+    """
+    if combine_blocks not in (1, 2, 3):
+        raise ValueError(
+            f"combine_blocks must be 1, 2 or 3, got {combine_blocks}"
+        )
+    if n_blocks is None:
+        n_blocks = max_hamming + combine_blocks
+    if not combine_blocks <= n_blocks <= 128:
+        raise ValueError(
+            f"n_blocks must be in [{combine_blocks}, 128], got {n_blocks}"
+        )
+    width, extra = divmod(128, n_blocks)
+    widths = [width + 1] * extra + [width] * (n_blocks - extra)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    hashes = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    # coalesce + _staged: same two hazards as simhash_near_dup_pairs
+    # (Catalyst can't prove UDF outputs non-null -> inferred isnotnull
+    # re-inlines the pipeline below the repartition; the self-join
+    # consumes the fingerprint in both branches)
+    # the UDF output is persisted BEFORE the lo/hi projection so the
+    # fingerprint pass runs exactly once (two element_at references to
+    # an inline UDF column would re-evaluate it after CollapseProject)
+    fp = _staged(
+        hashes.select(
+            "__id", simhash128_vec()(F.col("__shh")).alias("__fp")
+        )
+    )
+    sh = fp.select(
+        "__id",
+        F.coalesce(F.element_at("__fp", 1), F.lit(0)).alias("__lo"),
+        F.coalesce(F.element_at("__fp", 2), F.lit(0)).alias("__hi"),
+    )
+
+    def _blk_val(i):
+        """Bits [offsets[i], offsets[i]+widths[i]) of the 128-bit
+        fingerprint laid out as lo = bits 0-63, hi = bits 64-127; a
+        block may straddle the word boundary."""
+        off, w = offsets[i], widths[i]
+        mask = F.lit((1 << w) - 1)
+        if off + w <= 64:
+            return F.shiftrightunsigned("__lo", off).bitwiseAND(mask)
+        if off >= 64:
+            return F.shiftrightunsigned("__hi", off - 64).bitwiseAND(mask)
+        lo_bits = 64 - off
+        low = F.shiftrightunsigned("__lo", off)  # top bits already 0
+        high = F.col("__hi").bitwiseAND(F.lit((1 << (w - lo_bits)) - 1))
+        return F.shiftleft(high, lo_bits).bitwiseOR(low)
+
+    from itertools import combinations
+
+    combos = list(combinations(range(n_blocks), combine_blocks))
+    keys = [
+        F.xxhash64(F.lit(ci), *[_blk_val(i) for i in combo])
+        for ci, combo in enumerate(combos)
+    ]
+    blocks = sh.select(
+        "__id", "__lo", "__hi", F.explode(F.array(*keys)).alias("__key")
+    )
+    a = blocks.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__lo").alias("__la"),
+        F.col("__hi").alias("__ha"),
+        "__key",
+    )
+    b = blocks.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__lo").alias("__lb"),
+        F.col("__hi").alias("__hb"),
+        "__key",
+    )
+    hamming = F.bit_count(F.col("__la").bitwiseXOR(F.col("__lb"))) + F.bit_count(
+        F.col("__ha").bitwiseXOR(F.col("__hb"))
+    )
+    # verify-then-distinct: only true near-dup pairs reach the dedup
+    # shuffle (hash-collision and multi-combination fan-in included)
+    return (
+        a.join(b, ["__key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     n: int = 8,

@@ -17,6 +17,7 @@ from flink_framework_spark.operators.dedup import (
     incremental_dedup_ngram,
     near_dup_pairs_minhash,
     ngram_near_dup_pairs,
+    simhash128_near_dup_pairs,
     simhash_near_dup_pairs,
 )
 from flink_framework_spark.operators.similarity import embedding_near_dup_pairs
@@ -152,6 +153,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/freeze_driver_golden.py) + planted-dup properties."""
     return simhash_near_dup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@register(
+    "q_dedup_simhash128",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_simhash128_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs (Manku WWW'07 combination-block
+    keys, combine=2): ~26-bit combination keys vs the 64-bit
+    operator's 14-bit — the wide-fingerprint rung that keeps the
+    birthday-process candidate growth at bay in the tight-threshold
+    (hamming <= 8) near-exact-dup regime. Deterministic (xxhash64 +
+    splitmix64); value-checked against a frozen golden at sf0.01 plus
+    pair-for-pair brute-force equality props
+    (tests/test_simhash128.py)."""
+    return simhash128_near_dup_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=8, combine_blocks=2
     )
 
 

@@ -503,6 +503,46 @@ JOIN read_parquet('{sf_dir}/documents.parquet') b ON r.doc_b = b.doc_id
     assert n_joined == len(reported)
 
 
+def test_simhash128_pairs_true_similarity_in_duckdb():
+    """Soundness of q_dedup_simhash128's golden: hamming <= 8 over
+    128 bits is the near-exact-dup regime, so every reported pair
+    must be a very-high-Jaccard duplicate by 3-token-shingle Jaccard
+    recomputed in DuckDB from raw text (measured: all pairs >= 0.95;
+    floor 0.9). Recall is exact by the pigeonhole construction,
+    verified pair-for-pair against numpy brute force in
+    tests/test_simhash128.py."""
+    sf_dir = "/root/testdata/sf0.01"
+    reported = pd.read_parquet(
+        "tests/golden_driver/q_dedup_simhash128_sf0.01.parquet"
+    )
+    assert len(reported) > 0
+
+    con = duckdb.connect()
+    con.register("reported", reported)
+    bad = con.execute(
+        rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM read_parquet('{sf_dir}/documents.parquet')
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+3], ' ')
+                        for i in range(1, len(tk) - 2)]) AS s
+  FROM toks WHERE len(tk) >= 3
+)
+SELECT r.doc_a, r.doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+FROM reported r
+JOIN sh a ON r.doc_a = a.doc_id
+JOIN sh b ON r.doc_b = b.doc_id
+WHERE j < 0.9
+"""
+    ).fetchall()
+    assert not bad, bad[:5]
+
+
 def test_bpe_first_merges_recomputed_in_duckdb():
     """DuckDB relearns BPE merge #0 from scratch: lowercase
     whitespace words over the same id-ordered sample, end-of-word

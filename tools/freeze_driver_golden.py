@@ -28,6 +28,7 @@ SF_DIR = f"/root/testdata/{SF}"
 GOLDEN_QUERIES = (
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_simhash128",
     "q_sim_topk_ivf",
     "q_sim_topk_ivfpq",
     "q_dedup_clusters",
@@ -48,10 +49,17 @@ OUT_DIR = os.path.join(
 
 
 def main() -> None:
+    # argv selects a subset (freshly added queries) so re-freezing one
+    # golden never touches the others' bytes
+    only = set(sys.argv[1:])
+    targets = [q for q in GOLDEN_QUERIES if not only or q in only]
+    unknown = only - set(GOLDEN_QUERIES)
+    if unknown:
+        raise SystemExit(f"not in GOLDEN_QUERIES: {sorted(unknown)}")
     os.makedirs(OUT_DIR, exist_ok=True)
     spark = get_spark(app_name="freeze-driver-golden")
     qs = all_queries()
-    for name in GOLDEN_QUERIES:
+    for name in targets:
         tbl = qs[name].fn(spark, SF_DIR).toArrow()
         path = os.path.join(OUT_DIR, f"{name}_{SF}.parquet")
         pq.write_table(tbl, path)
