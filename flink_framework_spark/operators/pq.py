@@ -101,11 +101,15 @@ def pq_train(
     train_cap: int = 16384,
     max_iter: int = 8,
     seed: int = 42,
+    normalize: bool = True,
 ) -> Codebooks:
     """Per-subspace k-means codebooks from a bounded sample of
     L2-normalized vectors. Same deterministic scheme as
     ``train_ivf_centroids`` (seeded init, argmin assignment), one
-    independent quantizer per subspace (seed offset by subspace)."""
+    independent quantizer per subspace (seed offset by subspace).
+    ``normalize=False`` trains in the raw space — used by the IMI
+    coarse quantizer (``similarity.train_imi``), which must quantize
+    the same space the flat IVF cells do."""
     import numpy as np
 
     sample = (
@@ -125,7 +129,8 @@ def pq_train(
     X = np.array([r["__v"] for r in sample], dtype=np.float64)
     if len(X) == 0:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -293,6 +293,16 @@ def semantic_dedup(
     assigned = df.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
     ).withColumn("cell", _cell_assign_vec(centroids)(F.col("__v")))
+    return _semantic_prune(assigned, eps)
+
+
+def _semantic_prune(assigned: DataFrame, eps: float) -> DataFrame:
+    """The epsilon-ball pruning stage of SemDeDup, shared by every
+    coarse-quantizer front end (flat IVF cells, IMI product cells):
+    ``assigned`` is (vec_id, __v, cell); the kernel and keep rule are
+    exactly ``semantic_dedup``'s documented ones, so the independent
+    DuckDB recheck (soundness + completeness of drops given cells)
+    applies to any assignment."""
     eps_f = float(eps)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -323,6 +333,88 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(
         prune, "vec_id long, cell int, kept int, dup_of long"
     )
+
+
+def train_imi(
+    df: DataFrame,
+    k_per_half: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_cap: int = 16384,
+):
+    """Two-level product coarse quantizer — the inverted multi-index
+    (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012):
+    independent k-means codebooks on the two vector HALVES; a cell is
+    the PAIR of half-codes, so ``k_per_half`` centroids per half span
+    ``k_per_half^2`` cells while assignment scores only
+    ``2 * k_per_half`` half-distances per vector.
+
+    This is the at-scale fix for flat IVF's assignment term
+    (SCALING.md "SemDeDup at scale"): under the ``n_cells ~ N /
+    target_cell_size`` sizing discipline flat assignment is O(N*k)
+    with k ∝ N — quadratic overall — while IMI assignment is
+    O(N*sqrt(k)), restoring near-linear total cost. Same training
+    discipline as every quantizer here: bounded hash-spread sample,
+    seeded init, deterministic argmin (delegates to ``pq_train`` with
+    m=2 in the RAW space, matching flat IVF cells).
+    """
+    from flink_framework_spark.operators.pq import pq_train
+
+    return pq_train(
+        df,
+        m=2,
+        n_codes=k_per_half,
+        vec_col=vec_col,
+        id_col=id_col,
+        train_cap=train_cap,
+        max_iter=max_iter,
+        seed=seed,
+        normalize=False,
+    )
+
+
+def imi_assign_vec(books):
+    """Arrow-vectorized IMI cell assignment: per batch, one chunked
+    numpy distance-matrix argmin per HALF (ties to the lowest code,
+    float64 — the same determinism contract as ``_cell_assign_vec``);
+    cell id = code0 * len(books[1]) + code1."""
+    mats = [np.asarray(b, dtype=np.float64) for b in books]
+    assert len(mats) == 2, "IMI uses exactly two half-codebooks"
+    dsub = mats[0].shape[1]
+    k1 = len(mats[1])
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype="int32")
+        c0 = _pairwise_d2(X[:, :dsub], mats[0]).argmin(axis=1)
+        c1 = _pairwise_d2(X[:, dsub:], mats[1]).argmin(axis=1)
+        return pd.Series((c0 * k1 + c1).astype(np.int32))
+
+    return assign
+
+
+def semantic_dedup_imi(
+    df: DataFrame,
+    books,
+    eps: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with IMI product cells instead of flat IVF cells —
+    identical pruning kernel, keep rule, and output contract as
+    ``semantic_dedup`` (the independent DuckDB recheck of drops-given-
+    cells applies unchanged); only the coarse quantizer differs, and
+    with it the assignment cost: O(N*sqrt(n_cells)) instead of
+    O(N*n_cells), which is what survives the ``n_cells ∝ N`` sizing
+    discipline at growing corpus size."""
+    assigned = df.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("__v")
+    ).withColumn("cell", imi_assign_vec(books)(F.col("__v")))
+    return _semantic_prune(assigned, eps)
 
 
 def _pairwise_d2(X, C, row_chunk: int = 2048):

@@ -231,6 +231,37 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_semantic_imi",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the inverted-multi-index coarse quantizer
+    (Babenko & Lempitsky CVPR'12): cells are PAIRS of half-vector
+    codes, so assignment scores 2*sqrt(n_cells) half-distances per
+    vector instead of n_cells full distances — the at-scale fix for
+    flat IVF's O(N*k), k ∝ N assignment term (SCALING.md). Pruning
+    kernel, keep rule, and output contract identical to
+    q_dedup_semantic; drops are independently re-derived in DuckDB
+    given the output's cells (tests/test_oracle_independent.py), and
+    the assignment itself is re-verified as per-half argmin in
+    tests/test_imi.py. k_per_half=3 spans 9 product cells — the same
+    cell granularity as the flat query's n_cells=8."""
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup_imi,
+        train_imi,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=3)
+    return semantic_dedup_imi(em, books, eps=0.35)
+
+
+@register(
     "q_dedup_semantic_inc",
     family="K",
     oracle="""

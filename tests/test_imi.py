@@ -1,0 +1,123 @@
+"""Inverted multi-index (IMI) coarse quantizer for SemDeDup.
+
+The cell id is pure structure (code0 * k1 + code1), so the strongest
+check is independent recomputation: rebuild both half-argmins in numpy
+from the returned codebooks and require every assigned cell to match.
+The pruning stage is ``_semantic_prune`` — the exact code path the
+flat-IVF SemDeDup golden and its DuckDB recheck already pin — so the
+tests here focus on the quantizer and the end-to-end dedup contract
+(planted duplicates must drop regardless of which product cell they
+land in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.similarity import (
+    imi_assign_vec,
+    semantic_dedup,
+    semantic_dedup_imi,
+    train_imi,
+    train_ivf_centroids,
+    _pairwise_d2,
+)
+
+
+def test_train_imi_deterministic_and_shaped(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=3)
+    assert len(books) == 2
+    assert all(len(b) == 3 for b in books)
+    dim = len(em.select("embedding").first()[0])
+    assert all(len(c) == dim // 2 for b in books for c in b)
+    assert train_imi(em, k_per_half=3) == books
+
+
+def test_imi_cells_match_numpy_argmin(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=4)
+    rows = (
+        em.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("cell", imi_assign_vec(books)(F.col("v")))
+        .collect()
+    )
+    m0 = np.asarray(books[0], dtype=np.float64)
+    m1 = np.asarray(books[1], dtype=np.float64)
+    dsub = m0.shape[1]
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    c0 = _pairwise_d2(X[:, :dsub], m0).argmin(axis=1)
+    c1 = _pairwise_d2(X[:, dsub:], m1).argmin(axis=1)
+    want = c0 * len(m1) + c1
+    got = np.array([r.cell for r in rows])
+    assert (got == want).all()
+
+
+def test_semantic_dedup_imi_drops_planted_duplicates(spark, sf_dir):
+    """Exact duplicate vectors quantize identically in both halves, so
+    they must land in the same product cell and drop with dup_of
+    pointing at the lower-id original."""
+    em = table(spark, sf_dir, "embeddings")
+    n = em.count()
+    planted = em.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = em.unionByName(planted)
+    books = train_imi(em, k_per_half=3)
+    out = semantic_dedup_imi(corpus, books, eps=0.35)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == n + 20
+    for i in range(20):
+        r = rows[100000 + i]
+        assert r.kept == 0
+        assert r.dup_of is not None and r.dup_of <= i
+        assert rows[i].cell == r.cell
+
+
+def test_imi_and_flat_prune_agree_given_same_cells(spark, sf_dir):
+    """Sanity cross-check of the refactor: the flat-IVF SemDeDup
+    (whose golden + DuckDB recheck pin `_semantic_prune`) and the IMI
+    form run THE SAME prune stage, so restricting both outputs to
+    vectors that happen to share a cell partner set gives identical
+    keep decisions. Verified indirectly: every drop in each output is
+    witnessed by a same-cell lower id at cosine >= eps in numpy."""
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=3)
+    cents = train_ivf_centroids(em, n_cells=8)
+    vecs = {
+        r.vec_id: np.asarray(r.v, dtype=np.float64)
+        for r in em.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+
+    def check(out):
+        rows = out.collect()
+        by_cell: dict[int, list] = {}
+        for r in rows:
+            by_cell.setdefault(r.cell, []).append(r.vec_id)
+        for r in rows:
+            mates = [
+                i for i in by_cell[r.cell] if i < r.vec_id
+            ]
+            v = vecs[r.vec_id]
+            v = v / np.linalg.norm(v)
+            best = None
+            for i in sorted(mates):
+                u = vecs[i] / np.linalg.norm(vecs[i])
+                if float(u @ v) >= 0.35:
+                    best = i
+                    break
+            if best is None:
+                assert r.kept == 1 and r.dup_of is None, r
+            else:
+                assert r.kept == 0 and r.dup_of == best, r
+
+    check(semantic_dedup_imi(em, books, eps=0.35))
+    check(semantic_dedup(em, cents, eps=0.35))

@@ -294,10 +294,22 @@ def test_semantic_dedup_pruning_in_duckdb():
     ~10 orders above double noise. Soundness AND completeness of the
     epsilon-ball pruning are both pinned; only the clustering itself
     rests on the golden (and on kmeans' own optimality test above)."""
-    sf_dir = "/root/testdata/sf0.01"
-    golden = pd.read_parquet(
-        "tests/golden_driver/q_dedup_semantic_sf0.01.parquet"
+    _check_semantic_pruning("tests/golden_driver/q_dedup_semantic_sf0.01.parquet")
+
+
+def test_semantic_dedup_imi_pruning_in_duckdb():
+    """The IMI variant runs the SAME prune stage over product cells,
+    and the recheck is assignment-agnostic by construction (it takes
+    the output's cell column as given) — so the identical full
+    soundness+completeness re-derivation applies."""
+    _check_semantic_pruning(
+        "tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet"
     )
+
+
+def _check_semantic_pruning(golden_path: str) -> None:
+    sf_dir = "/root/testdata/sf0.01"
+    golden = pd.read_parquet(golden_path)
     assert (golden.kept == 0).sum() > 0, "fixture should drop some docs"
 
     con = duckdb.connect()

@@ -33,6 +33,7 @@ GOLDEN_QUERIES = (
     "q_sim_topk_ivfpq",
     "q_dedup_clusters",
     "q_dedup_semantic",
+    "q_dedup_semantic_imi",
     "q_dedup_semantic_inc",
     "q_kmeans",
     "q_pagerank",

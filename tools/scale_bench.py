@@ -64,6 +64,24 @@ def _semantic_scaled(spark, sf_dir: str, tiles: int):
     return semantic_dedup(em, cents, eps=0.35)
 
 
+def _semantic_imi_scaled(spark, sf_dir: str, tiles: int):
+    """The IMI twin of _semantic_scaled at the SAME total cell count
+    (k_per_half = ceil(sqrt(8 * tiles))): measures the claim that the
+    two-level quantizer turns the flat O(N*k), k ∝ N assignment term
+    into O(N*sqrt(k)) while the pruning stage stays identical."""
+    import math
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup_imi,
+        train_imi,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=math.ceil(math.sqrt(8 * tiles)))
+    return semantic_dedup_imi(em, books, eps=0.35)
+
+
 def _semantic_inc_scaled(spark, sf_dir: str, tiles: int):
     """Rolling-ingest shape at scale: the LAST tile is the incoming
     batch, everything before it the accumulated corpus, n_cells sized
@@ -90,6 +108,7 @@ def _semantic_inc_scaled(spark, sf_dir: str, tiles: int):
 # queries when the sweep needs a scale-aware configuration
 CUSTOM = {
     "q_dedup_semantic@scaled_cells": _semantic_scaled,
+    "q_dedup_semantic_imi@scaled_cells": _semantic_imi_scaled,
     "q_dedup_semantic_inc@scaled": _semantic_inc_scaled,
 }
 
