@@ -443,6 +443,75 @@ def ngram_near_dup_pairs(
     )
 
 
+def jaccard_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Top-k most-similar documents PER document by exact shingle
+    Jaccard among min-shingle block mates — the retrieval twin of
+    ``ngram_near_dup_pairs`` (similar-document search / provenance
+    lookup rather than symmetric dedup pairs): every document is a
+    query, candidates are its blocking-key mates, ranking is exact
+    Jaccard desc with id tiebreak.
+
+    Same scale shape and the same three hot-path choices as the dedup
+    form (hashed blocking key, hashed-set Jaccard, staged self-join
+    input); the ranking adds one window over (doc_id), partitioned by
+    the join's own output key. Because blocking is a deterministic
+    function of text (lexicographic min shingle), the whole operator
+    is SQL-expressible and live-oracle-checked. Docs sharing a block
+    always intersect in >= the min shingle, so jac > 0 for every
+    returned row. Output: (doc_id, match_id, jac, rn<=k).
+    """
+    from pyspark.sql import Window
+
+    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
+        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
+    )
+    sh = _staged(
+        sh.select(
+            "__id",
+            "__mink",
+            F.xxhash64("__mink").alias("__minh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        ).withColumn("__nsh", F.size("__shh").cast("double"))
+    )
+    a = sh.select(
+        F.col("__id").alias("doc_id"), F.col("__shh").alias("__sa"),
+        F.col("__nsh").alias("__na"), F.col("__mink").alias("__minka"),
+        "__minh",
+    )
+    b = sh.select(
+        F.col("__id").alias("match_id"), F.col("__shh").alias("__sb"),
+        F.col("__nsh").alias("__nb"), F.col("__mink").alias("__minkb"),
+        "__minh",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.col("__na") + F.col("__nb") - inter
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("__jac"), F.col("match_id")
+    )
+    # <=/>= residual spelling for the same ExtractEquiJoinKeys reason
+    # as ngram_near_dup_pairs
+    return (
+        a.join(b, ["__minh"])
+        .filter(
+            (F.col("doc_id") != F.col("match_id"))
+            & (F.col("__minka") <= F.col("__minkb"))
+            & (F.col("__minka") >= F.col("__minkb"))
+        )
+        .withColumn("__jac", inter / union)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id", "match_id", round_duck("__jac", 4).alias("jac"), "rn"
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 16,

@@ -152,6 +152,7 @@ def gemm_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_cap: int = 4096,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via blocked GEMM — SURVEY.md §4.3.2's
     "block-matrix pandas_udf" scale path for K3, the distributed form
@@ -176,9 +177,18 @@ def gemm_topk(
     output rounds to 4 dp like every cosine in this repo. Output:
     (query_id, neighbor_id, cosim, rn) — same contract as
     ``brute_force_topk``, which remains the bit-exact oracle form.
+
+    ``exclude_label_col``: hard-negative mining mode (contrastive-
+    training data pipelines): candidates sharing the query's label are
+    masked out before per-batch selection, so the top-k are the
+    nearest WRONG-class vectors. Same exactness argument — the mask is
+    a per-pair predicate applied before an order-preserving selection.
     """
+    qcols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
+    if exclude_label_col is not None:
+        qcols.append(F.col(exclude_label_col).alias("__l"))
     qrows = (
-        queries.select(F.col(id_col), to_double_array(vec_col).alias("__v"))
+        queries.select(*qcols)
         .orderBy(id_col)
         .limit(query_cap + 1)
         .collect()
@@ -193,6 +203,11 @@ def gemm_topk(
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     Qm = np.array([r["__v"] for r in qrows], dtype=np.float64)
     Qt = (Qm / np.linalg.norm(Qm, axis=1, keepdims=True)).T  # (dim, q)
+    qlabs = (
+        np.array([r["__l"] for r in qrows], dtype=object)
+        if exclude_label_col is not None
+        else None
+    )
 
     def scorer(batches):
         for pdf in batches:
@@ -206,6 +221,9 @@ def gemm_topk(
             S = Xn @ Qt  # (batch, q)
             # self-pairs never compete
             S[ids[:, None] == qids[None, :]] = -np.inf
+            if qlabs is not None:
+                blabs = pdf[exclude_label_col].to_numpy(dtype=object)
+                S[blabs[:, None] == qlabs[None, :]] = -np.inf
             kk = min(k, len(ids))
             out_q, out_n, out_s = [], [], []
             for j in range(S.shape[1]):

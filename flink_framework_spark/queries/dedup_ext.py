@@ -15,6 +15,7 @@ from flink_framework_spark.operators.dedup import (
     duplicated_spans,
     edit_distance_pairs,
     incremental_dedup_ngram,
+    jaccard_topk,
     near_dup_pairs_minhash,
     ngram_near_dup_pairs,
     simhash128_near_dup_pairs,
@@ -154,6 +155,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=8
     )
+
+
+@register(
+    "q_jaccard_topk",
+    family="K",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+kb AS (SELECT doc_id, s, list_sort(s)[1] AS mink FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id <> b.doc_id)
+SELECT doc_id, match_id, ROUND(jac, 4) AS jac, rn FROM (
+  SELECT doc_id, match_id, jac,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jac DESC, match_id) AS rn
+  FROM pairs) t
+WHERE rn <= 3
+""",
+)
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document retrieval: top-3 block mates per document by
+    exact shingle Jaccard (min-shingle blocking = 1-permutation
+    MinHash band, so the whole operator — blocking, verify, ranking —
+    is live-SQL-oracle-checked; operators.dedup.jaccard_topk)."""
+    return jaccard_topk(table(spark, sf_dir, "documents"), k=3)
 
 
 @register(

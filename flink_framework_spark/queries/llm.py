@@ -115,6 +115,41 @@ def q_sim_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hard_negatives",
+    family="K",
+    oracle="""
+SELECT query_id, neighbor_id, cosim, rn FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 4) AS cosim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings e ON e.vec_id <> q.vec_id AND e.label <> q.label) t
+WHERE rn <= 5
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    5 nearest WRONG-label vectors — the standard dense-retrieval /
+    embedding-training data op. Exact GEMM path with the same-label
+    mask applied before per-batch selection
+    (operators.similarity.gemm_topk exclude_label_col); identical live
+    brute-force oracle with the label exclusion in the join."""
+    from flink_framework_spark.operators.similarity import gemm_topk
+
+    em = table(spark, sf_dir, "embeddings")
+    return gemm_topk(
+        em.filter(F.col("vec_id") < 10),
+        em,
+        k=5,
+        exclude_label_col="label",
+    )
+
+
+@register(
     "q_text_stats",
     family="K",
     oracle="""

@@ -30,6 +30,8 @@ DEFAULT_QUERIES = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_simhash128",
+    "q_jaccard_topk",
     "q_sim_topk_ivf",
     "q_sim_topk_ivfpq",
     "q_retrieval_suite",
