@@ -1,0 +1,140 @@
+"""Streaming rolling-ingest dedup (foreachBatch) — equivalence to the
+batch fold, idempotent replay, and the keep-earliest contract."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.streaming.rolling_dedup import (
+    RollingDedupProcessor,
+)
+
+N_FILES = 4
+
+
+@pytest.fixture(scope="module")
+def doc_spool(spark, sf_dir, tmp_path_factory):
+    """documents as N_FILES parquet files in doc_id order with strictly
+    increasing mtimes, so the file stream replays them as ordered
+    micro-batches."""
+    out = tmp_path_factory.mktemp("docspool")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    chunk = (len(docs) + N_FILES - 1) // N_FILES
+    cuts = []
+    for i in range(N_FILES):
+        part = docs.iloc[i * chunk : (i + 1) * chunk]
+        cuts.append(set(part.doc_id))
+        p = out / f"part-{i:05d}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(out), cuts
+
+
+def _run_stream(spark, directory, corpus_path, checkpoint):
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    proc = RollingDedupProcessor(corpus_path, threshold=0.5)
+    q = (
+        proc.attach(sdf, checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(corpus_path)
+
+
+def _batch_fold(spark, sf_dir, n_batches):
+    from flink_framework_spark.operators.dedup import incremental_dedup_ngram
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdf = docs.orderBy("doc_id").toPandas()
+    chunk = (len(pdf) + n_batches - 1) // n_batches
+    ids = list(pdf.doc_id)
+    corpus = docs.filter(F.col("doc_id").isin(ids[:chunk]))
+    for i in range(1, n_batches):
+        b = docs.filter(F.col("doc_id").isin(ids[i * chunk : (i + 1) * chunk]))
+        corpus = corpus.unionByName(
+            incremental_dedup_ngram(b, corpus, threshold=0.5)
+        ).localCheckpoint()
+    return corpus
+
+
+def test_stream_equals_batch_fold(spark, sf_dir, doc_spool, tmp_path):
+    directory, cuts = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    got = _run_stream(
+        spark, directory, corpus_path, str(tmp_path / "ckpt")
+    )
+    want = _batch_fold(spark, sf_dir, N_FILES)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids
+    # batch partition layout: each survivor sits in its arrival batch
+    by_batch = {
+        r.batch: r.n
+        for r in got.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_batch) == set(range(N_FILES))
+    assert by_batch[0] == len(cuts[0])  # first batch passes whole
+
+
+def test_replayed_batch_is_idempotent(spark, sf_dir, doc_spool, tmp_path):
+    """Re-running the LAST micro-batch (what checkpoint recovery does
+    after a sink-side crash) must leave the corpus byte-identical in
+    content: the batch partition is overwritten, not appended, and the
+    replay does not dedup against its own previous output."""
+    directory, _ = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    _run_stream(spark, directory, corpus_path, str(tmp_path / "ckpt"))
+    before = {
+        (r.doc_id, r.batch)
+        for r in spark.read.parquet(corpus_path).collect()
+    }
+    # simulate recovery replay of the final batch
+    last = N_FILES - 1
+    proc = RollingDedupProcessor(corpus_path, threshold=0.5)
+    replay_df = spark.read.parquet(
+        os.path.join(directory, f"part-{last:05d}.parquet")
+    )
+    proc(replay_df, last)
+    after = {
+        (r.doc_id, r.batch)
+        for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert after == before
+
+
+def test_no_cross_batch_dups_survive(spark, sf_dir, doc_spool, tmp_path):
+    from flink_framework_spark.operators.dedup import ngram_near_dup_pairs
+
+    directory, cuts = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    got = _run_stream(
+        spark, directory, corpus_path, str(tmp_path / "ckpt")
+    )
+    surv = got.select("doc_id", "text", "batch")
+    pairs = ngram_near_dup_pairs(surv, threshold=0.5)
+    batches = surv.select("doc_id", "batch")
+    a = batches.select(
+        F.col("doc_id").alias("doc_a"), F.col("batch").alias("ba")
+    )
+    b = batches.select(
+        F.col("doc_id").alias("doc_b"), F.col("batch").alias("bb")
+    )
+    cross = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("ba") != F.col("bb"))
+    )
+    assert cross.count() == 0
