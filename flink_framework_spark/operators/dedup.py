@@ -899,6 +899,44 @@ def duplicated_spans(
     )
 
 
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplication fraction — the curation-facing rollup
+    of ``duplicated_spans`` (CCNet/Lee-et-al-style boilerplate
+    signal): the share of a document's token positions covered by
+    maximal spans whose ``n``-grams repeat >= ``min_count`` times
+    corpus-wide. High values flag boilerplate/templated pages for the
+    quality-filter stage. Output: (doc_id, n_tokens, dup_tokens,
+    dup_frac), one row per input document (0.0 when no span).
+
+    Scale shape: the spans pipeline (linear + one keyed shuffle; see
+    ``duplicated_spans``) plus a per-doc partial-agg sum and a left
+    join back to the token counts — nothing new shuffles more than
+    once."""
+    spans = duplicated_spans(df, n, min_count, id_col, text_col)
+    ntok = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("__dup")
+    )
+    dup = F.coalesce(F.col("__dup"), F.lit(0)).cast("long")
+    return ntok.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        round_duck(dup.cast("double") / F.col("n_tokens"), 4).alias(
+            "dup_frac"
+        ),
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     threshold: float = 0.5,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import (
+    boilerplate_fraction,
     dedup_clusters,
     duplicated_spans,
     edit_distance_pairs,
@@ -54,11 +55,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_spans",
-    family="K",
-    oracle=r"""
-WITH toks AS (
+# the full duplicated-spans pipeline in DuckDB, shared by the spans
+# query and the boilerplate-fraction query built on top of it
+_SPANS_SQL_BODY = r"""
+toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
   FROM documents),
 ng AS (
@@ -78,12 +78,19 @@ run AS (
   SELECT doc_id, pos,
          SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
                        ROWS UNBOUNDED PRECEDING) AS island
-  FROM isl)
-SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
-       MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-FROM run GROUP BY doc_id, island
-""",
+  FROM isl),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+         MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM run GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "q_dedup_spans",
+    family="K",
+    oracle=f"WITH {_SPANS_SQL_BODY} SELECT * FROM spans",
 )
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 shape at
@@ -93,6 +100,36 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (positional n-grams, corpus counts, gaps-and-islands
     merge) is re-expressed in DuckDB."""
     return duplicated_spans(table(spark, sf_dir, "documents"), n=8, min_count=2)
+
+
+@register(
+    "q_boilerplate",
+    family="K",
+    oracle=f"""
+WITH {_SPANS_SQL_BODY},
+nt AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents),
+agg AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT nt.doc_id, nt.n_tokens,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / nt.n_tokens,
+             4) AS dup_frac
+FROM nt LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate/duplication fraction: share of token
+    positions covered by corpus-repeated 8-gram spans — the
+    quality-filter rollup of q_dedup_spans
+    (operators.dedup.boilerplate_fraction). Live SQL oracle over the
+    full spans + coverage pipeline."""
+    return boilerplate_fraction(
+        table(spark, sf_dir, "documents"), n=8, min_count=2
+    )
 
 
 @register(
