@@ -466,29 +466,92 @@ UNION ALL
 SELECT 'semantic', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
   '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
 WHERE kept = 0
+UNION ALL
+SELECT 'simhash128', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_simhash128_sf0.01.parquet')
+UNION ALL
+SELECT 'jaccard_topk', doc_id, match_id, ROUND(jac, 4) FROM (
+  SELECT doc_id, match_id, jac,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY jac DESC, match_id) AS rn
+  FROM (SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        FROM kb a JOIN kb b
+          ON a.mink = b.mink AND a.doc_id <> b.doc_id) p) jt
+WHERE rn <= 3
+UNION ALL
+SELECT 'boilerplate', doc_id, dup_tokens, dup_frac FROM (
+  WITH btoks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+    FROM documents),
+  bng AS (
+    SELECT doc_id,
+           unnest(range(1, len(tk) - 6)) - 1 AS pos,
+           unnest([array_to_string(tk[i:i+7], ' ')
+                   for i in range(1, len(tk) - 6)]) AS g
+    FROM btoks WHERE len(tk) >= 8),
+  bhot AS (SELECT g FROM bng GROUP BY g HAVING COUNT(*) >= 2),
+  bdp AS (SELECT doc_id, pos FROM bng WHERE g IN (SELECT g FROM bhot)),
+  bisl AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+    FROM bdp),
+  brun AS (
+    SELECT doc_id, pos,
+           SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+    FROM bisl),
+  bspans AS (
+    SELECT doc_id, MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+    FROM brun GROUP BY doc_id, island),
+  bnt AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+    FROM documents),
+  bagg AS (
+    SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+    FROM bspans GROUP BY doc_id)
+  SELECT bnt.doc_id, bagg.dup_tokens,
+         ROUND(CAST(bagg.dup_tokens AS DOUBLE) / bnt.n_tokens, 4) AS dup_frac
+  FROM bnt JOIN bagg USING (doc_id)) bp
+WHERE dup_tokens > 0
+UNION ALL
+SELECT 'semantic_imi', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet')
+WHERE kept = 0
 """,
     oracle_sf="sf0.01",
     bench=False,  # the granular K2 queries carry the bench signal
 )
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six near-dedup methods (K2) tagged into one driver slot,
+    """All ten near-dedup/similarity methods (K2) tagged into one
+    driver slot,
     value-complete: n-gram Jaccard + embedding cosine + duplicated
-    8-gram spans (live SQL oracles) and MinHash-LSH + SimHash +
-    SemDeDup (deterministic; frozen golden snapshots at the driver's
-    sf0.01 — SemDeDup's pruning additionally re-verified
+    8-gram spans + Jaccard top-k retrieval + boilerplate fraction
+    (live SQL oracles) and MinHash-LSH + SimHash(64) + SimHash(128) +
+    SemDeDup (flat IVF and IMI cells) (deterministic; frozen golden
+    snapshots at the driver's sf0.01 — each additionally re-verified
     independently in tests/test_oracle_independent.py). The granular
     queries stay registered for bench + local hash checks. Span rows
     encode (doc_id, span_start, span_end-as-score); semantic rows
-    encode the dropped pairs (witness, dropped, cell-as-score)."""
+    encode the dropped pairs (witness, dropped, cell-as-score);
+    boilerplate rows (doc_id, dup_tokens, dup_frac-as-score)."""
     from flink_framework_spark.operators.dedup import (
+        boilerplate_fraction,
         duplicated_spans,
+        jaccard_topk,
         near_dup_pairs_minhash,
         ngram_near_dup_pairs,
+        simhash128_near_dup_pairs,
         simhash_near_dup_pairs,
     )
     from flink_framework_spark.operators.similarity import (
         embedding_near_dup_pairs,
         semantic_dedup,
+        semantic_dedup_imi,
+        train_imi,
         train_ivf_centroids,
     )
 
@@ -517,9 +580,23 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup(emb, train_ivf_centroids(emb, n_cells=8), eps=0.35)
         .filter(F.col("kept") == 0),
         "semantic", "dup_of", "vec_id", F.col("cell").cast("double"))
+    sh128 = tag(
+        simhash128_near_dup_pairs(docs, max_hamming=8, combine_blocks=2),
+        "simhash128", "doc_a", "doc_b", F.col("hamming").cast("double"))
+    jt = tag(jaccard_topk(docs, k=3),
+             "jaccard_topk", "doc_id", "match_id", F.col("jac"))
+    bp = tag(
+        boilerplate_fraction(docs, n=8, min_count=2)
+        .filter(F.col("dup_tokens") > 0),
+        "boilerplate", "doc_id", "dup_tokens", F.col("dup_frac"))
+    si = tag(
+        semantic_dedup_imi(emb, train_imi(emb, k_per_half=3), eps=0.35)
+        .filter(F.col("kept") == 0),
+        "semantic_imi", "dup_of", "vec_id", F.col("cell").cast("double"))
     return (
         ng.unionByName(em).unionByName(mh).unionByName(sh)
-        .unionByName(sp).unionByName(se)
+        .unionByName(sp).unionByName(se).unionByName(sh128)
+        .unionByName(jt).unionByName(bp).unionByName(si)
     )
 
 
