@@ -46,8 +46,14 @@ class RollingDedupProcessor:
     corpus_path : directory of the surviving-corpus lake
         (``batch=<id>`` partition per micro-batch).
     threshold : exact-Jaccard drop threshold (>= threshold = near-dup
-        of an earlier survivor -> dropped).
-    id_col / text_col : document schema in the stream.
+        of an earlier survivor -> dropped) for the default text dedup.
+    id_col / text_col : document schema in the stream (default mode).
+    dedup_fn : optional ``f(new_df, corpus_df) -> surviving new rows``
+        replacing the default ``incremental_dedup_ngram`` — any
+        incremental dedup with the same new-vs-corpus contract plugs
+        in (e.g. ``semantic_dedup_incremental`` over embeddings; see
+        tests/test_rolling_dedup.py). With ``dedup_fn``, ``cols``
+        names the payload columns to persist per survivor.
     """
 
     def __init__(
@@ -56,11 +62,15 @@ class RollingDedupProcessor:
         threshold: float = 0.5,
         id_col: str = "doc_id",
         text_col: str = "text",
+        dedup_fn=None,
+        cols: list[str] | None = None,
     ):
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.id_col = id_col
         self.text_col = text_col
+        self.dedup_fn = dedup_fn
+        self.cols = cols or [id_col, text_col]
 
     def _corpus(self, spark, exclude_batch: int) -> DataFrame | None:
         """Accumulated survivors EXCLUDING ``exclude_batch``'s own
@@ -80,16 +90,19 @@ class RollingDedupProcessor:
         )
 
         spark = batch_df.sparkSession
-        new = batch_df.select(self.id_col, self.text_col)
+        new = batch_df.select(*self.cols)
         corpus = self._corpus(spark, int(batch_id))
         if corpus is not None and corpus.limit(1).count() > 0:
-            survivors = incremental_dedup_ngram(
-                new,
-                corpus,
-                threshold=self.threshold,
-                id_col=self.id_col,
-                text_col=self.text_col,
-            )
+            if self.dedup_fn is not None:
+                survivors = self.dedup_fn(new, corpus)
+            else:
+                survivors = incremental_dedup_ngram(
+                    new,
+                    corpus,
+                    threshold=self.threshold,
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                )
         else:
             survivors = new
         # idempotent per-batch partition: overwrite ONLY batch=<id>;

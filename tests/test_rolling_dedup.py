@@ -117,6 +117,70 @@ def test_replayed_batch_is_idempotent(spark, sf_dir, doc_spool, tmp_path):
     assert after == before
 
 
+def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The pluggable dedup_fn path: stream embeddings in 3 batches
+    through semantic_dedup_incremental (fixed centroid artifact) and
+    require the surviving vec_id set to equal the batch fold's."""
+    from flink_framework_spark.operators.similarity import (
+        semantic_dedup_incremental,
+        train_ivf_centroids,
+    )
+
+    em = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(em, n_cells=8)
+
+    def sem_fn(new, corpus):
+        out = semantic_dedup_incremental(
+            new, corpus, cents, eps=0.35
+        )
+        keep = out.filter(
+            (F.col("is_new") == 1) & (F.col("kept") == 1)
+        ).select("vec_id")
+        return new.join(keep, "vec_id", "semi")
+
+    n = em.count()
+    cut = n // 3
+    ids = [r.vec_id for r in em.select("vec_id").orderBy("vec_id").collect()]
+    parts = [
+        em.filter(F.col("vec_id").isin(ids[i * cut : (i + 1) * cut] if i < 2
+                                       else ids[2 * cut :]))
+        for i in range(3)
+    ]
+    # spool the three batches as ordered files
+    spool = tmp_path / "emspool"
+    spool.mkdir()
+    for i, p in enumerate(parts):
+        f = str(spool / f"part-{i:05d}.parquet")
+        p.toPandas().to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    sdf = (
+        spark.readStream.schema(em.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(spool))
+    )
+    corpus_path = str(tmp_path / "emcorpus")
+    proc = RollingDedupProcessor(
+        corpus_path, dedup_fn=sem_fn, id_col="vec_id",
+        cols=["vec_id", "embedding"],
+    )
+    q = (
+        proc.attach(sdf, str(tmp_path / "emckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(corpus_path).select("vec_id").collect()
+    }
+    corpus = parts[0]
+    for b in parts[1:]:
+        corpus = corpus.unionByName(sem_fn(b, corpus)).localCheckpoint()
+    want = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert got == want
+    assert len(got) < n  # the fold actually drops something
+
+
 def test_no_cross_batch_dups_survive(spark, sf_dir, doc_spool, tmp_path):
     from flink_framework_spark.operators.dedup import ngram_near_dup_pairs
 
