@@ -235,6 +235,36 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sim_topk_imi",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_sim_topk_imi_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_sim_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN over IMI product cells (operators.similarity.imi_topk):
+    the ANN rung that survives n_cells ∝ N — corpus assignment scores
+    2*sqrt(k) half-distances per vector where flat IVF scores k full
+    distances (measured alpha ~1.1 for flat at the 100x tile vs
+    sublinear for IMI; SCALING.md). Exact-cosine scoring on probed
+    candidates; golden at sf0.01, recall-vs-brute-force props in
+    tests/test_imi.py, independent DuckDB brute-force recheck in
+    tests/test_oracle_independent.py."""
+    from flink_framework_spark.operators.similarity import (
+        imi_topk,
+        train_imi,
+    )
+
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=3)
+    return imi_topk(
+        em.filter(F.col("vec_id") < 10), em, books, k=5, nprobe=4
+    )
+
+
+@register(
     "q_dedup_semantic",
     family="K",
     oracle="""

@@ -461,6 +461,13 @@ def test_ivf_topk_vs_brute_force_in_duckdb():
     _check_ann_against_brute_force("q_sim_topk_ivf", "cosim", 0.55)
 
 
+def test_imi_topk_vs_brute_force_in_duckdb():
+    """q_sim_topk_imi's golden vs DuckDB brute force: recall at the
+    measured nprobe=4/9-cell probing level (0.64; floor 0.6) and
+    exact reported scores (same exact-cosine kernel as flat IVF)."""
+    _check_ann_against_brute_force("q_sim_topk_imi", "cosim", 0.6)
+
+
 def test_ivfpq_topk_vs_brute_force_in_duckdb():
     """q_sim_topk_ivfpq's golden vs DuckDB brute force: the re-ranked
     shortlist reaches higher recall (measured 0.76; floor 0.70) and

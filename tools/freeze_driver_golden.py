@@ -30,6 +30,7 @@ GOLDEN_QUERIES = (
     "q_dedup_simhash",
     "q_dedup_simhash128",
     "q_sim_topk_ivf",
+    "q_sim_topk_imi",
     "q_sim_topk_ivfpq",
     "q_dedup_clusters",
     "q_dedup_semantic",

@@ -84,6 +84,51 @@ def _semantic_imi_scaled(spark, sf_dir: str, tiles: int):
     return semantic_dedup_imi(em, books, eps=0.35)
 
 
+def _ivf_scaled(spark, sf_dir: str, tiles: int):
+    """ivf_topk under the deployment discipline (n_cells ∝ N, fixed
+    nprobe): per-query candidate count is then bounded by nprobe x
+    target-cell-size regardless of corpus growth — the registered
+    query's fixed n_cells=8 instead measures cells that grow linearly
+    with the corpus (cost ∝ N even for a fixed query set)."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    import pyspark.sql.functions as F
+
+    em = table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(em, n_cells=8 * tiles)
+    return ivf_topk(
+        em.filter(F.col("vec_id") < 10),
+        em,
+        cents,
+        k=5,
+        nprobe=2,
+        vectorized_assign=True,
+    )
+
+
+def _imi_topk_scaled(spark, sf_dir: str, tiles: int):
+    """imi_topk under n_cells ∝ N (k_per_half = ceil(sqrt(8*tiles)))
+    — the IMI twin of _ivf_scaled: same probed-cell budget, corpus
+    assignment O(N*sqrt(k)) instead of O(N*k)."""
+    import math
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import (
+        imi_topk,
+        train_imi,
+    )
+    import pyspark.sql.functions as F
+
+    em = table(spark, sf_dir, "embeddings")
+    books = train_imi(em, k_per_half=math.ceil(math.sqrt(8 * tiles)))
+    return imi_topk(
+        em.filter(F.col("vec_id") < 10), em, books, k=5, nprobe=4
+    )
+
+
 def _semantic_inc_scaled(spark, sf_dir: str, tiles: int):
     """Rolling-ingest shape at scale: the LAST tile is the incoming
     batch, everything before it the accumulated corpus, n_cells sized
@@ -112,6 +157,8 @@ CUSTOM = {
     "q_dedup_semantic@scaled_cells": _semantic_scaled,
     "q_dedup_semantic_imi@scaled_cells": _semantic_imi_scaled,
     "q_dedup_semantic_inc@scaled": _semantic_inc_scaled,
+    "q_sim_topk_ivf@scaled_cells": _ivf_scaled,
+    "q_sim_topk_imi@scaled_cells": _imi_topk_scaled,
 }
 
 SCALES = [
