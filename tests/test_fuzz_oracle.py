@@ -1,0 +1,205 @@
+"""Cross-engine fuzz: seeded random aggregation queries rendered from
+ONE AST to both a DataFrame plan and DuckDB SQL, compared exactly.
+
+The registered oracle suite pins hand-written pairs; this generator
+covers the combinatorial space between them (scan/join x predicate
+combos x group keys x aggregate sets x having). The grammar is
+restricted to operations that are bit-exact across engines:
+
+- aggregates: COUNT(*), COUNT(DISTINCT int), MIN/MAX (no FP
+  arithmetic — stored values only), SUM over BIGINT-cast integral
+  columns and over 0/1 CASE flags (associative integer math; the SQL
+  side re-casts DuckDB's HUGEINT sum to BIGINT);
+- group keys: low-cardinality strings, int modulos, substr/upper,
+  CASE buckets, year(timestamp) (tz-independent on NTZ data);
+- predicates: numeric/string/year comparisons, BETWEEN, AND/OR/NOT;
+- no ORDER BY/LIMIT (the compare is order-insensitive; LIMIT without
+  a total order is nondeterministic by design).
+
+Every seed is deterministic, so a failure is a reproducible
+counterexample, not flake.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from tests.harness import assert_matches_oracle
+
+N_SEEDS = 40
+
+
+# ---- grammar pieces: (spark_column_fn, sql_text) -----------------
+
+GROUP_KEYS = [
+    (lambda: F.col("l_returnflag"), "l_returnflag"),
+    (lambda: F.col("l_linestatus"), "l_linestatus"),
+    (lambda: F.col("l_partkey") % 7, "l_partkey % 7"),
+    (lambda: F.col("l_suppkey") % 5, "l_suppkey % 5"),
+    (lambda: F.year("l_shipdate"), "year(l_shipdate)"),
+    (
+        lambda: F.when(F.col("l_quantity") > 25, "hi").otherwise("lo"),
+        "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+    ),
+    (
+        lambda: F.upper(F.substring("l_returnflag", 1, 1)),
+        "upper(substr(l_returnflag, 1, 1))",
+    ),
+]
+
+JOIN_GROUP_KEYS = [
+    (lambda: F.col("o_orderstatus"), "o_orderstatus"),
+    (lambda: F.col("o_orderpriority"), "o_orderpriority"),
+    (lambda: F.year("o_orderdate"), "year(o_orderdate)"),
+]
+
+AGGS = [
+    (
+        lambda: F.countDistinct("l_partkey"),
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT)",
+    ),
+    (lambda: F.min("l_extendedprice"), "MIN(l_extendedprice)"),
+    (lambda: F.max("l_discount"), "MAX(l_discount)"),
+    (lambda: F.min("l_returnflag"), "MIN(l_returnflag)"),
+    (
+        lambda: F.sum(F.col("l_quantity").cast("long")),
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)",
+    ),
+    (
+        lambda: F.sum(
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0).cast("long")
+        ),
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)",
+    ),
+    (lambda: F.max(F.col("l_orderkey")), "MAX(l_orderkey)"),
+]
+
+JOIN_AGGS = [
+    (lambda: F.min("o_totalprice"), "MIN(o_totalprice)"),
+    (
+        lambda: F.countDistinct("o_custkey"),
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
+    ),
+]
+
+
+def _predicates(rng: random.Random, joined: bool):
+    out = []
+    q = rng.choice([5, 10, 20, 30, 40, 45])
+    op = rng.choice(["<", "<=", ">", ">=", "="])
+    ops = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "=": lambda a, b: a == b,
+    }
+    out.append(
+        (
+            lambda: ops[op](F.col("l_quantity"), F.lit(q)),
+            f"l_quantity {op} {q}",
+        )
+    )
+    flag = rng.choice(["A", "N", "R"])
+    out.append(
+        (lambda: F.col("l_returnflag") == flag, f"l_returnflag = '{flag}'")
+    )
+    lo = rng.choice([0.01, 0.02, 0.03])
+    hi = rng.choice([0.06, 0.08, 0.1])
+    out.append(
+        (
+            lambda: F.col("l_discount").between(lo, hi),
+            f"l_discount BETWEEN {lo} AND {hi}",
+        )
+    )
+    y = rng.choice([1993, 1995, 1997])
+    yop = rng.choice(["<", ">="])
+    out.append(
+        (
+            lambda: ops[yop](F.year("l_shipdate"), F.lit(y)),
+            f"year(l_shipdate) {yop} {y}",
+        )
+    )
+    if joined:
+        st = rng.choice(["O", "F", "P"])
+        out.append(
+            (
+                lambda: F.col("o_orderstatus") == st,
+                f"o_orderstatus = '{st}'",
+            )
+        )
+    return out
+
+
+def gen_query(seed: int):
+    """One seeded AST -> (spark_fn, sql). Deterministic per seed."""
+    rng = random.Random(seed)
+    joined = rng.random() < 0.4
+
+    keypool = GROUP_KEYS + (JOIN_GROUP_KEYS if joined else [])
+    aggpool = AGGS + (JOIN_AGGS if joined else [])
+    keys = rng.sample(keypool, rng.randint(0, 2))
+    aggs = rng.sample(aggpool, rng.randint(1, 3))
+
+    pool = _predicates(rng, joined)
+    preds = rng.sample(pool, rng.randint(0, 2))
+    combiner = rng.choice(["AND", "OR"])
+    having_n = rng.choice([None, 2, 10])
+
+    key_sql = [f"{sql} AS k{i}" for i, (_, sql) in enumerate(keys)]
+    agg_sql = [f"{sql} AS a{i}" for i, (_, sql) in enumerate(aggs)]
+    sel = ", ".join(key_sql + agg_sql + ["CAST(COUNT(*) AS BIGINT) AS cnt"])
+    src = (
+        "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        if joined
+        else "lineitem"
+    )
+    sql = f"SELECT {sel} FROM {src}"
+    if preds:
+        sql += " WHERE " + f" {combiner} ".join(
+            f"({p})" for _, p in preds
+        )
+    if keys:
+        sql += " GROUP BY " + ", ".join(
+            f"k{i}" for i in range(len(keys))
+        )
+    if having_n is not None:
+        sql += (
+            f" HAVING COUNT(*) > {having_n}"
+            if keys
+            else ""
+        )
+
+    def fn(spark, sf_dir):
+        df = table(spark, sf_dir, "lineitem")
+        if joined:
+            od = table(spark, sf_dir, "orders")
+            df = df.join(od, df.l_orderkey == od.o_orderkey)
+        if preds:
+            conds = [p() for p, _ in preds]
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c if combiner == "AND" else cond | c
+            df = df.filter(cond)
+        key_cols = [k().alias(f"k{i}") for i, (k, _) in enumerate(keys)]
+        agg_cols = [a().alias(f"a{i}") for i, (a, _) in enumerate(aggs)]
+        agg_cols.append(F.count(F.lit(1)).alias("cnt"))
+        if key_cols:
+            out = df.groupBy(*key_cols).agg(*agg_cols)
+            if having_n is not None:
+                out = out.filter(F.col("cnt") > having_n)
+        else:
+            out = df.agg(*agg_cols)
+        return out
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
+def test_fuzz_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
