@@ -203,3 +203,150 @@ def gen_query(seed: int):
 def test_fuzz_matches_oracle(spark, sf_dir, seed):
     fn, sql = gen_query(seed)
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- window-function fuzz ----------------------------------------
+# Determinism rule: every window ORDER BY ends with the unique
+# (l_orderkey, l_linenumber) tiebreak, so ranking/offset/frame
+# results are total-order-deterministic; rank() additionally only
+# depends on its sort key so ties are safe by construction.
+
+PART_KEYS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+]
+
+ORDER_COLS = [
+    ("l_extendedprice", "l_extendedprice"),
+    ("l_quantity", "l_quantity"),
+    ("l_shipdate", "l_shipdate"),
+]
+
+
+def gen_window_query(seed: int):
+    rng = random.Random(10_000 + seed)
+    pk, pk_sql = rng.choice(PART_KEYS)
+    oc, oc_sql = rng.choice(ORDER_COLS)
+    desc = rng.random() < 0.5
+    wfn = rng.choice(["row_number", "rank", "runsum", "lag"])
+    topn = rng.choice([3, 10])
+
+    dirn = "DESC" if desc else "ASC"
+    order_sql = f"{oc_sql} {dirn}, l_orderkey, l_linenumber"
+    over = f"PARTITION BY {pk_sql} ORDER BY {order_sql}"
+    if wfn == "row_number":
+        w_sql, where = f"ROW_NUMBER() OVER ({over})", f"w <= {topn}"
+    elif wfn == "rank":
+        w_sql, where = (
+            f"CAST(RANK() OVER (PARTITION BY {pk_sql} "
+            f"ORDER BY {oc_sql} {dirn}) AS BIGINT)",
+            f"w <= {topn}",
+        )
+    elif wfn == "runsum":
+        w_sql, where = (
+            f"CAST(SUM(CAST(l_quantity AS BIGINT)) OVER ({over} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT)",
+            None,
+        )
+    else:
+        w_sql, where = f"LAG(l_orderkey) OVER ({over})", None
+    sql = (
+        f"SELECT * FROM (SELECT {pk_sql} AS k, l_orderkey, l_linenumber, "
+        f"{oc_sql} AS oc, {w_sql} AS w FROM lineitem) t"
+        + (f" WHERE {where}" if where else "")
+    )
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import Window
+
+        df = table(spark, sf_dir, "lineitem")
+        ocol = F.col(oc).desc() if desc else F.col(oc).asc()
+        full = Window.partitionBy(pk).orderBy(
+            ocol, "l_orderkey", "l_linenumber"
+        )
+        if wfn == "row_number":
+            w = F.row_number().over(full)
+        elif wfn == "rank":
+            w = (
+                F.rank()
+                .over(Window.partitionBy(pk).orderBy(ocol))
+                .cast("long")
+            )
+        elif wfn == "runsum":
+            w = F.sum(F.col("l_quantity").cast("long")).over(
+                full.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        else:
+            w = F.lag("l_orderkey").over(full)
+        out = df.select(
+            F.col(pk).alias("k"),
+            "l_orderkey",
+            "l_linenumber",
+            F.col(oc).alias("oc"),
+            w.alias("w"),
+        )
+        if where:
+            out = out.filter(F.col("w") <= topn)
+        return out
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_window_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_window_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- set-operation fuzz ------------------------------------------
+
+SETOP_PROJ = [
+    (
+        lambda df: df.select(
+            F.col("l_returnflag").alias("c1"),
+            F.col("l_quantity").cast("long").alias("c2"),
+        ),
+        "SELECT l_returnflag AS c1, CAST(l_quantity AS BIGINT) AS c2 "
+        "FROM lineitem",
+    ),
+    (
+        lambda df: df.select(
+            F.upper("l_linestatus").alias("c1"),
+            (F.col("l_suppkey") % 11).alias("c2"),
+        ),
+        "SELECT upper(l_linestatus) AS c1, l_suppkey % 11 AS c2 "
+        "FROM lineitem",
+    ),
+]
+
+
+def gen_setop_query(seed: int):
+    rng = random.Random(20_000 + seed)
+    proj, proj_sql = rng.choice(SETOP_PROJ)
+    pool = _predicates(rng, joined=False)
+    (pa, pa_sql), (pb, pb_sql) = rng.sample(pool, 2)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    sql = (
+        f"({proj_sql} WHERE {pa_sql}) {op} ({proj_sql} WHERE {pb_sql})"
+    )
+
+    def fn(spark, sf_dir):
+        df = table(spark, sf_dir, "lineitem")
+        a = proj(df.filter(pa()))
+        b = proj(df.filter(pb()))
+        if op == "UNION":
+            return a.union(b).distinct()
+        if op == "UNION ALL":
+            return a.union(b)
+        if op == "INTERSECT":
+            return a.intersect(b)
+        return a.subtract(b)
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_setop_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_setop_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
