@@ -350,3 +350,69 @@ def gen_setop_query(seed: int):
 def test_fuzz_setop_matches_oracle(spark, sf_dir, seed):
     fn, sql = gen_setop_query(seed)
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- outer/semi/anti join fuzz -----------------------------------
+# Left side: per-order lineitem rollup (unique key, integer values);
+# right side: filtered orders. Outer-join nulls exercise the
+# null-canonicalization path of the compare.
+
+
+def gen_join_query(seed: int):
+    rng = random.Random(30_000 + seed)
+    jt = rng.choice(["LEFT", "FULL", "SEMI", "ANTI"])
+    st = rng.choice(["O", "F", "P"])
+    qmin = rng.choice([10, 25, 40])
+
+    li_sql = (
+        "SELECT l_orderkey AS k, CAST(SUM(CAST(l_quantity AS BIGINT)) "
+        "AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE l_quantity >= {qmin} GROUP BY l_orderkey"
+    )
+    od_sql = (
+        "SELECT o_orderkey AS k, o_orderstatus AS st FROM orders "
+        f"WHERE o_orderstatus = '{st}'"
+    )
+    if jt in ("LEFT", "FULL"):
+        sql = (
+            f"SELECT a.k AS lk, a.qty, a.n, b.k AS rk, b.st "
+            f"FROM ({li_sql}) a {jt} JOIN ({od_sql}) b ON a.k = b.k"
+        )
+    else:
+        sql = (
+            f"SELECT a.k AS lk, a.qty, a.n FROM ({li_sql}) a "
+            f"{jt} JOIN ({od_sql}) b ON a.k = b.k"
+        )
+
+    def fn(spark, sf_dir):
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") >= qmin)
+            .groupBy(F.col("l_orderkey").alias("k"))
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        od = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == st)
+            .select(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st"))
+        )
+        if jt in ("LEFT", "FULL"):
+            how = "left" if jt == "LEFT" else "full"
+            return li.join(od, li.k == od.k, how).select(
+                li.k.alias("lk"), "qty", "n", od.k.alias("rk"), "st"
+            )
+        how = "semi" if jt == "SEMI" else "anti"
+        return li.join(od, li.k == od.k, how).select(
+            F.col("k").alias("lk"), "qty", "n"
+        )
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_join_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_join_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
