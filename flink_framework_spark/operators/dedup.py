@@ -326,13 +326,16 @@ def near_dup_pairs_minhash(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash near-dedup: LSH candidates -> exact Jaccard filter.
 
     The hashed-shingle base is computed once and shared between the
     LSH candidate stage and the Jaccard verification stage (three plan
-    branches total) instead of re-shingling the corpus per branch."""
-    hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    branches total) instead of re-shingling the corpus per branch;
+    pass ``hashed`` to share it wider across a multi-method pipeline."""
+    if hashed is None:
+        hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
     cands = minhash_candidates(
         df, id_col, text_col, shingle_n, num_hashes, bands, hashed=hashed
     )
@@ -364,12 +367,38 @@ def simhash64(hash_col: Column) -> Column:
     return out
 
 
+def min_shingle_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The staged (``__id``, ``__mink``, ``__minh``, ``__shh``,
+    ``__nsh``) base that min-shingle blocking operators
+    (``ngram_near_dup_pairs``, ``jaccard_topk``) derive from —
+    exposed so a pipeline running several of them shares ONE
+    tokenize+shingle+hash pass (the same discipline as
+    ``hashed_shingle_frame`` for the signature family)."""
+    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
+        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
+    )
+    return _staged(
+        sh.select(
+            "__id",
+            "__mink",
+            F.xxhash64("__mink").alias("__minh"),
+            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        ).withColumn("__nsh", F.size("__shh").cast("double"))
+    )
+
+
 def ngram_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    minsh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with *min-shingle blocking*.
 
@@ -388,9 +417,6 @@ def ngram_near_dup_pairs(
     # gets pushed below the _spread repartition, re-computing every
     # shingle in the single-task parquet-scan stage (measured 3.6s of
     # the query's 4s at sf0.1)
-    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
-        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
-    )
     # Two hot-path representation choices, both exactness-preserving:
     # (1) join on the 64-bit hash of the blocking key, not the key
     #     string — hashed-relation probing on longs measured 7x faster
@@ -404,15 +430,13 @@ def ngram_near_dup_pairs(
     #     each evaluation must be cheap; per-doc set sizes are also
     #     precomputed (per-vector, not per-pair — same discipline as
     #     the cosine norms in operators.similarity).
-    # _staged: the blocking self-join consumes this in both branches —
-    # persist so the shingle pipeline runs once, not per branch
-    sh = _staged(
-        sh.select(
-            "__id",
-            "__mink",
-            F.xxhash64("__mink").alias("__minh"),
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
-        ).withColumn("__nsh", F.size("__shh").cast("double"))
+    # _staged (inside min_shingle_frame): the blocking self-join
+    # consumes this in both branches — persist so the shingle pipeline
+    # runs once, not per branch
+    sh = (
+        minsh
+        if minsh is not None
+        else min_shingle_frame(df, id_col, text_col, shingle_n)
     )
     a = sh.select(
         F.col("__id").alias("doc_a"), F.col("__shh").alias("__sa"),
@@ -449,6 +473,7 @@ def jaccard_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    minsh: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k most-similar documents PER document by exact shingle
     Jaccard among min-shingle block mates — the retrieval twin of
@@ -468,16 +493,10 @@ def jaccard_topk(
     """
     from pyspark.sql import Window
 
-    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
-        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
-    )
-    sh = _staged(
-        sh.select(
-            "__id",
-            "__mink",
-            F.xxhash64("__mink").alias("__minh"),
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
-        ).withColumn("__nsh", F.size("__shh").cast("double"))
+    sh = (
+        minsh
+        if minsh is not None
+        else min_shingle_frame(df, id_col, text_col, shingle_n)
     )
     a = sh.select(
         F.col("__id").alias("doc_id"), F.col("__shh").alias("__sa"),
@@ -520,6 +539,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     combine_blocks: int = 1,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, pigeonhole
     blocking on ``n_blocks`` bit-blocks, then exact bit_count
@@ -566,7 +586,11 @@ def simhash_near_dup_pairs(
     width, extra = divmod(64, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    hashes = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    hashes = (
+        hashed
+        if hashed is not None
+        else hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    )
     # coalesce: the fingerprint is always non-null, but Catalyst can't
     # prove a UDF output is — without this, the join's inferred
     # isnotnull(val) inlines the WHOLE pipeline (split+shingles+UDF)
@@ -697,6 +721,7 @@ def simhash128_near_dup_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     combine_blocks: int = 2,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """128-bit SimHash near-dup pairs with Manku-style combination-
     block keys (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
@@ -740,7 +765,11 @@ def simhash128_near_dup_pairs(
     width, extra = divmod(128, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
-    hashes = hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    hashes = (
+        hashed
+        if hashed is not None
+        else hashed_shingle_frame(df, id_col, text_col, shingle_n)
+    )
     # coalesce + _staged: same two hazards as simhash_near_dup_pairs
     # (Catalyst can't prove UDF outputs non-null -> inferred isnotnull
     # re-inlines the pipeline below the repartition; the self-join

@@ -541,7 +541,9 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_framework_spark.operators.dedup import (
         boilerplate_fraction,
         duplicated_spans,
+        hashed_shingle_frame,
         jaccard_topk,
+        min_shingle_frame,
         near_dup_pairs_minhash,
         ngram_near_dup_pairs,
         simhash128_near_dup_pairs,
@@ -566,13 +568,19 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("score"),
         )
 
-    ng = tag(ngram_near_dup_pairs(docs, threshold=0.5),
+    # one tokenize+shingle+hash pass per base, shared across methods
+    # (the SCALING.md staged-input discipline applied suite-wide):
+    # hashed feeds minhash + both simhash widths, minsh feeds the
+    # ngram pair and top-k retrieval spellings
+    hashed = hashed_shingle_frame(docs)
+    minsh = min_shingle_frame(docs)
+    ng = tag(ngram_near_dup_pairs(docs, threshold=0.5, minsh=minsh),
              "ngram", "doc_a", "doc_b", F.col("jac"))
     em = tag(embedding_near_dup_pairs(emb, threshold=0.4, bucket_col="label"),
              "embed", "vec_a", "vec_b", F.col("cosim"))
-    mh = tag(near_dup_pairs_minhash(docs, threshold=0.5),
+    mh = tag(near_dup_pairs_minhash(docs, threshold=0.5, hashed=hashed),
              "minhash", "doc_a", "doc_b", F.col("jaccard"))
-    sh = tag(simhash_near_dup_pairs(docs, max_hamming=8),
+    sh = tag(simhash_near_dup_pairs(docs, max_hamming=8, hashed=hashed),
              "simhash", "doc_a", "doc_b", F.col("hamming").cast("double"))
     sp = tag(duplicated_spans(docs, n=8, min_count=2),
              "spans", "doc_id", "span_start", F.col("span_end").cast("double"))
@@ -581,9 +589,11 @@ def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kept") == 0),
         "semantic", "dup_of", "vec_id", F.col("cell").cast("double"))
     sh128 = tag(
-        simhash128_near_dup_pairs(docs, max_hamming=8, combine_blocks=2),
+        simhash128_near_dup_pairs(
+            docs, max_hamming=8, combine_blocks=2, hashed=hashed
+        ),
         "simhash128", "doc_a", "doc_b", F.col("hamming").cast("double"))
-    jt = tag(jaccard_topk(docs, k=3),
+    jt = tag(jaccard_topk(docs, k=3, minsh=minsh),
              "jaccard_topk", "doc_id", "match_id", F.col("jac"))
     bp = tag(
         boilerplate_fraction(docs, n=8, min_count=2)
