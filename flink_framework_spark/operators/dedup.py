@@ -1086,11 +1086,13 @@ def edit_distance_pairs(
 
 def incremental_dedup_ngram(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    new_minsh: DataFrame | None = None,
+    corpus_minsh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-batch) near-dedup: drop NEW documents that
     near-duplicate the EXISTING corpus — the production ingest shape,
@@ -1103,9 +1105,19 @@ def incremental_dedup_ngram(
     among the new docs are the existing self-join operator's job.
 
     Returns the surviving rows of ``new_df`` (left anti on the dup
-    id set). A real deployment persists the corpus shingle frame as
-    a signature table; here it is computed in-plan.
+    id set).
+
+    ``corpus_minsh`` / ``new_minsh``: precomputed
+    ``min_shingle_frame``-shaped frames. A real deployment persists
+    the corpus side as a SIGNATURE table in the lake (see
+    ``streaming.rolling_dedup``) — without it, every ingest round
+    re-tokenizes the ENTIRE accumulated corpus, an O(corpus) text
+    pass per batch that dwarfs the |new|-sized join at scale. With
+    it, the corpus text is never touched: the round reads fixed-width
+    hash rows, and ``corpus_df`` may be None.
     """
+    if corpus_df is None and corpus_minsh is None:
+        raise ValueError("need corpus_df or corpus_minsh")
 
     def rep(df: DataFrame) -> DataFrame:
         sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
@@ -1118,11 +1130,13 @@ def incremental_dedup_ngram(
             F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
         ).withColumn("__nsh", F.size("__shh").cast("double"))
 
-    n = rep(new_df).select(
+    nrep = new_minsh if new_minsh is not None else rep(new_df)
+    crep = corpus_minsh if corpus_minsh is not None else rep(corpus_df)
+    n = nrep.select(
         F.col("__id").alias("__nid"), F.col("__shh").alias("__sa"),
         F.col("__nsh").alias("__na"), F.col("__mink").alias("__minka"), "__minh",
     )
-    c = rep(corpus_df).select(
+    c = crep.select(
         F.col("__shh").alias("__sb"), F.col("__nsh").alias("__nb"),
         F.col("__mink").alias("__minkb"), "__minh",
     )

@@ -54,6 +54,15 @@ class RollingDedupProcessor:
         in (e.g. ``semantic_dedup_incremental`` over embeddings; see
         tests/test_rolling_dedup.py). With ``dedup_fn``, ``cols``
         names the payload columns to persist per survivor.
+    signature_path : optional directory for a SIGNATURE lake
+        maintained alongside the corpus (same ``batch=<id>``
+        idempotent layout): each batch's surviving min-shingle rows
+        are appended, and subsequent batches dedup against THESE
+        fixed-width hash rows instead of re-tokenizing the
+        accumulated corpus text — without this, every round pays an
+        O(corpus) tokenize pass, which at 100 TB dwarfs the
+        |new|-sized blocking join. Text mode only (default
+        ``dedup_fn``).
     """
 
     def __init__(
@@ -64,22 +73,30 @@ class RollingDedupProcessor:
         text_col: str = "text",
         dedup_fn=None,
         cols: list[str] | None = None,
+        signature_path: str | None = None,
     ):
+        if dedup_fn is not None and signature_path is not None:
+            raise ValueError(
+                "signature_path applies to the built-in text dedup only"
+            )
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.id_col = id_col
         self.text_col = text_col
         self.dedup_fn = dedup_fn
         self.cols = cols or [id_col, text_col]
+        self.signature_path = signature_path
 
-    def _corpus(self, spark, exclude_batch: int) -> DataFrame | None:
-        """Accumulated survivors EXCLUDING ``exclude_batch``'s own
+    def _read_lake(
+        self, spark, path: str, exclude_batch: int
+    ) -> DataFrame | None:
+        """Accumulated rows EXCLUDING ``exclude_batch``'s own
         partition: a replayed micro-batch (checkpoint recovery) must
         not dedup against its previous, about-to-be-rewritten output."""
-        if not os.path.isdir(self.corpus_path):
+        if not os.path.isdir(path):
             return None
         try:
-            df = spark.read.parquet(self.corpus_path)
+            df = spark.read.parquet(path)
         except Exception:
             return None
         return df.filter(F.col("batch") != exclude_batch).drop("batch")
@@ -87,30 +104,63 @@ class RollingDedupProcessor:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from flink_framework_spark.operators.dedup import (
             incremental_dedup_ngram,
+            min_shingle_frame,
         )
 
         spark = batch_df.sparkSession
+        bid = int(batch_id)
         new = batch_df.select(*self.cols)
-        corpus = self._corpus(spark, int(batch_id))
-        if corpus is not None and corpus.limit(1).count() > 0:
-            if self.dedup_fn is not None:
-                survivors = self.dedup_fn(new, corpus)
-            else:
+        new_minsh = None
+        if self.signature_path is not None:
+            # one tokenize pass for the batch: reused as the dedup's
+            # new side AND as the signature rows persisted for the
+            # survivors (the corpus text is never re-tokenized)
+            new_minsh = min_shingle_frame(new, self.id_col, self.text_col)
+            corpus_sig = self._read_lake(spark, self.signature_path, bid)
+            if corpus_sig is not None and corpus_sig.limit(1).count() > 0:
                 survivors = incremental_dedup_ngram(
                     new,
-                    corpus,
+                    None,
                     threshold=self.threshold,
                     id_col=self.id_col,
                     text_col=self.text_col,
+                    new_minsh=new_minsh,
+                    corpus_minsh=corpus_sig,
                 )
+            else:
+                survivors = new
         else:
-            survivors = new
+            corpus = self._read_lake(spark, self.corpus_path, bid)
+            if corpus is not None and corpus.limit(1).count() > 0:
+                if self.dedup_fn is not None:
+                    survivors = self.dedup_fn(new, corpus)
+                else:
+                    survivors = incremental_dedup_ngram(
+                        new,
+                        corpus,
+                        threshold=self.threshold,
+                        id_col=self.id_col,
+                        text_col=self.text_col,
+                    )
+            else:
+                survivors = new
         # idempotent per-batch partition: overwrite ONLY batch=<id>;
         # the batch value comes from the directory name at read time
         # (partition discovery), so the files stay (id, text)-only
         survivors.write.mode("overwrite").parquet(
             os.path.join(self.corpus_path, f"batch={batch_id}")
         )
+        if new_minsh is not None:
+            # signature rows for THIS batch's survivors, same
+            # idempotent layout (survivors were just written, so a
+            # replay rewrites both partitions consistently)
+            surv_ids = spark.read.parquet(
+                os.path.join(self.corpus_path, f"batch={batch_id}")
+            ).select(F.col(self.id_col).alias("__id"))
+            new_minsh.join(surv_ids, "__id", "semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.signature_path, f"batch={batch_id}"))
+            new_minsh.unpersist()
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame; caller starts/awaits."""

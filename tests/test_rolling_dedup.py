@@ -117,6 +117,73 @@ def test_replayed_batch_is_idempotent(spark, sf_dir, doc_spool, tmp_path):
     assert after == before
 
 
+def test_signature_lake_mode_equals_text_mode(spark, sf_dir, doc_spool, tmp_path):
+    """The signature-lake path (corpus side reads persisted hash rows,
+    never re-tokenizes accumulated text) must produce the identical
+    surviving corpus, and the signature lake must mirror the corpus
+    partitions row-for-row (docs long enough to carry a shingle)."""
+    directory, _ = doc_spool
+    text_corpus = str(tmp_path / "corpus_text")
+    _run_stream(spark, directory, text_corpus, str(tmp_path / "ck1"))
+    want = {
+        (r.doc_id, r.batch)
+        for r in spark.read.parquet(text_corpus).collect()
+    }
+
+    sig_corpus = str(tmp_path / "corpus_sig")
+    sig_path = str(tmp_path / "sigs")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    proc = RollingDedupProcessor(
+        sig_corpus, threshold=0.5, signature_path=sig_path
+    )
+    q = (
+        proc.attach(sdf, str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.doc_id, r.batch)
+        for r in spark.read.parquet(sig_corpus).collect()
+    }
+    assert got == want
+    sigs = spark.read.parquet(sig_path)
+    corpus = spark.read.parquet(sig_corpus)
+    # every corpus row with >= 3 tokens has its signature row in the
+    # SAME batch partition
+    n_long = corpus.filter(
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 3
+    ).count()
+    assert sigs.count() == n_long
+    joined = sigs.join(
+        corpus.select(F.col("doc_id").alias("__id"), "batch"),
+        ["__id", "batch"],
+    )
+    assert joined.count() == n_long
+    # replay of the last batch is idempotent for BOTH lakes
+    last = N_FILES - 1
+    before = (
+        {(r.doc_id, r.batch) for r in corpus.collect()},
+        {(r["__id"], r["batch"]) for r in sigs.select("__id", "batch").collect()},
+    )
+    replay_df = spark.read.parquet(
+        os.path.join(directory, f"part-{last:05d}.parquet")
+    )
+    proc(replay_df, last)
+    after = (
+        {(r.doc_id, r.batch)
+         for r in spark.read.parquet(sig_corpus).collect()},
+        {(r["__id"], r["batch"])
+         for r in spark.read.parquet(sig_path)
+         .select("__id", "batch").collect()},
+    )
+    assert after == before
+
+
 def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
     """The pluggable dedup_fn path: stream embeddings in 3 batches
     through semantic_dedup_incremental (fixed centroid artifact) and
