@@ -416,3 +416,100 @@ def gen_join_query(seed: int):
 def test_fuzz_join_matches_oracle(spark, sf_dir, seed):
     fn, sql = gen_join_query(seed)
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- scalar-function fuzz (string/date/conditional projections) --
+# Exact-by-construction: string ops on ASCII data, date-part
+# extraction on NTZ timestamps, integer arithmetic. Each seed
+# projects 2-3 scalar expressions (plus the row key) under a filter.
+
+SCALARS = [
+    (
+        lambda: F.upper(F.col("o_orderpriority")),
+        "upper(o_orderpriority)",
+    ),
+    (
+        lambda: F.lower(F.concat_ws("|", "o_orderstatus", "o_orderpriority")),
+        "lower(concat_ws('|', o_orderstatus, o_orderpriority))",
+    ),
+    (
+        lambda: F.substring("o_orderpriority", 1, 3),
+        "substr(o_orderpriority, 1, 3)",
+    ),
+    (
+        lambda: F.length("o_orderpriority").cast("long"),
+        "CAST(length(o_orderpriority) AS BIGINT)",
+    ),
+    (
+        lambda: F.regexp_replace("o_orderpriority", "[0-9]", "#"),
+        "regexp_replace(o_orderpriority, '[0-9]', '#', 'g')",
+    ),
+    (
+        lambda: F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ),
+        "replace(o_orderpriority, '-', '_')",
+    ),
+    (lambda: F.year("o_orderdate"), "year(o_orderdate)"),
+    (lambda: F.month("o_orderdate"), "month(o_orderdate)"),
+    (lambda: F.dayofmonth("o_orderdate"), "day(o_orderdate)"),
+    (
+        lambda: F.date_format(F.date_trunc("month", "o_orderdate"),
+                              "yyyy-MM-dd"),
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')",
+    ),
+    (
+        lambda: (F.col("o_orderkey") * 31 + 7) % 1000,
+        "(o_orderkey * 31 + 7) % 1000",
+    ),
+    (
+        lambda: F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small"),
+        "CASE WHEN o_totalprice > 150000 THEN 'big' "
+        "WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END",
+    ),
+    (
+        lambda: F.coalesce(F.nullif("o_orderstatus", F.lit("O")),
+                           F.lit("open")),
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open')",
+    ),
+    (
+        lambda: F.greatest(
+            F.year("o_orderdate"), (F.col("o_custkey") % 2000) + 100
+        ),
+        "GREATEST(year(o_orderdate), (o_custkey % 2000) + 100)",
+    ),
+]
+
+
+def gen_scalar_query(seed: int):
+    rng = random.Random(40_000 + seed)
+    exprs = rng.sample(SCALARS, rng.randint(2, 3))
+    y = rng.choice([1993, 1995, 1997])
+    st = rng.choice(["O", "F", "P"])
+    pred_sql = rng.choice(
+        [f"year(o_orderdate) >= {y}", f"o_orderstatus = '{st}'"]
+    )
+    sel = ", ".join(f"{sql} AS c{i}" for i, (_, sql) in enumerate(exprs))
+    sql = f"SELECT o_orderkey, {sel} FROM orders WHERE {pred_sql}"
+
+    def fn(spark, sf_dir):
+        df = table(spark, sf_dir, "orders")
+        pred = (
+            F.year("o_orderdate") >= y
+            if pred_sql.startswith("year")
+            else F.col("o_orderstatus") == st
+        )
+        return df.filter(pred).select(
+            "o_orderkey",
+            *[e().alias(f"c{i}") for i, (e, _) in enumerate(exprs)],
+        )
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_scalar_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_scalar_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
