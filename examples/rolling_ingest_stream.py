@@ -65,7 +65,9 @@ def main() -> None:
     )
     proc = RollingDedupProcessor(corpus, threshold=0.5)
     q = proc.attach(stream, ckpt).trigger(availableNow=True).start()
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise SystemExit("ingest stream did not finish within 600s")
 
     lake = spark.read.parquet(corpus)
     per = {

@@ -367,29 +367,38 @@ def simhash64(hash_col: Column) -> Column:
     return out
 
 
+def _min_shingle_rep(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Unpersisted (``__id``, ``__mink``, ``__minh``, ``__shh``,
+    ``__nsh``) representation — the ONE definition every min-shingle
+    consumer (self-join blocking, incremental ingest, the persisted
+    signature lake) derives from, so the hashing/min-key conventions
+    can never desynchronize between them."""
+    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
+        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
+    )
+    return sh.select(
+        "__id",
+        "__mink",
+        F.xxhash64("__mink").alias("__minh"),
+        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+    ).withColumn("__nsh", F.size("__shh").cast("double"))
+
+
 def min_shingle_frame(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """The staged (``__id``, ``__mink``, ``__minh``, ``__shh``,
-    ``__nsh``) base that min-shingle blocking operators
-    (``ngram_near_dup_pairs``, ``jaccard_topk``) derive from —
-    exposed so a pipeline running several of them shares ONE
-    tokenize+shingle+hash pass (the same discipline as
-    ``hashed_shingle_frame`` for the signature family)."""
-    sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
-        "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
-    )
-    return _staged(
-        sh.select(
-            "__id",
-            "__mink",
-            F.xxhash64("__mink").alias("__minh"),
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
-        ).withColumn("__nsh", F.size("__shh").cast("double"))
-    )
+    """The staged (persisted) ``_min_shingle_rep`` that min-shingle
+    blocking operators (``ngram_near_dup_pairs``, ``jaccard_topk``)
+    consume in multiple plan branches — exposed so a pipeline running
+    several of them shares ONE tokenize+shingle+hash pass (the same
+    discipline as ``hashed_shingle_frame`` for the signature
+    family)."""
+    return _staged(_min_shingle_rep(df, id_col, text_col, shingle_n))
 
 
 def ngram_near_dup_pairs(
@@ -581,8 +590,14 @@ def simhash_near_dup_pairs(
         raise ValueError(f"combine_blocks must be 1 or 2, got {combine_blocks}")
     if n_blocks is None:
         n_blocks = max_hamming + combine_blocks
-    if not combine_blocks <= n_blocks <= 64:
-        raise ValueError(f"n_blocks must be in [{combine_blocks}, 64], got {n_blocks}")
+    # n_blocks >= 2: a single 64-bit block's value mask (1<<64)-1
+    # overflows LongType — and max_hamming=0 (its only producer) is
+    # exact duplicate detection, which is the hash-groupBy operator's
+    # job, not a blocking scheme's
+    if not max(2, combine_blocks) <= n_blocks <= 64:
+        raise ValueError(
+            f"n_blocks must be in [{max(2, combine_blocks)}, 64], got {n_blocks}"
+        )
     width, extra = divmod(64, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
@@ -758,9 +773,13 @@ def simhash128_near_dup_pairs(
         )
     if n_blocks is None:
         n_blocks = max_hamming + combine_blocks
-    if not combine_blocks <= n_blocks <= 128:
+    # n_blocks >= 3 keeps every block under 64 bits (width <= ceil(128/3)
+    # = 43): at n_blocks <= 2 the value mask (1<<64)-1 overflows
+    # LongType — and the max_hamming<=1 settings that produce such
+    # configs are exact-dup territory (hash groupBy), not blocking
+    if not max(3, combine_blocks) <= n_blocks <= 128:
         raise ValueError(
-            f"n_blocks must be in [{combine_blocks}, 128], got {n_blocks}"
+            f"n_blocks must be in [{max(3, combine_blocks)}, 128], got {n_blocks}"
         )
     width, extra = divmod(128, n_blocks)
     widths = [width + 1] * extra + [width] * (n_blocks - extra)
@@ -845,6 +864,7 @@ def duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans (the distributed shape of Lee
     et al., "Deduplicating Training Data Makes Language Models
@@ -877,9 +897,14 @@ def duplicated_spans(
     revisit the key width at that scale)."""
     from pyspark.sql import Window
 
-    toks = _spread(df).select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
-    )
+    # toks: optionally a precomputed/staged (doc_id, __toks) frame so
+    # a caller that also needs token counts (boilerplate_fraction)
+    # pays the document-regex split once, not twice
+    if toks is None:
+        toks = _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
     grams = (
         toks.filter(F.size("__toks") >= n)
         .select(
@@ -947,10 +972,17 @@ def boilerplate_fraction(
     ``duplicated_spans``) plus a per-doc partial-agg sum and a left
     join back to the token counts — nothing new shuffles more than
     once."""
-    spans = duplicated_spans(df, n, min_count, id_col, text_col)
-    ntok = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    # one tokenize pass: the staged token projection feeds BOTH the
+    # spans pipeline and the per-doc token counts
+    toks = _staged(
+        _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+    )
+    spans = duplicated_spans(df, n, min_count, id_col, text_col, toks=toks)
+    ntok = toks.select(
+        "doc_id", F.size("__toks").cast("long").alias("n_tokens")
     )
     per = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("__dup")
@@ -1120,15 +1152,7 @@ def incremental_dedup_ngram(
         raise ValueError("need corpus_df or corpus_minsh")
 
     def rep(df: DataFrame) -> DataFrame:
-        sh = _shingled(df, id_col, text_col, shingle_n).withColumn(
-            "__mink", F.coalesce(F.array_min("__sh"), F.lit(""))
-        )
-        return sh.select(
-            "__id",
-            "__mink",
-            F.xxhash64("__mink").alias("__minh"),
-            F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
-        ).withColumn("__nsh", F.size("__shh").cast("double"))
+        return _min_shingle_rep(df, id_col, text_col, shingle_n)
 
     nrep = new_minsh if new_minsh is not None else rep(new_df)
     crep = corpus_minsh if corpus_minsh is not None else rep(corpus_df)

@@ -183,6 +183,10 @@ def gemm_topk(
     masked out before per-batch selection, so the top-k are the
     nearest WRONG-class vectors. Same exactness argument — the mask is
     a per-pair predicate applied before an order-preserving selection.
+    NULL labels follow SQL ``<>`` semantics (the oracle spelling): a
+    pair with a NULL label on EITHER side never matches, so
+    unknown-label vectors are neither served as negatives nor given
+    negatives.
     """
     qcols = [F.col(id_col), to_double_array(vec_col).alias("__v")]
     if exclude_label_col is not None:
@@ -208,6 +212,11 @@ def gemm_topk(
         if exclude_label_col is not None
         else None
     )
+    qnull = (
+        np.array([l is None for l in qlabs])
+        if qlabs is not None
+        else None
+    )
 
     def scorer(batches):
         for pdf in batches:
@@ -223,7 +232,12 @@ def gemm_topk(
             S[ids[:, None] == qids[None, :]] = -np.inf
             if qlabs is not None:
                 blabs = pdf[exclude_label_col].to_numpy(dtype=object)
-                S[blabs[:, None] == qlabs[None, :]] = -np.inf
+                bnull = np.array([pd.isna(l) for l in blabs])
+                S[
+                    (blabs[:, None] == qlabs[None, :])
+                    | bnull[:, None]
+                    | qnull[None, :]
+                ] = -np.inf
             kk = min(k, len(ids))
             out_q, out_n, out_s = [], [], []
             for j in range(S.shape[1]):

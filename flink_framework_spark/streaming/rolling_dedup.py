@@ -92,13 +92,18 @@ class RollingDedupProcessor:
     ) -> DataFrame | None:
         """Accumulated rows EXCLUDING ``exclude_batch``'s own
         partition: a replayed micro-batch (checkpoint recovery) must
-        not dedup against its previous, about-to-be-rewritten output."""
+        not dedup against its previous, about-to-be-rewritten output.
+
+        Only the two genuinely-empty states map to None (directory
+        absent, or no batch= partitions yet); a real read error MUST
+        propagate and fail the micro-batch — swallowing it would
+        silently skip dedup for the whole batch and commit the
+        checkpoint past it."""
         if not os.path.isdir(path):
             return None
-        try:
-            df = spark.read.parquet(path)
-        except Exception:
+        if not any(e.startswith("batch=") for e in os.listdir(path)):
             return None
+        df = spark.read.parquet(path)
         return df.filter(F.col("batch") != exclude_batch).drop("batch")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -117,6 +122,21 @@ class RollingDedupProcessor:
             # survivors (the corpus text is never re-tokenized)
             new_minsh = min_shingle_frame(new, self.id_col, self.text_col)
             corpus_sig = self._read_lake(spark, self.signature_path, bid)
+            if corpus_sig is None or corpus_sig.limit(1).count() == 0:
+                # an empty signature lake is only legal while the
+                # corpus itself is empty — otherwise dedup would
+                # silently skip every existing document (e.g.
+                # signature_path newly enabled over an old corpus,
+                # or the derived lake was lost). Refuse; backfill
+                # with backfill_signatures() first.
+                corpus = self._read_lake(spark, self.corpus_path, bid)
+                if corpus is not None and corpus.limit(1).count() > 0:
+                    raise RuntimeError(
+                        "rolling dedup: signature lake at "
+                        f"{self.signature_path} is empty but the corpus "
+                        f"at {self.corpus_path} is not — run "
+                        "backfill_signatures() before streaming"
+                    )
             if corpus_sig is not None and corpus_sig.limit(1).count() > 0:
                 survivors = incremental_dedup_ngram(
                     new,
@@ -161,6 +181,36 @@ class RollingDedupProcessor:
                 "overwrite"
             ).parquet(os.path.join(self.signature_path, f"batch={batch_id}"))
             new_minsh.unpersist()
+
+    def backfill_signatures(self, spark) -> int:
+        """Derive the signature lake from an existing corpus lake —
+        one min-shingle pass per batch partition, written under the
+        same idempotent layout. Returns the number of partitions
+        backfilled. Use when enabling ``signature_path`` over a
+        corpus built in text mode (or after losing the derived
+        lake)."""
+        from flink_framework_spark.operators.dedup import (
+            min_shingle_frame,
+        )
+
+        if self.signature_path is None:
+            raise ValueError("no signature_path configured")
+        if not os.path.isdir(self.corpus_path):
+            return 0
+        n = 0
+        for entry in sorted(os.listdir(self.corpus_path)):
+            if not entry.startswith("batch="):
+                continue
+            part = spark.read.parquet(
+                os.path.join(self.corpus_path, entry)
+            )
+            minsh = min_shingle_frame(part, self.id_col, self.text_col)
+            minsh.write.mode("overwrite").parquet(
+                os.path.join(self.signature_path, entry)
+            )
+            minsh.unpersist()
+            n += 1
+        return n
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Wire onto a streaming DataFrame; caller starts/awaits."""

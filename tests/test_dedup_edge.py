@@ -74,6 +74,44 @@ def test_simhash128_single_doc_and_empty_overlap(spark):
     assert simhash128_near_dup_pairs(df, max_hamming=8).count() == 0
 
 
+def test_simhash_rejects_overflow_block_widths(spark):
+    """Block widths >= 64 bits would overflow LongType masks; the
+    configs that produce them (max_hamming<=1) are exact-dup
+    territory and must be rejected, not crash at plan build."""
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    from flink_framework_spark.operators.dedup import (
+        simhash_near_dup_pairs as s64,
+    )
+
+    with pytest.raises(ValueError, match="n_blocks"):
+        s64(df, max_hamming=0, n_blocks=1).count()
+    with pytest.raises(ValueError, match="n_blocks"):
+        simhash128_near_dup_pairs(df, max_hamming=0).count()
+    with pytest.raises(ValueError, match="n_blocks"):
+        simhash128_near_dup_pairs(df, max_hamming=8, n_blocks=2).count()
+
+
+def test_hard_negatives_null_labels_follow_sql_semantics(spark, sf_dir):
+    """NULL labels must behave like SQL '<>': pairs with a NULL label
+    on either side never match — matching the declared oracle."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import gemm_topk
+
+    em = table(spark, sf_dir, "embeddings").withColumn(
+        "label",
+        F.when(F.col("vec_id") % 3 == 0, None).otherwise(F.col("label")),
+    )
+    out = gemm_topk(
+        em.filter(F.col("vec_id") < 12), em, k=5, exclude_label_col="label"
+    ).collect()
+    labels = {r.vec_id: r.label for r in em.select("vec_id", "label").collect()}
+    assert out, "some labeled anchors should have wrong-label neighbors"
+    for r in out:
+        assert labels[r.query_id] is not None
+        assert labels[r.neighbor_id] is not None
+        assert labels[r.query_id] != labels[r.neighbor_id]
+
+
 def test_hard_negatives_all_same_label_empty(spark, sf_dir):
     from flink_framework_spark.io import table
     from flink_framework_spark.operators.similarity import gemm_topk

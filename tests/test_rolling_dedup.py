@@ -52,7 +52,7 @@ def _run_stream(spark, directory, corpus_path, checkpoint):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in budget"
     return spark.read.parquet(corpus_path)
 
 
@@ -145,7 +145,7 @@ def test_signature_lake_mode_equals_text_mode(spark, sf_dir, doc_spool, tmp_path
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in budget"
     got = {
         (r.doc_id, r.batch)
         for r in spark.read.parquet(sig_corpus).collect()
@@ -182,6 +182,35 @@ def test_signature_lake_mode_equals_text_mode(spark, sf_dir, doc_spool, tmp_path
          .select("__id", "batch").collect()},
     )
     assert after == before
+
+
+def test_signature_mode_refuses_unbackfilled_corpus(
+    spark, sf_dir, doc_spool, tmp_path
+):
+    """Enabling signature_path over an existing text-mode corpus must
+    refuse (the empty signature lake would silently skip dedup against
+    every existing document); backfill_signatures repairs it and the
+    next batch then dedups normally."""
+    directory, _ = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    _run_stream(spark, directory, corpus_path, str(tmp_path / "ck"))
+    proc = RollingDedupProcessor(
+        corpus_path, threshold=0.5, signature_path=str(tmp_path / "sigs")
+    )
+    replay_df = spark.read.parquet(
+        os.path.join(directory, "part-00000.parquet")
+    )
+    with pytest.raises(RuntimeError, match="backfill"):
+        proc(replay_df, N_FILES)  # a NEW batch id, not a replay
+    n = proc.backfill_signatures(spark)
+    assert n == N_FILES
+    # after backfill: re-ingesting batch 0's docs as a NEW batch drops
+    # every one of them (they are exact dups of corpus survivors)
+    proc(replay_df, N_FILES)
+    added = spark.read.parquet(corpus_path).filter(
+        F.col("batch") == N_FILES
+    )
+    assert added.count() == 0
 
 
 def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
@@ -235,7 +264,7 @@ def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not finish in budget"
     got = {
         r.vec_id
         for r in spark.read.parquet(corpus_path).select("vec_id").collect()
