@@ -132,6 +132,41 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    out = _stream_stats(progresses)
+    out["pipeline"] = "rate->watermark->window1s+key64 agg->noop(update)"
+
+    # second scenario — STATEFUL streaming dedup (I5's identity at
+    # throughput): 1M-key dedup state with watermark eviction, append
+    # mode; measures the state-store path rather than the window agg
+    dd = (
+        src.withColumn("k", F.col("value") % 1_000_000)
+        .withWatermark("timestamp", "2 seconds")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    ckpt2 = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    q2 = (
+        dd.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .start()
+    )
+    try:
+        time.sleep(seconds)
+        progresses2 = [p for p in q2.recentProgress if p is not None]
+    finally:
+        q2.stop()
+        shutil.rmtree(ckpt2, ignore_errors=True)
+    out["dedup"] = _stream_stats(progresses2)
+    out["dedup"]["pipeline"] = (
+        "rate->watermark->dropDuplicatesWithinWatermark(1M keys)"
+        "->noop(append)"
+    )
+    return out
+
+
+def _stream_stats(progresses) -> dict:
+    import statistics
+
     rates = [
         p["processedRowsPerSecond"]
         for p in progresses[1:]
@@ -148,7 +183,6 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "rows_per_sec": round(statistics.median(rates), 1),
         "batch_ms_p50": round(statistics.median(durs), 1) if durs else None,
         "batches": len(rates),
-        "pipeline": "rate->watermark->window1s+key64 agg->noop(update)",
     }
 
 

@@ -46,6 +46,8 @@ DEFAULT_QUERIES = [
     "q_dsir_weights",
     "q_curation_pipeline",
     "q_dedup_semantic@scaled_cells",
+    "q_dedup_semantic_imi@scaled_cells",
+    "q_sim_topk_imi@scaled_cells",
 ]
 
 
