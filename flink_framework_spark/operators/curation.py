@@ -69,6 +69,68 @@ def stratified_sample(
 
 # --- benchmark decontamination -------------------------------------------
 
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment — the LAST step of a
+    curation pipeline, where the corpus leaves the lake as N
+    dataloader shards. Shard id is ``hash_bucket`` of the stable doc
+    key: a pure narrow map (no global sort, no shuffle — the
+    shuffled-order property trainers need comes from the hash itself,
+    which decorrelates shard membership from ingest order), identical
+    in DuckDB, append-stable (a re-exported grown corpus keeps every
+    old doc's shard). Shard sizes are multinomial-uniform, so the
+    imbalance at S shards over D docs is O(sqrt(D/S)) relative —
+    negligible at training scale; exact balance would need a global
+    sort (ntile), which is the one thing this spelling avoids."""
+    return df.withColumn(out_col, hash_bucket(F.col(id_col), n_shards))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard export manifest: (shard, n_docs, n_tokens, n_chars,
+    min/max id) — what a dataloader config consumes and what makes an
+    export independently checkable (the whole computation is
+    SQL-expressible, so the registered query carries a live oracle)."""
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return (
+        assign_shards(df, n_shards, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("n_tokens"),
+            F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize the sharded export: hive-partitioned by shard id
+    (one directory per shard, ``maxRecordsPerFile`` bounding file
+    sizes for uniform dataloader reads). Deterministic: re-running
+    over the same corpus rewrites identical shard membership."""
+    out = assign_shards(df, n_shards, id_col)
+    w = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
 def _word_ngram_hashes(text: Column, n: int) -> Column:
     """Distinct 64-bit hashes of the word n-grams of a lowercased text
     column. Hashes the token *slice* directly (``xxhash64`` accepts

@@ -474,3 +474,32 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint join, per-doc aggregate; no corpus-wide window
     (operators.curation.dedup_passages)."""
     return dedup_passages(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_export_shards",
+    family="K",
+    oracle=r"""
+WITH s AS (
+  SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS shard,
+         doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS ntok,
+         length(text) AS nch
+  FROM documents)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(nch) AS BIGINT) AS n_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM s GROUP BY shard
+""",
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: deterministic hash-bucket shard
+    assignment (narrow map — no global sort; append-stable) rolled up
+    to the per-shard stats a dataloader config consumes
+    (operators.curation.shard_manifest; write_training_shards
+    materializes the hive-partitioned export itself)."""
+    from flink_framework_spark.operators.curation import shard_manifest
+
+    return shard_manifest(table(spark, sf_dir, "documents"), n_shards=16)
