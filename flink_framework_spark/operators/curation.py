@@ -119,12 +119,27 @@ def write_training_shards(
     n_shards: int = 16,
     id_col: str = "doc_id",
     max_records_per_file: int | None = None,
+    shuffle_within: bool = True,
 ) -> None:
     """Materialize the sharded export: hive-partitioned by shard id
     (one directory per shard, ``maxRecordsPerFile`` bounding file
     sizes for uniform dataloader reads). Deterministic: re-running
-    over the same corpus rewrites identical shard membership."""
+    over the same corpus rewrites identical shard membership.
+
+    ``shuffle_within``: rows inside each shard are written in
+    md5(id) order — a deterministic pseudo-random permutation, so a
+    dataloader reading a shard SEQUENTIALLY sees shuffled samples
+    (the property trainers need) while the export stays bit-stable.
+    Cost: one repartition on the shard key + per-partition sort —
+    each shard sorts independently, no global sort."""
     out = assign_shards(df, n_shards, id_col)
+    if shuffle_within:
+        out = (
+            out.repartition(n_shards, "shard")
+            .sortWithinPartitions(
+                "shard", F.md5(F.col(id_col).cast("string"))
+            )
+        )
     w = out.write.mode("overwrite").partitionBy("shard")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)

@@ -56,6 +56,28 @@ def test_max_records_per_file_bounds_files(spark, sf_dir, tmp_path):
         assert pq.ParquetFile(f).metadata.num_rows <= 20, f
 
 
+def test_shuffle_within_orders_by_hash(spark, sf_dir, tmp_path):
+    """Sequential reads of a shard must yield the deterministic
+    md5-permuted order, decorrelated from doc_id ingest order."""
+    import hashlib
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    for shard_dir in sorted(glob.glob(f"{out}/shard=*")):
+        import pandas as pd
+
+        files = sorted(glob.glob(f"{shard_dir}/*.parquet"))
+        ids = list(
+            pd.concat([pd.read_parquet(f) for f in files]).doc_id
+        )
+        want = sorted(
+            ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )
+        assert ids == want
+        assert ids != sorted(ids)  # genuinely decorrelated from id order
+
+
 def test_manifest_sums_match_corpus(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     m = shard_manifest(docs, n_shards=16)
