@@ -212,8 +212,13 @@ def gemm_topk(
         if exclude_label_col is not None
         else None
     )
+    # pd.isna on BOTH sides: SQL NULL arrives as None on the driver
+    # side but as NaN in pandas float columns; one predicate keeps
+    # the two sides symmetric (float NaN labels are treated as NULL —
+    # pandas cannot distinguish them from SQL NULL, so the documented
+    # semantics treat both as "unknown label, never matches")
     qnull = (
-        np.array([l is None for l in qlabs])
+        np.array([pd.isna(l) for l in qlabs])
         if qlabs is not None
         else None
     )

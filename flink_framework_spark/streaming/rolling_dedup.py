@@ -94,17 +94,42 @@ class RollingDedupProcessor:
         partition: a replayed micro-batch (checkpoint recovery) must
         not dedup against its previous, about-to-be-rewritten output.
 
-        Only the two genuinely-empty states map to None (directory
-        absent, or no batch= partitions yet); a real read error MUST
+        Only the genuinely-empty states map to None (directory absent,
+        no batch= partitions, or only TORN partitions — an
+        uncommitted write left by a crash, which the replay's own
+        overwrite is about to repair); a real read error MUST
         propagate and fail the micro-batch — swallowing it would
         silently skip dedup for the whole batch and commit the
         checkpoint past it."""
+        parts = self._committed_parts(path, exclude_batch)
+        if parts is None:
+            return None
+        # explicit committed-partition paths: a torn batch= dir (only
+        # _temporary/_SUCCESS inside, no data files) would make a
+        # whole-directory read raise on EVERY replay, wedging recovery
+        # before the overwrite that repairs it
+        df = spark.read.option("basePath", path).parquet(*parts)
+        return df.drop("batch")
+
+    @staticmethod
+    def _committed_parts(
+        path: str, exclude_batch: int
+    ) -> list[str] | None:
+        """Absolute paths of batch= partitions holding committed data
+        files (hidden/underscore entries are uncommitted metadata),
+        excluding ``exclude_batch``; None when there are none."""
         if not os.path.isdir(path):
             return None
-        if not any(e.startswith("batch=") for e in os.listdir(path)):
-            return None
-        df = spark.read.parquet(path)
-        return df.filter(F.col("batch") != exclude_batch).drop("batch")
+        parts = []
+        for e in sorted(os.listdir(path)):
+            if not e.startswith("batch=") or e == f"batch={exclude_batch}":
+                continue
+            full = os.path.join(path, e)
+            if os.path.isdir(full) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(full)
+            ):
+                parts.append(full)
+        return parts or None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from flink_framework_spark.operators.dedup import (
@@ -115,72 +140,110 @@ class RollingDedupProcessor:
         spark = batch_df.sparkSession
         bid = int(batch_id)
         new = batch_df.select(*self.cols)
-        new_minsh = None
         if self.signature_path is not None:
+            self._check_signature_lake_consistent(spark, bid)
             # one tokenize pass for the batch: reused as the dedup's
             # new side AND as the signature rows persisted for the
             # survivors (the corpus text is never re-tokenized)
             new_minsh = min_shingle_frame(new, self.id_col, self.text_col)
-            corpus_sig = self._read_lake(spark, self.signature_path, bid)
-            if corpus_sig is None or corpus_sig.limit(1).count() == 0:
-                # an empty signature lake is only legal while the
-                # corpus itself is empty — otherwise dedup would
-                # silently skip every existing document (e.g.
-                # signature_path newly enabled over an old corpus,
-                # or the derived lake was lost). Refuse; backfill
-                # with backfill_signatures() first.
-                corpus = self._read_lake(spark, self.corpus_path, bid)
-                if corpus is not None and corpus.limit(1).count() > 0:
-                    raise RuntimeError(
-                        "rolling dedup: signature lake at "
-                        f"{self.signature_path} is empty but the corpus "
-                        f"at {self.corpus_path} is not — run "
-                        "backfill_signatures() before streaming"
-                    )
-            if corpus_sig is not None and corpus_sig.limit(1).count() > 0:
-                survivors = incremental_dedup_ngram(
-                    new,
-                    None,
-                    threshold=self.threshold,
-                    id_col=self.id_col,
-                    text_col=self.text_col,
-                    new_minsh=new_minsh,
-                    corpus_minsh=corpus_sig,
+            try:
+                corpus_sig = self._read_lake(
+                    spark, self.signature_path, bid
                 )
-            else:
-                survivors = new
-        else:
-            corpus = self._read_lake(spark, self.corpus_path, bid)
-            if corpus is not None and corpus.limit(1).count() > 0:
-                if self.dedup_fn is not None:
-                    survivors = self.dedup_fn(new, corpus)
-                else:
+                if (
+                    corpus_sig is not None
+                    and corpus_sig.limit(1).count() > 0
+                ):
                     survivors = incremental_dedup_ngram(
                         new,
-                        corpus,
+                        None,
                         threshold=self.threshold,
                         id_col=self.id_col,
                         text_col=self.text_col,
+                        new_minsh=new_minsh,
+                        corpus_minsh=corpus_sig,
                     )
+                else:
+                    survivors = new
+                self._write_batch(survivors, batch_id)
+                # signature rows for THIS batch's survivors, same
+                # idempotent layout — derived from the survivors plan
+                # itself (reading back the just-written partition
+                # would fail when zero survivors leave it file-less)
+                surv_ids = survivors.select(
+                    F.col(self.id_col).alias("__id")
+                )
+                new_minsh.join(surv_ids, "__id", "semi").write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(self.signature_path, f"batch={batch_id}")
+                )
+            finally:
+                # the _staged frame must not outlive the batch even
+                # when it fails (retries would pile up cache entries)
+                new_minsh.unpersist()
+            return
+        corpus = self._read_lake(spark, self.corpus_path, bid)
+        if corpus is not None and corpus.limit(1).count() > 0:
+            if self.dedup_fn is not None:
+                survivors = self.dedup_fn(new, corpus)
             else:
-                survivors = new
+                survivors = incremental_dedup_ngram(
+                    new,
+                    corpus,
+                    threshold=self.threshold,
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                )
+        else:
+            survivors = new
+        self._write_batch(survivors, batch_id)
+
+    def _write_batch(self, survivors: DataFrame, batch_id: int) -> None:
         # idempotent per-batch partition: overwrite ONLY batch=<id>;
         # the batch value comes from the directory name at read time
         # (partition discovery), so the files stay (id, text)-only
         survivors.write.mode("overwrite").parquet(
             os.path.join(self.corpus_path, f"batch={batch_id}")
         )
-        if new_minsh is not None:
-            # signature rows for THIS batch's survivors, same
-            # idempotent layout (survivors were just written, so a
-            # replay rewrites both partitions consistently)
-            surv_ids = spark.read.parquet(
-                os.path.join(self.corpus_path, f"batch={batch_id}")
-            ).select(F.col(self.id_col).alias("__id"))
-            new_minsh.join(surv_ids, "__id", "semi").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.signature_path, f"batch={batch_id}"))
-            new_minsh.unpersist()
+
+    def _check_signature_lake_consistent(self, spark, bid: int) -> None:
+        """Refuse to stream when the signature lake is missing
+        partitions the corpus has — dedup would silently skip those
+        documents (signature mode newly enabled over an old corpus, a
+        partially lost lake, or batches written by a non-signature
+        processor). Batches whose docs are all too short to carry a
+        shingle legitimately have EMPTY signature partitions, so the
+        comparison is by partition directory, and the all-short
+        corpus (zero shingle-able docs anywhere) is exempt."""
+        from flink_framework_spark.operators.dedup import tokens
+
+        corpus_parts = self._committed_parts(self.corpus_path, bid) or []
+        missing = [
+            os.path.basename(p)
+            for p in corpus_parts
+            if not os.path.isdir(
+                os.path.join(self.signature_path, os.path.basename(p))
+            )
+        ]
+        if not missing:
+            return
+        corpus = self._read_lake(spark, self.corpus_path, bid)
+        shingleable = (
+            corpus.filter(
+                F.size(tokens(F.col(self.text_col))) >= 3
+            ).limit(1).count()
+            if corpus is not None
+            else 0
+        )
+        if shingleable:
+            raise RuntimeError(
+                "rolling dedup: signature lake at "
+                f"{self.signature_path} is missing partitions "
+                f"{missing} present in the corpus at "
+                f"{self.corpus_path} — run backfill_signatures() "
+                "before streaming"
+            )
 
     def backfill_signatures(self, spark) -> int:
         """Derive the signature lake from an existing corpus lake —

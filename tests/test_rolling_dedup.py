@@ -213,6 +213,87 @@ def test_signature_mode_refuses_unbackfilled_corpus(
     assert added.count() == 0
 
 
+def test_torn_partition_replay_repairs(spark, sf_dir, doc_spool, tmp_path):
+    """A crash can leave a batch= directory holding only uncommitted
+    metadata (_temporary, _SUCCESS) and no data files. The replay
+    must treat it as absent — NOT wedge on an unreadable lake — and
+    its overwrite repairs the partition."""
+    directory, cuts = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    full = _run_stream(spark, directory, corpus_path, str(tmp_path / "ck"))
+    want = {(r.doc_id, r.batch) for r in full.collect()}
+    # simulate the torn write on the LAST batch
+    last = N_FILES - 1
+    torn = os.path.join(corpus_path, f"batch={last}")
+    shutil.rmtree(torn)
+    os.makedirs(os.path.join(torn, "_temporary"))
+    proc = RollingDedupProcessor(corpus_path, threshold=0.5)
+    replay_df = spark.read.parquet(
+        os.path.join(directory, f"part-{last:05d}.parquet")
+    )
+    proc(replay_df, last)  # must not raise
+    got = {
+        (r.doc_id, r.batch)
+        for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert got == want
+
+
+def test_partial_signature_lake_detected(spark, sf_dir, doc_spool, tmp_path):
+    """Losing one signature partition while its corpus partition
+    survives must refuse the next NEW batch (dedup would silently
+    skip those documents), naming the missing partition."""
+    directory, _ = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    sig_path = str(tmp_path / "sigs")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    proc = RollingDedupProcessor(
+        corpus_path, threshold=0.5, signature_path=sig_path
+    )
+    q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    shutil.rmtree(os.path.join(sig_path, "batch=1"))
+    replay_df = spark.read.parquet(
+        os.path.join(directory, "part-00000.parquet")
+    )
+    with pytest.raises(RuntimeError, match="batch=1"):
+        proc(replay_df, N_FILES)
+    proc.backfill_signatures(spark)
+    proc(replay_df, N_FILES)  # repaired
+
+
+def test_short_doc_corpus_streams_without_signatures(spark, tmp_path):
+    """A corpus whose docs are all too short to carry a shingle has a
+    legitimately empty signature lake: streaming must proceed (all
+    docs survive) rather than demanding an impossible backfill."""
+    import pandas as pd
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for i in range(2):
+        p = str(spool / f"part-{i:05d}.parquet")
+        pd.DataFrame(
+            {"doc_id": [i * 10 + j for j in range(3)], "text": ["hi there"] * 3}
+        ).to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+    corpus_path = str(tmp_path / "corpus")
+    proc = RollingDedupProcessor(
+        corpus_path, threshold=0.5, signature_path=str(tmp_path / "sigs")
+    )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(spool))
+    )
+    q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(corpus_path).count() == 6
+
+
 def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
     """The pluggable dedup_fn path: stream embeddings in 3 batches
     through semantic_dedup_incremental (fixed centroid artifact) and
