@@ -101,8 +101,12 @@ class RollingDedupProcessor:
         propagate and fail the micro-batch — swallowing it would
         silently skip dedup for the whole batch and commit the
         checkpoint past it."""
-        parts = self._committed_parts(path, exclude_batch)
-        if parts is None:
+        parts = [
+            os.path.join(path, e)
+            for e, state in self._partitions(path).items()
+            if state == "data" and e != f"batch={exclude_batch}"
+        ]
+        if not parts:
             return None
         # explicit committed-partition paths: a torn batch= dir (only
         # _temporary/_SUCCESS inside, no data files) would make a
@@ -111,25 +115,42 @@ class RollingDedupProcessor:
         df = spark.read.option("basePath", path).parquet(*parts)
         return df.drop("batch")
 
-    @staticmethod
-    def _committed_parts(
-        path: str, exclude_batch: int
-    ) -> list[str] | None:
-        """Absolute paths of batch= partitions holding committed data
-        files (hidden/underscore entries are uncommitted metadata),
-        excluding ``exclude_batch``; None when there are none."""
+    # committed zero-row writes leave NO data files (Spark skips empty
+    # files), which is indistinguishable from a torn write — so every
+    # empty partition this processor commits gets an explicit marker
+    _EMPTY_MARKER = "_EMPTY"
+
+    @classmethod
+    def _partitions(cls, path: str) -> dict[str, str]:
+        """State of every batch= partition under ``path``:
+        ``data`` (committed rows), ``empty`` (committed, zero rows —
+        carries the _EMPTY marker), or ``torn`` (uncommitted crash
+        residue: neither data files nor the marker)."""
+        out: dict[str, str] = {}
         if not os.path.isdir(path):
-            return None
-        parts = []
+            return out
         for e in sorted(os.listdir(path)):
-            if not e.startswith("batch=") or e == f"batch={exclude_batch}":
-                continue
             full = os.path.join(path, e)
-            if os.path.isdir(full) and any(
-                not f.startswith(("_", ".")) for f in os.listdir(full)
-            ):
-                parts.append(full)
-        return parts or None
+            if not e.startswith("batch=") or not os.path.isdir(full):
+                continue
+            files = os.listdir(full)
+            if any(not f.startswith(("_", ".")) for f in files):
+                out[e] = "data"
+            elif cls._EMPTY_MARKER in files:
+                out[e] = "empty"
+            else:
+                out[e] = "torn"
+        return out
+
+    @classmethod
+    def _write_partition(cls, df: DataFrame, part_dir: str) -> None:
+        """Idempotent overwrite of one batch= partition, committing
+        zero-row outputs with the explicit marker."""
+        df.write.mode("overwrite").parquet(part_dir)
+        if not any(
+            not f.startswith(("_", ".")) for f in os.listdir(part_dir)
+        ):
+            open(os.path.join(part_dir, cls._EMPTY_MARKER), "w").close()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from flink_framework_spark.operators.dedup import (
@@ -146,14 +167,12 @@ class RollingDedupProcessor:
             # new side AND as the signature rows persisted for the
             # survivors (the corpus text is never re-tokenized)
             new_minsh = min_shingle_frame(new, self.id_col, self.text_col)
+            survivors = None
             try:
                 corpus_sig = self._read_lake(
                     spark, self.signature_path, bid
                 )
-                if (
-                    corpus_sig is not None
-                    and corpus_sig.limit(1).count() > 0
-                ):
+                if corpus_sig is not None:
                     survivors = incremental_dedup_ngram(
                         new,
                         None,
@@ -162,26 +181,36 @@ class RollingDedupProcessor:
                         text_col=self.text_col,
                         new_minsh=new_minsh,
                         corpus_minsh=corpus_sig,
-                    )
+                    # persisted: the corpus write AND the signature
+                    # semi-join both consume the anti-join output —
+                    # without this the whole dedup plan (including a
+                    # second signature-lake scan) executes twice
+                    ).persist()
                 else:
                     survivors = new
-                self._write_batch(survivors, batch_id)
+                self._write_partition(
+                    survivors,
+                    os.path.join(self.corpus_path, f"batch={batch_id}"),
+                )
                 # signature rows for THIS batch's survivors, same
-                # idempotent layout — derived from the survivors plan
-                # itself (reading back the just-written partition
-                # would fail when zero survivors leave it file-less)
+                # idempotent layout — derived from the (persisted)
+                # survivors plan itself, since a zero-survivor
+                # partition has no files to read back
                 surv_ids = survivors.select(
                     F.col(self.id_col).alias("__id")
                 )
-                new_minsh.join(surv_ids, "__id", "semi").write.mode(
-                    "overwrite"
-                ).parquet(
-                    os.path.join(self.signature_path, f"batch={batch_id}")
+                self._write_partition(
+                    new_minsh.join(surv_ids, "__id", "semi"),
+                    os.path.join(
+                        self.signature_path, f"batch={batch_id}"
+                    ),
                 )
             finally:
-                # the _staged frame must not outlive the batch even
-                # when it fails (retries would pile up cache entries)
+                # staged frames must not outlive the batch even when
+                # it fails (retries would pile up cache entries)
                 new_minsh.unpersist()
+                if survivors is not None and survivors is not new:
+                    survivors.unpersist()
             return
         corpus = self._read_lake(spark, self.corpus_path, bid)
         if corpus is not None and corpus.limit(1).count() > 0:
@@ -197,46 +226,40 @@ class RollingDedupProcessor:
                 )
         else:
             survivors = new
-        self._write_batch(survivors, batch_id)
-
-    def _write_batch(self, survivors: DataFrame, batch_id: int) -> None:
-        # idempotent per-batch partition: overwrite ONLY batch=<id>;
-        # the batch value comes from the directory name at read time
-        # (partition discovery), so the files stay (id, text)-only
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(self.corpus_path, f"batch={batch_id}")
+        self._write_partition(
+            survivors, os.path.join(self.corpus_path, f"batch={batch_id}")
         )
 
     def _check_signature_lake_consistent(self, spark, bid: int) -> None:
-        """Refuse to stream when the signature lake is missing
-        partitions the corpus has — dedup would silently skip those
-        documents (signature mode newly enabled over an old corpus, a
-        partially lost lake, or batches written by a non-signature
-        processor). Batches whose docs are all too short to carry a
-        shingle legitimately have EMPTY signature partitions, so the
-        comparison is by partition directory, and the all-short
-        corpus (zero shingle-able docs anywhere) is exempt."""
-        from flink_framework_spark.operators.dedup import tokens
+        """Refuse to stream unless the two lakes' COMMITTED partition
+        sets agree (ignoring this batch's own partitions, which the
+        replay is about to rewrite, and torn crash residue, which the
+        reader skips symmetrically on both sides):
 
-        corpus_parts = self._committed_parts(self.corpus_path, bid) or []
-        missing = [
-            os.path.basename(p)
-            for p in corpus_parts
-            if not os.path.isdir(
-                os.path.join(self.signature_path, os.path.basename(p))
-            )
-        ]
-        if not missing:
-            return
-        corpus = self._read_lake(spark, self.corpus_path, bid)
-        shingleable = (
-            corpus.filter(
-                F.size(tokens(F.col(self.text_col))) >= 3
-            ).limit(1).count()
-            if corpus is not None
-            else 0
-        )
-        if shingleable:
+        - corpus partitions without a committed signature partition
+          mean dedup would silently skip those documents (signature
+          mode newly enabled over an old corpus, a partially lost
+          lake, batches written by a non-signature processor) — the
+          _EMPTY marker keeps legitimately-empty signature partitions
+          (all-short batches) committed and distinguishable from torn
+          ones, so no content scan is needed;
+        - orphaned signature partitions (their corpus partition is
+          gone) would keep vetoing new documents against ghosts,
+          silently dropping re-crawled copies that exist in neither
+          lake."""
+        own = f"batch={bid}"
+        corpus_parts = {
+            e
+            for e, s in self._partitions(self.corpus_path).items()
+            if s != "torn" and e != own
+        }
+        sig_parts = {
+            e
+            for e, s in self._partitions(self.signature_path).items()
+            if s != "torn" and e != own
+        }
+        missing = sorted(corpus_parts - sig_parts)
+        if missing:
             raise RuntimeError(
                 "rolling dedup: signature lake at "
                 f"{self.signature_path} is missing partitions "
@@ -244,11 +267,22 @@ class RollingDedupProcessor:
                 f"{self.corpus_path} — run backfill_signatures() "
                 "before streaming"
             )
+        orphaned = sorted(sig_parts - corpus_parts)
+        if orphaned:
+            raise RuntimeError(
+                "rolling dedup: signature lake at "
+                f"{self.signature_path} has orphaned partitions "
+                f"{orphaned} with no corpus partition at "
+                f"{self.corpus_path} — restore the corpus partition "
+                "or delete the orphaned signatures before streaming"
+            )
 
     def backfill_signatures(self, spark) -> int:
         """Derive the signature lake from an existing corpus lake —
-        one min-shingle pass per batch partition, written under the
-        same idempotent layout. Returns the number of partitions
+        one min-shingle pass per committed batch partition (torn
+        crash residue is skipped, exactly as the reader skips it),
+        written under the same idempotent layout with empty outputs
+        marker-committed. Returns the number of partitions
         backfilled. Use when enabling ``signature_path`` over a
         corpus built in text mode (or after losing the derived
         lake)."""
@@ -258,19 +292,25 @@ class RollingDedupProcessor:
 
         if self.signature_path is None:
             raise ValueError("no signature_path configured")
-        if not os.path.isdir(self.corpus_path):
-            return 0
         n = 0
-        for entry in sorted(os.listdir(self.corpus_path)):
-            if not entry.startswith("batch="):
+        for entry, state in self._partitions(self.corpus_path).items():
+            if state == "torn":
+                continue
+            sig_dir = os.path.join(self.signature_path, entry)
+            if state == "empty":
+                # zero corpus rows -> zero signatures; commit the
+                # marker without a Spark job
+                os.makedirs(sig_dir, exist_ok=True)
+                open(
+                    os.path.join(sig_dir, self._EMPTY_MARKER), "w"
+                ).close()
+                n += 1
                 continue
             part = spark.read.parquet(
                 os.path.join(self.corpus_path, entry)
             )
             minsh = min_shingle_frame(part, self.id_col, self.text_col)
-            minsh.write.mode("overwrite").parquet(
-                os.path.join(self.signature_path, entry)
-            )
+            self._write_partition(minsh, sig_dir)
             minsh.unpersist()
             n += 1
         return n

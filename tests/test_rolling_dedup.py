@@ -266,6 +266,33 @@ def test_partial_signature_lake_detected(spark, sf_dir, doc_spool, tmp_path):
     proc(replay_df, N_FILES)  # repaired
 
 
+def test_orphaned_signature_partition_detected(
+    spark, sf_dir, doc_spool, tmp_path
+):
+    """A signature partition whose corpus partition is gone would veto
+    new documents against ghosts — the consistency check must refuse,
+    naming the orphan."""
+    directory, _ = doc_spool
+    corpus_path = str(tmp_path / "corpus")
+    sig_path = str(tmp_path / "sigs")
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    proc = RollingDedupProcessor(
+        corpus_path, threshold=0.5, signature_path=sig_path
+    )
+    q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    shutil.rmtree(os.path.join(corpus_path, "batch=2"))
+    replay_df = spark.read.parquet(
+        os.path.join(directory, "part-00000.parquet")
+    )
+    with pytest.raises(RuntimeError, match="orphaned.*batch=2"):
+        proc(replay_df, N_FILES)
+
+
 def test_short_doc_corpus_streams_without_signatures(spark, tmp_path):
     """A corpus whose docs are all too short to carry a shingle has a
     legitimately empty signature lake: streaming must proceed (all
