@@ -513,3 +513,75 @@ def gen_scalar_query(seed: int):
 def test_fuzz_scalar_matches_oracle(spark, sf_dir, seed):
     fn, sql = gen_scalar_query(seed)
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- grouping-sets fuzz (ROLLUP / CUBE / GROUPING SETS) ----------
+# NULL fill of rolled-up keys and GROUPING() markers behave
+# identically in both engines; aggregates reuse the exact set.
+
+GS_KEYS = [
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    (
+        "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+        "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+    ),
+]
+
+
+def gen_groupingsets_query(seed: int):
+    rng = random.Random(50_000 + seed)
+    (k1_spark, k1_sql), (k2_spark, k2_sql) = rng.sample(GS_KEYS, 2)
+    mode = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    q = rng.choice([0, 10, 30])
+    aggs_sql = (
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+        "MIN(l_extendedprice) AS mn"
+    )
+    if mode == "SETS":
+        grp = "GROUPING SETS ((k1), (k2), ())"
+    else:
+        grp = f"{mode}(k1, k2)"
+    sql = (
+        f"SELECT k1, k2, CAST(GROUPING(k1) AS BIGINT) AS g1, "
+        f"CAST(GROUPING(k2) AS BIGINT) AS g2, {aggs_sql} FROM ("
+        f"SELECT {k1_sql} AS k1, {k2_sql} AS k2, l_quantity, "
+        f"l_extendedprice FROM lineitem WHERE l_quantity >= {q}) t "
+        f"GROUP BY {grp}"
+    )
+
+    def fn(spark, sf_dir):
+        df = (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") >= q)
+            .select(
+                F.expr(k1_spark).alias("k1"),
+                F.expr(k2_spark).alias("k2"),
+                "l_quantity",
+                "l_extendedprice",
+            )
+        )
+        if mode == "ROLLUP":
+            grouped = df.rollup("k1", "k2")
+        elif mode == "CUBE":
+            grouped = df.cube("k1", "k2")
+        else:
+            grouped = df.groupingSets(
+                [["k1"], ["k2"], []], "k1", "k2"
+            )
+        return grouped.agg(
+            F.grouping("k1").cast("long").alias("g1"),
+            F.grouping("k2").cast("long").alias("g2"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.min("l_extendedprice").alias("mn"),
+        ).select("k1", "k2", "g1", "g2", "cnt", "qty", "mn")
+
+    return fn, sql
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_groupingsets_matches_oracle(spark, sf_dir, seed):
+    fn, sql = gen_groupingsets_query(seed)
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
