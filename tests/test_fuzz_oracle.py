@@ -585,3 +585,51 @@ def gen_groupingsets_query(seed: int):
 def test_fuzz_groupingsets_matches_oracle(spark, sf_dir, seed):
     fn, sql = gen_groupingsets_query(seed)
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+# ---- SQL-text fuzz: ONE ANSI string, both engines ----------------
+# Exercises the spark.sql entry path (parser + subquery planning)
+# that the DataFrame generators above bypass: correlated EXISTS /
+# NOT EXISTS / IN / scalar-subquery shapes written in the common
+# dialect and executed verbatim by Catalyst AND DuckDB.
+
+
+def gen_sqltext_query(seed: int) -> str:
+    rng = random.Random(60_000 + seed)
+    q = rng.choice([20, 35, 45])
+    st = rng.choice(["O", "F", "P"])
+    shape = rng.choice(["exists", "not_exists", "in", "scalar"])
+    if shape == "exists":
+        return (
+            "SELECT o_orderkey, o_orderstatus FROM orders o WHERE "
+            f"o_orderstatus = '{st}' AND EXISTS (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > {q})"
+        )
+    if shape == "not_exists":
+        return (
+            "SELECT o_orderkey FROM orders o WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+            f"AND l.l_quantity > {q})"
+        )
+    if shape == "in":
+        return (
+            "SELECT o_orderkey, o_orderpriority FROM orders WHERE "
+            "o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE "
+            f"l_quantity > {q}) AND o_orderstatus = '{st}'"
+        )
+    return (
+        "SELECT o_orderkey, (SELECT CAST(COUNT(*) AS BIGINT) FROM "
+        "lineitem l WHERE l.l_orderkey = o.o_orderkey AND "
+        f"l.l_quantity > {q}) AS n_big FROM orders o WHERE "
+        f"o.o_orderstatus = '{st}'"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_sqltext_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.io import table as load
+
+    sql = gen_sqltext_query(seed)
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    assert_matches_oracle(spark.sql(sql), sql, sf_dir)
