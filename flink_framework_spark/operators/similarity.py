@@ -399,6 +399,14 @@ def train_imi(
     """
     from flink_framework_spark.operators.pq import pq_train
 
+    first = df.select(vec_col).first()
+    if first is not None and len(first[0]) % 2 != 0:
+        raise ValueError(
+            f"train_imi: embedding dim {len(first[0])} is odd — IMI "
+            "splits the vector into two equal halves. Pad the "
+            "embedding to even dimension (or use flat IVF) for "
+            "odd-dim corpora."
+        )
     return pq_train(
         df,
         m=2,

@@ -79,6 +79,24 @@ class RollingDedupProcessor:
             raise ValueError(
                 "signature_path applies to the built-in text dedup only"
             )
+        # partition discovery (_partitions) walks the lake with
+        # os.listdir — on a remote URI (hdfs://, s3a://, ...) that
+        # silently returns {} and every batch would dedup against an
+        # "empty" corpus, disabling dedup without any error; refuse
+        # loudly until listing is routed through the Hadoop FileSystem
+        for label, p in (
+            ("corpus_path", corpus_path),
+            ("signature_path", signature_path),
+        ):
+            if p is not None and "://" in p:
+                raise ValueError(
+                    f"{label}={p!r}: RollingDedupProcessor's partition "
+                    "discovery is local-filesystem only (os.listdir); a "
+                    "URI-scheme lake would be seen as empty and dedup "
+                    "silently skipped. Use a local path, or extend "
+                    "_partitions/_write_partition to the Hadoop "
+                    "FileSystem API for remote storage."
+                )
         self.corpus_path = corpus_path
         self.threshold = threshold
         self.id_col = id_col

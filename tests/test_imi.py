@@ -210,3 +210,12 @@ def test_imi_and_flat_prune_agree_given_same_cells(spark, sf_dir):
 
     check(semantic_dedup_imi(em, books, eps=0.35))
     check(semantic_dedup(em, cents, eps=0.35))
+
+
+def test_train_imi_rejects_odd_dimension(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(8)],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="odd"):
+        train_imi(df, k_per_half=2)

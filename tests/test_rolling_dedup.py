@@ -406,3 +406,16 @@ def test_no_cross_batch_dups_survive(spark, sf_dir, doc_spool, tmp_path):
         pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("ba") != F.col("bb"))
     )
     assert cross.count() == 0
+
+
+def test_remote_uri_lake_paths_refused():
+    from flink_framework_spark.streaming.rolling_dedup import (
+        RollingDedupProcessor,
+    )
+
+    with pytest.raises(ValueError, match="corpus_path"):
+        RollingDedupProcessor("s3a://bucket/corpus")
+    with pytest.raises(ValueError, match="signature_path"):
+        RollingDedupProcessor(
+            "/tmp/ok", signature_path="hdfs://nn/sigs"
+        )

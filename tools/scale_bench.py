@@ -47,6 +47,7 @@ DEFAULT_QUERIES = [
     "q_curation_pipeline",
     "q_dedup_semantic@scaled_cells",
     "q_dedup_semantic_imi@scaled_cells",
+    "q_sim_topk_ivf@scaled_cells",
     "q_sim_topk_imi@scaled_cells",
 ]
 
