@@ -99,11 +99,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_suite",          # K2: ngram + embed (live SQL) + minhash +
                               #     simhash (golden @ sf0.01), tagged union
     "q_dedup_clusters",       # K2 manifest: pairs -> components -> survivor
-    "q_decontam",             # benchmark n-gram decontamination
+    "q_curation_pipeline",    # five-stage funnel (dedup -> quality ->
+                              #     langid -> decontam -> split) as ONE
+                              #     oracle-checked composition; decontam's
+                              #     former slot is stage 4 of this chain
     "q_curation_suite",       # split/strat/PII/mix/pack/repetition,
                               #     value-complete melt
     "q_sim_topk_bucketed",    # K3 scale path
-    "q_sim_topk_ivf",         # K3 (golden oracle @ sf0.01)
+    "q_sim_topk_imi",         # K3 two-level IMI — the measured at-scale
+                              #     fix (golden @ sf0.01); flat IVF's
+                              #     family is attested by the bucketed
+                              #     slot and slots 51+ keep q_sim_topk_ivf
     "q_text_stats",           # K4
     "q_multimodal_meta",      # K5 + J5
     "q_retrieval_suite",      # K: BM25 + TF-IDF keywords + chunking
