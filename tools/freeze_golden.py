@@ -19,7 +19,7 @@ from tests.harness import canonical_hash  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 # excluded: trained-model queries whose exact outputs may shift with
 # library versions / partitioning (covered by property tests instead)
-SKIP = {"q_text_langid", "q_sim_topk_ivf", "q_kll_quantiles"}
+SKIP = {"q_text_langid", "q_sim_topk_ivf"}
 OUT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "tests", "golden_sf0.001.json"
 )
