@@ -88,41 +88,18 @@ def main() -> None:
     spark.stop()
 
 
-def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput: rate source (offered load set
-    well above sustainable) -> event-time tumbling window + keyed agg
-    with watermark -> noop sink, update mode. Reports the median
-    steady-state processedRowsPerSecond over the observed batches
-    (first batch dropped: it pays stream initialization), plus
-    end-to-end batch latency. This is the reference's identity — a
-    stream processor — measured, not inferred from batch twins."""
-    import statistics
-
-    from pyspark.sql import functions as F
-
-    src = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 5_000_000)
-        .option("numPartitions", 8)
-        .load()
-    )
-    agg = (
-        src.withWatermark("timestamp", "2 seconds")
-        .groupBy(
-            F.window("timestamp", "1 second").alias("w"),
-            (F.col("value") % 64).alias("k"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
-    )
+def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
+    """Start df -> noop sink, observe for ``seconds``, return stats.
+    Fresh checkpoint dir per run: a fixed path keyed by PID would
+    resume a stale checkpoint after PID reuse and corrupt the
+    measurement."""
     import shutil
     import tempfile
 
-    # fresh dir per run: a fixed path keyed by PID would resume a
-    # stale checkpoint after PID reuse and corrupt the measurement
     ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
     q = (
-        agg.writeStream.format("noop")
-        .outputMode("update")
+        df.writeStream.format("noop")
+        .outputMode(mode)
         .option("checkpointLocation", ckpt)
         .start()
     )
@@ -132,33 +109,131 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    out = _stream_stats(progresses)
+    return _stream_stats(progresses)
+
+
+def stream_throughput(spark, seconds: float = 8.0) -> dict:
+    """Structured Streaming throughput, four scenarios covering the
+    reference's streaming identity (median steady-state
+    processedRowsPerSecond with the first batch dropped — it pays
+    stream initialization — plus end-to-end batch latency p50):
+
+    - windowed agg (I1): rate source offered well above sustainable,
+      event-time tumbling window + keyed agg, update mode — the hot
+      aggregation path;
+    - stateful dedup (I5): 1M-key dropDuplicatesWithinWatermark,
+      append — the state-store path;
+    - stream-stream interval join (I6): two watermarked
+      rate-micro-batch streams, equi-key + event-time bound, append —
+      the symmetric dual-state join machine (key space sized to
+      rowsPerBatch so join fan-out stays exactly 1 and the
+      measurement is state cost, not output explosion);
+    - session windows (I3): one hit per key per batch with a 500 ms
+      gap, append — sessions form, close on watermark, and evict,
+      measuring the open/merge-check/close path rather than one
+      ever-growing session per key.
+
+    Measured, not inferred from batch twins."""
+    from pyspark.sql import functions as F
+
+    def rate(rows_per_sec=5_000_000, partitions=8):
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_sec)
+            .option("numPartitions", partitions)
+            .load()
+        )
+
+    src = rate()
+    agg = (
+        src.withWatermark("timestamp", "2 seconds")
+        .groupBy(
+            F.window("timestamp", "1 second").alias("w"),
+            (F.col("value") % 64).alias("k"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    out = _run_stream_scenario(agg, "update", seconds)
     out["pipeline"] = "rate->watermark->window1s+key64 agg->noop(update)"
 
-    # second scenario — STATEFUL streaming dedup (I5's identity at
-    # throughput): 1M-key dedup state with watermark eviction, append
-    # mode; measures the state-store path rather than the window agg
     dd = (
         src.withColumn("k", F.col("value") % 1_000_000)
         .withWatermark("timestamp", "2 seconds")
         .dropDuplicatesWithinWatermark(["k"])
     )
-    ckpt2 = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-    q2 = (
-        dd.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt2)
-        .start()
-    )
-    try:
-        time.sleep(seconds)
-        progresses2 = [p for p in q2.recentProgress if p is not None]
-    finally:
-        q2.stop()
-        shutil.rmtree(ckpt2, ignore_errors=True)
-    out["dedup"] = _stream_stats(progresses2)
+    out["dedup"] = _run_stream_scenario(dd, "append", seconds)
     out["dedup"]["pipeline"] = (
         "rate->watermark->dropDuplicatesWithinWatermark(1M keys)"
+        "->noop(append)"
+    )
+
+    # The two state-machine scenarios use rate-micro-batch instead of
+    # rate: fixed rowsPerBatch with back-to-back triggers, so
+    # processedRowsPerSecond IS the sustainable state-machine
+    # throughput (an over-offered rate source snowballs into one giant
+    # batch here and yields no steady-state batches in the window).
+    # Event time advances 1 s per batch, so the 2 s watermark evicts
+    # with a ~2-batch lag — state stays bounded while every batch
+    # exercises insert + match/merge + eviction.
+    def rate_mb(rows_per_batch, partitions=8):
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", partitions)
+            .load()
+        )
+
+    # stream-stream interval join: key space == rowsPerBatch so each
+    # key appears once per side per batch with equal event time; the
+    # [0,1s) bound then matches same-batch pairs only — fan-out
+    # exactly 1, measuring dual-state-store cost, not output explosion
+    jr = 500_000
+    a = rate_mb(jr).select(
+        (F.col("value") % jr).alias("k"),
+        F.col("timestamp").alias("ts_a"),
+    ).withWatermark("ts_a", "2 seconds")
+    b = rate_mb(jr).select(
+        (F.col("value") % jr).alias("k"),
+        F.col("timestamp").alias("ts_b"),
+        F.col("value").alias("v_b"),
+    ).withWatermark("ts_b", "2 seconds")
+    joined = a.join(
+        b,
+        (a.k == b.k)
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 1 SECOND")),
+    )
+    out["interval_join"] = _run_stream_scenario(
+        joined, "append", seconds * 2
+    )
+    out["interval_join"]["pipeline"] = (
+        "rate-micro-batch x2 (500k rows/batch/side) ->watermark 2s-> "
+        "equi-key + [0,1s) event-time bound ->noop(append); "
+        "rows/s counts both inputs, fan-out 1"
+    )
+
+    # session windows: every key hit once per batch, event-time gap
+    # (1 s/batch) > session gap (500 ms) — each hit opens its own
+    # session, which closes and EVICTS two batches later, so the
+    # measurement is the open/merge-check/close path at 1M live
+    # sessions rather than one forever-growing session per key
+    sr = 1_000_000
+    sess = (
+        rate_mb(sr)
+        .withColumn("k", F.col("value") % sr)
+        .withWatermark("timestamp", "2 seconds")
+        .groupBy(
+            F.session_window("timestamp", "500 milliseconds").alias("w"),
+            "k",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out["session_window"] = _run_stream_scenario(
+        sess, "append", seconds * 2
+    )
+    out["session_window"]["pipeline"] = (
+        "rate-micro-batch (1M rows/batch)->watermark 2s->"
+        "session_window(gap 500ms, 1 hit/key/batch)+key agg"
         "->noop(append)"
     )
     return out
