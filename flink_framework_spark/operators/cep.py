@@ -59,3 +59,112 @@ def match_sequence(
             & (F.col(f"ts_{i}") <= F.col("ts_0") + horizon),
         ).drop(f"__k{i}")
     return cur.withColumnRenamed("__k0", key_col)
+
+
+def match_sequence_negated(
+    events: DataFrame,
+    steps: Sequence[str],
+    absent: str,
+    within: str,
+    between: tuple[int, int] | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP ``notFollowedBy``: complete ``steps`` matches with NO
+    ``absent``-type event STRICTLY between ``ts_i`` and ``ts_j``
+    (``between=(i, j)``, default first-to-last step).
+
+    Scale shape: the positive matches from :func:`match_sequence`
+    (chained keyed interval joins), then one LEFT ANTI join against
+    the ``absent`` events — equi on the key with the time range as the
+    residual condition, so the negation is a single keyed shuffle, not
+    a per-match scan."""
+    i, j = between if between is not None else (0, len(steps) - 1)
+    if not (0 <= i < j <= len(steps) - 1):
+        raise ValueError(f"between={between!r} out of range for {steps}")
+    matches = match_sequence(
+        events, steps, within, key_col, ts_col, type_col, id_col
+    )
+    neg = events.filter(F.col(type_col) == absent).select(
+        F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
+    )
+    return matches.join(
+        neg,
+        (F.col(key_col) == F.col("__nk"))
+        & (F.col("__nts") > F.col(f"ts_{i}"))
+        & (F.col("__nts") < F.col(f"ts_{j}")),
+        "left_anti",
+    )
+
+
+def match_times(
+    events: DataFrame,
+    step: str,
+    then_step: str,
+    n_min: int,
+    n_max: int,
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP bounded looping quantifier —
+    ``step.times(n_min, n_max)`` followed by ``then_step``, everything
+    within ``within`` of the first repetition.
+
+    Repetitions are CONSECUTIVE among the key's ``step`` events
+    (relaxed contiguity w.r.t. other event types — Flink's default
+    ``followedBy`` between repetitions, but no skipped ``step``
+    events; skipping would make match counts combinatorial, which is
+    why Flink pairs unbounded looping with after-match skip
+    strategies). One row per (ending event, n_reps) — Flink's
+    times(m, n) likewise emits a match per repetition count.
+
+    Output: ``(key_col, ts_first, ts_last, n_reps)`` for runs with at
+    least one ``then_step`` event after ``ts_last`` and within the
+    horizon of ``ts_first``.
+
+    Scale shape: ONE window pass over the ``step`` events computes all
+    ``lag`` depths, ``stack`` melts them to per-n candidates (no
+    self-join on the repetition side), and the follower check is a
+    LEFT SEMI join — equi on the key, time range residual. Two keyed
+    shuffles total, independent of n_max."""
+    from pyspark.sql import Window
+
+    if n_min < 2:
+        raise ValueError("n_min must be >= 2 (times(1) is plain match)")
+    if n_max < n_min or n_max - n_min > 7:
+        raise ValueError("need n_min <= n_max <= n_min + 7 (bounded)")
+    horizon = F.expr(f"INTERVAL {within}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    ns = range(n_min, n_max + 1)
+    lags = events.filter(F.col(type_col) == step).select(
+        key_col,
+        F.col(ts_col).alias("ts_last"),
+        *[F.lag(ts_col, n - 1).over(w).alias(f"__f{n}") for n in ns],
+    )
+    stacked = lags.select(
+        key_col,
+        "ts_last",
+        F.expr(
+            f"stack({len(list(ns))}, "
+            + ", ".join(f"{n}, __f{n}" for n in ns)
+            + ") as (n_reps, ts_first)"
+        ),
+    ).filter(
+        F.col("ts_first").isNotNull()
+        & (F.col("ts_last") <= F.col("ts_first") + horizon)
+    )
+    followers = events.filter(F.col(type_col) == then_step).select(
+        F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
+    )
+    return stacked.join(
+        followers,
+        (F.col(key_col) == F.col("__bk"))
+        & (F.col("__bts") > F.col("ts_last"))
+        & (F.col("__bts") <= F.col("ts_first") + horizon),
+        "left_semi",
+    ).select(key_col, "ts_first", "ts_last", "n_reps")

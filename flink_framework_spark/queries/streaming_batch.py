@@ -203,6 +203,78 @@ def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_negation",
+    family="I",
+    oracle="""
+SELECT COUNT(DISTINCT v.user_id) AS n_users
+FROM events v
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = v.user_id AND c.event_type = 'click'
+      AND c.ts > v.ts AND c.ts < p.ts)
+""",
+)
+def q_cep_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP negation (Flink ``notFollowedBy``): users converting
+    view -> purchase within 30 minutes with NO click strictly between
+    the view and the purchase — the "organic conversion" pattern.
+    Built by operators.cep.match_sequence_negated: positive matches,
+    then one keyed LEFT ANTI join against the absent-type events."""
+    from flink_framework_spark.operators.cep import match_sequence_negated
+
+    ev = table(spark, sf_dir, "events")
+    matches = match_sequence_negated(
+        ev, ["view", "purchase"], absent="click", within="30 MINUTES"
+    )
+    return matches.agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@register(
+    "q_cep_times",
+    family="I",
+    oracle="""
+WITH a AS (
+  SELECT user_id, ts,
+         LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+         LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+  FROM events WHERE event_type = 'click'),
+c AS (
+  SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
+  WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '60 minutes'
+  UNION ALL
+  SELECT user_id, 3, f3, ts FROM a
+  WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '60 minutes')
+SELECT n_reps, COUNT(*) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM c
+WHERE EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+    AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '60 minutes')
+GROUP BY n_reps
+""",
+)
+def q_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP bounded looping quantifier (Flink ``times(2, 3)``): 2-3
+    consecutive clicks followed by a purchase, all within 60 minutes
+    of the first click — the "burst then convert" pattern. Built by
+    operators.cep.match_times: one window pass computes every lag
+    depth, stack melts to per-n candidates, LEFT SEMI checks the
+    follower."""
+    from flink_framework_spark.operators.cep import match_times
+
+    ev = table(spark, sf_dir, "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "60 MINUTES")
+    return m.groupBy("n_reps").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_stream_count_window",
     family="I",
     oracle="""

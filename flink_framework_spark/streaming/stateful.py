@@ -127,6 +127,63 @@ def funnel_conversions_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _negated_funnel_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """view -> purchase within the horizon with NO click between: the
+    streaming spelling of CEP negation (operators.cep
+    .match_sequence_negated). A click at time c invalidates every
+    pending view with v_ts < c — any later purchase would have that
+    click strictly between; purchases already emitted are untouched.
+    State stays the pending-view list, same bound as the plain
+    funnel."""
+    (user_id,) = key
+    views: list[float] = list(state.get[0]) if state.exists else []
+    out_ts: list[pd.Timestamp] = []
+    for pdf in pdfs:
+        # purchases before clicks at EQUAL ts: "no click between" is
+        # strict (c < p), so a same-instant click must not invalidate
+        # views for that purchase (view ties are safe either way —
+        # both the match and the invalidation are strict in v)
+        pdf = pdf.assign(__clk=(pdf["event_type"] == "click")).sort_values(
+            ["ts", "__clk"]
+        )
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            sec = ts.timestamp()
+            if etype == "view":
+                views.append(sec)
+            elif etype == "click":
+                views = [v for v in views if v >= sec]
+            elif etype == "purchase":
+                views = [v for v in views if sec - v <= _HORIZON_S]
+                if any(v < sec for v in views):
+                    out_ts.append(ts)
+    if views:
+        horizon_floor = max(views) - _HORIZON_S
+        views = [v for v in views if v >= horizon_floor]
+    state.update((views,))
+    if out_ts:
+        yield pd.DataFrame({"user_id": user_id, "purchase_ts": out_ts})
+
+
+def negated_funnel_conversions(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_cep_negation: view->purchase conversions
+    with no intervening click, per user (update mode)."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _negated_funnel_fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CHANGELOG_SCHEMA = (
     "user_id long, last_ts timestamp, last_op string,"
     " last_value double, n_versions long"

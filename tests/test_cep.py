@@ -1,0 +1,182 @@
+"""CEP operator semantics on planted corpora: negation
+(match_sequence_negated == Flink notFollowedBy) and bounded looping
+quantifiers (match_times == times(m, n) + followedBy). The registered
+queries q_cep_negation / q_cep_times are oracle-checked against live
+DuckDB SQL; these tests pin the exact match-level semantics — which
+events match, not just aggregate counts — on hand-built timelines
+where the expected matches are enumerable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_framework_spark.operators.cep import (
+    match_sequence,
+    match_sequence_negated,
+    match_times,
+)
+
+_SCHEMA = "user_id long, event_id long, ts timestamp, event_type string"
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_id, minute, event_type)."""
+    return spark.createDataFrame(
+        [
+            (u, e, f"2024-01-01 10:{m:02d}:00", t)
+            for (u, e, m, t) in rows
+        ],
+        "user_id long, event_id long, ts string, event_type string",
+    ).selectExpr(
+        "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+    )
+
+
+def test_negation_drops_matches_with_intervening_event(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: view(0) -> purchase(10), no click — survives
+            (1, 1, 0, "view"),
+            (1, 2, 10, "purchase"),
+            # user 2: view(0) -> click(5) -> purchase(10) — negated
+            (2, 3, 0, "view"),
+            (2, 4, 5, "click"),
+            (2, 5, 10, "purchase"),
+            # user 3: click BEFORE the view doesn't negate
+            (3, 6, 0, "click"),
+            (3, 7, 1, "view"),
+            (3, 8, 10, "purchase"),
+            # user 4: click AFTER the purchase doesn't negate
+            (4, 9, 0, "view"),
+            (4, 10, 10, "purchase"),
+            (4, 11, 15, "click"),
+        ],
+    )
+    got = match_sequence_negated(
+        ev, ["view", "purchase"], absent="click", within="30 MINUTES"
+    )
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 3, 4]
+    # sanity: the unnegated matcher finds all four
+    assert match_sequence(ev, ["view", "purchase"], "30 MINUTES").count() == 4
+
+
+def test_negation_boundary_is_strict(spark):
+    ev = _events(
+        spark,
+        [
+            # click exactly AT the view ts and AT the purchase ts:
+            # strictly-between means neither negates
+            (1, 1, 0, "click"),
+            (1, 2, 0, "view"),
+            (1, 3, 10, "purchase"),
+            (1, 4, 10, "click"),
+        ],
+    )
+    got = match_sequence_negated(
+        ev, ["view", "purchase"], absent="click", within="30 MINUTES"
+    )
+    assert got.count() == 1
+
+
+def test_negation_between_selects_the_gap(spark):
+    ev = _events(
+        spark,
+        [
+            # view(0) -> click(5) -> purchase(10), error at 7:
+            # negating between steps 1 and 2 (click->purchase) drops
+            # it; negating between 0 and 1 (view->click) does not
+            (1, 1, 0, "view"),
+            (1, 2, 5, "click"),
+            (1, 3, 7, "error"),
+            (1, 4, 10, "purchase"),
+        ],
+    )
+    steps = ["view", "click", "purchase"]
+    assert (
+        match_sequence_negated(
+            ev, steps, absent="error", within="30 MINUTES", between=(1, 2)
+        ).count()
+        == 0
+    )
+    assert (
+        match_sequence_negated(
+            ev, steps, absent="error", within="30 MINUTES", between=(0, 1)
+        ).count()
+        == 1
+    )
+
+
+def test_times_counts_consecutive_runs(spark):
+    ev = _events(
+        spark,
+        [
+            # user 1: clicks at 0,1,2 then purchase at 5.
+            # times(2,3): runs (0,1), (1,2), (0..2) -> three matches
+            (1, 1, 0, "click"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "click"),
+            (1, 4, 5, "purchase"),
+            # user 2: single click -> no quantified match
+            (2, 5, 0, "click"),
+            (2, 6, 5, "purchase"),
+            # user 3: two clicks but NO purchase after -> no match
+            (3, 7, 0, "click"),
+            (3, 8, 1, "click"),
+        ],
+    )
+    got = match_times(ev, "click", "purchase", 2, 3, "60 MINUTES")
+    rows = sorted(
+        (r["user_id"], r["n_reps"], r["ts_first"].minute, r["ts_last"].minute)
+        for r in got.collect()
+    )
+    assert rows == [(1, 2, 0, 1), (1, 2, 1, 2), (1, 3, 0, 2)]
+
+
+def test_times_window_binds_first_repetition_to_follower(spark):
+    ev = _events(
+        spark,
+        [
+            # clicks at 0 and 50, purchase at 55: the (0,50) run fits
+            # inside 60 min but the purchase must be within 60 of the
+            # FIRST click -> 55 <= 60 qualifies; with a 40-minute
+            # horizon the run itself (50 > 40) fails
+            (1, 1, 0, "click"),
+            (1, 2, 50, "click"),
+            (1, 3, 55, "purchase"),
+        ],
+    )
+    assert match_times(ev, "click", "purchase", 2, 2, "60 MINUTES").count() == 1
+    assert match_times(ev, "click", "purchase", 2, 2, "40 MINUTES").count() == 0
+
+
+def test_times_interleaved_other_types_allowed(spark):
+    ev = _events(
+        spark,
+        [
+            # relaxed contiguity w.r.t. other event types: a view
+            # between the clicks doesn't break the run
+            (1, 1, 0, "click"),
+            (1, 2, 1, "view"),
+            (1, 3, 2, "click"),
+            (1, 4, 5, "purchase"),
+        ],
+    )
+    assert match_times(ev, "click", "purchase", 2, 2, "60 MINUTES").count() == 1
+
+
+def test_times_rejects_unbounded_or_trivial(spark):
+    ev = _events(spark, [(1, 1, 0, "click")])
+    with pytest.raises(ValueError, match="n_min"):
+        match_times(ev, "click", "purchase", 1, 2, "60 MINUTES")
+    with pytest.raises(ValueError, match="bounded"):
+        match_times(ev, "click", "purchase", 2, 99, "60 MINUTES")
+
+
+def test_negated_between_validation(spark):
+    ev = _events(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError, match="between"):
+        match_sequence_negated(
+            ev, ["view", "purchase"], "click", "30 MINUTES", between=(1, 1)
+        )

@@ -123,3 +123,32 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
         # off hot paths, every other query must stay JVM-side.
         if name not in ("q_udf_python", "q_udtf_ngrams"):
             assert "BatchEvalPython" not in plan, name
+
+
+def test_media_decode_never_reshuffles_payloads(spark, sf_dir, tmp_path):
+    """The multimodal decode stage must be a narrow map over the scan:
+    raw payload bytes reach the Arrow boundary without ever crossing
+    an Exchange (at media scale a payload shuffle IS the outage), and
+    a metadata-only projection prunes the payload column at the scan."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.multimodal import (
+        attach_payload,
+        decode_media,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    path = str(tmp_path / "media.parquet")
+    attach_payload(docs, "doc_id", "text").write.parquet(path)
+    media = spark.read.parquet(path)
+
+    plan = formatted_plan(decode_media(media))
+    assert "Exchange" not in plan, plan
+    # downstream agg shuffles only the narrow decoded features
+    agg = decode_media(media).groupBy("width").agg(F.count(F.lit(1)))
+    assert count_exchanges(agg) == 1
+    # metadata-only projection: payload pruned at the parquet scan
+    schemas = " ".join(read_schemas(media.select("media_id", "meta.mime")))
+    assert "payload" not in schemas, schemas
+    assert "media_id" in schemas

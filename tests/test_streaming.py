@@ -267,3 +267,26 @@ def test_changelog_stream_matches_batch_compaction(spark, sf_dir):
     a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
     b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
     assert a == b
+
+
+def test_stateful_negated_funnel_matches_batch(spark, sf_dir):
+    """applyInPandasWithState CEP negation == batch anti-join spelling
+    (q_cep_negation): same distinct converting users, and never more
+    than the unnegated funnel."""
+    from flink_framework_spark.registry import all_queries
+    from flink_framework_spark.streaming.stateful import (
+        negated_funnel_conversions,
+    )
+
+    qs = all_queries()
+    batch_n = qs["q_cep_negation"].fn(spark, sf_dir).collect()[0]["n_users"]
+    plain_n = qs["q_funnel"].fn(spark, sf_dir).collect()[0]["n_users"]
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_to_memory(
+        negated_funnel_conversions(sdf),
+        query_name="t_neg_funnel",
+        output_mode="update",
+    )
+    stream_n = out.select("user_id").distinct().count()
+    assert stream_n == batch_n
+    assert batch_n <= plain_n

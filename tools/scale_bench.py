@@ -170,10 +170,14 @@ SCALES = [
     ("/tmp/scaledata/t10", 10),
 ]
 # deeper tiles are opt-in (generate with make_scale_data.py; picked up
-# automatically when present) — t30 is 18M lineitem rows locally
+# automatically when present) — t30 is 18M lineitem rows locally.
+# SCALE_BENCH_MAX_TILE caps the sweep depth (e.g. 30 for the wide
+# driver-50 table, where the 3->10->30 exponents are the deliverable
+# and a 100x pass per query would dominate wall-clock).
+_MAX_TILE = int(os.environ.get("SCALE_BENCH_MAX_TILE", "100"))
 for _t in (30, 100):
     _d = f"/tmp/scaledata/t{_t}"
-    if os.path.isdir(_d):
+    if os.path.isdir(_d) and _t <= _MAX_TILE:
         SCALES.append((_d, _t))
 
 
