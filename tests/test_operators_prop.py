@@ -178,3 +178,76 @@ def test_async_enrich_matches_sync(spark_session_holder, sf_dir):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, expected.collect()))
     assert a == b
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=24),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), max_size=8),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_targeted_matches_plain(
+    spark_session_holder, left, right, how
+):
+    from flink_framework_spark.operators.skew import salted_join_targeted
+
+    spark = _get_spark()
+    ldf = spark.createDataFrame(left or [(None, None)], "k int, lv int").filter(
+        "k is not null"
+    )
+    rdf = spark.createDataFrame(right or [(None, None)], "k int, rv int").filter(
+        "k is not null"
+    )
+    plain = sorted(map(repr, ldf.join(rdf, "k", how).collect()))
+    # explicit hot keys: sampling at this size is degenerate
+    targeted = sorted(
+        map(
+            repr,
+            salted_join_targeted(
+                ldf, rdf, ["k"], how, salt=4, hot_keys=[0, 1]
+            ).collect(),
+        )
+    )
+    assert targeted == plain
+
+
+def test_salted_join_targeted_detects_hot_keys(spark_session_holder):
+    """Sampled detection finds the planted hot key, and the split
+    result equals the plain join on a skewed frame."""
+    from pyspark.sql import functions as SF
+
+    from flink_framework_spark.operators.skew import salted_join_targeted
+
+    spark = _get_spark()
+    left = spark.range(200_000).select(
+        SF.when(SF.col("id") % 2 == 0, SF.lit(7))
+        .otherwise(SF.col("id") % 1000)
+        .alias("k"),
+        SF.col("id").alias("lv"),
+    )
+    right = spark.range(1000).select(
+        SF.col("id").alias("k"), (SF.col("id") * 10).alias("rv")
+    )
+    plain = left.join(right, "k").agg(
+        SF.count(SF.lit(1)).alias("n"), SF.sum("rv").alias("s")
+    ).collect()[0]
+    got = salted_join_targeted(
+        left, right, ["k"], sample_frac=0.01, hot_share=0.05
+    ).agg(SF.count(SF.lit(1)).alias("n"), SF.sum("rv").alias("s")).collect()[0]
+    assert (got["n"], got["s"]) == (plain["n"], plain["s"])
+
+
+def test_salted_join_targeted_rejects_unsafe_how(spark_session_holder):
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from flink_framework_spark.operators.skew import salted_join_targeted
+
+    spark = _get_spark()
+    df = spark.range(4).select(SF.col("id").alias("k"))
+    with pytest.raises(ValueError, match="split safely"):
+        salted_join_targeted(df, df, ["k"], how="full")

@@ -60,7 +60,10 @@ def make_tile(spark) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from flink_framework_spark.operators.skew import salted_join
+    from flink_framework_spark.operators.skew import (
+        salted_join,
+        salted_join_targeted,
+    )
 
     spark = get_spark(app_name="skew-bench")
     if not os.path.isdir(TILE):
@@ -86,14 +89,17 @@ def main() -> None:
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         out["no_mitigation"] = run(fact.join(dim, "user_id"))
-        out["salted_32_aqe_off"] = run(
+        out["salted_full_aqe_off"] = run(
             salted_join(fact, dim, ["user_id"], salt=32)
+        )
+        out["salted_targeted_aqe_off"] = run(
+            salted_join_targeted(fact, dim, ["user_id"], salt=32)
         )
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         out["aqe_skew_split"] = run(fact.join(dim, "user_id"))
-        out["salted_32_aqe_on"] = run(
-            salted_join(fact, dim, ["user_id"], salt=32)
+        out["salted_targeted_aqe_on"] = run(
+            salted_join_targeted(fact, dim, ["user_id"], salt=32)
         )
 
         # uniform-key control: the same volume without the hot key,
