@@ -243,31 +243,32 @@ WITH a AS (
   FROM events WHERE event_type = 'click'),
 c AS (
   SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
-  WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '60 minutes'
+  WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '12 hours'
   UNION ALL
   SELECT user_id, 3, f3, ts FROM a
-  WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '60 minutes')
+  WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '12 hours')
 SELECT n_reps, COUNT(*) AS n_matches,
        COUNT(DISTINCT user_id) AS n_users
 FROM c
 WHERE EXISTS (
   SELECT 1 FROM events p
   WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
-    AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '60 minutes')
+    AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '12 hours')
 GROUP BY n_reps
 """,
 )
 def q_cep_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP bounded looping quantifier (Flink ``times(2, 3)``): 2-3
-    consecutive clicks followed by a purchase, all within 60 minutes
-    of the first click — the "burst then convert" pattern. Built by
+    consecutive clicks followed by a purchase, all within 12 hours of
+    the first click (sized to the fixture's ~2-day inter-click gaps so
+    the check is non-trivial at both oracle SFs) — the "burst then convert" pattern. Built by
     operators.cep.match_times: one window pass computes every lag
     depth, stack melts to per-n candidates, LEFT SEMI checks the
     follower."""
     from flink_framework_spark.operators.cep import match_times
 
     ev = table(spark, sf_dir, "events")
-    m = match_times(ev, "click", "purchase", 2, 3, "60 MINUTES")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
     return m.groupBy("n_reps").agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.countDistinct("user_id").alias("n_users"),
