@@ -167,6 +167,25 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "->noop(append)"
     )
 
+    # same dedup under the RocksDB state store — the provider that
+    # keeps working when keyed state outgrows the executor heap (the
+    # default HDFSBacked provider holds state in on-heap hashmaps);
+    # measured side-by-side so the heap-vs-disk trade is a number
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out["dedup_rocksdb"] = _run_stream_scenario(dd, "append", seconds)
+    finally:
+        spark.conf.unset(prov)
+    out["dedup_rocksdb"]["pipeline"] = (
+        "rate->watermark->dropDuplicatesWithinWatermark(1M keys)"
+        "->noop(append), RocksDB state store"
+    )
+
     # The two state-machine scenarios use rate-micro-batch instead of
     # rate: fixed rowsPerBatch with back-to-back triggers, so
     # processedRowsPerSecond IS the sustainable state-machine

@@ -290,3 +290,72 @@ def test_stateful_negated_funnel_matches_batch(spark, sf_dir):
     stream_n = out.select("user_id").distinct().count()
     assert stream_n == batch_n
     assert batch_n <= plain_n
+
+
+def test_state_rescale_pins_original_partitioning(spark, sf_dir, tmp_path):
+    """Savepoint/rescale parity evidence (SURVEY.md §2 I10 honesty
+    note): Flink savepoints can be restored with a DIFFERENT
+    parallelism (state is re-sharded by key group); Spark pins the
+    stateful operator's shuffle-partition count in the checkpoint at
+    first run. This test documents that behavior with evidence: a
+    checkpointed aggregation restarted under a different
+    spark.sql.shuffle.partitions keeps the ORIGINAL state partition
+    count (and stays correct) — rescaling state in Spark requires an
+    offline state rewrite (e.g. the state data source reader), not a
+    restart flag."""
+    out_rows: list = []
+    ckpt = str(tmp_path / "ckpt")
+    src = tmp_path / "src"
+    src.mkdir()
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    schema = ev.schema
+
+    def stage(half: int) -> None:
+        ev.filter(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once(n_parts: str):
+        conf.set("spark.sql.shuffle.partitions", n_parts)
+        try:
+            sdf = spark.readStream.schema(schema).parquet(str(src))
+            agg = sdf.groupBy("event_type").count()
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("t_rescale")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            state_parts = [
+                p["stateOperators"][0]["numShufflePartitions"]
+                for p in q.recentProgress
+                if p and p.get("stateOperators")
+            ]
+            out_rows.append(
+                (
+                    spark.table("t_rescale").toPandas(),
+                    max(state_parts) if state_parts else None,
+                )
+            )
+        finally:
+            conf.set("spark.sql.shuffle.partitions", orig)
+
+    stage(0)
+    run_once("4")
+    stage(1)  # new data so the restarted query actually runs a batch
+    run_once("16")  # restart same checkpoint under different setting
+    (df1, parts1), (df2, parts2) = out_rows
+    assert parts1 == 4
+    # the checkpoint pins the original count — no silent rescale
+    assert parts2 == 4
+    # and the restarted query is still CORRECT (complete-mode counts
+    # over both staged halves match the batch groupBy)
+    batch = ev.groupBy("event_type").count().toPandas()
+    a = sorted(map(tuple, df2[["event_type", "count"]].itertuples(index=False)))
+    b = sorted(map(tuple, batch.itertuples(index=False)))
+    assert a == b
