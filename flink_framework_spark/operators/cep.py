@@ -168,3 +168,48 @@ def match_times(
         & (F.col("__bts") <= F.col("ts_first") + horizon),
         "left_semi",
     ).select(key_col, "ts_first", "ts_last", "n_reps")
+
+
+def skip_past_last(
+    matches: DataFrame,
+    key_col: str = "user_id",
+    first_col: str = "ts_first",
+    last_col: str = "ts_last",
+) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.SKIP_PAST_LAST_EVENT`` over a
+    match frame: per key, select the earliest-starting match
+    (tiebreak: earliest end, then the remaining columns), then skip
+    every match starting at or before its last event; repeat. The
+    selected matches are non-overlapping — the post-processing step
+    that turns a combinatorial match stream into the one-match-per-
+    burst view most CEP consumers actually want.
+
+    Scale shape: selection is inherently sequential PER KEY (each pick
+    depends on the previous pick's end), so this is a grouped-map
+    ``applyInPandas`` — one keyed shuffle, then a linear scan over each
+    key's matches. Matches-per-key is bounded by the pattern horizon
+    (CEP matches are short bursts), not corpus size.
+
+    Oracle twin: the same greedy selection is expressible as a
+    recursive CTE (see q_cep_skip), which value-checks this exact
+    semantics cross-engine.
+    """
+    cols = list(matches.columns)
+    for c in (key_col, first_col, last_col):
+        if c not in cols:
+            raise ValueError(f"matches frame is missing column {c!r}")
+    sort_cols = [first_col, last_col] + [
+        c for c in cols if c not in (first_col, last_col)
+    ]
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        keep = []
+        last_end = None
+        for idx, row in pdf.iterrows():
+            if last_end is None or row[first_col] > last_end:
+                keep.append(idx)
+                last_end = row[last_col]
+        return pdf.loc[keep, cols]
+
+    return matches.groupBy(key_col).applyInPandas(pick, matches.schema)

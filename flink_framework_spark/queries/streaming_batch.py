@@ -416,3 +416,70 @@ def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("wstart", "event_type", "n", "rnk")
     )
+
+
+@register(
+    "q_cep_skip",
+    family="I",
+    oracle="""
+WITH RECURSIVE cand AS (
+  SELECT user_id, n_reps, ts_first, ts_last FROM (
+    WITH a AS (
+      SELECT user_id, ts,
+             LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+             LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
+      WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '12 hours'
+      UNION ALL
+      SELECT user_id, 3, f3, ts FROM a
+      WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '12 hours')
+    SELECT * FROM c
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '12 hours'))),
+sel AS (
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_first, ts_last, n_reps) AS rn FROM cand)
+   WHERE rn = 1)
+  UNION ALL
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT c.user_id, c.n_reps, c.ts_first, c.ts_last,
+                ROW_NUMBER() OVER (PARTITION BY c.user_id
+                     ORDER BY c.ts_first, c.ts_last, c.n_reps) AS rn
+         FROM cand c JOIN sel s
+           ON c.user_id = s.user_id AND c.ts_first > s.ts_last)
+   WHERE rn = 1)
+)
+SELECT user_id, n_reps,
+       strftime(ts_first, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(ts_last, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM sel
+""",
+)
+def q_cep_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP after-match skip strategy (Flink SKIP_PAST_LAST_EVENT):
+    the q_cep_times match stream reduced to non-overlapping matches —
+    per user, earliest-starting match wins, everything starting at or
+    before its last event is skipped, repeat. Spark side is the
+    sequential-per-key grouped map operators.cep.skip_past_last; the
+    oracle re-derives the same greedy selection as a recursive CTE, so
+    the cross-engine check pins the selection order itself."""
+    from flink_framework_spark.operators.cep import match_times, skip_past_last
+
+    ev = table(spark, sf_dir, "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    sel = skip_past_last(m)
+    return sel.select(
+        "user_id",
+        "n_reps",
+        F.date_format("ts_first", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "first_ts"
+        ),
+        F.date_format("ts_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+    )

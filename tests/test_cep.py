@@ -180,3 +180,80 @@ def test_negated_between_validation(spark):
         match_sequence_negated(
             ev, ["view", "purchase"], "click", "30 MINUTES", between=(1, 1)
         )
+
+
+def _matches(spark, rows):
+    """rows: (user_id, first_minute, last_minute, n_reps)."""
+    return spark.createDataFrame(
+        [
+            (u, f"2024-01-01 10:{f:02d}:00", f"2024-01-01 10:{l:02d}:00", n)
+            for (u, f, l, n) in rows
+        ],
+        "user_id long, ts_first string, ts_last string, n_reps int",
+    ).selectExpr(
+        "user_id",
+        "CAST(ts_first AS timestamp) AS ts_first",
+        "CAST(ts_last AS timestamp) AS ts_last",
+        "n_reps",
+    )
+
+
+def test_skip_past_last_greedy_selection(spark):
+    from flink_framework_spark.operators.cep import skip_past_last
+
+    m = _matches(
+        spark,
+        [
+            # user 1: (0,2) wins; (1,3) and (2,4) start <= 2's end...
+            # (2,4) starts AT minute 2 == last end -> skipped (strict >);
+            # (3,5) survives; (5,6) starts at 5 == end -> skipped
+            (1, 0, 2, 2),
+            (1, 1, 3, 2),
+            (1, 2, 4, 2),
+            (1, 3, 5, 2),
+            (1, 5, 6, 2),
+            # user 2: single match
+            (2, 0, 9, 3),
+        ],
+    )
+    got = sorted(
+        (r["user_id"], r["ts_first"].minute, r["ts_last"].minute)
+        for r in skip_past_last(m).collect()
+    )
+    assert got == [(1, 0, 2), (1, 3, 5), (2, 0, 9)]
+
+
+def test_skip_past_last_earliest_start_tiebreak(spark):
+    """Two matches share the earliest start: the shorter (earliest
+    end) wins — Flink's no-skip-to-first-of-match default resolved
+    deterministically."""
+    from flink_framework_spark.operators.cep import skip_past_last
+
+    m = _matches(spark, [(1, 0, 5, 3), (1, 0, 2, 2), (1, 4, 6, 2)])
+    got = sorted(
+        (r["ts_first"].minute, r["ts_last"].minute)
+        for r in skip_past_last(m).collect()
+    )
+    assert got == [(0, 2), (4, 6)]
+
+
+def test_skip_past_last_output_is_nonoverlapping_subset(spark):
+    """On real fixture matches: output ⊆ input, per-key intervals
+    strictly ordered (next start > previous end)."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.cep import match_times, skip_past_last
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    inp = {tuple(map(repr, r)) for r in m.collect()}
+    sel = skip_past_last(m).collect()
+    assert {tuple(map(repr, r)) for r in sel} <= inp
+    by_key: dict = {}
+    for r in sel:
+        by_key.setdefault(r["user_id"], []).append(
+            (r["ts_first"], r["ts_last"])
+        )
+    for spans in by_key.values():
+        spans.sort()
+        for (f1, l1), (f2, l2) in zip(spans, spans[1:]):
+            assert f2 > l1
