@@ -214,7 +214,6 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     b = rate_mb(jr).select(
         (F.col("value") % jr).alias("k"),
         F.col("timestamp").alias("ts_b"),
-        F.col("value").alias("v_b"),
     ).withWatermark("ts_b", "2 seconds")
     joined = a.join(
         b,

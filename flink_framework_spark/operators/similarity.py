@@ -399,25 +399,29 @@ def train_imi(
     """
     from flink_framework_spark.operators.pq import pq_train
 
-    first = df.select(vec_col).first()
-    if first is not None and len(first[0]) % 2 != 0:
-        raise ValueError(
-            f"train_imi: embedding dim {len(first[0])} is odd — IMI "
-            "splits the vector into two equal halves. Pad the "
-            "embedding to even dimension (or use flat IVF) for "
-            "odd-dim corpora."
+    try:
+        return pq_train(
+            df,
+            m=2,
+            n_codes=k_per_half,
+            vec_col=vec_col,
+            id_col=id_col,
+            train_cap=train_cap,
+            max_iter=max_iter,
+            seed=seed,
+            normalize=False,
         )
-    return pq_train(
-        df,
-        m=2,
-        n_codes=k_per_half,
-        vec_col=vec_col,
-        id_col=id_col,
-        train_cap=train_cap,
-        max_iter=max_iter,
-        seed=seed,
-        normalize=False,
-    )
+    except ValueError as e:
+        if "not divisible by m=2" in str(e):
+            # pq_train's generic m-divisibility check, reworded for
+            # the IMI caller (no extra Spark job: the dim is only
+            # known once pq_train has sampled the training set)
+            raise ValueError(
+                f"train_imi: {e} — IMI splits the vector into two "
+                "equal halves; pad the embedding to even dimension "
+                "(or use flat IVF) for odd-dim corpora."
+            ) from e
+        raise
 
 
 def imi_assign_vec(books):

@@ -59,7 +59,7 @@ def salted_join_targeted(
 
     Full-side salting replicates the ENTIRE build side ``salt`` times —
     measured at the 20M⋈2M tile (tools/skew_bench.py) that blow-up
-    costs more than the skew it removes (18.1 s vs 8.7 s unmitigated).
+    costs more than the skew it removes (14.5 s vs 10.0 s unmitigated).
     The production fix is surgical: find the keys holding more than
     ``hot_share`` of the probe side (one cheap ``sample_frac`` sampled
     count — at most ``1/hot_share`` such keys can exist, so the
@@ -69,10 +69,14 @@ def salted_join_targeted(
     — trivial — while the hot rows spread over ``salt`` tasks.
 
     ``hot_keys`` skips detection when the caller already knows them
-    (the null-key / celebrity-id case). Single-key joins only — the
-    hot-key routing filter is a literal IN, which also pushes to the
-    probe scan. Result equals ``left.join(right, on, how)`` for
-    inner/left joins (property-tested).
+    (the celebrity-id case). NULL keys — the other classic skew source
+    — are handled structurally, not by salting: a NULL equi-key can
+    never match, so null-key rows bypass the join entirely (dropped
+    for inner, passed through with null build columns for left) and
+    the null straggler partition never forms. Single-key joins only —
+    the hot-key routing filter is a literal IN, which also pushes to
+    the probe scan. Result equals ``left.join(right, on, how)`` for
+    inner/left joins (property-tested, including null keys).
     """
     keys = list(on)
     if len(keys) != 1:
@@ -82,29 +86,58 @@ def salted_join_targeted(
         # two disjoint probe branches
         raise ValueError(f"how={how!r}: only inner/left joins split safely")
     k = keys[0]
+    if hot_keys is not None and any(h is None for h in hot_keys):
+        # isin(None) is never true, so a None entry would silently
+        # disable the very mitigation the caller asked for
+        raise ValueError(
+            "hot_keys must not contain None: null keys are routed "
+            "around the join automatically (they can never match)"
+        )
+    # null keys never survive an equi-join; route them around BOTH
+    # branches so they neither skew a shuffle partition nor trip the
+    # isin() routing (whose three-valued logic would mask them)
+    nulls = left.filter(F.col(k).isNull())
+    left = left.filter(F.col(k).isNotNull())
     if hot_keys is None:
-        total_sampled = max(
-            left.sample(fraction=sample_frac, seed=seed).count(), 1
-        )
-        hot_rows = (
-            left.sample(fraction=sample_frac, seed=seed)
-            .groupBy(k)
-            .count()
-            .filter(F.col("count") > hot_share * total_sampled)
-            .select(k)
-            .collect()
-        )
-        hot_keys = [r[0] for r in hot_rows]
+        # one sampled scan: per-key counts staged, total derived from
+        # them (collect only the bounded hot list, never the groups)
+        g = left.sample(fraction=sample_frac, seed=seed).groupBy(k).count()
+        g = g.persist()
+        try:
+            total_sampled = max(
+                (g.agg(F.sum("count")).collect()[0][0] or 0), 1
+            )
+            hot_keys = [
+                r[0]
+                for r in g.filter(
+                    F.col("count") > hot_share * total_sampled
+                )
+                .select(k)
+                .collect()
+            ]
+        finally:
+            g.unpersist()
     if not hot_keys:
-        return left.join(right, keys, how)
-    is_hot = F.col(k).isin(list(hot_keys))
-    plain = left.filter(~is_hot | F.col(k).isNull()).join(right, keys, how)
-    hot = salted_join(
-        left.filter(is_hot),
-        right.filter(F.col(k).isin(list(hot_keys))),
-        keys,
-        how,
-        salt=salt,
-        seed=seed,
-    )
-    return plain.unionByName(hot)
+        out = left.join(right, keys, how)
+    else:
+        is_hot = F.col(k).isin(list(hot_keys))
+        plain = left.filter(~is_hot).join(right, keys, how)
+        hot = salted_join(
+            left.filter(is_hot),
+            right.filter(F.col(k).isin(list(hot_keys))),
+            keys,
+            how,
+            salt=salt,
+            seed=seed,
+        )
+        out = plain.unionByName(hot)
+    if how == "inner":
+        return out
+    # left join: null-key probe rows pass through with null build cols
+    null_padded = nulls
+    for f in out.schema.fields:
+        if f.name not in nulls.columns:
+            null_padded = null_padded.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    return out.unionByName(null_padded.select(out.columns))

@@ -353,13 +353,16 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic pair (exact percentile value, rank-error-contract
     boolean) per (bucket, stat).
 
-    Scale shape: three passes over events — the sketch summary (one
-    keyed partial agg), the exact-percentile pass (keyed agg + one
-    global agg; exact global percentiles are not partial-mergeable by
-    definition — that is precisely WHY the KLL sketch exists), and the
-    rank pass (the ~3·buckets estimate rows broadcast back over one
-    scan, partial-agg counts). A production profiler would ship only
-    the first pass; the other two are the verification harness."""
+    Scale shape: ONE sketch pass over events (keyed partial agg; its
+    ~3·buckets estimate rows are staged so the two filtered consumers
+    below don't re-run it — Spark does not dedupe common subplans),
+    the exact-percentile pass (keyed agg + one global agg; exact
+    global percentiles are not partial-mergeable by definition — that
+    is precisely WHY the KLL sketch exists), and the rank pass (the
+    staged estimates broadcast back over the scan, partial-agg
+    counts). A production profiler would ship only the sketch pass;
+    the rest is the verification harness."""
+    from flink_framework_spark.operators.dedup import _staged
     from flink_framework_spark.operators.profile import kll_quantile_summary
 
     tol = 0.05
@@ -368,11 +371,13 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     summ = kll_quantile_summary(ev, "value", F.col("day"), "bucket")
-    est = summ.unpivot(
-        ids=["bucket"],
-        values=["p50", "p95", "p99"],
-        variableColumnName="stat",
-        valueColumnName="est",
+    est = _staged(
+        summ.unpivot(
+            ids=["bucket"],
+            values=["p50", "p95", "p99"],
+            variableColumnName="stat",
+            valueColumnName="est",
+        )
     )
     # rank pass: day-bucket estimates equi-join back on their day; the
     # three __all__ rows broadcast-cross over the scan (bounded: 3 rows)

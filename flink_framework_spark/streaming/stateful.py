@@ -127,6 +127,9 @@ def funnel_conversions_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_NEG_STATE_SCHEMA = "views array<double>, clicks array<double>"
+
+
 def _negated_funnel_fn(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
@@ -134,36 +137,48 @@ def _negated_funnel_fn(
 ) -> Iterator[pd.DataFrame]:
     """view -> purchase within the horizon with NO click between: the
     streaming spelling of CEP negation (operators.cep
-    .match_sequence_negated). A click at time c invalidates every
-    pending view with v_ts < c — any later purchase would have that
-    click strictly between; purchases already emitted are untouched.
-    State stays the pending-view list, same bound as the plain
-    funnel."""
+    .match_sequence_negated).
+
+    Clicks are KEPT in state (horizon-trimmed like views) and the
+    no-click-between test runs at purchase time with the strict
+    v < c < p bounds. An earlier spelling invalidated views eagerly on
+    each click; that destroys state a purchase arriving in a LATER
+    micro-batch with an earlier event time would still need — keeping
+    both lists makes the operator robust to bounded cross-batch
+    disorder instead of only same-batch reordering. Per-purchase cost
+    is |views| x |clicks| inside one horizon window — bounded by the
+    pattern horizon, not the stream length. Strict bounds also make
+    same-instant ties (c == p, c == v, v == p) fall out of the
+    comparison itself; no sort tie-break is needed."""
     (user_id,) = key
-    views: list[float] = list(state.get[0]) if state.exists else []
+    if state.exists:
+        views = list(state.get[0])
+        clicks = list(state.get[1])
+    else:
+        views, clicks = [], []
     out_ts: list[pd.Timestamp] = []
     for pdf in pdfs:
-        # purchases before clicks at EQUAL ts: "no click between" is
-        # strict (c < p), so a same-instant click must not invalidate
-        # views for that purchase (view ties are safe either way —
-        # both the match and the invalidation are strict in v)
-        pdf = pdf.assign(__clk=(pdf["event_type"] == "click")).sort_values(
-            ["ts", "__clk"]
-        )
+        pdf = pdf.sort_values("ts")
         for ts, etype in zip(pdf["ts"], pdf["event_type"]):
             sec = ts.timestamp()
             if etype == "view":
                 views.append(sec)
             elif etype == "click":
-                views = [v for v in views if v >= sec]
+                clicks.append(sec)
             elif etype == "purchase":
                 views = [v for v in views if sec - v <= _HORIZON_S]
-                if any(v < sec for v in views):
+                if any(
+                    v < sec and not any(v < c < sec for c in clicks)
+                    for v in views
+                ):
                     out_ts.append(ts)
-    if views:
-        horizon_floor = max(views) - _HORIZON_S
-        views = [v for v in views if v >= horizon_floor]
-    state.update((views,))
+    # trim BOTH lists to the horizon of the latest seen event: a click
+    # older than every retainable view can never negate anything again
+    hi = max(views + clicks, default=None)
+    if hi is not None:
+        views = [v for v in views if v >= hi - _HORIZON_S]
+        clicks = [c for c in clicks if c >= hi - _HORIZON_S]
+    state.update((views, clicks))
     if out_ts:
         yield pd.DataFrame({"user_id": user_id, "purchase_ts": out_ts})
 
@@ -177,7 +192,7 @@ def negated_funnel_conversions(events: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             _negated_funnel_fn,
             outputStructType=FUNNEL_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
+            stateStructType=_NEG_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

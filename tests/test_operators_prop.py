@@ -251,3 +251,33 @@ def test_salted_join_targeted_rejects_unsafe_how(spark_session_holder):
     df = spark.range(4).select(SF.col("id").alias("k"))
     with pytest.raises(ValueError, match="split safely"):
         salted_join_targeted(df, df, ["k"], how="full")
+
+
+def test_salted_join_targeted_null_keys(spark_session_holder):
+    """Null keys route around the join: inner drops them (as a plain
+    join would), left passes them through with null build columns —
+    and hot_keys=[None] is rejected loudly instead of silently
+    no-opping (isin three-valued logic)."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from flink_framework_spark.operators.skew import salted_join_targeted
+
+    spark = _get_spark()
+    left = spark.createDataFrame(
+        [(None, 1), (None, 2), (0, 3), (1, 4), (2, 5)], "k int, lv int"
+    )
+    right = spark.createDataFrame([(0, 10), (1, 11)], "k int, rv int")
+    for how in ("inner", "left"):
+        plain = sorted(map(repr, left.join(right, "k", how).collect()))
+        got = sorted(
+            map(
+                repr,
+                salted_join_targeted(
+                    left, right, ["k"], how, salt=4, hot_keys=[0]
+                ).collect(),
+            )
+        )
+        assert got == plain, how
+    with pytest.raises(ValueError, match="None"):
+        salted_join_targeted(left, right, ["k"], hot_keys=[None, 0])

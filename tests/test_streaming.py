@@ -359,3 +359,72 @@ def test_state_rescale_pins_original_partitioning(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, df2[["event_type", "count"]].itertuples(index=False)))
     b = sorted(map(tuple, batch.itertuples(index=False)))
     assert a == b
+
+
+def test_negated_funnel_multibatch_late_purchase(spark, tmp_path):
+    """Regression for the eager-invalidation bug: a click processed in
+    batch 1 must not destroy view state that a purchase arriving in
+    batch 2 with an EARLIER event time still needs. With clicks kept
+    in state, the stream matches the batch anti-join on a planted
+    timeline split adversarially across micro-batches."""
+    from flink_framework_spark.operators.cep import match_sequence_negated
+    from flink_framework_spark.streaming.stateful import (
+        negated_funnel_conversions,
+    )
+
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-01 10:{m:02d}:00", t) for (u, e, m, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id",
+            "event_id",
+            "CAST(ts AS timestamp) AS ts",
+            "event_type",
+        )
+
+    # user 1: view(0), click(20) in batch 1; purchase(10) arrives in
+    # batch 2 (out-of-order across batches). No click in (0,10) ->
+    # MUST convert. user 2: view(0), click(5) in batch 1; purchase(10)
+    # in batch 2 -> click between -> must NOT convert.
+    batch1 = [
+        (1, 1, 0, "view"),
+        (1, 2, 20, "click"),
+        (2, 3, 0, "view"),
+        (2, 4, 5, "click"),
+    ]
+    batch2 = [
+        (1, 5, 10, "purchase"),
+        (2, 6, 10, "purchase"),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    frame(batch1).coalesce(1).write.mode("append").parquet(str(src))
+    frame(batch2).coalesce(1).write.mode("append").parquet(str(src))
+
+    sdf = (
+        spark.readStream.schema(frame(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        negated_funnel_conversions(sdf),
+        query_name="t_neg_multibatch",
+        output_mode="update",
+    )
+    got = sorted(r["user_id"] for r in out.select("user_id").collect())
+    assert got == [1]
+    # and the batch spelling agrees on the union of both batches
+    both = frame(batch1).unionByName(frame(batch2))
+    batch_users = sorted(
+        r["user_id"]
+        for r in match_sequence_negated(
+            both, ["view", "purchase"], "click", "30 MINUTES"
+        )
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    assert batch_users == [1]
