@@ -633,3 +633,73 @@ def test_fuzz_sqltext_matches_oracle(spark, sf_dir, seed):
     for t in ("orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     assert_matches_oracle(spark.sql(sql), sql, sf_dir)
+
+
+# ---- grammar 9: CEP sequence / negation patterns over events ------
+#
+# Random step sequences with random event-time horizons, half of them
+# negated with a random absent type, rendered to the cep operators on
+# the Spark side and to chained self-joins (+ NOT EXISTS for the
+# negation) on the DuckDB side. Directly fuzzes the round-4 CEP
+# surface beyond the hand-written q_cep_* pairs.
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def gen_cep_query(seed: int):
+    rng = random.Random(70_000 + seed)
+    n_steps = rng.choice([2, 2, 3])  # bias to 2-step (3-step is rarer)
+    steps = rng.sample(_EVENT_TYPES, n_steps)
+    minutes = rng.choice([15, 45, 120, 720])
+    negate = rng.random() < 0.5
+    absent = None
+    if negate:
+        absent = rng.choice([t for t in _EVENT_TYPES if t not in steps])
+
+    aliases = [f"e{i}" for i in range(n_steps)]
+    join_sql = f"FROM events {aliases[0]}"
+    for i in range(1, n_steps):
+        a, p = aliases[i], aliases[i - 1]
+        join_sql += (
+            f"\nJOIN events {a} ON {a}.user_id = {aliases[0]}.user_id"
+            f" AND {a}.event_type = '{steps[i]}'"
+            f" AND {a}.ts > {p}.ts"
+            f" AND {a}.ts <= {aliases[0]}.ts + INTERVAL '{minutes} minutes'"
+        )
+    where = f"WHERE {aliases[0]}.event_type = '{steps[0]}'"
+    if negate:
+        where += (
+            f"\n  AND NOT EXISTS (SELECT 1 FROM events x"
+            f" WHERE x.user_id = {aliases[0]}.user_id"
+            f" AND x.event_type = '{absent}'"
+            f" AND x.ts > {aliases[0]}.ts"
+            f" AND x.ts < {aliases[-1]}.ts)"
+        )
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,"
+        " COUNT(DISTINCT e0.user_id) AS n_users\n"
+        + join_sql
+        + "\n"
+        + where
+    )
+    return steps, f"{minutes} MINUTES", absent, sql
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_cep_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.operators.cep import (
+        match_sequence,
+        match_sequence_negated,
+    )
+
+    steps, within, absent, sql = gen_cep_query(seed)
+    ev = table(spark, sf_dir, "events")
+    if absent is None:
+        m = match_sequence(ev, steps, within)
+    else:
+        m = match_sequence_negated(ev, steps, absent, within)
+    got = m.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
