@@ -199,6 +199,109 @@ def negated_funnel_conversions(events: DataFrame) -> DataFrame:
     )
 
 
+# TIMESTAMP (instant), not NTZ: the reconstructed values are naive
+# SESSION-LOCAL wall clock (Arrow delivers instants to pandas as
+# session-tz naive), so declaring them as instants makes Spark
+# re-attach the session zone and the round trip is exact; render with
+# streaming_ops._fmt_event_time (UTC) to compare with batch NTZ twins.
+TIMES_SCHEMA = (
+    "user_id long, ts_first timestamp, ts_last timestamp, n_reps int"
+)
+_TIMES_STATE_SCHEMA = "clicks array<double>, emitted array<string>"
+
+
+def make_times_fn(n_min: int, n_max: int, horizon_s: float):
+    """Streaming twin of operators.cep.match_times for one
+    (step, then_step) pair: state keeps the key's recent ``step``
+    timestamps (horizon-trimmed — runs are consecutive among them, so
+    nothing older can ever join a future run) plus the run keys
+    already emitted (a run matches once, on its FIRST qualifying
+    follower — the batch spelling's LEFT SEMI). Per-follower cost is
+    |clicks| x (n_max - n_min + 1) inside one horizon window."""
+
+    def _times_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            clicks = list(state.get[0])
+            emitted = set(state.get[1])
+        else:
+            clicks, emitted = [], set()
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                sec = ts.timestamp()
+                if etype == "click":
+                    clicks.append(sec)
+                elif etype == "purchase":
+                    for n in range(n_min, n_max + 1):
+                        for i in range(len(clicks) - n + 1):
+                            first, last = clicks[i], clicks[i + n - 1]
+                            if not (
+                                last <= first + horizon_s
+                                and last < sec
+                                and sec <= first + horizon_s
+                            ):
+                                continue
+                            rk = f"{first!r}|{last!r}|{n}"
+                            if rk not in emitted:
+                                emitted.add(rk)
+                                out.append((first, last, n))
+        hi = max(clicks, default=None)
+        if hi is not None:
+            floor = hi - horizon_s
+            clicks = [c for c in clicks if c >= floor]
+            emitted = {
+                e for e in emitted if float(e.split("|")[0]) >= floor
+            }
+        state.update((clicks, sorted(emitted)))
+        if out:
+            # float-seconds -> exact microseconds: round BEFORE the ns
+            # multiply (f * 1e9 alone drifts ~hundreds of ns at 2024
+            # epochs — float64 mantissa — and breaks equality with the
+            # batch twin's microsecond timestamps)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts_first": [
+                        pd.Timestamp(round(f * 1e6) * 1000)
+                        for f, _, _ in out
+                    ],
+                    "ts_last": [
+                        pd.Timestamp(round(l * 1e6) * 1000)
+                        for _, l, _ in out
+                    ],
+                    "n_reps": [n for _, _, n in out],
+                }
+            )
+
+    return _times_fn
+
+
+def times_matches(
+    events: DataFrame, n_min: int = 2, n_max: int = 3,
+    horizon_s: float = 12 * 3600,
+) -> DataFrame:
+    """Streaming twin of q_cep_times: click-run quantifier matches per
+    user (update mode), one row per run on its first qualifying
+    purchase."""
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_times_fn(n_min, n_max, horizon_s),
+            outputStructType=TIMES_SCHEMA,
+            stateStructType=_TIMES_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CHANGELOG_SCHEMA = (
     "user_id long, last_ts timestamp, last_op string,"
     " last_value double, n_versions long"

@@ -428,3 +428,46 @@ def test_negated_funnel_multibatch_late_purchase(spark, tmp_path):
         .collect()
     )
     assert batch_users == [1]
+
+
+def test_stateful_times_matches_batch(spark, sf_dir):
+    """applyInPandasWithState quantifier twin == batch match_times:
+    identical (user, run, n_reps) match sets, compared at microsecond
+    precision."""
+    from flink_framework_spark.operators.cep import match_times
+    from flink_framework_spark.streaming.stateful import times_matches
+
+    def utc(df, col):
+        # stream emits TIMESTAMP instants; batch emits NTZ (UTC wall).
+        # Render both to the same UTC string (the _fmt_event_time
+        # convention, applied to the named column's own type).
+        c = F.col(col)
+        if df.schema[col].dataType.simpleString() == "timestamp":
+            c = F.convert_timezone(None, F.lit("UTC"), c)
+        return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+    batch_df = match_times(
+        table(spark, sf_dir, "events"), "click", "purchase", 2, 3, "12 HOURS"
+    )
+    batch = batch_df.select(
+        "user_id",
+        utc(batch_df, "ts_first").alias("f"),
+        utc(batch_df, "ts_last").alias("l"),
+        "n_reps",
+    ).toPandas()
+    sdf = read_events_stream(spark, sf_dir)
+    out_df = run_to_memory(
+        times_matches(sdf), query_name="t_times", output_mode="update"
+    )
+    out = out_df.select(
+        "user_id",
+        utc(out_df, "ts_first").alias("f"),
+        utc(out_df, "ts_last").alias("l"),
+        "n_reps",
+    ).toPandas()
+
+    def canon(df):
+        return sorted(map(repr, df.itertuples(index=False, name=None)))
+
+    assert len(batch) > 0
+    assert canon(out) == canon(batch)
