@@ -170,6 +170,159 @@ def match_times(
     ).select(key_col, "ts_first", "ts_last", "n_reps")
 
 
+def match_optional(
+    events: DataFrame,
+    steps: Sequence[str],
+    optional_idx: int,
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP ``optional()`` step: the pattern ``steps`` with
+    ``steps[optional_idx]`` optional — under NO_SKIP, Flink emits BOTH
+    branches, the match that consumes the optional event and the match
+    that skips it, so the output is the union of the full chain and
+    the reduced chain with NULL ``ts_i``/``id_i`` for the skipped
+    step (relaxed contiguity means the skipping branch matches whether
+    or not an optional-type event occurred in the gap).
+
+    Scale shape: two :func:`match_sequence` join chains over the same
+    filtered step frames, unioned — no new join strategy, and Spark
+    dedups the shared step scans via exchange reuse."""
+    if len(steps) < 3:
+        raise ValueError("optional() needs >= 3 steps (2 mandatory)")
+    if not (1 <= optional_idx <= len(steps) - 1):
+        raise ValueError(
+            f"optional_idx {optional_idx} must be in [1, {len(steps) - 1}]"
+            " (the first step anchors the match and cannot be optional)"
+        )
+    ts_type = events.schema[ts_col].dataType
+    id_type = events.schema[id_col].dataType
+    full = match_sequence(events, steps, within, key_col, ts_col, type_col, id_col)
+    kept = [i for i in range(len(steps)) if i != optional_idx]
+    reduced = match_sequence(
+        events, [steps[i] for i in kept], within, key_col, ts_col, type_col, id_col
+    )
+    out_cols = [F.col(key_col)]
+    red_cols = [F.col(key_col)]
+    for i in range(len(steps)):
+        out_cols += [F.col(f"ts_{i}"), F.col(f"id_{i}")]
+        if i == optional_idx:
+            red_cols += [
+                F.lit(None).cast(ts_type).alias(f"ts_{i}"),
+                F.lit(None).cast(id_type).alias(f"id_{i}"),
+            ]
+        else:
+            j = kept.index(i)
+            red_cols += [
+                F.col(f"ts_{j}").alias(f"ts_{i}"),
+                F.col(f"id_{j}").alias(f"id_{i}"),
+            ]
+    return full.select(*out_cols).unionByName(reduced.select(*red_cols))
+
+
+def match_one_or_more(
+    events: DataFrame,
+    step: str,
+    then_step: str,
+    max_gap: str,
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink CEP greedy unbounded looping —
+    ``step.oneOrMore().greedy()`` followed by ``then_step``: maximal
+    runs of ``step`` events (each repetition within ``max_gap`` of the
+    previous — relaxed contiguity w.r.t. other event types), with a
+    ``then_step`` follower after the run's end and within ``within``
+    of the run's first event. Greedy means ONLY the maximal run is
+    emitted per burst, never its prefixes — which is what makes
+    unbounded looping non-combinatorial and linear-scale, the same
+    reason Flink recommends greedy + skip strategies for oneOrMore.
+
+    Output: ``(key_col, ts_first, ts_last, n_reps)``.
+
+    Scale shape: gaps-and-islands — one window pass marks run breaks
+    (lag), a running sum assigns run ids, a grouped agg collapses runs,
+    and a LEFT SEMI join checks the follower. Two keyed shuffles
+    (window + agg share the key partitioning; Spark reuses the
+    exchange), independent of run length."""
+    from pyspark.sql import Window
+
+    horizon = F.expr(f"INTERVAL {within}")
+    gap = F.expr(f"INTERVAL {max_gap}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    reps = (
+        events.filter(F.col(type_col) == step)
+        .select(key_col, ts_col, id_col)
+        .withColumn(
+            "__brk",
+            F.when(prev.isNull() | (F.col(ts_col) > prev + gap), 1).otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    runs = (
+        reps.groupBy(key_col, "__run")
+        .agg(
+            F.min(ts_col).alias("ts_first"),
+            F.max(ts_col).alias("ts_last"),
+            F.count(F.lit(1)).alias("n_reps"),
+        )
+        .filter(F.col("ts_last") <= F.col("ts_first") + horizon)
+    )
+    followers = events.filter(F.col(type_col) == then_step).select(
+        F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
+    )
+    return runs.join(
+        followers,
+        (F.col(key_col) == F.col("__bk"))
+        & (F.col("__bts") > F.col("ts_last"))
+        & (F.col("__bts") <= F.col("ts_first") + horizon),
+        "left_semi",
+    ).select(key_col, "ts_first", "ts_last", "n_reps")
+
+
+def skip_to_next(
+    matches: DataFrame,
+    key_col: str = "user_id",
+    first_col: str = "ts_first",
+    last_col: str = "ts_last",
+) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.SKIP_TO_NEXT``: after emitting a
+    match, discard every other match that STARTS at the same event —
+    i.e. per (key, start) keep only the earliest-ending match
+    (tiebreak: the remaining columns, so selection is deterministic).
+    Complements :func:`skip_past_last` (which prunes across bursts);
+    SKIP_TO_NEXT prunes within a start event.
+
+    Scale shape: pure window — one keyed shuffle, a ``row_number``
+    over (key, start), filter rank 1. No grouped-map needed because
+    unlike SKIP_PAST_LAST the picks don't depend on each other."""
+    from pyspark.sql import Window
+
+    cols = list(matches.columns)
+    for c in (key_col, first_col, last_col):
+        if c not in cols:
+            raise ValueError(f"matches frame is missing column {c!r}")
+    order = [last_col] + [c for c in cols if c not in (key_col, first_col, last_col)]
+    w = Window.partitionBy(key_col, first_col).orderBy(*order)
+    return (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def skip_past_last(
     matches: DataFrame,
     key_col: str = "user_id",

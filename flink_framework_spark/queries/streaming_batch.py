@@ -483,3 +483,155 @@ def q_cep_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts"
         ),
     )
+
+
+@register(
+    "q_cep_optional",
+    family="I",
+    oracle="""
+WITH full_m AS (
+  SELECT v.user_id, TRUE AS with_click
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'),
+red_m AS (
+  SELECT v.user_id, FALSE AS with_click
+  FROM events v
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'),
+u AS (SELECT * FROM full_m UNION ALL SELECT * FROM red_m)
+SELECT with_click, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM u GROUP BY with_click
+""",
+)
+def q_cep_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP optional step (Flink ``optional()``): view ->
+    click.optional() -> purchase within 12 hours (sized so BOTH
+    branches are non-empty at every oracle SF) — under NO_SKIP both
+    branches are emitted, the match consuming a click and the match
+    skipping it. Built by operators.cep.match_optional as the union
+    of the full and reduced match_sequence chains; grouped here by
+    whether the optional step participated."""
+    from flink_framework_spark.operators.cep import match_optional
+
+    ev = table(spark, sf_dir, "events")
+    m = match_optional(ev, ["view", "click", "purchase"], 1, "12 HOURS")
+    return m.groupBy(
+        F.col("ts_1").isNotNull().alias("with_click")
+    ).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_cep_greedy",
+    family="I",
+    oracle="""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL '24 hours'
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c),
+runs AS (
+  SELECT user_id, run_id, MIN(ts) AS ts_first, MAX(ts) AS ts_last,
+         COUNT(*) AS n_reps
+  FROM r GROUP BY 1, 2),
+m AS (
+  SELECT * FROM runs
+  WHERE ts_last <= ts_first + INTERVAL '7 days'
+    AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = runs.user_id AND p.event_type = 'purchase'
+        AND p.ts > runs.ts_last
+        AND p.ts <= runs.ts_first + INTERVAL '7 days'))
+SELECT CAST(n_reps AS BIGINT) AS n_reps, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM m GROUP BY n_reps
+""",
+)
+def q_cep_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP greedy unbounded looping (Flink ``oneOrMore().greedy()``):
+    maximal runs of clicks (successive clicks within 24 hours)
+    followed by a purchase within 7 days of the run's start — only the
+    maximal run per burst is a match, never its prefixes. Built by
+    operators.cep.match_one_or_more via gaps-and-islands; the oracle
+    re-derives the islands with the same window spelling in DuckDB."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    ev = table(spark, sf_dir, "events")
+    m = match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS")
+    return m.groupBy("n_reps").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_cep_skip_next",
+    family="I",
+    oracle="""
+WITH a AS (
+  SELECT user_id, ts,
+         LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+         LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+  FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
+  WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '12 hours'
+  UNION ALL
+  SELECT user_id, 3, f3, ts FROM a
+  WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '12 hours'),
+m AS (
+  SELECT * FROM cand
+  WHERE EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = cand.user_id AND p.event_type = 'purchase'
+      AND p.ts > cand.ts_last AND p.ts <= cand.ts_first + INTERVAL '12 hours')),
+sel AS (
+  SELECT user_id, n_reps, ts_first, ts_last FROM (
+    SELECT m.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts_first
+                                   ORDER BY ts_last, n_reps) AS rn
+    FROM m)
+  WHERE rn = 1)
+SELECT user_id, CAST(n_reps AS BIGINT) AS n_reps,
+       strftime(ts_first, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(ts_last, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM sel
+""",
+)
+def q_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP after-match skip strategy (Flink SKIP_TO_NEXT): the
+    q_cep_times match stream pruned to one match per start event —
+    per (user, first repetition) only the earliest-ending match
+    survives (a 3-rep burst emits its 2-rep prefix, not both). Spark
+    side is the pure-window operators.cep.skip_to_next; contrast with
+    q_cep_skip's SKIP_PAST_LAST_EVENT which also prunes across
+    bursts."""
+    from flink_framework_spark.operators.cep import match_times, skip_to_next
+
+    ev = table(spark, sf_dir, "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    sel = skip_to_next(m)
+    return sel.select(
+        "user_id",
+        "n_reps",
+        F.date_format("ts_first", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "first_ts"
+        ),
+        F.date_format("ts_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+    )

@@ -257,3 +257,148 @@ def test_skip_past_last_output_is_nonoverlapping_subset(spark):
         spans.sort()
         for (f1, l1), (f2, l2) in zip(spans, spans[1:]):
             assert f2 > l1
+
+
+def test_optional_emits_both_branches(spark):
+    """Flink optional() under NO_SKIP: when the optional event is
+    present BOTH the consuming and the skipping match are emitted;
+    when absent only the skipping match fires."""
+    from flink_framework_spark.operators.cep import match_optional
+
+    ev = _events(
+        spark,
+        [
+            # user 1: view(0) click(2) purchase(5) -> both branches
+            (1, 1, 0, "view"),
+            (1, 2, 2, "click"),
+            (1, 3, 5, "purchase"),
+            # user 2: view(0) purchase(5), no click -> skip branch only
+            (2, 4, 0, "view"),
+            (2, 5, 5, "purchase"),
+            # user 3: click(0) purchase(5), no view -> nothing (the
+            # first step anchors the match and is never optional)
+            (3, 6, 0, "click"),
+            (3, 7, 5, "purchase"),
+        ],
+    )
+    m = match_optional(ev, ["view", "click", "purchase"], 1, "30 MINUTES")
+    rows = sorted(
+        (r["user_id"], r["ts_1"] is not None) for r in m.collect()
+    )
+    assert rows == [(1, False), (1, True), (2, False)]
+
+
+def test_optional_skip_branch_has_null_step_columns(spark):
+    from flink_framework_spark.operators.cep import match_optional
+
+    ev = _events(
+        spark, [(1, 1, 0, "view"), (1, 2, 5, "purchase")]
+    )
+    m = match_optional(ev, ["view", "click", "purchase"], 1, "30 MINUTES")
+    [r] = m.collect()
+    assert r["ts_1"] is None and r["id_1"] is None
+    assert r["ts_0"] is not None and r["ts_2"] is not None
+    assert list(m.columns) == [
+        "user_id", "ts_0", "id_0", "ts_1", "id_1", "ts_2", "id_2"
+    ]
+
+
+def test_optional_validation(spark):
+    from flink_framework_spark.operators.cep import match_optional
+
+    ev = _events(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError, match=">= 3 steps"):
+        match_optional(ev, ["view", "purchase"], 1, "30 MINUTES")
+    with pytest.raises(ValueError, match="anchors"):
+        match_optional(ev, ["view", "click", "purchase"], 0, "30 MINUTES")
+
+
+def test_one_or_more_greedy_emits_only_maximal_runs(spark):
+    """oneOrMore().greedy(): a 3-click burst is ONE match of 3 reps —
+    no 1- or 2-rep prefixes — and a gap larger than max_gap splits
+    runs."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    ev = _events(
+        spark,
+        [
+            # user 1: clicks 0,1,2 (one run), gap, clicks 20,21 (second
+            # run), purchase at 30 follows both runs
+            (1, 1, 0, "click"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "click"),
+            (1, 4, 20, "click"),
+            (1, 5, 21, "click"),
+            (1, 6, 30, "purchase"),
+            # user 2: one click, purchase -> single 1-rep match
+            (2, 7, 0, "click"),
+            (2, 8, 5, "purchase"),
+            # user 3: clicks but no purchase -> nothing
+            (3, 9, 0, "click"),
+        ],
+    )
+    got = match_one_or_more(
+        ev, "click", "purchase", max_gap="5 MINUTES", within="60 MINUTES"
+    )
+    rows = sorted(
+        (r["user_id"], r["ts_first"].minute, r["ts_last"].minute, r["n_reps"])
+        for r in got.collect()
+    )
+    assert rows == [(1, 0, 2, 3), (1, 20, 21, 2), (2, 0, 0, 1)]
+
+
+def test_one_or_more_follower_bound_to_run_start(spark):
+    """The follower must land within `within` of the run's FIRST
+    repetition, strictly after its last."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 0, "click"),
+            (1, 2, 4, "click"),
+            (1, 3, 50, "purchase"),
+        ],
+    )
+    assert (
+        match_one_or_more(
+            ev, "click", "purchase", max_gap="5 MINUTES", within="55 MINUTES"
+        ).count()
+        == 1
+    )
+    assert (
+        match_one_or_more(
+            ev, "click", "purchase", max_gap="5 MINUTES", within="40 MINUTES"
+        ).count()
+        == 0
+    )
+
+
+def test_skip_to_next_keeps_shortest_match_per_start(spark):
+    from flink_framework_spark.operators.cep import skip_to_next
+
+    m = _matches(
+        spark,
+        [
+            # user 1: two matches starting at 0 -> the (0,2) one wins;
+            # the (3,5) match has its own start and survives
+            (1, 0, 2, 2),
+            (1, 0, 4, 3),
+            (1, 3, 5, 2),
+            # user 2: unique starts -> identity
+            (2, 0, 9, 3),
+        ],
+    )
+    got = sorted(
+        (r["user_id"], r["ts_first"].minute, r["ts_last"].minute, r["n_reps"])
+        for r in skip_to_next(m).collect()
+    )
+    assert got == [(1, 0, 2, 2), (1, 3, 5, 2), (2, 0, 9, 3)]
+
+
+def test_skip_to_next_validates_columns(spark):
+    from flink_framework_spark.operators.cep import skip_to_next
+
+    m = _matches(spark, [(1, 0, 2, 2)]).withColumnRenamed("ts_last", "te")
+    with pytest.raises(ValueError, match="missing column"):
+        skip_to_next(m)
