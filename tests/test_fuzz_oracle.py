@@ -703,3 +703,51 @@ def test_fuzz_cep_matches_oracle(spark, sf_dir, seed):
         F.countDistinct("user_id").alias("n_users"),
     )
     assert_matches_oracle(got, sql, sf_dir)
+
+
+def gen_cep_optional_query(seed: int):
+    """Random 3-step sequence with a random optional step (middle or
+    last): the oracle is the UNION ALL of the full chain and the
+    reduced chain — exactly the NO_SKIP both-branches semantics."""
+    rng = random.Random(80_000 + seed)
+    steps = rng.sample(_EVENT_TYPES, 3)
+    opt_idx = rng.choice([1, 2])
+    minutes = rng.choice([120, 720, 2880])
+
+    def chain(idxs):
+        aliases = [f"e{i}" for i in idxs]
+        sql = f"FROM events {aliases[0]}"
+        for k in range(1, len(idxs)):
+            a, p = aliases[k], aliases[k - 1]
+            sql += (
+                f"\nJOIN events {a} ON {a}.user_id = {aliases[0]}.user_id"
+                f" AND {a}.event_type = '{steps[idxs[k]]}'"
+                f" AND {a}.ts > {p}.ts"
+                f" AND {a}.ts <= {aliases[0]}.ts + INTERVAL '{minutes} minutes'"
+            )
+        sql += f"\nWHERE {aliases[0]}.event_type = '{steps[idxs[0]]}'"
+        return f"SELECT {aliases[0]}.user_id {sql}"
+
+    kept = [i for i in range(3) if i != opt_idx]
+    sql = (
+        "WITH u AS (\n"
+        + chain([0, 1, 2])
+        + "\nUNION ALL\n"
+        + chain(kept)
+        + "\n)\nSELECT CAST(COUNT(*) AS BIGINT) AS n_matches,"
+        " COUNT(DISTINCT user_id) AS n_users FROM u"
+    )
+    return steps, opt_idx, f"{minutes} MINUTES", sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_cep_optional_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.operators.cep import match_optional
+
+    steps, opt_idx, within, sql = gen_cep_optional_query(seed)
+    ev = table(spark, sf_dir, "events")
+    got = match_optional(ev, steps, opt_idx, within).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
