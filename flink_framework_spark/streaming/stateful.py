@@ -302,6 +302,140 @@ def times_matches(
     )
 
 
+_GREEDY_STATE_SCHEMA = (
+    "open_first double, open_last double, open_n long,"
+    " closed array<string>, buf array<double>"
+)
+
+
+def make_greedy_fn(max_gap_s: float, horizon_s: float):
+    """Streaming twin of operators.cep.match_one_or_more (greedy
+    oneOrMore): per key, state holds the OPEN run (a maximal run is
+    only known once a step event lands beyond ``max_gap`` — greedy
+    semantics are inherently closure-deferred), the closed-but-
+    unmatched runs still inside their follower horizon, and the
+    follower timestamps buffered past the open run's end (they match
+    only if the run closes without extending over them).
+
+    Runs close on the next out-of-gap step event; a bounded stream
+    closes its final runs with a far-future sentinel step event (the
+    repo's watermark-sentinel convention). The production extension
+    for unbounded streams is an event-time timeout at
+    ``open_last + max_gap`` — same closure logic, timer-driven.
+
+    State is bounded: one open run, closed runs expire after
+    ``horizon_s``, and the buffer is trimmed to the open run's
+    follower horizon."""
+
+    def _greedy_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            open_first, open_last, open_n, closed_raw, buf = state.get
+            closed = [
+                tuple(float(x) if i < 2 else int(x) for i, x in enumerate(e.split("|")))
+                for e in closed_raw
+            ]
+            buf = list(buf)
+        else:
+            open_first = open_last = None
+            open_n = 0
+            closed, buf = [], []
+        out: list[tuple] = []
+
+        def try_match(run, p):
+            first, last, n = run
+            return last < p <= first + horizon_s
+
+        def close_open(now_s):
+            nonlocal open_first, open_last, open_n, buf
+            if open_first is None:
+                return
+            run = (open_first, open_last, open_n)
+            open_first = open_last = None
+            open_n = 0
+            if run[1] > run[0] + horizon_s:  # run outlived its horizon
+                buf = []
+                return
+            for p in buf:
+                if try_match(run, p):
+                    out.append(run)
+                    buf = []
+                    return
+            buf = []
+            closed.append(run)
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                sec = ts.timestamp()
+                closed[:] = [r for r in closed if sec <= r[0] + horizon_s]
+                if etype == "click":
+                    if open_first is not None and sec <= open_last + max_gap_s:
+                        open_last = max(open_last, sec)
+                        open_n += 1
+                        buf = [p for p in buf if p > open_last]
+                    else:
+                        close_open(sec)
+                        open_first = open_last = sec
+                        open_n = 1
+                elif etype == "purchase":
+                    for r in list(closed):
+                        if try_match(r, sec):
+                            out.append(r)
+                            closed.remove(r)
+                    if open_first is not None and sec > open_last:
+                        buf.append(sec)
+        state.update(
+            (
+                open_first,
+                open_last,
+                open_n,
+                [f"{f!r}|{l!r}|{n}" for (f, l, n) in closed],
+                buf,
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts_first": [
+                        pd.Timestamp(round(f * 1e6) * 1000) for f, _, _ in out
+                    ],
+                    "ts_last": [
+                        pd.Timestamp(round(l * 1e6) * 1000) for _, l, _ in out
+                    ],
+                    "n_reps": [n for _, _, n in out],
+                }
+            )
+
+    return _greedy_fn
+
+
+def greedy_matches(
+    events: DataFrame,
+    max_gap_s: float = 24 * 3600,
+    horizon_s: float = 7 * 24 * 3600,
+) -> DataFrame:
+    """Streaming twin of q_cep_greedy: maximal click-run matches per
+    user (update mode), one row per run on closure if any qualifying
+    purchase exists."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_greedy_fn(max_gap_s, horizon_s),
+            outputStructType=TIMES_SCHEMA,
+            stateStructType=_GREEDY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CHANGELOG_SCHEMA = (
     "user_id long, last_ts timestamp, last_op string,"
     " last_value double, n_versions long"

@@ -471,3 +471,103 @@ def test_stateful_times_matches_batch(spark, sf_dir):
 
     assert len(batch) > 0
     assert canon(out) == canon(batch)
+
+
+def test_stateful_greedy_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState greedy-oneOrMore twin == batch
+    match_one_or_more on the fixture events: identical
+    (user, run, n_reps) match sets. Greedy runs only close on the next
+    out-of-gap step event, so a second micro-batch of far-future
+    sentinel clicks closes each user's final run — the repo's
+    watermark-sentinel convention."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = tmp_path / "src"
+    ev.coalesce(1).write.parquet(str(src))
+    sentinel = (
+        ev.groupBy("user_id")
+        .agg((F.max("ts") + F.expr("INTERVAL 60 DAYS")).alias("ts"))
+        .withColumn("event_id", F.lit(10**9) + F.col("user_id"))
+        .withColumn("event_type", F.lit("click"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(src))
+
+    batch = (
+        match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS")
+        .select(
+            "user_id",
+            F.date_format("ts_first", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("f"),
+            F.date_format("ts_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("l"),
+            "n_reps",
+        )
+        .toPandas()
+    )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        greedy_matches(sdf), query_name="t_greedy", output_mode="update"
+    ).select(
+        "user_id",
+        F.date_format("ts_first", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("f"),
+        F.date_format("ts_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("l"),
+        "n_reps",
+    ).toPandas()
+
+    def canon(df):
+        return sorted(map(repr, df.itertuples(index=False, name=None)))
+
+    assert len(batch) > 0
+    assert canon(out) == canon(batch)
+
+
+def test_stateful_greedy_closes_run_only_when_gap_passes(spark, tmp_path):
+    """Planted cross-batch timeline: a purchase buffered past the open
+    run's end must NOT emit while the run can still extend — batch 2
+    extends the run over the purchase (no match); batch 3's out-of-gap
+    click closes the run and emits only the still-valid match."""
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-01 10:{m:02d}:00", t) for (u, e, m, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id",
+            "CAST(ts AS timestamp) AS ts",
+            "event_id",
+            "event_type",
+        )
+
+    # user 1: clicks 0,2 | purchase 3, click 4 (extends OVER the
+    # purchase -> discarded) | click 30 closes run (0..4, n=3): no
+    # follower left -> nothing. user 2: click 0 | purchase 3 | click 30
+    # closes run (0..0, n=1) -> purchase 3 matches -> ONE row.
+    b1 = [(1, 1, 0, "click"), (1, 2, 2, "click"), (2, 10, 0, "click")]
+    b2 = [(1, 3, 3, "purchase"), (1, 4, 4, "click"), (2, 11, 3, "purchase")]
+    b3 = [(1, 5, 30, "click"), (2, 12, 30, "click")]
+    src = tmp_path / "src"
+    for b in (b1, b2, b3):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        greedy_matches(sdf, max_gap_s=5 * 60, horizon_s=60 * 60),
+        query_name="t_greedy_planted",
+        output_mode="update",
+    )
+    rows = sorted(
+        (r["user_id"], r["ts_first"].minute, r["ts_last"].minute, r["n_reps"])
+        for r in out.collect()
+    )
+    assert rows == [(2, 0, 0, 1)]
