@@ -1,0 +1,245 @@
+"""Fluent CEP pattern builder — the Flink ``Pattern.begin(..)
+.followedBy(..).optional().notFollowedBy(..).within(..)`` API shape
+(SURVEY.md §2 I8), compiled onto the relational CEP operators in
+:mod:`operators.cep`.
+
+A user porting a Flink CEP job writes the same pattern fluently and
+gets a DataFrame plan: chains compile to keyed interval joins,
+``optional()`` steps to a union over the 2^k optional-subset chains
+(k <= 3, each branch a plain chain with typed NULLs for skipped
+steps — the NO_SKIP both-branches semantics), ``notFollowedBy`` to
+one LEFT ANTI join per branch span, quantifiers to the window-based
+``match_times`` / ``match_one_or_more``, and after-match skip
+strategies to the post-processing operators. Everything stays
+declarative, so Catalyst still sees joins it can reorder and scans it
+can prune — no per-event interpretation loop.
+
+Supported shapes (validated, loud errors otherwise):
+
+- linear chains of 2+ steps, any non-first subset of <= 3 marked
+  ``optional()``;
+- ``not_followed_by(type)`` between two MANDATORY steps (default
+  first-to-last; Flink likewise forbids patterns ENDING in
+  notFollowedBy);
+- ``times(m, n)`` / ``one_or_more(max_gap)`` on the FIRST step with
+  exactly one follower step (the quantified-burst shape the window
+  operators implement);
+- ``after_match_skip("no_skip" | "skip_to_next" |
+  "skip_past_last")`` on quantified patterns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_framework_spark.operators.cep import (
+    match_one_or_more,
+    match_sequence,
+    match_times,
+    skip_past_last,
+    skip_to_next,
+)
+
+_SKIPS = ("no_skip", "skip_to_next", "skip_past_last")
+
+
+@dataclass
+class _Step:
+    event_type: str
+    optional: bool = False
+    times: tuple[int, int] | None = None
+    one_or_more_gap: str | None = None
+
+
+@dataclass
+class Pattern:
+    """Build with :meth:`begin`, chain with the fluent methods, and
+    run with :meth:`match`."""
+
+    steps: list[_Step] = field(default_factory=list)
+    negations: list[tuple[str, int | None, int | None]] = field(
+        default_factory=list
+    )
+    horizon: str | None = None
+    skip_strategy: str = "no_skip"
+
+    @classmethod
+    def begin(cls, event_type: str) -> "Pattern":
+        return cls(steps=[_Step(event_type)])
+
+    # -- fluent chain -------------------------------------------------
+    def followed_by(self, event_type: str) -> "Pattern":
+        self.steps.append(_Step(event_type))
+        return self
+
+    def optional(self) -> "Pattern":
+        """Mark the LAST added step optional (Flink ``.optional()``)."""
+        if len(self.steps) < 2:
+            raise ValueError(
+                "the first step anchors the match and cannot be optional"
+            )
+        self.steps[-1].optional = True
+        return self
+
+    def not_followed_by(
+        self,
+        event_type: str,
+        between: tuple[int, int] | None = None,
+    ) -> "Pattern":
+        """No ``event_type`` event strictly between the matched events
+        of steps ``between`` (mandatory step indices; default
+        first-to-last)."""
+        i, j = between if between is not None else (None, None)
+        self.negations.append((event_type, i, j))
+        return self
+
+    def times(self, n_min: int, n_max: int) -> "Pattern":
+        """Quantify the LAST added step (must be the first step;
+        requires exactly one ``followed_by`` after it)."""
+        self.steps[-1].times = (n_min, n_max)
+        return self
+
+    def one_or_more(self, max_gap: str) -> "Pattern":
+        """Greedy unbounded looping on the LAST added step (maximal
+        runs with successive events within ``max_gap``)."""
+        self.steps[-1].one_or_more_gap = max_gap
+        return self
+
+    def within(self, horizon: str) -> "Pattern":
+        self.horizon = horizon
+        return self
+
+    def after_match_skip(self, strategy: str) -> "Pattern":
+        if strategy not in _SKIPS:
+            raise ValueError(f"skip strategy must be one of {_SKIPS}")
+        self.skip_strategy = strategy
+        return self
+
+    # -- compile ------------------------------------------------------
+    def match(
+        self,
+        events: DataFrame,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        type_col: str = "event_type",
+        id_col: str = "event_id",
+    ) -> DataFrame:
+        """Compile and run: returns the match frame (chain patterns:
+        ``ts_i``/``id_i`` per step, NULL for skipped optionals;
+        quantified patterns: ``ts_first``/``ts_last``/``n_reps``)."""
+        if self.horizon is None:
+            raise ValueError("pattern needs .within(horizon)")
+        quant = [s for s in self.steps if s.times or s.one_or_more_gap]
+        if quant:
+            return self._match_quantified(
+                events, key_col, ts_col, type_col, id_col
+            )
+        return self._match_chain(events, key_col, ts_col, type_col, id_col)
+
+    def _match_quantified(self, events, key_col, ts_col, type_col, id_col):
+        if (
+            len(self.steps) != 2
+            or self.steps[1].times
+            or self.steps[1].one_or_more_gap
+            or self.steps[0].optional
+            or self.steps[1].optional
+            or self.negations
+        ):
+            raise ValueError(
+                "quantified patterns support exactly the shape "
+                "begin(step).times(m, n)|one_or_more(gap)"
+                ".followed_by(follower).within(h) "
+                "(optionally + after_match_skip)"
+            )
+        head, follower = self.steps
+        if head.times:
+            m = match_times(
+                events, head.event_type, follower.event_type,
+                head.times[0], head.times[1], self.horizon,
+                key_col, ts_col, type_col, id_col,
+            )
+        else:
+            m = match_one_or_more(
+                events, head.event_type, follower.event_type,
+                head.one_or_more_gap, self.horizon,
+                key_col, ts_col, type_col, id_col,
+            )
+        if self.skip_strategy == "skip_to_next":
+            return skip_to_next(m, key_col)
+        if self.skip_strategy == "skip_past_last":
+            return skip_past_last(m, key_col)
+        return m
+
+    def _match_chain(self, events, key_col, ts_col, type_col, id_col):
+        n = len(self.steps)
+        if n < 2:
+            raise ValueError("a pattern needs at least 2 steps")
+        if self.skip_strategy != "no_skip":
+            raise ValueError(
+                "after-match skip applies to quantified patterns "
+                "(chain matches have no repetition structure to skip)"
+            )
+        opt = [i for i, s in enumerate(self.steps) if s.optional]
+        if len(opt) > 3:
+            raise ValueError(
+                f"{len(opt)} optional steps would union {2 ** len(opt)} "
+                "chains; keep <= 3"
+            )
+        mandatory = [i for i in range(n) if i not in opt]
+        if len(mandatory) < 2:
+            raise ValueError("need >= 2 mandatory steps")
+        neg_spans = []
+        for abs_type, i, j in self.negations:
+            i = mandatory[0] if i is None else i
+            j = mandatory[-1] if j is None else j
+            if i in opt or j in opt or not (0 <= i < j < n):
+                raise ValueError(
+                    f"negation span ({i}, {j}) must be two mandatory "
+                    "step indices in order"
+                )
+            neg_spans.append((abs_type, i, j))
+
+        ts_type = events.schema[ts_col].dataType
+        id_type = events.schema[id_col].dataType
+        out = None
+        # one chain per optional subset — 2^k branches, unioned
+        for r in range(len(opt) + 1):
+            for skipped in combinations(opt, r):
+                kept = [i for i in range(n) if i not in skipped]
+                m = match_sequence(
+                    events,
+                    [self.steps[i].event_type for i in kept],
+                    self.horizon,
+                    key_col, ts_col, type_col, id_col,
+                )
+                cols = [F.col(key_col)]
+                for i in range(n):
+                    if i in skipped:
+                        cols += [
+                            F.lit(None).cast(ts_type).alias(f"ts_{i}"),
+                            F.lit(None).cast(id_type).alias(f"id_{i}"),
+                        ]
+                    else:
+                        k = kept.index(i)
+                        cols += [
+                            F.col(f"ts_{k}").alias(f"ts_{i}"),
+                            F.col(f"id_{k}").alias(f"id_{i}"),
+                        ]
+                branch = m.select(*cols)
+                out = branch if out is None else out.unionByName(branch)
+        for abs_type, i, j in neg_spans:
+            neg = events.filter(F.col(type_col) == abs_type).select(
+                F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
+            )
+            out = out.join(
+                neg,
+                (F.col(key_col) == F.col("__nk"))
+                & (F.col("__nts") > F.col(f"ts_{i}"))
+                & (F.col("__nts") < F.col(f"ts_{j}")),
+                "left_anti",
+            )
+        return out

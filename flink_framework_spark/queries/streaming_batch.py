@@ -580,6 +580,62 @@ def q_cep_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_pattern",
+    family="I",
+    oracle="""
+WITH full_m AS (
+  SELECT v.user_id, TRUE AS with_click, v.ts AS ts0, p.ts AS tsN
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'),
+red_m AS (
+  SELECT v.user_id, FALSE AS with_click, v.ts AS ts0, p.ts AS tsN
+  FROM events v
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'),
+u AS (
+  SELECT * FROM (SELECT * FROM full_m UNION ALL SELECT * FROM red_m) b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = b.user_id AND x.event_type = 'error'
+      AND x.ts > b.ts0 AND x.ts < b.tsN))
+SELECT with_click, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM u GROUP BY with_click
+""",
+)
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent CEP pattern API (Flink Pattern.begin(..).followedBy(..)
+    .optional().notFollowedBy(..).within(..)): view -> click? ->
+    purchase with NO error between the view and the purchase, within
+    12 hours — the optional+negation COMBO only the pattern compiler
+    composes (branch union, then one anti-join over every branch).
+    Built by operators.pattern.Pattern; the oracle re-derives both
+    branches with the shared NOT EXISTS filter."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("12 HOURS")
+    )
+    return p.match(ev).groupBy(
+        F.col("ts_1").isNotNull().alias("with_click")
+    ).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_skip_next",
     family="I",
     oracle="""

@@ -1,0 +1,206 @@
+"""Fluent Pattern API: each compiled pattern must equal the direct
+operator composition it lowers to (the compiler adds API shape, never
+semantics), plus the combo shapes only the compiler can express
+(multiple optionals, optional + negation) pinned on planted
+timelines. The registered combo query q_cep_pattern is oracle-checked
+against live DuckDB SQL; these tests pin the lowering."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_framework_spark.operators.cep import (
+    match_one_or_more,
+    match_optional,
+    match_sequence,
+    match_sequence_negated,
+    match_times,
+    skip_past_last,
+)
+from flink_framework_spark.operators.pattern import Pattern
+
+
+def _canon(df):
+    return sorted(map(repr, df.toPandas().itertuples(index=False, name=None)))
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from flink_framework_spark.io import table
+
+    return table(spark, sf_dir, "events")
+
+
+def test_chain_equals_match_sequence(events):
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    direct = match_sequence(events, ["view", "click", "purchase"], "12 HOURS")
+    assert _canon(p.match(events)) == _canon(
+        direct.select(p.match(events).columns)
+    )
+
+
+def test_optional_equals_match_optional(events):
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    direct = match_optional(events, ["view", "click", "purchase"], 1, "12 HOURS")
+    assert _canon(p.match(events)) == _canon(direct)
+
+
+def test_negation_equals_match_sequence_negated(events):
+    p = (
+        Pattern.begin("view")
+        .followed_by("purchase")
+        .not_followed_by("click")
+        .within("12 HOURS")
+    )
+    direct = match_sequence_negated(
+        events, ["view", "purchase"], "click", "12 HOURS"
+    )
+    assert _canon(p.match(events)) == _canon(
+        direct.select(p.match(events).columns)
+    )
+
+
+def test_times_with_skip_equals_composition(events):
+    p = (
+        Pattern.begin("click")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("12 HOURS")
+        .after_match_skip("skip_past_last")
+    )
+    direct = skip_past_last(
+        match_times(events, "click", "purchase", 2, 3, "12 HOURS")
+    )
+    assert _canon(p.match(events)) == _canon(direct)
+
+
+def test_one_or_more_equals_operator(events):
+    p = (
+        Pattern.begin("click")
+        .one_or_more("24 HOURS")
+        .followed_by("purchase")
+        .within("7 DAYS")
+    )
+    direct = match_one_or_more(events, "click", "purchase", "24 HOURS", "7 DAYS")
+    assert _canon(p.match(events)) == _canon(direct)
+
+
+def _planted(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, f"2024-01-01 10:{m:02d}:00", t) for (u, e, m, t) in rows],
+        "user_id long, event_id long, ts string, event_type string",
+    ).selectExpr(
+        "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+    )
+
+
+def test_two_optionals_union_four_branches(spark):
+    """view -> click? -> signup? -> purchase: a user with only
+    view+purchase matches once (both skipped); a user with all four
+    events matches via all four branches."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "signup"),
+            (1, 4, 3, "purchase"),
+            (2, 5, 0, "view"),
+            (2, 6, 3, "purchase"),
+        ],
+    )
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("signup")
+        .optional()
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    got = sorted(
+        (r["user_id"], r["ts_1"] is not None, r["ts_2"] is not None)
+        for r in p.match(ev).collect()
+    )
+    assert got == [
+        (1, False, False),
+        (1, False, True),
+        (1, True, False),
+        (1, True, True),
+        (2, False, False),
+    ]
+
+
+def test_optional_with_negation_applies_to_every_branch(spark):
+    """view -> click? -> purchase with NO error between view and
+    purchase: the error kills BOTH branches for user 1; user 2 (no
+    error, no click) keeps the skip branch."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "error"),
+            (1, 4, 3, "purchase"),
+            (2, 5, 0, "view"),
+            (2, 6, 3, "purchase"),
+        ],
+    )
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("30 MINUTES")
+    )
+    got = sorted(
+        (r["user_id"], r["ts_1"] is not None) for r in p.match(ev).collect()
+    )
+    assert got == [(2, False)]
+
+
+def test_validation_errors(spark):
+    ev = _planted(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError, match="anchors"):
+        Pattern.begin("view").optional()
+    with pytest.raises(ValueError, match="within"):
+        Pattern.begin("view").followed_by("purchase").match(ev)
+    with pytest.raises(ValueError, match="quantified patterns support"):
+        (
+            Pattern.begin("click")
+            .times(2, 3)
+            .followed_by("purchase")
+            .followed_by("view")
+            .within("1 HOUR")
+            .match(ev)
+        )
+    with pytest.raises(ValueError, match="skip applies to quantified"):
+        (
+            Pattern.begin("view")
+            .followed_by("purchase")
+            .within("1 HOUR")
+            .after_match_skip("skip_to_next")
+            .match(ev)
+        )
+    with pytest.raises(ValueError, match="mandatory"):
+        (
+            Pattern.begin("view")
+            .followed_by("purchase")
+            .optional()
+            .within("1 HOUR")
+            .match(ev)
+        )
+    with pytest.raises(ValueError, match="one of"):
+        Pattern.begin("view").after_match_skip("bogus")
