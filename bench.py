@@ -254,6 +254,32 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "session_window(gap 500ms, 1 hit/key/batch)+key agg"
         "->noop(append)"
     )
+
+    # CEP state machine (I8): the applyInPandasWithState funnel — the
+    # ARROW/PYTHON keyed-state path, deliberately measured apart from
+    # the JVM scenarios above because custom pattern logic is the one
+    # streaming surface that can't stay JVM-side. 4 events/key/batch
+    # (alternating view/purchase); purchases convert views from prior
+    # batches (same-batch events share one rate-micro-batch
+    # timestamp), so every batch exercises state append, horizon trim,
+    # and match emission on all 50k keys.
+    from flink_framework_spark.streaming.stateful import funnel_conversions
+
+    cr, ck = 100_000, 25_000
+    cep_src = rate_mb(cr).select(
+        (F.col("value") % ck).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.when(F.col("value") % 2 == 0, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    out["cep_funnel"] = _run_stream_scenario(
+        funnel_conversions(cep_src), "update", seconds * 2
+    )
+    out["cep_funnel"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys)->"
+        "applyInPandasWithState funnel state machine->noop(update)"
+    )
     return out
 
 

@@ -188,9 +188,12 @@ def match_optional(
     step (relaxed contiguity means the skipping branch matches whether
     or not an optional-type event occurred in the gap).
 
-    Scale shape: two :func:`match_sequence` join chains over the same
-    filtered step frames, unioned — no new join strategy, and Spark
-    dedups the shared step scans via exchange reuse."""
+    Scale shape: two :func:`match_sequence` join chains unioned — no
+    new join strategy. The shared steps are scanned once per branch
+    (the branches project different step aliases, so Spark does NOT
+    reuse the exchanges — verified in the executed plan), but each
+    scan is a pushed-down single-event-type projection, so the cost
+    is 2x the type's pruned columns, not 2x the table."""
     if len(steps) < 3:
         raise ValueError("optional() needs >= 3 steps (2 mandatory)")
     if not (1 <= optional_idx <= len(steps) - 1):
