@@ -419,3 +419,43 @@ def test_remote_uri_lake_paths_refused():
         RollingDedupProcessor(
             "/tmp/ok", signature_path="hdfs://nn/sigs"
         )
+
+
+def test_rescaled_resume_equals_batch_fold(spark, sf_dir, doc_spool, tmp_path):
+    """The savepoint workflow Flink users expect — stop the job,
+    resize the cluster, resume — applied to the rolling lake: ingest
+    half the spool at one parallelism, QUADRUPLE
+    spark.sql.shuffle.partitions, resume from the same checkpoint.
+    Because the dedup state lives in the lake (parquet), not in
+    Spark's partition-pinned internal state store, the rescaled resume
+    must produce the exact batch-fold corpus. This is the app-level
+    state-migration evidence backing COVERAGE.md's savepoint-parity
+    note (the internal-state counterpart is
+    test_state_rescale_pins_original_partitioning)."""
+    directory, _ = doc_spool
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def copy_files(idxs):
+        for i in idxs:
+            name = f"part-{i:05d}.parquet"
+            shutil.copy2(os.path.join(directory, name), stage / name)
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        copy_files([0, 1])
+        _run_stream(spark, str(stage), corpus_path, ckpt)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(4 * int(orig))
+        )
+        copy_files([2, 3])
+        got = _run_stream(spark, str(stage), corpus_path, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    want = _batch_fold(spark, sf_dir, N_FILES)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids
