@@ -308,7 +308,9 @@ _GREEDY_STATE_SCHEMA = (
 )
 
 
-def make_greedy_fn(max_gap_s: float, horizon_s: float):
+def make_greedy_fn(
+    max_gap_s: float, horizon_s: float, use_timeout: bool = False
+):
     """Streaming twin of operators.cep.match_one_or_more (greedy
     oneOrMore): per key, state holds the OPEN run (a maximal run is
     only known once a step event lands beyond ``max_gap`` — greedy
@@ -319,9 +321,13 @@ def make_greedy_fn(max_gap_s: float, horizon_s: float):
 
     Runs close on the next out-of-gap step event; a bounded stream
     closes its final runs with a far-future sentinel step event (the
-    repo's watermark-sentinel convention). The production extension
-    for unbounded streams is an event-time timeout at
-    ``open_last + max_gap`` — same closure logic, timer-driven.
+    repo's watermark-sentinel convention). With ``use_timeout=True``
+    (requires a watermarked input and
+    ``GroupStateTimeout.EventTimeTimeout``) runs ALSO close when the
+    watermark passes ``open_last + max_gap`` — the Flink
+    ``KeyedProcessFunction`` event-time timer, so unbounded streams
+    need no sentinel: once the watermark proves no in-order event can
+    extend the run, the timer fires and the buffered followers emit.
 
     State is bounded: one open run, closed runs expire after
     ``horizon_s``, and the buffer is trimmed to the open run's
@@ -368,36 +374,62 @@ def make_greedy_fn(max_gap_s: float, horizon_s: float):
             buf = []
             closed.append(run)
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-                sec = ts.timestamp()
-                closed[:] = [r for r in closed if sec <= r[0] + horizon_s]
-                if etype == "click":
-                    if open_first is not None and sec <= open_last + max_gap_s:
-                        open_last = max(open_last, sec)
-                        open_n += 1
-                        buf = [p for p in buf if p > open_last]
-                    else:
-                        close_open(sec)
-                        open_first = open_last = sec
-                        open_n = 1
-                elif etype == "purchase":
-                    for r in list(closed):
-                        if try_match(r, sec):
-                            out.append(r)
-                            closed.remove(r)
-                    if open_first is not None and sec > open_last:
-                        buf.append(sec)
-        state.update(
-            (
-                open_first,
-                open_last,
-                open_n,
-                [f"{f!r}|{l!r}|{n}" for (f, l, n) in closed],
-                buf,
+        if use_timeout and state.hasTimedOut:
+            # the watermark passed open_last + max_gap: no in-order
+            # click can extend the run — same closure as an
+            # out-of-gap click, timer-driven. Also GC closed runs the
+            # watermark has carried past their follower horizon.
+            close_open(None)
+            wm_s = state.getCurrentWatermarkMs() / 1000.0
+            closed[:] = [r for r in closed if wm_s <= r[0] + horizon_s]
+        else:
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                    sec = ts.timestamp()
+                    closed[:] = [r for r in closed if sec <= r[0] + horizon_s]
+                    if etype == "click":
+                        if (
+                            open_first is not None
+                            and sec <= open_last + max_gap_s
+                        ):
+                            open_last = max(open_last, sec)
+                            open_n += 1
+                            buf = [p for p in buf if p > open_last]
+                        else:
+                            close_open(sec)
+                            open_first = open_last = sec
+                            open_n = 1
+                    elif etype == "purchase":
+                        for r in list(closed):
+                            if try_match(r, sec):
+                                out.append(r)
+                                closed.remove(r)
+                        if open_first is not None and sec > open_last:
+                            buf.append(sec)
+        if use_timeout and open_first is None and not closed and not buf:
+            state.remove()
+        else:
+            state.update(
+                (
+                    open_first,
+                    open_last,
+                    open_n,
+                    [f"{f!r}|{l!r}|{n}" for (f, l, n) in closed],
+                    buf,
+                )
             )
-        )
+            if use_timeout:
+                if open_first is not None:
+                    fire_s = open_last + max_gap_s
+                else:  # GC timer for lingering closed runs
+                    fire_s = max(r[0] for r in closed) + horizon_s
+                # the timer must sit past the current watermark
+                fire_ms = max(
+                    round(fire_s * 1000),
+                    state.getCurrentWatermarkMs() + 1,
+                )
+                state.setTimeoutTimestamp(fire_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -419,17 +451,87 @@ def greedy_matches(
     events: DataFrame,
     max_gap_s: float = 24 * 3600,
     horizon_s: float = 7 * 24 * 3600,
+    use_timeout: bool = False,
 ) -> DataFrame:
     """Streaming twin of q_cep_greedy: maximal click-run matches per
     user (update mode), one row per run on closure if any qualifying
-    purchase exists."""
+    purchase exists. ``use_timeout=True`` closes runs on event-time
+    timers too (input must carry a watermark)."""
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_greedy_fn(max_gap_s, horizon_s),
+            make_greedy_fn(max_gap_s, horizon_s, use_timeout),
             outputStructType=TIMES_SCHEMA,
             stateStructType=_GREEDY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+COUNT_WINDOW_SCHEMA = (
+    "user_id long, win_id long, n long, sumv double"
+)
+_CW_STATE_SCHEMA = "total long, cur_sum double"
+
+
+def make_count_window_fn(size: int):
+    """Streaming twin of q_stream_count_window — Flink
+    ``keyBy().countWindow(size)``: every ``size`` events per key form
+    a window regardless of time. State is two scalars (events seen,
+    running sum of the open window); each batch emits every window it
+    touched with its current totals (update semantics — the open
+    window re-emits with higher n until it fills, exactly how Flink's
+    count trigger would fire an accumulating window)."""
+
+    def _cw_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        total, cur_sum = state.get if state.exists else (0, 0.0)
+        touched: dict[int, tuple[int, float]] = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                win = total // size
+                total += 1
+                cur_sum += float(v)
+                touched[win] = (total - win * size, cur_sum)
+                if total % size == 0:
+                    cur_sum = 0.0
+        state.update((total, cur_sum))
+        if touched:
+            wins = sorted(touched)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "win_id": wins,
+                    "n": [touched[w][0] for w in wins],
+                    "sumv": [touched[w][1] for w in wins],
+                }
+            )
+
+    return _cw_fn
+
+
+def count_windows(events: DataFrame, size: int = 20) -> DataFrame:
+    """Streaming count windows per key (update mode): the I-family
+    gap called out in q_stream_count_window's docstring, closed. Take
+    the LAST emission per (key, win_id) for the final window totals."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_count_window_fn(size),
+            outputStructType=COUNT_WINDOW_SCHEMA,
+            stateStructType=_CW_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

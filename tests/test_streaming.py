@@ -571,3 +571,129 @@ def test_stateful_greedy_closes_run_only_when_gap_passes(spark, tmp_path):
         for r in out.collect()
     )
     assert rows == [(2, 0, 0, 1)]
+
+
+def test_stateful_count_window_matches_batch(spark, sf_dir):
+    """Streaming countWindow twin == batch q_stream_count_window on
+    the fixture (single micro-batch: every window emits once with its
+    final totals)."""
+    from flink_framework_spark.queries.streaming_batch import (
+        q_stream_count_window,
+    )
+    from flink_framework_spark.streaming.stateful import count_windows
+
+    batch = (
+        q_stream_count_window(spark, sf_dir)
+        .select("user_id", "win_id", "n", "sumv")
+        .toPandas()
+    )
+    sdf = read_events_stream(spark, sf_dir)
+    out = (
+        run_to_memory(
+            count_windows(sdf, 20), query_name="t_cw", output_mode="update"
+        )
+        .select(
+            "user_id", "win_id", "n", F.round("sumv", 2).alias("sumv")
+        )
+        .toPandas()
+    )
+
+    def canon(df):
+        return sorted(map(repr, df.itertuples(index=False, name=None)))
+
+    assert len(batch) > 0
+    assert canon(out) == canon(batch)
+
+
+def test_stateful_count_window_continues_across_batches(spark, tmp_path):
+    """A window that straddles micro-batches keeps counting: 7 events
+    split 4+3 with size 3 -> windows (3, 3, 1); the open window
+    re-emits with its running totals (update semantics) and the LAST
+    emission per window carries the final totals."""
+    from flink_framework_spark.streaming.stateful import count_windows
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [
+                (1, e, f"2024-01-01 10:{m:02d}:00", float(v))
+                for (e, m, v) in rows
+            ],
+            "user_id long, event_id long, ts string, value double",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "value"
+        )
+
+    b1 = [(1, 0, 1), (2, 1, 2), (3, 2, 4), (4, 3, 8)]
+    b2 = [(5, 4, 16), (6, 5, 32), (7, 6, 64)]
+    src = tmp_path / "src"
+    for b in (b1, b2):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        count_windows(sdf, 3), query_name="t_cw_multi", output_mode="update"
+    ).toPandas()
+    # last emission per window wins
+    final = {}
+    for r in out.itertuples(index=False):
+        final[(r.user_id, r.win_id)] = (r.n, r.sumv)
+    assert final == {
+        (1, 0): (3, 7.0),       # events 1+2+4, closed in batch 1
+        (1, 1): (3, 8 + 16 + 32.0),  # straddles: partial (1, 8.0) then full
+        (1, 2): (1, 64.0),      # open at stream end
+    }
+    # and the straddling window re-emitted: batch 1 saw it partial
+    w1_emissions = [
+        (r.n, r.sumv) for r in out.itertuples(index=False) if r.win_id == 1
+    ]
+    assert (1, 8.0) in w1_emissions
+
+
+def test_stateful_greedy_event_time_timer_closes_run(spark, tmp_path):
+    """use_timeout=True: the run closes when the WATERMARK passes
+    open_last + max_gap — no sentinel click for the key needed. key 1
+    gets clicks + a buffered purchase in batch 1; batches 2 and 3
+    carry only OTHER-key events whose timestamps drag the watermark
+    past the gap, so key 1's timer fires and emits the match."""
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-01 {h:02d}:{m:02d}:00", t) for (u, e, h, m, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id",
+            "CAST(ts AS timestamp) AS ts",
+            "event_id",
+            "event_type",
+        )
+
+    # gap 5 min, horizon 60 min. key 1: clicks 10:00, 10:02; purchase
+    # 10:03 buffered (> open_last). Timer armed at 10:07.
+    b1 = [(1, 1, 10, 0, "click"), (1, 2, 10, 2, "click"), (1, 3, 10, 3, "purchase")]
+    # key 2 event at 10:30 -> end-of-batch watermark 10:30 > 10:07
+    b2 = [(2, 10, 10, 30, "click")]
+    # batch 3 evaluates timeouts against the 10:30 watermark -> fire
+    b3 = [(2, 11, 10, 31, "click")]
+    src = tmp_path / "src"
+    for b in (b1, b2, b3):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = run_to_memory(
+        greedy_matches(sdf, max_gap_s=5 * 60, horizon_s=60 * 60, use_timeout=True),
+        query_name="t_greedy_timer",
+        output_mode="update",
+    )
+    rows = sorted(
+        (r["user_id"], r["ts_first"].minute, r["ts_last"].minute, r["n_reps"])
+        for r in out.collect()
+    )
+    assert rows == [(1, 0, 2, 2)]
