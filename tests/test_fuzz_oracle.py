@@ -694,7 +694,18 @@ def test_fuzz_cep_matches_oracle(spark, sf_dir, seed):
 
     steps, within, absent, sql = gen_cep_query(seed)
     ev = table(spark, sf_dir, "events")
-    if absent is None:
+    if seed % 2 == 1:
+        # odd seeds render through the fluent Pattern builder — the
+        # lowering must be transparent, so the same oracle applies
+        from flink_framework_spark.operators.pattern import Pattern
+
+        p = Pattern.begin(steps[0])
+        for s in steps[1:]:
+            p = p.followed_by(s)
+        if absent is not None:
+            p = p.not_followed_by(absent)
+        m = p.within(within).match(ev)
+    elif absent is None:
         m = match_sequence(ev, steps, within)
     else:
         m = match_sequence_negated(ev, steps, absent, within)
