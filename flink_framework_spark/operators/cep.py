@@ -170,6 +170,44 @@ def match_times(
     ).select(key_col, "ts_first", "ts_last", "n_reps")
 
 
+def enforce_strict_contiguity(
+    matches: DataFrame,
+    events: DataFrame,
+    pairs: Sequence[tuple[int, int]],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Flink CEP strict contiguity (``next()`` vs ``followedBy()``):
+    drop matches where ANY event of the key — regardless of type —
+    falls strictly between the matched events of steps ``(i, j)`` for
+    each pair. ``match_sequence`` alone is relaxed contiguity
+    (Flink's ``followedByAny``: every combination matches);
+    composing this filter on adjacent step pairs yields ``next()``.
+
+    Contiguity is by event time (ties at the boundary are NOT
+    "between" — strict inequalities), matching the relational
+    oracle's NOT EXISTS spelling.
+
+    Scale shape: one LEFT ANTI join per strict pair — equi on the
+    key, time range residual, same shape as the negation filter."""
+    out = matches
+    for i, j in pairs:
+        for c in (f"ts_{i}", f"ts_{j}"):
+            if c not in out.columns:
+                raise ValueError(f"matches frame is missing column {c!r}")
+        gap = events.select(
+            F.col(key_col).alias("__gk"), F.col(ts_col).alias("__gts")
+        )
+        out = out.join(
+            gap,
+            (F.col(key_col) == F.col("__gk"))
+            & (F.col("__gts") > F.col(f"ts_{i}"))
+            & (F.col("__gts") < F.col(f"ts_{j}")),
+            "left_anti",
+        )
+    return out
+
+
 def match_optional(
     events: DataFrame,
     steps: Sequence[str],

@@ -17,7 +17,10 @@ can prune — no per-event interpretation loop.
 Supported shapes (validated, loud errors otherwise):
 
 - linear chains of 2+ steps, any non-first subset of <= 3 marked
-  ``optional()``;
+  ``optional()``; ``next_step()`` steps demand strict contiguity (no
+  event of any type between them and the previous step — Flink's
+  ``next()`` vs ``followedBy()``), compiled as one anti-join per
+  strict pair;
 - ``not_followed_by(type)`` between two MANDATORY steps (default
   first-to-last; Flink likewise forbids patterns ENDING in
   notFollowedBy);
@@ -37,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_framework_spark.operators.cep import (
+    enforce_strict_contiguity,
     match_one_or_more,
     match_sequence,
     match_times,
@@ -51,6 +55,7 @@ _SKIPS = ("no_skip", "skip_to_next", "skip_past_last")
 class _Step:
     event_type: str
     optional: bool = False
+    strict: bool = False  # next() — no event between this and previous
     times: tuple[int, int] | None = None
     one_or_more_gap: str | None = None
 
@@ -74,6 +79,13 @@ class Pattern:
     # -- fluent chain -------------------------------------------------
     def followed_by(self, event_type: str) -> "Pattern":
         self.steps.append(_Step(event_type))
+        return self
+
+    def next_step(self, event_type: str) -> "Pattern":
+        """Flink ``next()``: the step must be the key's IMMEDIATELY
+        following event — strict contiguity, no event of any type
+        between it and the previous step's match."""
+        self.steps.append(_Step(event_type, strict=True))
         return self
 
     def optional(self) -> "Pattern":
@@ -147,6 +159,7 @@ class Pattern:
             or self.steps[1].one_or_more_gap
             or self.steps[0].optional
             or self.steps[1].optional
+            or any(s.strict for s in self.steps)
             or self.negations
         ):
             raise ValueError(
@@ -192,6 +205,17 @@ class Pattern:
         mandatory = [i for i in range(n) if i not in opt]
         if len(mandatory) < 2:
             raise ValueError("need >= 2 mandatory steps")
+        strict_pairs = []
+        for i, s in enumerate(self.steps):
+            if not s.strict:
+                continue
+            if i in opt or (i - 1) in opt:
+                raise ValueError(
+                    "next_step() needs a mandatory step preceded by a "
+                    "mandatory step (the 'immediately before' event "
+                    "would differ per optional branch)"
+                )
+            strict_pairs.append((i - 1, i))
         neg_spans = []
         for abs_type, i, j in self.negations:
             i = mandatory[0] if i is None else i
@@ -231,6 +255,10 @@ class Pattern:
                         ]
                 branch = m.select(*cols)
                 out = branch if out is None else out.unionByName(branch)
+        if strict_pairs:
+            out = enforce_strict_contiguity(
+                out, events, strict_pairs, key_col, ts_col
+            )
         for abs_type, i, j in neg_spans:
             neg = events.filter(F.col(type_col) == abs_type).select(
                 F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")

@@ -636,6 +636,45 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_strict",
+    family="I",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT v.user_id) AS n_users
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = v.user_id AND x.ts > v.ts AND x.ts < c.ts)
+""",
+)
+def q_cep_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP strict contiguity (Flink ``next()`` vs ``followedBy()``):
+    view -> click with NO event of ANY type between them -> purchase,
+    within 12 hours — "clicked straight from the view". Built by the
+    Pattern builder's next_step(), which composes
+    enforce_strict_contiguity (one keyed anti-join per strict pair)
+    over the relaxed chain."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("view")
+        .next_step("click")
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    return p.match(ev).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_skip_next",
     family="I",
     oracle="""

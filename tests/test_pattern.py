@@ -204,3 +204,56 @@ def test_validation_errors(spark):
         )
     with pytest.raises(ValueError, match="one of"):
         Pattern.begin("view").after_match_skip("bogus")
+
+
+def test_next_step_strict_contiguity(spark):
+    """next_step(): an intervening event of ANY type breaks the
+    match; followed_by() tolerates it."""
+    ev = _planted(
+        spark,
+        [
+            # user 1: view(0) click(1) purchase(5) — strictly
+            # consecutive -> matches both ways
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),
+            (1, 3, 5, "purchase"),
+            # user 2: view(0) error(1) click(2) purchase(5) — the
+            # error sits between view and click -> next_step fails,
+            # followed_by still matches
+            (2, 4, 0, "view"),
+            (2, 5, 1, "error"),
+            (2, 6, 2, "click"),
+            (2, 7, 5, "purchase"),
+        ],
+    )
+    strict = (
+        Pattern.begin("view")
+        .next_step("click")
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    relaxed = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    assert sorted(
+        r["user_id"] for r in strict.match(ev).collect()
+    ) == [1]
+    assert sorted(
+        r["user_id"] for r in relaxed.match(ev).collect()
+    ) == [1, 2]
+
+
+def test_next_step_rejects_optional_neighbors(spark):
+    ev = _planted(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError, match="mandatory step preceded"):
+        (
+            Pattern.begin("view")
+            .followed_by("click")
+            .optional()
+            .next_step("purchase")
+            .within("1 HOUR")
+            .match(ev)
+        )
