@@ -364,6 +364,22 @@ def skip_to_next(
     )
 
 
+def skip_to_last(
+    matches: DataFrame,
+    key_col: str = "user_id",
+    first_col: str = "ts_first",
+    last_col: str = "ts_last",
+) -> DataFrame:
+    """Flink ``AfterMatchSkipStrategy.SKIP_TO_LAST``: like
+    :func:`skip_past_last` but the next match may START AT the
+    previous pick's last event (matches starting strictly BEFORE it
+    are skipped; PAST_LAST also skips the boundary). For a looping
+    pattern this keeps bursts that chain end-to-start — e.g. runs
+    sharing their boundary repetition — where PAST_LAST would drop
+    them."""
+    return _skip_greedy(matches, key_col, first_col, last_col, inclusive=True)
+
+
 def skip_past_last(
     matches: DataFrame,
     key_col: str = "user_id",
@@ -388,6 +404,20 @@ def skip_past_last(
     recursive CTE (see q_cep_skip), which value-checks this exact
     semantics cross-engine.
     """
+    return _skip_greedy(matches, key_col, first_col, last_col, inclusive=False)
+
+
+def _skip_greedy(
+    matches: DataFrame,
+    key_col: str,
+    first_col: str,
+    last_col: str,
+    inclusive: bool,
+) -> DataFrame:
+    """Shared greedy per-key selection: ``inclusive=False`` keeps
+    matches starting strictly after the previous pick's end
+    (SKIP_PAST_LAST_EVENT); ``inclusive=True`` also keeps boundary
+    starts (SKIP_TO_LAST)."""
     cols = list(matches.columns)
     for c in (key_col, first_col, last_col):
         if c not in cols:
@@ -401,7 +431,11 @@ def skip_past_last(
         keep = []
         last_end = None
         for idx, row in pdf.iterrows():
-            if last_end is None or row[first_col] > last_end:
+            if (
+                last_end is None
+                or row[first_col] > last_end
+                or (inclusive and row[first_col] == last_end)
+            ):
                 keep.append(idx)
                 last_end = row[last_col]
         return pdf.loc[keep, cols]

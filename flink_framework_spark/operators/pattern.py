@@ -45,10 +45,11 @@ from flink_framework_spark.operators.cep import (
     match_sequence,
     match_times,
     skip_past_last,
+    skip_to_last,
     skip_to_next,
 )
 
-_SKIPS = ("no_skip", "skip_to_next", "skip_past_last")
+_SKIPS = ("no_skip", "skip_to_next", "skip_to_last", "skip_past_last")
 
 
 @dataclass
@@ -183,6 +184,8 @@ class Pattern:
             )
         if self.skip_strategy == "skip_to_next":
             return skip_to_next(m, key_col)
+        if self.skip_strategy == "skip_to_last":
+            return skip_to_last(m, key_col)
         if self.skip_strategy == "skip_past_last":
             return skip_past_last(m, key_col)
         return m

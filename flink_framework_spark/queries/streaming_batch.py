@@ -636,6 +636,73 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_skip_last",
+    family="I",
+    oracle="""
+WITH RECURSIVE cand AS (
+  SELECT user_id, n_reps, ts_first, ts_last FROM (
+    WITH a AS (
+      SELECT user_id, ts,
+             LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+             LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
+      WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '12 hours'
+      UNION ALL
+      SELECT user_id, 3, f3, ts FROM a
+      WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '12 hours')
+    SELECT * FROM c
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '12 hours'))),
+sel AS (
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_first, ts_last, n_reps) AS rn FROM cand)
+   WHERE rn = 1)
+  UNION ALL
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT c.user_id, c.n_reps, c.ts_first, c.ts_last,
+                ROW_NUMBER() OVER (PARTITION BY c.user_id
+                     ORDER BY c.ts_first, c.ts_last, c.n_reps) AS rn
+         FROM cand c JOIN sel s
+           ON c.user_id = s.user_id AND c.ts_first >= s.ts_last)
+   WHERE rn = 1)
+)
+SELECT user_id, CAST(n_reps AS BIGINT) AS n_reps,
+       strftime(ts_first, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(ts_last, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM sel
+""",
+)
+def q_cep_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP after-match skip strategy (Flink SKIP_TO_LAST): the
+    q_cep_times match stream pruned greedily like q_cep_skip, but the
+    next match may START AT the previous pick's last event (boundary
+    repetition shared) — strictly-before starts are skipped. The
+    oracle recursion uses >= where q_cep_skip uses strict > (no cycle:
+    every pick's ts_last strictly exceeds its ts_first, so successive
+    picks advance)."""
+    from flink_framework_spark.operators.cep import match_times, skip_to_last
+
+    ev = table(spark, sf_dir, "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    sel = skip_to_last(m)
+    return sel.select(
+        "user_id",
+        "n_reps",
+        F.date_format("ts_first", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "first_ts"
+        ),
+        F.date_format("ts_last", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+    )
+
+
+@register(
     "q_cep_strict",
     family="I",
     oracle="""

@@ -402,3 +402,32 @@ def test_skip_to_next_validates_columns(spark):
     m = _matches(spark, [(1, 0, 2, 2)]).withColumnRenamed("ts_last", "te")
     with pytest.raises(ValueError, match="missing column"):
         skip_to_next(m)
+
+
+def test_skip_to_last_keeps_boundary_start(spark):
+    """SKIP_TO_LAST vs SKIP_PAST_LAST on the boundary: a match
+    starting exactly AT the previous pick's last event survives
+    TO_LAST but not PAST_LAST."""
+    from flink_framework_spark.operators.cep import (
+        skip_past_last,
+        skip_to_last,
+    )
+
+    m = _matches(
+        spark,
+        [
+            (1, 0, 2, 2),
+            (1, 2, 4, 2),  # starts AT minute 2 == previous end
+            (1, 3, 5, 2),  # overlaps the TO_LAST pick -> skipped
+        ],
+    )
+    to_last = sorted(
+        (r["ts_first"].minute, r["ts_last"].minute)
+        for r in skip_to_last(m).collect()
+    )
+    past_last = sorted(
+        (r["ts_first"].minute, r["ts_last"].minute)
+        for r in skip_past_last(m).collect()
+    )
+    assert to_last == [(0, 2), (2, 4)]
+    assert past_last == [(0, 2), (3, 5)]
