@@ -262,7 +262,7 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     # (alternating view/purchase); purchases convert views from prior
     # batches (same-batch events share one rate-micro-batch
     # timestamp), so every batch exercises state append, horizon trim,
-    # and match emission on all 50k keys.
+    # and match emission on all 25k keys.
     from flink_framework_spark.streaming.stateful import funnel_conversions
 
     cr, ck = 100_000, 25_000

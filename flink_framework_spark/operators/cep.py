@@ -61,6 +61,85 @@ def match_sequence(
     return cur.withColumnRenamed("__k0", key_col)
 
 
+def anti_join_between(
+    matches: DataFrame,
+    events: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_type: str | None = None,
+) -> DataFrame:
+    """Drop matches with an event STRICTLY between ``lo_col`` and
+    ``hi_col`` — of type ``event_type``, or of ANY type when None.
+    The shared span-exclusion primitive behind ``notFollowedBy``
+    (typed) and strict contiguity (untyped): one LEFT ANTI join, equi
+    on the key with the time range as the residual condition — a
+    single keyed shuffle, not a per-match scan."""
+    src = (
+        events
+        if event_type is None
+        else events.filter(F.col(type_col) == event_type)
+    )
+    neg = src.select(
+        F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
+    )
+    return matches.join(
+        neg,
+        (F.col(key_col) == F.col("__nk"))
+        & (F.col("__nts") > F.col(lo_col))
+        & (F.col("__nts") < F.col(hi_col)),
+        "left_anti",
+    )
+
+
+def union_skip_branches(
+    events: DataFrame,
+    steps: Sequence[str],
+    skipped_subsets: Sequence[Sequence[int]],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Union of :func:`match_sequence` chains, one per subset of
+    SKIPPED step indices, every branch aligned to the full-pattern
+    ``ts_i``/``id_i`` columns with typed NULLs for its skipped steps —
+    the shared branch machinery behind ``optional()`` (both in
+    :func:`match_optional` and the Pattern compiler)."""
+    ts_type = events.schema[ts_col].dataType
+    id_type = events.schema[id_col].dataType
+    n = len(steps)
+    out = None
+    for skipped in skipped_subsets:
+        skipped = set(skipped)
+        kept = [i for i in range(n) if i not in skipped]
+        m = match_sequence(
+            events,
+            [steps[i] for i in kept],
+            within,
+            key_col, ts_col, type_col, id_col,
+        )
+        cols = [F.col(key_col)]
+        for i in range(n):
+            if i in skipped:
+                cols += [
+                    F.lit(None).cast(ts_type).alias(f"ts_{i}"),
+                    F.lit(None).cast(id_type).alias(f"id_{i}"),
+                ]
+            else:
+                k = kept.index(i)
+                cols += [
+                    F.col(f"ts_{k}").alias(f"ts_{i}"),
+                    F.col(f"id_{k}").alias(f"id_{i}"),
+                ]
+        branch = m.select(*cols)
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
 def match_sequence_negated(
     events: DataFrame,
     steps: Sequence[str],
@@ -77,25 +156,17 @@ def match_sequence_negated(
     (``between=(i, j)``, default first-to-last step).
 
     Scale shape: the positive matches from :func:`match_sequence`
-    (chained keyed interval joins), then one LEFT ANTI join against
-    the ``absent`` events — equi on the key with the time range as the
-    residual condition, so the negation is a single keyed shuffle, not
-    a per-match scan."""
+    (chained keyed interval joins), then :func:`anti_join_between` on
+    the ``absent`` events."""
     i, j = between if between is not None else (0, len(steps) - 1)
     if not (0 <= i < j <= len(steps) - 1):
         raise ValueError(f"between={between!r} out of range for {steps}")
     matches = match_sequence(
         events, steps, within, key_col, ts_col, type_col, id_col
     )
-    neg = events.filter(F.col(type_col) == absent).select(
-        F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
-    )
-    return matches.join(
-        neg,
-        (F.col(key_col) == F.col("__nk"))
-        & (F.col("__nts") > F.col(f"ts_{i}"))
-        & (F.col("__nts") < F.col(f"ts_{j}")),
-        "left_anti",
+    return anti_join_between(
+        matches, events, f"ts_{i}", f"ts_{j}",
+        key_col, ts_col, type_col, absent,
     )
 
 
@@ -195,15 +266,8 @@ def enforce_strict_contiguity(
         for c in (f"ts_{i}", f"ts_{j}"):
             if c not in out.columns:
                 raise ValueError(f"matches frame is missing column {c!r}")
-        gap = events.select(
-            F.col(key_col).alias("__gk"), F.col(ts_col).alias("__gts")
-        )
-        out = out.join(
-            gap,
-            (F.col(key_col) == F.col("__gk"))
-            & (F.col("__gts") > F.col(f"ts_{i}"))
-            & (F.col("__gts") < F.col(f"ts_{j}")),
-            "left_anti",
+        out = anti_join_between(
+            out, events, f"ts_{i}", f"ts_{j}", key_col, ts_col
         )
     return out
 
@@ -239,29 +303,10 @@ def match_optional(
             f"optional_idx {optional_idx} must be in [1, {len(steps) - 1}]"
             " (the first step anchors the match and cannot be optional)"
         )
-    ts_type = events.schema[ts_col].dataType
-    id_type = events.schema[id_col].dataType
-    full = match_sequence(events, steps, within, key_col, ts_col, type_col, id_col)
-    kept = [i for i in range(len(steps)) if i != optional_idx]
-    reduced = match_sequence(
-        events, [steps[i] for i in kept], within, key_col, ts_col, type_col, id_col
+    return union_skip_branches(
+        events, steps, [(), (optional_idx,)], within,
+        key_col, ts_col, type_col, id_col,
     )
-    out_cols = [F.col(key_col)]
-    red_cols = [F.col(key_col)]
-    for i in range(len(steps)):
-        out_cols += [F.col(f"ts_{i}"), F.col(f"id_{i}")]
-        if i == optional_idx:
-            red_cols += [
-                F.lit(None).cast(ts_type).alias(f"ts_{i}"),
-                F.lit(None).cast(id_type).alias(f"id_{i}"),
-            ]
-        else:
-            j = kept.index(i)
-            red_cols += [
-                F.col(f"ts_{j}").alias(f"ts_{i}"),
-                F.col(f"id_{j}").alias(f"id_{i}"),
-            ]
-    return full.select(*out_cols).unionByName(reduced.select(*red_cols))
 
 
 def match_one_or_more(

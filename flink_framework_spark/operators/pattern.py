@@ -27,7 +27,7 @@ Supported shapes (validated, loud errors otherwise):
 - ``times(m, n)`` / ``one_or_more(max_gap)`` on the FIRST step with
   exactly one follower step (the quantified-burst shape the window
   operators implement);
-- ``after_match_skip("no_skip" | "skip_to_next" |
+- ``after_match_skip("no_skip" | "skip_to_next" | "skip_to_last" |
   "skip_past_last")`` on quantified patterns.
 """
 
@@ -40,13 +40,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_framework_spark.operators.cep import (
+    anti_join_between,
     enforce_strict_contiguity,
     match_one_or_more,
-    match_sequence,
     match_times,
     skip_past_last,
     skip_to_last,
     skip_to_next,
+    union_skip_branches,
 )
 
 _SKIPS = ("no_skip", "skip_to_next", "skip_to_last", "skip_past_last")
@@ -230,47 +231,26 @@ class Pattern:
                 )
             neg_spans.append((abs_type, i, j))
 
-        ts_type = events.schema[ts_col].dataType
-        id_type = events.schema[id_col].dataType
-        out = None
         # one chain per optional subset — 2^k branches, unioned
-        for r in range(len(opt) + 1):
-            for skipped in combinations(opt, r):
-                kept = [i for i in range(n) if i not in skipped]
-                m = match_sequence(
-                    events,
-                    [self.steps[i].event_type for i in kept],
-                    self.horizon,
-                    key_col, ts_col, type_col, id_col,
-                )
-                cols = [F.col(key_col)]
-                for i in range(n):
-                    if i in skipped:
-                        cols += [
-                            F.lit(None).cast(ts_type).alias(f"ts_{i}"),
-                            F.lit(None).cast(id_type).alias(f"id_{i}"),
-                        ]
-                    else:
-                        k = kept.index(i)
-                        cols += [
-                            F.col(f"ts_{k}").alias(f"ts_{i}"),
-                            F.col(f"id_{k}").alias(f"id_{i}"),
-                        ]
-                branch = m.select(*cols)
-                out = branch if out is None else out.unionByName(branch)
+        subsets = [
+            skipped
+            for r in range(len(opt) + 1)
+            for skipped in combinations(opt, r)
+        ]
+        out = union_skip_branches(
+            events,
+            [s.event_type for s in self.steps],
+            subsets,
+            self.horizon,
+            key_col, ts_col, type_col, id_col,
+        )
         if strict_pairs:
             out = enforce_strict_contiguity(
                 out, events, strict_pairs, key_col, ts_col
             )
         for abs_type, i, j in neg_spans:
-            neg = events.filter(F.col(type_col) == abs_type).select(
-                F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
-            )
-            out = out.join(
-                neg,
-                (F.col(key_col) == F.col("__nk"))
-                & (F.col("__nts") > F.col(f"ts_{i}"))
-                & (F.col("__nts") < F.col(f"ts_{j}")),
-                "left_anti",
+            out = anti_join_between(
+                out, events, f"ts_{i}", f"ts_{j}",
+                key_col, ts_col, type_col, abs_type,
             )
         return out

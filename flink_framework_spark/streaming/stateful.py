@@ -207,17 +207,35 @@ def negated_funnel_conversions(events: DataFrame) -> DataFrame:
 TIMES_SCHEMA = (
     "user_id long, ts_first timestamp, ts_last timestamp, n_reps int"
 )
-_TIMES_STATE_SCHEMA = "clicks array<double>, emitted array<string>"
+_TIMES_STATE_SCHEMA = (
+    "clicks array<double>, click_ids array<long>, emitted array<string>"
+)
 
 
-def make_times_fn(n_min: int, n_max: int, horizon_s: float):
+def make_times_fn(
+    n_min: int,
+    n_max: int,
+    horizon_s: float,
+    step: str = "click",
+    then_step: str = "purchase",
+    disorder_s: float = 0.0,
+):
     """Streaming twin of operators.cep.match_times for one
     (step, then_step) pair: state keeps the key's recent ``step``
-    timestamps (horizon-trimmed — runs are consecutive among them, so
-    nothing older can ever join a future run) plus the run keys
-    already emitted (a run matches once, on its FIRST qualifying
-    follower — the batch spelling's LEFT SEMI). Per-follower cost is
-    |clicks| x (n_max - n_min + 1) inside one horizon window."""
+    events — (timestamp, event_id) pairs, so runs are identified by
+    their ENDING EVENT like the batch window's lag rows (two runs
+    with identical timestamps but different ending events are
+    distinct matches on both sides) — plus the run keys already
+    emitted (a run matches once, on its FIRST qualifying follower —
+    the batch spelling's LEFT SEMI). Per-follower cost is
+    |clicks| x (n_max - n_min + 1) inside one horizon window.
+
+    ``disorder_s`` is the cross-batch event-time disorder allowance
+    (the watermark-delay analogue): state trims to
+    ``max_seen - horizon_s - disorder_s``, so a follower arriving in
+    a later micro-batch with an event time up to ``disorder_s``
+    behind the high-water mark still finds its run. The default 0
+    assumes per-key in-order batches (the file-stream twins)."""
 
     def _times_fn(
         key: tuple,
@@ -226,39 +244,50 @@ def make_times_fn(n_min: int, n_max: int, horizon_s: float):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            clicks = list(state.get[0])
-            emitted = set(state.get[1])
+            clicks = list(zip(state.get[0], state.get[1]))
+            emitted = set(state.get[2])
         else:
             clicks, emitted = [], set()
         out: list[tuple] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
                 sec = ts.timestamp()
-                if etype == "click":
-                    clicks.append(sec)
-                elif etype == "purchase":
+                if etype == step:
+                    clicks.append((sec, int(eid)))
+                elif etype == then_step:
                     for n in range(n_min, n_max + 1):
                         for i in range(len(clicks) - n + 1):
-                            first, last = clicks[i], clicks[i + n - 1]
+                            (first, _), (last, last_id) = (
+                                clicks[i],
+                                clicks[i + n - 1],
+                            )
                             if not (
                                 last <= first + horizon_s
                                 and last < sec
                                 and sec <= first + horizon_s
                             ):
                                 continue
-                            rk = f"{first!r}|{last!r}|{n}"
+                            rk = f"{first!r}|{last_id}|{n}"
                             if rk not in emitted:
                                 emitted.add(rk)
                                 out.append((first, last, n))
-        hi = max(clicks, default=None)
+        hi = max((c for c, _ in clicks), default=None)
         if hi is not None:
-            floor = hi - horizon_s
-            clicks = [c for c in clicks if c >= floor]
+            floor = hi - horizon_s - disorder_s
+            clicks = [(c, i) for (c, i) in clicks if c >= floor]
             emitted = {
                 e for e in emitted if float(e.split("|")[0]) >= floor
             }
-        state.update((clicks, sorted(emitted)))
+        state.update(
+            (
+                [c for c, _ in clicks],
+                [i for _, i in clicks],
+                sorted(emitted),
+            )
+        )
         if out:
             # float-seconds -> exact microseconds: round BEFORE the ns
             # multiply (f * 1e9 alone drifts ~hundreds of ns at 2024
@@ -285,15 +314,19 @@ def make_times_fn(n_min: int, n_max: int, horizon_s: float):
 def times_matches(
     events: DataFrame, n_min: int = 2, n_max: int = 3,
     horizon_s: float = 12 * 3600,
+    step: str = "click", then_step: str = "purchase",
+    disorder_s: float = 0.0,
 ) -> DataFrame:
-    """Streaming twin of q_cep_times: click-run quantifier matches per
+    """Streaming twin of q_cep_times: step-run quantifier matches per
     user (update mode), one row per run on its first qualifying
-    purchase."""
+    follower."""
     return (
-        events.select("user_id", "ts", "event_type")
+        events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_times_fn(n_min, n_max, horizon_s),
+            make_times_fn(
+                n_min, n_max, horizon_s, step, then_step, disorder_s
+            ),
             outputStructType=TIMES_SCHEMA,
             stateStructType=_TIMES_STATE_SCHEMA,
             outputMode="update",
@@ -302,6 +335,12 @@ def times_matches(
     )
 
 
+# like TIMES_SCHEMA but n_reps is LONG — the batch twin
+# match_one_or_more derives n_reps from F.count (LongType), and the
+# streaming twin must mirror the operator it claims equivalence with
+GREEDY_SCHEMA = (
+    "user_id long, ts_first timestamp, ts_last timestamp, n_reps long"
+)
 _GREEDY_STATE_SCHEMA = (
     "open_first double, open_last double, open_n long,"
     " closed array<string>, buf array<double>"
@@ -462,7 +501,7 @@ def greedy_matches(
         .groupBy("user_id")
         .applyInPandasWithState(
             make_greedy_fn(max_gap_s, horizon_s, use_timeout),
-            outputStructType=TIMES_SCHEMA,
+            outputStructType=GREEDY_SCHEMA,
             stateStructType=_GREEDY_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=(

@@ -697,3 +697,73 @@ def test_stateful_greedy_event_time_timer_closes_run(spark, tmp_path):
         for r in out.collect()
     )
     assert rows == [(1, 0, 2, 2)]
+
+
+def test_times_same_timestamp_runs_are_distinct_matches(spark, tmp_path):
+    """Review regression: three same-timestamp clicks are THREE lag
+    rows in batch match_times (two 2-rep runs + one 3-rep run, keyed
+    by ending event) — the streaming twin must emit per ending event,
+    not collapse value-identical runs."""
+    from flink_framework_spark.operators.cep import match_times
+    from flink_framework_spark.streaming.stateful import times_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(1, e, f"2024-01-01 {h:02d}:00:00", t) for (e, h, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+        )
+
+    rows = [(1, 10, "click"), (2, 10, "click"), (3, 10, "click"), (4, 11, "purchase")]
+    batch = match_times(frame(rows), "click", "purchase", 2, 3, "12 HOURS")
+    counts = sorted(r["n_reps"] for r in batch.collect())
+    assert counts == [2, 2, 3]
+
+    src = tmp_path / "src"
+    frame(rows).coalesce(1).write.parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(rows).schema)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        times_matches(sdf), query_name="t_times_ties", output_mode="update"
+    )
+    assert sorted(r["n_reps"] for r in out.collect()) == [2, 2, 3]
+
+
+def test_times_disorder_allowance_keeps_late_match(spark, tmp_path):
+    """Review regression: a purchase arriving one micro-batch later
+    with an EARLIER event time must still find its run when the
+    disorder allowance covers the lag; with the default 0 allowance
+    the high-water-mark trim evicts the run (the in-order contract)."""
+    from flink_framework_spark.streaming.stateful import times_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(1, e, f"2024-01-01 {h:02d}:00:00", t) for (e, h, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+        )
+
+    # batch 1: clicks 00h, 01h, then a click at 20h that drags the
+    # high-water mark 12h past the early run; batch 2: late purchase
+    # with event time 05h — inside (01h, 00h+12h]
+    b1 = [(1, 0, "click"), (2, 1, "click"), (3, 20, "click")]
+    b2 = [(4, 5, "purchase")]
+    for allowance, expect in ((15 * 3600.0, [2]), (0.0, [])):
+        src = tmp_path / f"src_{int(allowance)}"
+        for b in (b1, b2):
+            frame(b).coalesce(1).write.mode("append").parquet(str(src))
+        sdf = (
+            spark.readStream.schema(frame(b1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_to_memory(
+            times_matches(sdf, 2, 2, 12 * 3600, disorder_s=allowance),
+            query_name=f"t_times_dis_{int(allowance)}",
+            output_mode="update",
+        )
+        assert sorted(r["n_reps"] for r in out.collect()) == expect
