@@ -28,7 +28,11 @@ Supported shapes (validated, loud errors otherwise):
   exactly one follower step (the quantified-burst shape the window
   operators implement);
 - ``after_match_skip("no_skip" | "skip_to_next" | "skip_to_last" |
-  "skip_past_last")`` on quantified patterns.
+  "skip_past_last")`` on quantified patterns;
+- ``select_strategy("any" | "first")`` on plain chains (+ negation):
+  "any" is Flink ``followedByAny`` (every combination, the default
+  here), "first" is Flink's ``followedBy`` (each step binds to the
+  earliest qualifying event per prefix).
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ from flink_framework_spark.operators.cep import (
     anti_join_between,
     enforce_strict_contiguity,
     match_one_or_more,
+    match_sequence_first,
     match_times,
     skip_past_last,
     skip_to_last,
@@ -73,6 +78,7 @@ class Pattern:
     )
     horizon: str | None = None
     skip_strategy: str = "no_skip"
+    select: str = "any"  # "any" = followedByAny, "first" = followedBy
 
     @classmethod
     def begin(cls, event_type: str) -> "Pattern":
@@ -133,6 +139,19 @@ class Pattern:
         self.skip_strategy = strategy
         return self
 
+    def select_strategy(self, select: str) -> "Pattern":
+        """``"any"`` (default) is Flink ``followedByAny`` — every
+        combination matches; ``"first"`` is Flink's ``followedBy`` —
+        each step binds to the EARLIEST qualifying event per prefix.
+        ``"first"`` supports plain chains + negation (no optionals —
+        the skipping branch changes which event is "first" — and no
+        next_step, whose immediate-event binding is a different,
+        stricter rule)."""
+        if select not in ("any", "first"):
+            raise ValueError("select must be 'any' or 'first'")
+        self.select = select
+        return self
+
     # -- compile ------------------------------------------------------
     def match(
         self,
@@ -163,6 +182,7 @@ class Pattern:
             or self.steps[1].optional
             or any(s.strict for s in self.steps)
             or self.negations
+            or self.select != "any"
         ):
             raise ValueError(
                 "quantified patterns support exactly the shape "
@@ -231,6 +251,24 @@ class Pattern:
                 )
             neg_spans.append((abs_type, i, j))
 
+        if self.select == "first":
+            if opt or strict_pairs:
+                raise ValueError(
+                    "select 'first' supports plain chains + negation "
+                    "(no optional()/next_step())"
+                )
+            out = match_sequence_first(
+                events,
+                [s.event_type for s in self.steps],
+                self.horizon,
+                key_col, ts_col, type_col, id_col,
+            )
+            for abs_type, i, j in neg_spans:
+                out = anti_join_between(
+                    out, events, f"ts_{i}", f"ts_{j}",
+                    key_col, ts_col, type_col, abs_type,
+                )
+            return out
         # one chain per optional subset — 2^k branches, unioned
         subsets = [
             skipped

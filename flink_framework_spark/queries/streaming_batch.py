@@ -703,6 +703,61 @@ def q_cep_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_first",
+    family="I",
+    oracle="""
+WITH s0 AS (
+  SELECT user_id, ts AS ts_0, event_id AS id_0
+  FROM events WHERE event_type = 'view'),
+f1 AS (
+  SELECT user_id, ts_0, id_0, ts_1, id_1 FROM (
+    SELECT s0.user_id, s0.ts_0, s0.id_0, c.ts AS ts_1,
+           c.event_id AS id_1,
+           ROW_NUMBER() OVER (PARTITION BY s0.user_id, s0.id_0
+                              ORDER BY c.ts, c.event_id) AS rn
+    FROM s0 JOIN events c
+      ON c.user_id = s0.user_id AND c.event_type = 'click'
+     AND c.ts > s0.ts_0 AND c.ts <= s0.ts_0 + INTERVAL '12 hours')
+  WHERE rn = 1),
+f2 AS (
+  SELECT user_id, ts_0 FROM (
+    SELECT f1.user_id, f1.ts_0,
+           ROW_NUMBER() OVER (PARTITION BY f1.user_id, f1.id_0, f1.id_1
+                              ORDER BY p.ts, p.event_id) AS rn
+    FROM f1 JOIN events p
+      ON p.user_id = f1.user_id AND p.event_type = 'purchase'
+     AND p.ts > f1.ts_1 AND p.ts <= f1.ts_0 + INTERVAL '12 hours')
+  WHERE rn = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM f2
+""",
+)
+def q_cep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP first-occurrence selection (Flink's ``followedBy`` proper,
+    vs the all-combinations ``followedByAny`` of q_cep_sequence):
+    view -> first click after it -> first purchase after that, within
+    12 hours of the view — ONE match per starting view. Built by
+    operators.cep.match_sequence_first (a row_number()==1 window per
+    step over the same keyed interval joins), spelled through the
+    Pattern builder's select_strategy('first')."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("12 HOURS")
+        .select_strategy("first")
+    )
+    return p.match(ev).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_strict",
     family="I",
     oracle="""

@@ -257,3 +257,66 @@ def test_next_step_rejects_optional_neighbors(spark):
             .within("1 HOUR")
             .match(ev)
         )
+
+
+def test_select_first_binds_earliest_per_prefix(spark):
+    """select 'first' (Flink followedBy) vs 'any' (followedByAny):
+    with two clicks after the view, 'any' emits both chains, 'first'
+    only the earlier click's — and the purchase binds after THAT
+    click."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "click"),
+            (1, 4, 5, "purchase"),
+        ],
+    )
+    base = lambda: (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    any_rows = sorted(
+        (r["ts_1"].minute, r["ts_2"].minute)
+        for r in base().match(ev).collect()
+    )
+    first_rows = sorted(
+        (r["ts_1"].minute, r["ts_2"].minute)
+        for r in base().select_strategy("first").match(ev).collect()
+    )
+    assert any_rows == [(1, 5), (2, 5)]
+    assert first_rows == [(1, 5)]
+
+
+def test_select_first_equals_operator_and_validates(spark, events):
+    from flink_framework_spark.operators.cep import match_sequence_first
+
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("12 HOURS")
+        .select_strategy("first")
+    )
+    direct = match_sequence_first(
+        events, ["view", "click", "purchase"], "12 HOURS"
+    )
+    assert _canon(p.match(events)) == _canon(
+        direct.select(p.match(events).columns)
+    )
+    ev = _planted(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError, match="plain chains"):
+        (
+            Pattern.begin("view")
+            .followed_by("click")
+            .optional()
+            .followed_by("purchase")
+            .within("1 HOUR")
+            .select_strategy("first")
+            .match(ev)
+        )
+    with pytest.raises(ValueError, match="'any' or 'first'"):
+        Pattern.begin("view").select_strategy("all")
