@@ -23,64 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def match_sequence(
+def _chain(
     events: DataFrame,
     steps: Sequence[str],
     within: str,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    id_col: str = "event_id",
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    first: bool,
 ) -> DataFrame:
-    """All complete matches of ``steps`` in order, with every step
-    inside ``within`` of the FIRST step, per key.
-
-    Returns: key column plus ``ts_0..ts_{n-1}`` and ``id_0..id_{n-1}``
-    for the matched events (strictly increasing timestamps).
-    """
-    if len(steps) < 2:
-        raise ValueError("a sequence pattern needs at least 2 steps")
-
-    def step_df(i: int, step: str) -> DataFrame:
-        return events.filter(F.col(type_col) == step).select(
-            F.col(key_col).alias(f"__k{i}"),
-            F.col(ts_col).alias(f"ts_{i}"),
-            F.col(id_col).alias(f"id_{i}"),
-        )
-
-    cur = step_df(0, steps[0])
-    horizon = F.expr(f"INTERVAL {within}")
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = step_df(i, step)
-        cur = cur.join(
-            nxt,
-            (F.col(f"__k{i}") == F.col("__k0"))
-            & (F.col(f"ts_{i}") > F.col(f"ts_{i-1}"))
-            & (F.col(f"ts_{i}") <= F.col("ts_0") + horizon),
-        ).drop(f"__k{i}")
-    return cur.withColumnRenamed("__k0", key_col)
-
-
-def match_sequence_first(
-    events: DataFrame,
-    steps: Sequence[str],
-    within: str,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    id_col: str = "event_id",
-) -> DataFrame:
-    """Flink ``followedBy`` FIRST-occurrence semantics: from each
-    prefix match, the next step binds to the EARLIEST qualifying event
-    (ties by ``id_col``) — one match per starting event, not the
-    all-combinations :func:`match_sequence` (which is Flink's
-    ``followedByAny``). Two views may still bind the same click:
-    under NO_SKIP, matches don't consume events across starts.
-
-    Scale shape: the same chained keyed interval joins, plus one
-    ``row_number() == 1`` window per step over the join output —
-    partitioned by (key, prefix event ids), so the dedup is keyed and
-    linear, no extra join."""
+    """Shared join-chain core of :func:`match_sequence` (all
+    combinations) and :func:`match_sequence_first` (earliest binding
+    per prefix — ``first=True`` inserts a ``row_number() == 1`` window
+    per step over the join output)."""
     from pyspark.sql import Window
 
     if len(steps) < 2:
@@ -103,15 +59,64 @@ def match_sequence_first(
             & (F.col(f"ts_{i}") > F.col(f"ts_{i-1}"))
             & (F.col(f"ts_{i}") <= F.col("ts_0") + horizon),
         ).drop(f"__k{i}")
-        w = Window.partitionBy(
-            "__k0", *[f"id_{j}" for j in range(i)]
-        ).orderBy(f"ts_{i}", f"id_{i}")
-        cur = (
-            cur.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        if first:
+            w = Window.partitionBy(
+                "__k0", *[f"id_{j}" for j in range(i)]
+            ).orderBy(f"ts_{i}", f"id_{i}")
+            cur = (
+                cur.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
     return cur.withColumnRenamed("__k0", key_col)
+
+
+def match_sequence(
+    events: DataFrame,
+    steps: Sequence[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """All complete matches of ``steps`` in order, with every step
+    inside ``within`` of the FIRST step, per key — every combination
+    matches (Flink ``followedByAny``).
+
+    Returns: key column plus ``ts_0..ts_{n-1}`` and ``id_0..id_{n-1}``
+    for the matched events (strictly increasing timestamps).
+    """
+    return _chain(
+        events, steps, within, key_col, ts_col, type_col, id_col,
+        first=False,
+    )
+
+
+def match_sequence_first(
+    events: DataFrame,
+    steps: Sequence[str],
+    within: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Flink ``followedBy`` FIRST-occurrence semantics: from each
+    prefix match, the next step binds to the EARLIEST qualifying event
+    (ties by ``id_col``) — one match per starting event, not the
+    all-combinations :func:`match_sequence` (which is Flink's
+    ``followedByAny``). Two views may still bind the same click:
+    under NO_SKIP, matches don't consume events across starts.
+
+    Scale shape: the same chained keyed interval joins (shared
+    :func:`_chain` core), plus one ``row_number() == 1`` window per
+    step over the join output — partitioned by (key, prefix event
+    ids), so the dedup is keyed and linear, no extra join."""
+    return _chain(
+        events, steps, within, key_col, ts_col, type_col, id_col,
+        first=True,
+    )
 
 
 def anti_join_between(

@@ -320,3 +320,33 @@ def test_select_first_equals_operator_and_validates(spark, events):
         )
     with pytest.raises(ValueError, match="'any' or 'first'"):
         Pattern.begin("view").select_strategy("all")
+
+
+def test_select_first_with_negation(spark):
+    """'first' + not_followed_by: the negation is evaluated on the
+    FIRST-bound events — user 1's first click has an error before the
+    purchase (killed, no rebinding to the later clean click — Flink
+    kills the run); user 2's first-bound chain is clean."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),      # first-bound click
+            (1, 3, 2, "error"),      # error inside view..purchase span
+            (1, 4, 3, "click"),      # later clean click — NOT rebound
+            (1, 5, 5, "purchase"),
+            (2, 6, 0, "view"),
+            (2, 7, 1, "click"),
+            (2, 8, 5, "purchase"),
+        ],
+    )
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("30 MINUTES")
+        .select_strategy("first")
+    )
+    got = sorted(r["user_id"] for r in p.match(ev).collect())
+    assert got == [2]
