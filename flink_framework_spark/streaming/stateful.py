@@ -577,6 +577,116 @@ def count_windows(events: DataFrame, size: int = 20) -> DataFrame:
     )
 
 
+_SEQ_STATE_SCHEMA = "prefixes array<string>, hi double"
+
+
+def make_sequence_fn(
+    steps: list, horizon_s: float, disorder_s: float = 0.0
+):
+    """Streaming twin of operators.cep.match_sequence for an n-step
+    chain (followedByAny — every combination matches): state keeps
+    the PARTIAL matches per key, the Flink NFA's shared buffer in
+    miniature. Each partial is JSON ``[step_idx, secs, ids]``; an
+    arriving event of ``steps[i]`` extends every partial at ``i-1``
+    (strictly later, inside the horizon of the partial's first
+    event), completing matches at the last step — emitted exactly
+    once, when the completing event is processed. A type may appear
+    at several positions; strict ``>`` on event time keeps an event
+    from chaining with itself.
+
+    State is bounded by the horizon: partials whose first event falls
+    ``horizon_s + disorder_s`` behind the high-water mark can never
+    complete and are trimmed (``disorder_s`` is the watermark-delay
+    analogue, as in :func:`make_times_fn`)."""
+    import json as _json
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError("a sequence pattern needs at least 2 steps")
+    positions: dict = {}
+    for i, s in enumerate(steps):
+        positions.setdefault(s, []).append(i)
+
+    def _seq_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            prefixes = [_json.loads(p) for p in state.get[0]]
+            hi = state.get[1]
+        else:
+            prefixes, hi = [], None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                if etype not in positions:
+                    continue
+                sec = ts.timestamp()
+                hi = sec if hi is None else max(hi, sec)
+                for i in positions[etype]:
+                    if i == 0:
+                        prefixes.append([0, [sec], [int(eid)]])
+                        continue
+                    for p in list(prefixes):
+                        step_idx, secs, ids = p
+                        if (
+                            step_idx != i - 1
+                            or sec <= secs[-1]
+                            or sec > secs[0] + horizon_s
+                        ):
+                            continue
+                        ext = [i, secs + [sec], ids + [int(eid)]]
+                        if i == n - 1:
+                            out.append((ext[1], ext[2]))
+                        else:
+                            prefixes.append(ext)
+        if hi is not None:
+            floor = hi - horizon_s - disorder_s
+            prefixes = [p for p in prefixes if p[1][0] >= floor]
+        state.update(([_json.dumps(p) for p in prefixes], hi))
+        if out:
+            row: dict = {"user_id": user_id}
+            for i in range(n):
+                row[f"ts_{i}"] = [
+                    pd.Timestamp(round(secs[i] * 1e6) * 1000)
+                    for secs, _ in out
+                ]
+                row[f"id_{i}"] = [ids[i] for _, ids in out]
+            yield pd.DataFrame(row)
+
+    return _seq_fn
+
+
+def sequence_matches(
+    events: DataFrame,
+    steps: list,
+    horizon_s: float,
+    disorder_s: float = 0.0,
+) -> DataFrame:
+    """Streaming twin of match_sequence for arbitrary n-step chains
+    (update mode): one row per complete match, with the same
+    ``ts_i``/``id_i`` columns as the batch operator."""
+    schema = "user_id long, " + ", ".join(
+        f"ts_{i} timestamp, id_{i} long" for i in range(len(steps))
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sequence_fn(list(steps), horizon_s, disorder_s),
+            outputStructType=schema,
+            stateStructType=_SEQ_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 CHANGELOG_SCHEMA = (
     "user_id long, last_ts timestamp, last_op string,"
     " last_value double, n_versions long"

@@ -767,3 +767,83 @@ def test_times_disorder_allowance_keeps_late_match(spark, tmp_path):
             output_mode="update",
         )
         assert sorted(r["n_reps"] for r in out.collect()) == expect
+
+
+def test_stateful_sequence_matches_batch(spark, sf_dir):
+    """Generic n-step chain twin == batch match_sequence
+    (followedByAny) on the fixture: identical complete-match sets
+    (every ts_i/id_i) at microsecond precision."""
+    from flink_framework_spark.operators.cep import match_sequence
+    from flink_framework_spark.streaming.stateful import sequence_matches
+
+    steps = ["view", "click", "purchase"]
+
+    def render(df):
+        cols = [F.col("user_id")]
+        for i in range(len(steps)):
+            c = F.col(f"ts_{i}")
+            if df.schema[f"ts_{i}"].dataType.simpleString() == "timestamp":
+                c = F.convert_timezone(None, F.lit("UTC"), c)
+            cols.append(
+                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"f{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols).toPandas()
+
+    batch = render(
+        match_sequence(
+            table(spark, sf_dir, "events"), steps, "12 HOURS"
+        )
+    )
+    sdf = read_events_stream(spark, sf_dir)
+    out = render(
+        run_to_memory(
+            sequence_matches(sdf, steps, 12 * 3600),
+            query_name="t_seq",
+            output_mode="update",
+        )
+    )
+
+    def canon(df):
+        return sorted(map(repr, df.itertuples(index=False, name=None)))
+
+    assert len(batch) > 0
+    assert canon(out) == canon(batch)
+
+
+def test_stateful_sequence_continues_across_batches(spark, tmp_path):
+    """A partial match started in batch 1 completes in batch 2; a
+    repeated-type chain (click -> click -> purchase) chains distinct
+    events only (strict event-time order, no self-chaining)."""
+    from flink_framework_spark.streaming.stateful import sequence_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(u, e, f"2024-01-01 10:{m:02d}:00", t) for (u, e, m, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts", "event_type"
+        )
+
+    b1 = [(1, 1, 0, "click"), (1, 2, 2, "click")]
+    b2 = [(1, 3, 5, "purchase"), (2, 10, 5, "purchase")]
+    src = tmp_path / "src"
+    for b in (b1, b2):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        sequence_matches(sdf, ["click", "click", "purchase"], 3600.0),
+        query_name="t_seq_multi",
+        output_mode="update",
+    )
+    rows = sorted(
+        (r["user_id"], r["id_0"], r["id_1"], r["id_2"])
+        for r in out.collect()
+    )
+    # only the (click 1 -> click 2 -> purchase 3) chain: no
+    # self-chaining, and user 2's purchase has no prefix
+    assert rows == [(1, 1, 2, 3)]
