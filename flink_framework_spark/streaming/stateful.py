@@ -577,11 +577,15 @@ def count_windows(events: DataFrame, size: int = 20) -> DataFrame:
     )
 
 
-_SEQ_STATE_SCHEMA = "prefixes array<string>, hi double"
+_SEQ_STATE_SCHEMA = "prefixes array<string>, hi double, absents array<double>"
 
 
 def make_sequence_fn(
-    steps: list, horizon_s: float, disorder_s: float = 0.0
+    steps: list,
+    horizon_s: float,
+    disorder_s: float = 0.0,
+    absent: str | None = None,
+    between: tuple | None = None,
 ):
     """Streaming twin of operators.cep.match_sequence for an n-step
     chain (followedByAny — every combination matches): state keeps
@@ -594,6 +598,14 @@ def make_sequence_fn(
     at several positions; strict ``>`` on event time keeps an event
     from chaining with itself.
 
+    With ``absent`` set (Flink ``notFollowedBy``, the streaming
+    generalization of ``_negated_funnel_fn``), absent-type timestamps
+    are ALSO kept in state (horizon-trimmed) and a completing match
+    only emits if no absent event falls strictly inside the
+    ``between`` span (mandatory step indices; default first-to-last)
+    among the absent events seen so far — the same in-order contract
+    as the 2-step twin.
+
     State is bounded by the horizon: partials whose first event falls
     ``horizon_s + disorder_s`` behind the high-water mark can never
     complete and are trimmed (``disorder_s`` is the watermark-delay
@@ -603,6 +615,9 @@ def make_sequence_fn(
     n = len(steps)
     if n < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
+    bi, bj = between if between is not None else (0, n - 1)
+    if absent is not None and not (0 <= bi < bj <= n - 1):
+        raise ValueError(f"between={between!r} out of range for {steps}")
     positions: dict = {}
     for i, s in enumerate(steps):
         positions.setdefault(s, []).append(i)
@@ -616,14 +631,19 @@ def make_sequence_fn(
         if state.exists:
             prefixes = [_json.loads(p) for p in state.get[0]]
             hi = state.get[1]
+            absents = list(state.get[2])
         else:
-            prefixes, hi = [], None
+            prefixes, hi, absents = [], None, []
         out: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, eid, etype in zip(
                 pdf["ts"], pdf["event_id"], pdf["event_type"]
             ):
+                if etype == absent:
+                    sec = ts.timestamp()
+                    hi = sec if hi is None else max(hi, sec)
+                    absents.append(sec)
                 if etype not in positions:
                     continue
                 sec = ts.timestamp()
@@ -642,13 +662,18 @@ def make_sequence_fn(
                             continue
                         ext = [i, secs + [sec], ids + [int(eid)]]
                         if i == n - 1:
-                            out.append((ext[1], ext[2]))
+                            full = ext[1]
+                            if absent is None or not any(
+                                full[bi] < a < full[bj] for a in absents
+                            ):
+                                out.append((ext[1], ext[2]))
                         else:
                             prefixes.append(ext)
         if hi is not None:
             floor = hi - horizon_s - disorder_s
             prefixes = [p for p in prefixes if p[1][0] >= floor]
-        state.update(([_json.dumps(p) for p in prefixes], hi))
+            absents = [a for a in absents if a >= floor]
+        state.update(([_json.dumps(p) for p in prefixes], hi, absents))
         if out:
             row: dict = {"user_id": user_id}
             for i in range(n):
@@ -667,9 +692,12 @@ def sequence_matches(
     steps: list,
     horizon_s: float,
     disorder_s: float = 0.0,
+    absent: str | None = None,
+    between: tuple | None = None,
 ) -> DataFrame:
-    """Streaming twin of match_sequence for arbitrary n-step chains
-    (update mode): one row per complete match, with the same
+    """Streaming twin of match_sequence (or, with ``absent``,
+    match_sequence_negated) for arbitrary n-step chains (update
+    mode): one row per complete match, with the same
     ``ts_i``/``id_i`` columns as the batch operator."""
     schema = "user_id long, " + ", ".join(
         f"ts_{i} timestamp, id_{i} long" for i in range(len(steps))
@@ -678,7 +706,9 @@ def sequence_matches(
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_sequence_fn(list(steps), horizon_s, disorder_s),
+            make_sequence_fn(
+                list(steps), horizon_s, disorder_s, absent, between
+            ),
             outputStructType=schema,
             stateStructType=_SEQ_STATE_SCHEMA,
             outputMode="update",

@@ -847,3 +847,44 @@ def test_stateful_sequence_continues_across_batches(spark, tmp_path):
     # only the (click 1 -> click 2 -> purchase 3) chain: no
     # self-chaining, and user 2's purchase has no prefix
     assert rows == [(1, 1, 2, 3)]
+
+
+def test_stateful_sequence_negated_matches_batch(spark, sf_dir):
+    """n-step chain twin with absent == batch match_sequence_negated
+    on the fixture (view -> purchase, no click between)."""
+    from flink_framework_spark.operators.cep import match_sequence_negated
+    from flink_framework_spark.streaming.stateful import sequence_matches
+
+    steps = ["view", "purchase"]
+
+    def render(df):
+        cols = [F.col("user_id")]
+        for i in range(len(steps)):
+            c = F.col(f"ts_{i}")
+            if df.schema[f"ts_{i}"].dataType.simpleString() == "timestamp":
+                c = F.convert_timezone(None, F.lit("UTC"), c)
+            cols.append(
+                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"f{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols).toPandas()
+
+    batch = render(
+        match_sequence_negated(
+            table(spark, sf_dir, "events"), steps, "click", "12 HOURS"
+        )
+    )
+    sdf = read_events_stream(spark, sf_dir)
+    out = render(
+        run_to_memory(
+            sequence_matches(sdf, steps, 12 * 3600, absent="click"),
+            query_name="t_seq_neg",
+            output_mode="update",
+        )
+    )
+
+    def canon(df):
+        return sorted(map(repr, df.itertuples(index=False, name=None)))
+
+    assert len(batch) > 0
+    assert canon(out) == canon(batch)
