@@ -615,8 +615,10 @@ def make_sequence_fn(
     n = len(steps)
     if n < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
+    if between is not None and absent is None:
+        raise ValueError("between= only applies with absent=")
     bi, bj = between if between is not None else (0, n - 1)
-    if absent is not None and not (0 <= bi < bj <= n - 1):
+    if not (0 <= bi < bj <= n - 1):
         raise ValueError(f"between={between!r} out of range for {steps}")
     positions: dict = {}
     for i, s in enumerate(steps):
@@ -628,12 +630,18 @@ def make_sequence_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # partials bucketed by step index: extension only ever reads
+        # bucket i-1 and appends to bucket i, so per-event cost is
+        # O(|bucket i-1|), not O(all partials), and no defensive copy
+        buckets: list[list] = [[] for _ in range(n - 1)]
+        hi = None
+        absents: list[float] = []
         if state.exists:
-            prefixes = [_json.loads(p) for p in state.get[0]]
+            for p in state.get[0]:
+                step_idx, secs, ids = _json.loads(p)
+                buckets[step_idx].append((secs, ids))
             hi = state.get[1]
             absents = list(state.get[2])
-        else:
-            prefixes, hi, absents = [], None, []
         out: list[tuple] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
@@ -650,30 +658,39 @@ def make_sequence_fn(
                 hi = sec if hi is None else max(hi, sec)
                 for i in positions[etype]:
                     if i == 0:
-                        prefixes.append([0, [sec], [int(eid)]])
+                        buckets[0].append(([sec], [int(eid)]))
                         continue
-                    for p in list(prefixes):
-                        step_idx, secs, ids = p
-                        if (
-                            step_idx != i - 1
-                            or sec <= secs[-1]
-                            or sec > secs[0] + horizon_s
-                        ):
+                    for secs, ids in buckets[i - 1]:
+                        if sec <= secs[-1] or sec > secs[0] + horizon_s:
                             continue
-                        ext = [i, secs + [sec], ids + [int(eid)]]
                         if i == n - 1:
-                            full = ext[1]
+                            full = secs + [sec]
                             if absent is None or not any(
                                 full[bi] < a < full[bj] for a in absents
                             ):
-                                out.append((ext[1], ext[2]))
+                                out.append((full, ids + [int(eid)]))
                         else:
-                            prefixes.append(ext)
+                            buckets[i].append(
+                                (secs + [sec], ids + [int(eid)])
+                            )
         if hi is not None:
             floor = hi - horizon_s - disorder_s
-            prefixes = [p for p in prefixes if p[1][0] >= floor]
+            buckets = [
+                [(secs, ids) for secs, ids in b if secs[0] >= floor]
+                for b in buckets
+            ]
             absents = [a for a in absents if a >= floor]
-        state.update(([_json.dumps(p) for p in prefixes], hi, absents))
+        state.update(
+            (
+                [
+                    _json.dumps([i, secs, ids])
+                    for i, b in enumerate(buckets)
+                    for secs, ids in b
+                ],
+                hi,
+                absents,
+            )
+        )
         if out:
             row: dict = {"user_id": user_id}
             for i in range(n):

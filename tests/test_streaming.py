@@ -769,6 +769,22 @@ def test_times_disorder_allowance_keeps_late_match(spark, tmp_path):
         assert sorted(r["n_reps"] for r in out.collect()) == expect
 
 
+def _render_match_cols(df, n):
+    """Render ts_0..ts_{n-1}/id_i to UTC strings + ids — shared by the
+    chain-twin equivalence tests (handles both NTZ batch and instant
+    stream timestamp types, the _fmt_event_time convention)."""
+    cols = [F.col("user_id")]
+    for i in range(n):
+        c = F.col(f"ts_{i}")
+        if df.schema[f"ts_{i}"].dataType.simpleString() == "timestamp":
+            c = F.convert_timezone(None, F.lit("UTC"), c)
+        cols.append(
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"f{i}")
+        )
+        cols.append(F.col(f"id_{i}"))
+    return df.select(*cols).toPandas()
+
+
 def test_stateful_sequence_matches_batch(spark, sf_dir):
     """Generic n-step chain twin == batch match_sequence
     (followedByAny) on the fixture: identical complete-match sets
@@ -778,17 +794,7 @@ def test_stateful_sequence_matches_batch(spark, sf_dir):
 
     steps = ["view", "click", "purchase"]
 
-    def render(df):
-        cols = [F.col("user_id")]
-        for i in range(len(steps)):
-            c = F.col(f"ts_{i}")
-            if df.schema[f"ts_{i}"].dataType.simpleString() == "timestamp":
-                c = F.convert_timezone(None, F.lit("UTC"), c)
-            cols.append(
-                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"f{i}")
-            )
-            cols.append(F.col(f"id_{i}"))
-        return df.select(*cols).toPandas()
+    render = lambda df: _render_match_cols(df, len(steps))
 
     batch = render(
         match_sequence(
@@ -857,17 +863,7 @@ def test_stateful_sequence_negated_matches_batch(spark, sf_dir):
 
     steps = ["view", "purchase"]
 
-    def render(df):
-        cols = [F.col("user_id")]
-        for i in range(len(steps)):
-            c = F.col(f"ts_{i}")
-            if df.schema[f"ts_{i}"].dataType.simpleString() == "timestamp":
-                c = F.convert_timezone(None, F.lit("UTC"), c)
-            cols.append(
-                F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(f"f{i}")
-            )
-            cols.append(F.col(f"id_{i}"))
-        return df.select(*cols).toPandas()
+    render = lambda df: _render_match_cols(df, len(steps))
 
     batch = render(
         match_sequence_negated(
