@@ -751,6 +751,58 @@ def gen_cep_optional_query(seed: int):
     return steps, opt_idx, f"{minutes} MINUTES", sql
 
 
+def gen_cep_first_query(seed: int):
+    """Random 2-3 step chains under FIRST-occurrence selection: the
+    oracle chains one rn=1 CTE per step (earliest qualifying event
+    per prefix, ties by event_id) — Flink's followedBy proper."""
+    rng = random.Random(90_000 + seed)
+    n_steps = rng.choice([2, 3])
+    steps = rng.sample(_EVENT_TYPES, n_steps)
+    minutes = rng.choice([120, 720, 2880])
+
+    sql = (
+        f"WITH f0 AS (SELECT user_id, ts AS ts_0, event_id AS id_0"
+        f" FROM events WHERE event_type = '{steps[0]}')"
+    )
+    for i in range(1, n_steps):
+        prev_ids = ", ".join(f"id_{j}" for j in range(i))
+        prev_cols = ", ".join(
+            f"f{i-1}.ts_{j}, f{i-1}.id_{j}" for j in range(i)
+        )
+        sql += (
+            f", f{i} AS (SELECT user_id, {', '.join(f'ts_{j}' for j in range(i + 1))},"
+            f" {', '.join(f'id_{j}' for j in range(i + 1))} FROM ("
+            f"SELECT f{i-1}.user_id, {prev_cols},"
+            f" e.ts AS ts_{i}, e.event_id AS id_{i},"
+            f" ROW_NUMBER() OVER (PARTITION BY f{i-1}.user_id, {prev_ids}"
+            f" ORDER BY e.ts, e.event_id) AS rn"
+            f" FROM f{i-1} JOIN events e"
+            f" ON e.user_id = f{i-1}.user_id"
+            f" AND e.event_type = '{steps[i]}'"
+            f" AND e.ts > f{i-1}.ts_{i-1}"
+            f" AND e.ts <= f{i-1}.ts_0 + INTERVAL '{minutes} minutes')"
+            f" WHERE rn = 1)"
+        )
+    sql += (
+        f"\nSELECT CAST(COUNT(*) AS BIGINT) AS n_matches,"
+        f" COUNT(DISTINCT user_id) AS n_users FROM f{n_steps - 1}"
+    )
+    return steps, f"{minutes} MINUTES", sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_cep_first_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.operators.cep import match_sequence_first
+
+    steps, within, sql = gen_cep_first_query(seed)
+    ev = table(spark, sf_dir, "events")
+    got = match_sequence_first(ev, steps, within).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzz_cep_optional_matches_oracle(spark, sf_dir, seed):
     from flink_framework_spark.operators.cep import match_optional
