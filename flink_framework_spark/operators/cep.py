@@ -377,6 +377,7 @@ def match_one_or_more(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    until: str | None = None,
 ) -> DataFrame:
     """Flink CEP greedy unbounded looping —
     ``step.oneOrMore().greedy()`` followed by ``then_step``: maximal
@@ -390,23 +391,64 @@ def match_one_or_more(
 
     Output: ``(key_col, ts_first, ts_last, n_reps)``.
 
+    ``until`` (Flink ``oneOrMore().until(condition)``): an
+    ``until``-type event stops the loop — a run cannot span one, so a
+    step event with an ``until`` event strictly between it and the
+    previous repetition starts a NEW run.
+
     Scale shape: gaps-and-islands — one window pass marks run breaks
     (lag), a running sum assigns run ids, a grouped agg collapses runs,
     and a LEFT SEMI join checks the follower. Two keyed shuffles
     (window + agg share the key partitioning; Spark reuses the
-    exchange), independent of run length."""
+    exchange), independent of run length. The ``until`` break adds a
+    running-max window over the unioned step+until stream — still one
+    keyed sort, no extra join."""
     from pyspark.sql import Window
 
     horizon = F.expr(f"INTERVAL {within}")
     gap = F.expr(f"INTERVAL {max_gap}")
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
+    if until is None:
+        base = events.filter(F.col(type_col) == step).select(
+            key_col, ts_col, id_col
+        )
+        until_break = F.lit(False)
+    else:
+        # union step + until events; a running max of until timestamps
+        # tells each step event the latest until before it (ties at
+        # the same instant are not "between" — strict bounds below)
+        mixed = events.filter(
+            F.col(type_col).isin(step, until)
+        ).select(
+            key_col, ts_col, id_col,
+            (F.col(type_col) == until).alias("__is_until"),
+        )
+        wu = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        base = (
+            mixed.withColumn(
+                "__last_until",
+                F.max(F.when(F.col("__is_until"), F.col(ts_col))).over(wu),
+            )
+            .filter(~F.col("__is_until"))
+            .drop("__is_until")
+        )
+        until_break = (
+            F.col("__last_until").isNotNull()
+            & (F.col("__last_until") > prev)
+            & (F.col("__last_until") < F.col(ts_col))
+        )
     reps = (
-        events.filter(F.col(type_col) == step)
-        .select(key_col, ts_col, id_col)
-        .withColumn(
+        base.withColumn(
             "__brk",
-            F.when(prev.isNull() | (F.col(ts_col) > prev + gap), 1).otherwise(0),
+            F.when(
+                prev.isNull()
+                | (F.col(ts_col) > prev + gap)
+                | until_break,
+                1,
+            ).otherwise(0),
         )
         .withColumn(
             "__run",
@@ -414,6 +456,7 @@ def match_one_or_more(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        .drop("__last_until")
     )
     runs = (
         reps.groupBy(key_col, "__run")

@@ -636,6 +636,75 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_until",
+    family="I",
+    oracle="""
+WITH mixed AS (
+  SELECT user_id, ts, event_id,
+         event_type = 'error' AS is_until
+  FROM events WHERE event_type IN ('click', 'error')),
+ann AS (
+  SELECT user_id, ts, event_id, last_until FROM (
+    SELECT user_id, ts, event_id, is_until,
+           MAX(CASE WHEN is_until THEN ts END) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS last_until
+    FROM mixed)
+  WHERE NOT is_until),
+c AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL '24 hours'
+                OR (last_until IS NOT NULL
+                    AND last_until > LAG(ts) OVER w
+                    AND last_until < ts)
+              THEN 1 ELSE 0 END AS brk
+  FROM ann
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM c),
+runs AS (
+  SELECT user_id, run_id, MIN(ts) AS ts_first, MAX(ts) AS ts_last,
+         COUNT(*) AS n_reps
+  FROM r GROUP BY 1, 2),
+m AS (
+  SELECT * FROM runs
+  WHERE ts_last <= ts_first + INTERVAL '7 days'
+    AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = runs.user_id AND p.event_type = 'purchase'
+        AND p.ts > runs.ts_last
+        AND p.ts <= runs.ts_first + INTERVAL '7 days'))
+SELECT CAST(n_reps AS BIGINT) AS n_reps, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM m GROUP BY n_reps
+""",
+)
+def q_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP loop stop condition (Flink ``oneOrMore().until()``):
+    maximal click runs as in q_cep_greedy, but an ERROR event stops
+    the loop — a run cannot span one. Built by
+    operators.cep.match_one_or_more(until='error'): a running-max
+    window over the unioned click+error stream feeds the island
+    breaks; the oracle re-derives the same annotation in DuckDB
+    (QUALIFY keeps the window over the mixed stream before dropping
+    the until rows)."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    ev = table(spark, sf_dir, "events")
+    m = match_one_or_more(
+        ev, "click", "purchase", "24 HOURS", "7 DAYS", until="error"
+    )
+    return m.groupBy("n_reps").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_skip_last",
     family="I",
     oracle="""

@@ -431,3 +431,40 @@ def test_skip_to_last_keeps_boundary_start(spark):
     )
     assert to_last == [(0, 2), (2, 4)]
     assert past_last == [(0, 2), (3, 5)]
+
+
+def test_one_or_more_until_breaks_runs(spark):
+    """until(): an until-type event strictly between two repetitions
+    splits the run; at a shared instant it does not (strict bounds)."""
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    ev = _events(
+        spark,
+        [
+            # user 1: clicks 0,2 | error 1 between -> two 1-rep runs
+            (1, 1, 0, "click"),
+            (1, 2, 1, "error"),
+            (1, 3, 2, "click"),
+            (1, 4, 10, "purchase"),
+            # user 2: clicks 0,2, error at 5 (after) -> one 2-rep run
+            (2, 5, 0, "click"),
+            (2, 6, 2, "click"),
+            (2, 7, 5, "error"),
+            (2, 8, 10, "purchase"),
+        ],
+    )
+    got = match_one_or_more(
+        ev, "click", "purchase", "5 MINUTES", "60 MINUTES", until="error"
+    )
+    rows = sorted(
+        (r["user_id"], r["ts_first"].minute, r["n_reps"])
+        for r in got.collect()
+    )
+    assert rows == [(1, 0, 1), (1, 2, 1), (2, 0, 2)]
+    # without until: both users get one maximal run
+    base = match_one_or_more(
+        ev, "click", "purchase", "5 MINUTES", "60 MINUTES"
+    )
+    assert sorted(
+        (r["user_id"], r["n_reps"]) for r in base.collect()
+    ) == [(1, 2), (2, 2)]
