@@ -409,6 +409,11 @@ def match_one_or_more(
     gap = F.expr(f"INTERVAL {max_gap}")
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
+    if until == step:
+        raise ValueError(
+            f"until type {until!r} equals the looping step type — every "
+            "repetition would be classified as a stop condition"
+        )
     if until is None:
         base = events.filter(F.col(type_col) == step).select(
             key_col, ts_col, id_col

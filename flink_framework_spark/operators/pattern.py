@@ -65,6 +65,7 @@ class _Step:
     strict: bool = False  # next() — no event between this and previous
     times: tuple[int, int] | None = None
     one_or_more_gap: str | None = None
+    until: str | None = None
 
 
 @dataclass
@@ -127,6 +128,16 @@ class Pattern:
         """Greedy unbounded looping on the LAST added step (maximal
         runs with successive events within ``max_gap``)."""
         self.steps[-1].one_or_more_gap = max_gap
+        return self
+
+    def until(self, event_type: str) -> "Pattern":
+        """Flink ``oneOrMore().until(condition)``: an ``event_type``
+        event stops the loop — runs cannot span one. Applies to the
+        LAST added step, which must be quantified with
+        :meth:`one_or_more`."""
+        if self.steps[-1].one_or_more_gap is None:
+            raise ValueError("until() applies to a one_or_more() step")
+        self.steps[-1].until = event_type
         return self
 
     def within(self, horizon: str) -> "Pattern":
@@ -202,6 +213,7 @@ class Pattern:
                 events, head.event_type, follower.event_type,
                 head.one_or_more_gap, self.horizon,
                 key_col, ts_col, type_col, id_col,
+                until=head.until,
             )
         if self.skip_strategy == "skip_to_next":
             return skip_to_next(m, key_col)

@@ -689,9 +689,9 @@ def q_cep_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop — a run cannot span one. Built by
     operators.cep.match_one_or_more(until='error'): a running-max
     window over the unioned click+error stream feeds the island
-    breaks; the oracle re-derives the same annotation in DuckDB
-    (QUALIFY keeps the window over the mixed stream before dropping
-    the until rows)."""
+    breaks; the oracle re-derives the same annotation in DuckDB (the
+    window runs over the mixed stream in a subquery, THEN the until
+    rows are dropped with WHERE NOT is_until)."""
     from flink_framework_spark.operators.cep import match_one_or_more
 
     ev = table(spark, sf_dir, "events")

@@ -461,6 +461,28 @@ def test_one_or_more_until_breaks_runs(spark):
         for r in got.collect()
     )
     assert rows == [(1, 0, 1), (1, 2, 1), (2, 0, 2)]
+    # shared instant: error at the SAME minute as the second click is
+    # not strictly between the repetitions -> the run does NOT split
+    ev3 = _events(
+        spark,
+        [
+            (3, 9, 0, "click"),
+            (3, 10, 2, "error"),
+            (3, 11, 2, "click"),
+            (3, 12, 10, "purchase"),
+        ],
+    )
+    tied = match_one_or_more(
+        ev3, "click", "purchase", "5 MINUTES", "60 MINUTES", until="error"
+    )
+    assert sorted(
+        (r["user_id"], r["n_reps"]) for r in tied.collect()
+    ) == [(3, 2)]
+    with pytest.raises(ValueError, match="equals the looping step"):
+        match_one_or_more(
+            ev, "click", "purchase", "5 MINUTES", "60 MINUTES",
+            until="click",
+        )
     # without until: both users get one maximal run
     base = match_one_or_more(
         ev, "click", "purchase", "5 MINUTES", "60 MINUTES"

@@ -350,3 +350,21 @@ def test_select_first_with_negation(spark):
     )
     got = sorted(r["user_id"] for r in p.match(ev).collect())
     assert got == [2]
+
+
+def test_one_or_more_until_equals_operator(spark, events):
+    from flink_framework_spark.operators.cep import match_one_or_more
+
+    p = (
+        Pattern.begin("click")
+        .one_or_more("24 HOURS")
+        .until("error")
+        .followed_by("purchase")
+        .within("7 DAYS")
+    )
+    direct = match_one_or_more(
+        events, "click", "purchase", "24 HOURS", "7 DAYS", until="error"
+    )
+    assert _canon(p.match(events)) == _canon(direct)
+    with pytest.raises(ValueError, match="one_or_more"):
+        Pattern.begin("click").until("error")
