@@ -232,7 +232,12 @@ def gen_window_query(seed: int):
     topn = rng.choice([3, 10])
 
     dirn = "DESC" if desc else "ASC"
-    order_sql = f"{oc_sql} {dirn}, l_orderkey, l_linenumber"
+    # l_quantity completes the total order: the synthetic corpus has
+    # duplicate (l_orderkey, l_linenumber) rows at sf0.1 (84 shared
+    # (shipdate, orderkey, linenumber) keys with DIFFERENT
+    # quantities), and a running sum over an ambiguous tie order is
+    # legitimately engine-dependent — caught by the sf0.1 fuzz run
+    order_sql = f"{oc_sql} {dirn}, l_orderkey, l_linenumber, l_quantity"
     over = f"PARTITION BY {pk_sql} ORDER BY {order_sql}"
     if wfn == "row_number":
         w_sql, where = f"ROW_NUMBER() OVER ({over})", f"w <= {topn}"
@@ -263,7 +268,7 @@ def gen_window_query(seed: int):
         df = table(spark, sf_dir, "lineitem")
         ocol = F.col(oc).desc() if desc else F.col(oc).asc()
         full = Window.partitionBy(pk).orderBy(
-            ocol, "l_orderkey", "l_linenumber"
+            ocol, "l_orderkey", "l_linenumber", "l_quantity"
         )
         if wfn == "row_number":
             w = F.row_number().over(full)
