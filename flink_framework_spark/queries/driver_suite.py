@@ -21,6 +21,7 @@ total orders) — so one driver row attests several §2 IDs:
 - ``q_datetime_cond``   H3 (date/time) + H5 (coalesce/nullif/greatest/least)
 - ``q_dedup_suite``     K2: ngram + embed + minhash + simhash near-dedup
 - ``q_curation_suite``  split/stratified/PII/domain-mix/packing/repetition
+- ``q_cep_suite``       I8: funnel + twelve CEP shapes, tagged melt
 """
 
 from __future__ import annotations
@@ -1075,3 +1076,323 @@ def q_cluster_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("v"),
     )
     return km.unionByName(pr)
+
+
+@register(
+    "q_cep_suite",
+    family="I",
+    oracle="""
+WITH RECURSIVE
+tcand AS (
+  SELECT user_id, n_reps, ts_first, ts_last FROM (
+    WITH a AS (
+      SELECT user_id, ts,
+             LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+             LAG(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT user_id, 2 AS n_reps, f2 AS ts_first, ts AS ts_last FROM a
+      WHERE f2 IS NOT NULL AND ts <= f2 + INTERVAL '12 hours'
+      UNION ALL
+      SELECT user_id, 3, f3, ts FROM a
+      WHERE f3 IS NOT NULL AND ts <= f3 + INTERVAL '12 hours')
+    SELECT * FROM c
+    WHERE EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '12 hours'))),
+sp_sel AS (
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_first, ts_last, n_reps) AS rn FROM tcand)
+   WHERE rn = 1)
+  UNION ALL
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT c.user_id, c.n_reps, c.ts_first, c.ts_last,
+                ROW_NUMBER() OVER (PARTITION BY c.user_id
+                     ORDER BY c.ts_first, c.ts_last, c.n_reps) AS rn
+         FROM tcand c JOIN sp_sel s
+           ON c.user_id = s.user_id AND c.ts_first > s.ts_last)
+   WHERE rn = 1)),
+sl_sel AS (
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts_first, ts_last, n_reps) AS rn FROM tcand)
+   WHERE rn = 1)
+  UNION ALL
+  (SELECT user_id, n_reps, ts_first, ts_last
+   FROM (SELECT c.user_id, c.n_reps, c.ts_first, c.ts_last,
+                ROW_NUMBER() OVER (PARTITION BY c.user_id
+                     ORDER BY c.ts_first, c.ts_last, c.n_reps) AS rn
+         FROM tcand c JOIN sl_sel s
+           ON c.user_id = s.user_id AND c.ts_first >= s.ts_last)
+   WHERE rn = 1)),
+greedy_runs AS (
+  SELECT user_id, run_id, MIN(ts) AS ts_first, MAX(ts) AS ts_last,
+         COUNT(*) AS n_reps
+  FROM (SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM (SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts > LAG(ts) OVER w + INTERVAL '24 hours'
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WHERE event_type = 'click'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+  GROUP BY 1, 2),
+until_runs AS (
+  SELECT user_id, run_id, MIN(ts) AS ts_first, MAX(ts) AS ts_last,
+         COUNT(*) AS n_reps
+  FROM (SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM (SELECT user_id, ts, event_id,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                            OR ts > LAG(ts) OVER w + INTERVAL '24 hours'
+                            OR (last_until IS NOT NULL
+                                AND last_until > LAG(ts) OVER w
+                                AND last_until < ts)
+                          THEN 1 ELSE 0 END AS brk
+              FROM (SELECT user_id, ts, event_id, last_until FROM (
+                      SELECT user_id, ts, event_id, is_until,
+                             MAX(CASE WHEN is_until THEN ts END) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS last_until
+                      FROM (SELECT user_id, ts, event_id,
+                                   event_type = 'error' AS is_until
+                            FROM events
+                            WHERE event_type IN ('click', 'error')))
+                    WHERE NOT is_until)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+  GROUP BY 1, 2),
+opt_u AS (
+  SELECT v.user_id, TRUE AS with_click
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'
+  UNION ALL
+  SELECT v.user_id, FALSE
+  FROM events v
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+  WHERE v.event_type = 'view'),
+pat_u AS (
+  SELECT user_id, with_click FROM (
+    SELECT v.user_id, TRUE AS with_click, v.ts AS ts0, p.ts AS tsN
+    FROM events v
+    JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+                 AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+    JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+                 AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+    WHERE v.event_type = 'view'
+    UNION ALL
+    SELECT v.user_id, FALSE, v.ts, p.ts
+    FROM events v
+    JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+                 AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+    WHERE v.event_type = 'view') b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = b.user_id AND x.event_type = 'error'
+      AND x.ts > b.ts0 AND x.ts < b.tsN)),
+first_m AS (
+  SELECT user_id FROM (
+    SELECT f1.user_id,
+           ROW_NUMBER() OVER (PARTITION BY f1.user_id, f1.id_0, f1.id_1
+                              ORDER BY p.ts, p.event_id) AS rn
+    FROM (SELECT user_id, ts_0, id_0, ts_1, id_1 FROM (
+            SELECT s0.user_id, s0.ts_0, s0.id_0, c.ts AS ts_1,
+                   c.event_id AS id_1,
+                   ROW_NUMBER() OVER (PARTITION BY s0.user_id, s0.id_0
+                                      ORDER BY c.ts, c.event_id) AS rn
+            FROM (SELECT user_id, ts AS ts_0, event_id AS id_0
+                  FROM events WHERE event_type = 'view') s0
+            JOIN events c
+              ON c.user_id = s0.user_id AND c.event_type = 'click'
+             AND c.ts > s0.ts_0 AND c.ts <= s0.ts_0 + INTERVAL '12 hours')
+          WHERE rn = 1) f1
+    JOIN events p
+      ON p.user_id = f1.user_id AND p.event_type = 'purchase'
+     AND p.ts > f1.ts_1 AND p.ts <= f1.ts_0 + INTERVAL '12 hours')
+  WHERE rn = 1)
+SELECT 'funnel' AS part, '' AS grp, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT v.user_id) AS n_users
+FROM events v JOIN events p
+  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view'
+GROUP BY 1, 2
+UNION ALL
+SELECT 'sequence', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT v.user_id)
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+WHERE v.event_type = 'view'
+GROUP BY 1, 2
+UNION ALL
+SELECT 'negation', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT v.user_id)
+FROM events v
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = v.user_id AND c.event_type = 'click'
+      AND c.ts > v.ts AND c.ts < p.ts)
+GROUP BY 1, 2
+UNION ALL
+SELECT 'strict', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT v.user_id)
+FROM events v
+JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '12 hours'
+JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.user_id = v.user_id AND x.ts > v.ts AND x.ts < c.ts)
+GROUP BY 1, 2
+UNION ALL
+SELECT 'first', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT user_id)
+FROM first_m
+GROUP BY 1, 2
+UNION ALL
+SELECT 'times', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM tcand GROUP BY n_reps
+UNION ALL
+SELECT 'skip_past', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM sp_sel GROUP BY n_reps
+UNION ALL
+SELECT 'skip_next', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM (SELECT user_id, n_reps FROM (
+        SELECT t.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts_first
+                                       ORDER BY ts_last, n_reps) AS rn
+        FROM tcand t)
+      WHERE rn = 1)
+GROUP BY n_reps
+UNION ALL
+SELECT 'skip_last', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM sl_sel GROUP BY n_reps
+UNION ALL
+SELECT 'optional', CAST(with_click AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM opt_u GROUP BY with_click
+UNION ALL
+SELECT 'pattern', CAST(with_click AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM pat_u GROUP BY with_click
+UNION ALL
+SELECT 'greedy', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM greedy_runs g
+WHERE ts_last <= ts_first + INTERVAL '7 days'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = g.user_id AND p.event_type = 'purchase'
+      AND p.ts > g.ts_last AND p.ts <= g.ts_first + INTERVAL '7 days')
+GROUP BY n_reps
+UNION ALL
+SELECT 'until', CAST(n_reps AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM until_runs u
+WHERE ts_last <= ts_first + INTERVAL '7 days'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = u.user_id AND p.event_type = 'purchase'
+      AND p.ts > u.ts_last AND p.ts <= u.ts_first + INTERVAL '7 days')
+GROUP BY n_reps
+""",
+)
+def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CEP family (I8) tagged into ONE driver slot — thirteen
+    pattern shapes, each reduced to the uniform
+    (part, grp, n_matches, n_users) aggregate: funnel (2-step),
+    sequence (3-step followedByAny), negation (notFollowedBy), strict
+    contiguity (next()), first-occurrence selection (followedBy),
+    times(2,3) quantifier, the three after-match skip strategies over
+    the times match stream (SKIP_PAST_LAST / SKIP_TO_NEXT /
+    SKIP_TO_LAST), optional() both-branches, the optional+negation
+    Pattern-builder combo, greedy oneOrMore, and oneOrMore until().
+    The granular q_cep_* queries stay registered (slots 51+) for the
+    bench and local hash checks; this melt gives the family one
+    externally-attested driver row."""
+    from flink_framework_spark.operators.cep import (
+        enforce_strict_contiguity,
+        match_one_or_more,
+        match_optional,
+        match_sequence,
+        match_sequence_first,
+        match_sequence_negated,
+        match_times,
+        skip_past_last,
+        skip_to_last,
+        skip_to_next,
+    )
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+
+    def part(df, name, grp_col=None):
+        g = (
+            F.lit("").alias("grp")
+            if grp_col is None
+            else F.col(grp_col).cast("string").alias("grp")
+        )
+        return (
+            df.groupBy(g)
+            .agg(
+                F.count(F.lit(1)).alias("n_matches"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .select(F.lit(name).alias("part"), "grp", "n_matches", "n_users")
+        )
+
+    times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    opt_m = match_optional(ev, ["view", "click", "purchase"], 1, "12 HOURS")
+    pat_m = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("12 HOURS")
+        .match(ev)
+    )
+    strict_m = enforce_strict_contiguity(
+        match_sequence(ev, ["view", "click", "purchase"], "12 HOURS"),
+        ev,
+        [(0, 1)],
+    )
+    out = part(match_sequence(ev, ["view", "purchase"], "30 MINUTES"), "funnel")
+    for df, name, grp in [
+        (match_sequence(ev, ["view", "click", "purchase"], "12 HOURS"),
+         "sequence", None),
+        (match_sequence_negated(ev, ["view", "purchase"], "click",
+                                "30 MINUTES"), "negation", None),
+        (strict_m, "strict", None),
+        (match_sequence_first(ev, ["view", "click", "purchase"], "12 HOURS"),
+         "first", None),
+        (times_m, "times", "n_reps"),
+        (skip_past_last(times_m), "skip_past", "n_reps"),
+        (skip_to_next(times_m), "skip_next", "n_reps"),
+        (skip_to_last(times_m), "skip_last", "n_reps"),
+        (opt_m.withColumn("with_click", F.col("ts_1").isNotNull()),
+         "optional", "with_click"),
+        (pat_m.withColumn("with_click", F.col("ts_1").isNotNull()),
+         "pattern", "with_click"),
+        (match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS"),
+         "greedy", "n_reps"),
+        (match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS",
+                           until="error"), "until", "n_reps"),
+    ]:
+        out = out.unionByName(part(df, name, grp))
+    return out
