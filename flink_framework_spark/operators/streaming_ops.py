@@ -101,6 +101,122 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def cumulate_exploded(
+    events: DataFrame, step_minutes: int = 15, size_minutes: int = 60
+) -> DataFrame:
+    """Assign each event to its Flink CUMULATE windows (exploded form).
+
+    Flink's ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, size)`` TVF
+    (FLIP-145) emits, for every ``size``-aligned big window, a
+    cumulative sub-window per ``step``: ``[start, start+step)``,
+    ``[start, start+2*step)``, … ``[start, start+size)``. A row
+    belongs to every sub-window whose end is strictly after its
+    timestamp. Spark has no CUMULATE expression, but the assignment
+    is a pure built-in composition: tumble into the big window, then
+    ``sequence(k_min, n_steps)`` + ``explode`` for the sub-window
+    indices — fully codegen'd, no Python. The explode factor is
+    bounded by ``size/step`` (here 4), so at 100 TB this is a
+    constant-factor flatMap feeding one keyed shuffle, exactly how
+    Flink's own implementation shares per-step panes.
+
+    Returns the input columns plus ``w`` (big window struct), ``k``
+    (sub-window index, 1-based) and ``end_ts`` (sub-window end, an
+    event-time column usable for watermarking in the streaming twin).
+    """
+    if size_minutes % step_minutes:
+        raise ValueError(
+            f"size ({size_minutes}m) must be a multiple of step ({step_minutes}m)"
+        )
+    n_steps = size_minutes // step_minutes
+    step_sec = step_minutes * 60
+    return (
+        events.withColumn("w", F.window("ts", f"{size_minutes} minutes"))
+        .withColumn(
+            "k",
+            F.explode(
+                F.sequence(
+                    (
+                        F.floor(
+                            F.expr("timestampdiff(SECOND, w.start, ts)")
+                            / F.lit(step_sec)
+                        )
+                        + F.lit(1)
+                    ).cast("int"),
+                    F.lit(n_steps),
+                )
+            ),
+        )
+        .withColumn(
+            "end_ts",
+            F.expr(f"w.start + make_dt_interval(0, 0, {step_minutes} * k, 0)"),
+        )
+    )
+
+
+def cumulate_counts(
+    events: DataFrame, step_minutes: int = 15, size_minutes: int = 60
+) -> DataFrame:
+    """Flink CUMULATE window aggregate (1h size, 15m step): per
+    cumulative sub-window, event count and value sum. Early-firing
+    cumulative totals — the dashboard "running hour so far" shape
+    Flink added the TVF for."""
+    e = cumulate_exploded(events, step_minutes, size_minutes)
+    return (
+        e.groupBy("w", "end_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+        .select(
+            _fmt_event_time(events, F.col("w.start")).alias("wstart"),
+            _fmt_event_time(events, F.col("end_ts")).alias("wend"),
+            "n",
+            "sumv",
+        )
+    )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    size: str = "1 hour",
+    keys: Sequence[str] = ("user_id",),
+    how: str = "inner",
+) -> DataFrame:
+    """Flink window-join TVF (FLIP-145 window join): tumble both
+    sides into the same ``size`` windows, then equi-join on
+    (window, keys). Unlike the interval join (relative time bound per
+    row), the window join co-partitions both streams by an ALIGNED
+    window — in streaming both sides carry a watermark and state for
+    a window is dropped the moment the watermark passes its end,
+    which is why Flink recommends it over the interval join for
+    high-fanout keys. In Spark the same expression runs batch or as a
+    watermarked stream-stream join on the window struct.
+
+    At scale: one shuffle per side on (window, keys) — the join is
+    an equi-join (no range condition), so AQE can pick SMJ or
+    shuffled hash and skew-split hot windows.
+
+    Returns left columns prefixed ``l_``, right prefixed ``r_``, plus
+    the shared ``w`` window struct (right columns NULL for outer
+    non-matches).
+    """
+    lw = left.withColumn("w", F.window("ts", size))
+    rw = right.withColumn("w", F.window("ts", size))
+    lsel = lw.select(
+        "w", *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    rsel = rw.select(
+        F.col("w").alias("__rw"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    cond = [lsel["w"] == rsel["__rw"]] + [
+        lsel[f"l_{k}"] == rsel[f"r_{k}"] for k in keys
+    ]
+    joined = lsel.join(rsel, cond, how)
+    return joined.drop("__rw")
+
+
 def stream_dedup(events: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Dedup on keys; in streaming mode pair with withWatermark so
     state stays bounded (streaming.twins does)."""

@@ -921,3 +921,88 @@ def q_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts"
         ),
     )
+
+
+@register(
+    "q_stream_cumulate",
+    family="I",
+    oracle="""
+SELECT strftime(e.bstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+       strftime(e.bstart + to_minutes(15 * CAST(k.range AS INT)),
+                '%Y-%m-%d %H:%M:%S') AS wend,
+       COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sumv
+FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS bstart, ts, value
+      FROM events) e, range(1, 5) k
+WHERE e.ts < e.bstart + to_minutes(15 * CAST(k.range AS INT))
+GROUP BY 1, 2
+""",
+)
+def q_stream_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink CUMULATE window TVF (FLIP-145), batch-checkable form:
+    1-hour big windows with 15-minute cumulative firing — each hour
+    emits four rows, the running "hour so far" at :15/:30/:45/:00.
+    The assignment is tumble + bounded sequence/explode (all
+    built-ins, operators.streaming_ops.cumulate_exploded); the
+    streaming twin runs the identical expression, plus an append-mode
+    variant watermarked on the sub-window END boundary — the Flink
+    firing semantics (each cumulative pane finalizes when the
+    watermark passes its end)."""
+    from flink_framework_spark.operators.streaming_ops import cumulate_counts
+
+    return cumulate_counts(table(spark, sf_dir, "events"))
+
+
+@register(
+    "q_window_join",
+    family="I",
+    oracle="""
+WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+      FROM events WHERE event_type = 'purchase')
+SELECT 'inner' AS part, strftime(c.w, '%Y-%m-%d %H:%M:%S') AS wstart,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       COUNT(DISTINCT c.user_id) AS n_users
+FROM c JOIN p ON p.w = c.w AND p.user_id = c.user_id
+GROUP BY 1, 2
+UNION ALL
+SELECT 'left_unmatched', strftime(c.w, '%Y-%m-%d %H:%M:%S'),
+       CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT c.user_id)
+FROM c
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE p.w = c.w AND p.user_id = c.user_id)
+GROUP BY 1, 2
+""",
+)
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink window-join TVF (FLIP-145): clicks joined to purchases
+    by the SAME 1-hour tumbling window and user — the aligned-window
+    alternative to the interval join (state per window is dropped
+    when the watermark passes its end, so it survives high-fanout
+    keys). Two parts: per-window click-purchase pair counts (inner)
+    and clicks with no same-window purchase (the left-outer
+    complement). Spark side is operators.streaming_ops.window_join —
+    a pure (window, key) equi-join, batch or watermarked
+    stream-stream."""
+    from flink_framework_spark.operators.streaming_ops import window_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = window_join(clicks, purchases, "1 hour", ("user_id",), "left")
+    tag = F.when(F.col("r_user_id").isNotNull(), "inner").otherwise(
+        "left_unmatched"
+    )
+    return (
+        j.groupBy(tag.alias("part"), F.col("w.start").alias("ws"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("l_user_id").alias("n_users"),
+        )
+        .select(
+            "part",
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "n_pairs",
+            "n_users",
+        )
+    )

@@ -16,10 +16,13 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.streaming_ops import (
+    cumulate_counts,
+    cumulate_exploded,
     hourly_tumble,
     session_stats,
     sliding_counts,
     stream_dedup,
+    window_join,
 )
 from flink_framework_spark.streaming.stateful import funnel_conversions
 from flink_framework_spark.streaming.twins import read_events_stream, run_to_memory
@@ -38,6 +41,7 @@ def _assert_same(a_df, b_df):
     [
         ("tumble", hourly_tumble),
         ("slide", sliding_counts),
+        ("cumulate", cumulate_counts),
     ],
 )
 def test_stream_equals_batch_windows(spark, sf_dir, name, op):
@@ -884,3 +888,78 @@ def test_stateful_sequence_negated_matches_batch(spark, sf_dir):
 
     assert len(batch) > 0
     assert canon(out) == canon(batch)
+
+
+def test_watermarked_cumulate_emits_finalized_panes(spark, sf_dir):
+    """Flink CUMULATE firing semantics on the streaming side: each
+    cumulative pane is keyed by its END boundary, the watermark lives
+    on that boundary, and append mode emits exactly the panes the
+    final watermark has closed — early-firing cumulative totals with
+    bounded state (a pane's state is dropped the moment its
+    15-minute bucket passes the watermark)."""
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.streaming_ops import _fmt_event_time
+
+    events = table(spark, sf_dir, "events")
+    batch = cumulate_counts(events).toPandas()
+    max_end = cumulate_exploded(events).agg(F.max("end_ts")).collect()[0][0]
+    cutoff = max_end - pd.Timedelta(minutes=10)
+    finalized = batch[
+        pd.to_datetime(batch["wend"]) + pd.Timedelta(minutes=15) <= cutoff
+    ]
+
+    sdf = read_events_stream(spark, sf_dir)
+    e = cumulate_exploded(sdf).withWatermark("end_ts", "10 minutes")
+    agg = (
+        e.groupBy("w", F.window("end_ts", "15 minutes").alias("pane"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+        .select(
+            _fmt_event_time(sdf, F.col("w.start")).alias("wstart"),
+            _fmt_event_time(sdf, F.col("pane.start")).alias("wend"),
+            "n",
+            "sumv",
+        )
+    )
+    stream = run_to_memory(
+        agg, query_name="t_wm_cumulate", output_mode="append"
+    ).toPandas()
+    assert 0 < len(stream) < len(batch)
+    cols = sorted(stream.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, finalized[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_stream_stream_window_join_matches_batch(spark, sf_dir):
+    """Window-join TVF, true stream-stream form: clicks and purchases
+    from the same watermarked stream, inner-joined on
+    (1h window, user) — pair-identical to the batch window_join.
+    The join key IS the aligned window, so state per window dies when
+    the watermark passes its end (the Flink window-join pitch vs the
+    interval join)."""
+    ev = table(spark, sf_dir, "events")
+    batch = (
+        window_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+        .select("l_event_id", "r_event_id")
+        .toPandas()
+    )
+
+    s = read_events_stream(spark, sf_dir, with_watermark="10 minutes")
+    stream = run_to_memory(
+        window_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+        ).select("l_event_id", "r_event_id"),
+        query_name="t_ss_window_join",
+        output_mode="append",
+    ).toPandas()
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert len(a) > 0 and a == b
