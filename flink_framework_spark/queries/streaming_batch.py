@@ -1006,3 +1006,43 @@ def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "q_stream_over",
+    family="I",
+    oracle="""
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ets,
+       event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,
+       ROUND(SUM(value) OVER w, 2) AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_stream_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time OVER aggregation (Flink SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY rowtime ROWS UNBOUNDED PRECEDING)``),
+    batch-checkable form: per-key running count + value sum in
+    (ts, event_id) order — the complete total order both engines and
+    the streaming twin share (a running float sum is only
+    deterministic under a total order; event_id breaks ts ties). The
+    true streaming form is streaming.stateful.over_window_running:
+    per-row watermark-ordered emission with an event-time re-fire
+    timer, equivalence-tested incl. a cross-batch late row slotting
+    into its ordinal position."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ets"),
+        "event_id",
+        F.row_number().over(w).cast("long").alias("run_n"),
+        round_duck(F.sum("value").over(w), 2).alias("run_sum"),
+    )

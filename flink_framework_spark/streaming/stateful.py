@@ -794,3 +794,106 @@ def changelog_materialize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+OVER_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, run_n long, run_sum double"
+)
+_OVER_STATE_SCHEMA = (
+    "n long, sumv double, buf_ts array<double>, buf_eid array<long>,"
+    " buf_val array<double>"
+)
+
+
+def make_over_window_fn():
+    """Streaming twin of the event-time OVER window (Flink SQL
+    ``SUM(value) OVER (PARTITION BY key ORDER BY rowtime ROWS
+    UNBOUNDED PRECEDING)``): per key, every row emits its running
+    count and value sum in event-time order.
+
+    Flink's rowtime over-window buffers rows per key and fires them
+    when the watermark passes their timestamp — that is the ONLY way
+    a per-row running aggregate can be deterministic under disorder,
+    and this twin reproduces it: arrivals join a (ts, event_id,
+    value) buffer; rows at or below the current watermark flush in
+    (ts, event_id) order through the running accumulator; the
+    remainder waits. An event-time timer (EventTimeTimeout) re-fires
+    the key when the watermark advances past the earliest buffered
+    row, so quiet keys still drain — the KeyedProcessFunction
+    registerEventTimeTimer pattern. State is the two accumulator
+    scalars plus the not-yet-final buffer, which the watermark keeps
+    bounded (delay window x per-key rate)."""
+
+    def _over_fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, sumv, buf_ts, buf_eid, buf_val = state.get
+            buf = sorted(zip(buf_ts, buf_eid, buf_val))
+        else:
+            n, sumv, buf = 0, 0.0, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                    buf.append((ts.timestamp(), int(eid), float(v)))
+            buf.sort()
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        out: list[tuple] = []
+        while buf and buf[0][0] <= wm_s:
+            sec, eid, v = buf.pop(0)
+            n += 1
+            sumv += v
+            out.append((sec, eid, n, sumv))
+        if buf:
+            state.update(
+                (
+                    n,
+                    sumv,
+                    [t for t, _, _ in buf],
+                    [e for _, e, _ in buf],
+                    [v for _, _, v in buf],
+                )
+            )
+            # re-fire when the watermark passes the earliest buffered
+            # row (clamped past the current watermark — a timer at or
+            # below it would never fire)
+            state.setTimeoutTimestamp(
+                max(round(buf[0][0] * 1000), state.getCurrentWatermarkMs() + 1)
+            )
+        elif n:
+            state.update((n, sumv, [], [], []))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts": [pd.Timestamp(round(s * 1e6) * 1000) for s, _, _, _ in out],
+                    "event_id": [e for _, e, _, _ in out],
+                    "run_n": [rn for _, _, rn, _ in out],
+                    "run_sum": [rs for _, _, _, rs in out],
+                }
+            )
+
+    return _over_fn
+
+
+def over_window_running(events: DataFrame) -> DataFrame:
+    """Per-key event-time OVER window on a stream (append-style
+    per-row emission, watermark-ordered). Input must carry a
+    watermark; output rows never retract — each is final when
+    emitted, exactly Flink's rowtime over-aggregate contract."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_over_window_fn(),
+            outputStructType=OVER_SCHEMA,
+            stateStructType=_OVER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -963,3 +963,119 @@ def test_stream_stream_window_join_matches_batch(spark, sf_dir):
     a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
     b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
     assert len(a) > 0 and a == b
+
+
+def test_over_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Event-time OVER window (Flink rowtime over-aggregate): the
+    streaming twin drains to EXACTLY the batch running aggregate once
+    two watermark-sentinel batches push the watermark past the data
+    and fire the re-fire timers — per-row running count/sum in
+    (ts, event_id) order, bit-equal float accumulation (same total
+    order, same IEEE add sequence)."""
+    import shutil
+
+    from pyspark.sql import Window
+    from flink_framework_spark.io import _normalize_events_ts
+    from flink_framework_spark.streaming.stateful import over_window_running
+
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    batch = events.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ets"),
+        "event_id",
+        F.row_number().over(w).cast("long").alias("run_n"),
+        F.sum("value").over(w).alias("run_sum"),
+    ).toPandas()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i, day in enumerate(("2099-01-01", "2099-01-02")):
+        sent = raw.limit(1).select(
+            F.lit(-1000 - i).alias("event_id"),
+            F.lit(day).cast(raw.schema["ts"].dataType).alias("ts"),
+            F.lit(-1).alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(str(src))
+
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdf = _normalize_events_ts(sdf, as_instant=True).withWatermark(
+        "ts", "10 minutes"
+    )
+    out = run_to_memory(
+        over_window_running(sdf), query_name="t_over_win", output_mode="update"
+    )
+    stream = (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format(
+                F.convert_timezone(None, F.lit("UTC"), F.col("ts")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias("ets"),
+            "event_id",
+            "run_n",
+            "run_sum",
+        )
+        .toPandas()
+    )
+    assert len(stream) == len(batch)
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_over_window_late_row_slots_in_order(spark, tmp_path):
+    """A row arriving in a LATER batch but still above the watermark
+    must slot into its event-time ordinal position: the buffered
+    10:20 row is NOT emitted before the late-arriving 10:05 row, so
+    the running totals are disorder-proof (the reason Flink's rowtime
+    over-window is watermark-gated at all)."""
+    from flink_framework_spark.streaming.stateful import over_window_running
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(e, f"2024-01-01 {h:02d}:{m:02d}:00", u, v) for (u, e, h, m, v) in rows],
+            "event_id long, ts string, user_id long, value double",
+        ).selectExpr(
+            "user_id",
+            "CAST(ts AS timestamp) AS ts",
+            "event_id",
+            "value",
+        )
+
+    b1 = [(1, 1, 10, 0, 1.0), (1, 3, 10, 20, 4.0)]
+    b2 = [(1, 2, 10, 5, 2.0)]          # late vs max ts, above watermark
+    b3 = [(9, 90, 11, 0, 0.0)]         # sentinel: watermark -> 10:50
+    b4 = [(9, 91, 11, 30, 0.0)]        # fires user 1's 10:20 timer
+    src = tmp_path / "src"
+    for b in (b1, b2, b3, b4):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = run_to_memory(
+        over_window_running(sdf), query_name="t_over_late", output_mode="update"
+    )
+    rows = [
+        (r["ts"].minute, r["event_id"], r["run_n"], r["run_sum"])
+        for r in out.filter(F.col("user_id") == 1).collect()
+    ]
+    assert sorted(rows) == [(0, 1, 1, 1.0), (5, 2, 2, 3.0), (20, 3, 3, 7.0)]
