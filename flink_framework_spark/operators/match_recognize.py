@@ -1,0 +1,604 @@
+"""SQL ``MATCH_RECOGNIZE`` — row-pattern recognition (SURVEY.md §2
+I8; the Flink SQL spelling of CEP, ISO/IEC 9075-2:2016 part R).
+
+Flink exposes its CEP engine to SQL users through the standard
+``MATCH_RECOGNIZE`` clause. Its semantics differ from the fluent
+``Pattern`` API (:mod:`operators.pattern`) in one fundamental way:
+**contiguity is strict** — ``PATTERN (A B)`` means B is the row
+IMMEDIATELY after A in the ordered partition, and relaxation is
+spelled explicitly with filler variables (``PATTERN (A F* B)``), not
+implied by ``followedBy``. Quantifiers are greedy with backtracking,
+matches are enumerated left-to-right, and ``AFTER MATCH SKIP``
+decides where the scan resumes.
+
+Spark-first split of the work:
+
+- **DEFINE predicates run JVM-side.** Each pattern variable's
+  condition is compiled with ``F.expr`` into one boolean flag column,
+  so arbitrary Spark SQL (the full function library, codegen'd) is
+  available in conditions and only booleans + the columns MEASURES
+  actually reads cross the Arrow boundary.
+- **The NFA runs per key in one Arrow grouped map** — the same shape
+  as Flink's own keyed NFA operator. Per-key sequential matching is
+  inherently order-dependent state-machine work (no relational
+  spelling exists for general greedy backtracking), so this is the
+  sanctioned ``applyInPandas`` case: one shuffle on the partition
+  key, bounded per-key state, no driver involvement.
+
+Supported subset (loud errors otherwise): ``PARTITION BY`` one
+column; ``ORDER BY`` the event-time column (a deterministic
+tie-break on the id column is appended automatically — running SQL
+over an ambiguous order is engine-defined, so the total order is
+mandatory here); ``MEASURES`` with ``VAR.col`` (last-row binding,
+the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
+``COUNT(VAR.*)``, ``COUNT(*)`` and ``MATCH_NUMBER()``;
+``ONE ROW PER MATCH`` (Flink likewise supports only this mode);
+``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW``; ``PATTERN`` as one
+concatenation of variables with greedy quantifiers ``?`` ``*`` ``+``
+``{m,n}`` ``{m,}``; ``WITHIN INTERVAL 'n' unit`` (Flink extension —
+first-to-last row span bound); ``DEFINE`` with arbitrary
+single-row Spark SQL booleans (``PREV``/``NEXT``/aggregate
+navigation in DEFINE, reluctant ``?``-suffixed quantifiers,
+``ALL ROWS PER MATCH``, and alternation/grouping are documented out
+of scope). Variables without a DEFINE match any row (SQL default).
+
+Empty matches (every element minimum 0) are skipped rather than
+emitted, matching Flink's behaviour of not producing zero-width
+matches in ONE ROW PER MATCH mode.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NAV_FUNCS = ("FIRST", "LAST", "SUM", "MIN", "MAX", "AVG", "COUNT")
+_UNIT_SECONDS = {
+    "SECOND": 1.0,
+    "MINUTE": 60.0,
+    "HOUR": 3600.0,
+    "DAY": 86400.0,
+}
+
+
+@dataclass
+class _Element:
+    var: str
+    n_min: int
+    n_max: int | None  # None = unbounded
+
+
+@dataclass
+class _Measure:
+    name: str
+    func: str  # VAR_COL | FIRST | LAST | SUM | MIN | MAX | AVG |
+    #            COUNT | COUNT_STAR | MATCH_NUMBER
+    var: str | None = None
+    col: str | None = None
+
+
+@dataclass
+class MRSpec:
+    """Parsed MATCH_RECOGNIZE clause."""
+
+    partition_by: str
+    order_by: list[str]
+    measures: list[_Measure]
+    skip: str  # "past_last" | "to_next"
+    elements: list[_Element]
+    within_s: float | None
+    defines: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def variables(self) -> list[str]:
+        seen: list[str] = []
+        for e in self.elements:
+            if e.var not in seen:
+                seen.append(e.var)
+        return seen
+
+
+# ---------------------------------------------------------------- parser
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+)|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op><>|<=|>=|!=|[(){},.*?+=<>-]))"
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(
+                f"MATCH_RECOGNIZE: cannot tokenize at {text[pos:pos + 20]!r}"
+            )
+        toks.append(m.group(m.lastgroup))
+        pos = m.end()
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def peek_kw(self) -> str | None:
+        t = self.peek()
+        return t.upper() if t is not None else None
+
+    def pop(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("MATCH_RECOGNIZE: unexpected end of clause")
+        self.i += 1
+        return t
+
+    def expect_kw(self, *kws: str) -> str:
+        t = self.pop()
+        if t.upper() not in kws:
+            raise ValueError(
+                f"MATCH_RECOGNIZE: expected {'/'.join(kws)}, got {t!r}"
+            )
+        return t.upper()
+
+
+def parse_match_recognize(sql: str) -> MRSpec:
+    """Parse a ``MATCH_RECOGNIZE ( ... )`` clause (the keyword and
+    outer parentheses are optional; a leading ``SELECT ... FROM t``
+    wrapper is rejected — pass the clause, the input table is the
+    DataFrame argument)."""
+    text = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^\s*MATCH_RECOGNIZE\s*\((.*)\)\s*$", text)
+    if m:
+        text = m.group(1)
+    elif re.match(r"(?is)^\s*SELECT\b", text):
+        raise ValueError(
+            "pass the MATCH_RECOGNIZE clause itself; the input table is "
+            "the DataFrame argument, not a FROM reference"
+        )
+    p = _Parser(_tokenize(text))
+
+    p.expect_kw("PARTITION")
+    p.expect_kw("BY")
+    partition_by = p.pop()
+    if p.peek() == ",":
+        raise ValueError(
+            "PARTITION BY supports exactly one key column here"
+        )
+
+    p.expect_kw("ORDER")
+    p.expect_kw("BY")
+    order_by = [p.pop()]
+    while p.peek() == ",":
+        p.pop()
+        order_by.append(p.pop())
+
+    measures: list[_Measure] = []
+    if p.peek_kw() == "MEASURES":
+        p.pop()
+        while True:
+            measures.append(_parse_measure(p))
+            if p.peek() == ",":
+                p.pop()
+                continue
+            break
+    if not measures:
+        raise ValueError("MATCH_RECOGNIZE: MEASURES clause is required")
+
+    if p.peek_kw() == "ALL":
+        raise ValueError(
+            "ALL ROWS PER MATCH is out of scope (Flink's MATCH_RECOGNIZE "
+            "likewise supports only ONE ROW PER MATCH)"
+        )
+    if p.peek_kw() == "ONE":
+        p.pop()
+        p.expect_kw("ROW")
+        p.expect_kw("PER")
+        p.expect_kw("MATCH")
+
+    skip = "past_last"
+    if p.peek_kw() == "AFTER":
+        p.pop()
+        p.expect_kw("MATCH")
+        p.expect_kw("SKIP")
+        kw = p.expect_kw("PAST", "TO")
+        if kw == "PAST":
+            p.expect_kw("LAST")
+            p.expect_kw("ROW")
+            skip = "past_last"
+        else:
+            nxt = p.expect_kw("NEXT", "FIRST", "LAST")
+            if nxt != "NEXT":
+                raise ValueError(
+                    "AFTER MATCH SKIP TO FIRST/LAST <var> is out of scope "
+                    "(supported: PAST LAST ROW, TO NEXT ROW)"
+                )
+            p.expect_kw("ROW")
+            skip = "to_next"
+
+    p.expect_kw("PATTERN")
+    if p.pop() != "(":
+        raise ValueError("PATTERN needs a parenthesized variable list")
+    elements: list[_Element] = []
+    while p.peek() != ")":
+        t = p.pop()
+        if t in ("|",):
+            raise ValueError("pattern alternation '|' is out of scope")
+        if not re.match(r"^[A-Za-z_]\w*$", t):
+            raise ValueError(f"unexpected token {t!r} in PATTERN")
+        n_min, n_max = 1, 1
+        nxt = p.peek()
+        if nxt == "?":
+            p.pop()
+            n_min, n_max = 0, 1
+        elif nxt == "*":
+            p.pop()
+            n_min, n_max = 0, None
+        elif nxt == "+":
+            p.pop()
+            n_min, n_max = 1, None
+        elif nxt == "{":
+            p.pop()
+            n_min = int(p.pop())
+            if p.peek() == ",":
+                p.pop()
+                n_max = None if p.peek() == "}" else int(p.pop())
+            else:
+                n_max = n_min
+            if p.pop() != "}":
+                raise ValueError("unterminated {m,n} quantifier")
+            if n_max is not None and n_max < n_min:
+                raise ValueError(f"quantifier {{{n_min},{n_max}}} is empty")
+        if p.peek() == "?":
+            raise ValueError(
+                "reluctant quantifiers (??, *?, +?, {m,n}?) are out of "
+                "scope — greedy only, like operators.pattern"
+            )
+        elements.append(_Element(t, n_min, n_max))
+    p.pop()  # ")"
+    if not elements:
+        raise ValueError("PATTERN is empty")
+
+    within_s: float | None = None
+    if p.peek_kw() == "WITHIN":
+        p.pop()
+        p.expect_kw("INTERVAL")
+        lit = p.pop()
+        if not (lit.startswith("'") and lit.endswith("'")):
+            raise ValueError("WITHIN INTERVAL needs a quoted magnitude")
+        unit = p.expect_kw(*_UNIT_SECONDS, *[u + "S" for u in _UNIT_SECONDS])
+        within_s = float(lit.strip("'")) * _UNIT_SECONDS[unit.rstrip("S")]
+
+    defines: dict[str, str] = {}
+    if p.peek_kw() == "DEFINE":
+        p.pop()
+        rest = _raw_defines(p)
+        for var, expr in rest:
+            defines[var] = expr
+    if p.peek() is not None:
+        raise ValueError(
+            f"MATCH_RECOGNIZE: trailing tokens from {p.peek()!r}"
+        )
+
+    var_set = {e.var for e in elements}
+    for v in defines:
+        if v not in var_set:
+            raise ValueError(f"DEFINE references {v!r}, not in PATTERN")
+    for ms in measures:
+        if ms.var is not None and ms.var not in var_set:
+            raise ValueError(
+                f"measure {ms.name!r} references {ms.var!r}, not in PATTERN"
+            )
+    return MRSpec(
+        partition_by=partition_by,
+        order_by=order_by,
+        measures=measures,
+        skip=skip,
+        elements=elements,
+        within_s=within_s,
+        defines=defines,
+    )
+
+
+def _parse_measure(p: _Parser) -> _Measure:
+    t = p.pop()
+    up = t.upper()
+    if up == "MATCH_NUMBER":
+        if p.pop() != "(" or p.pop() != ")":
+            raise ValueError("MATCH_NUMBER takes no arguments")
+        func, var, col = "MATCH_NUMBER", None, None
+    elif up in _NAV_FUNCS and p.peek() == "(":
+        p.pop()
+        if up == "COUNT" and p.peek() == "*":
+            p.pop()
+            func, var, col = "COUNT_STAR", None, None
+        else:
+            var = p.pop()
+            if p.pop() != ".":
+                raise ValueError(f"{up}() needs a VAR.col argument")
+            if up == "COUNT" and p.peek() == "*":
+                p.pop()
+                func, col = "COUNT", None
+            else:
+                func, col = up, p.pop()
+                if up == "COUNT":
+                    raise ValueError("COUNT supports COUNT(V.*) / COUNT(*)")
+        if p.pop() != ")":
+            raise ValueError(f"unterminated {up}(...) measure")
+    else:
+        var = t
+        if p.pop() != ".":
+            raise ValueError(
+                f"unsupported measure expression at {t!r} (supported: "
+                "VAR.col, FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col), "
+                "COUNT(VAR.*), COUNT(*), MATCH_NUMBER())"
+            )
+        func, col = "VAR_COL", p.pop()
+    p.expect_kw("AS")
+    name = p.pop()
+    return _Measure(name=name, func=func, var=var, col=col)
+
+
+def _raw_defines(p: _Parser) -> list[tuple[str, str]]:
+    """DEFINE bodies are kept as raw token runs (split on top-level
+    commas) and handed to Spark's own SQL parser via ``F.expr``."""
+    out: list[tuple[str, str]] = []
+    while p.peek() is not None:
+        var = p.pop()
+        p.expect_kw("AS")
+        depth = 0
+        body: list[str] = []
+        while p.peek() is not None:
+            t = p.peek()
+            if t == "," and depth == 0:
+                p.pop()
+                break
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            body.append(p.pop())
+        if not body:
+            raise ValueError(f"DEFINE {var} AS <empty>")
+        out.append((var, _join_tokens(body)))
+    return out
+
+
+def _join_tokens(toks: list[str]) -> str:
+    out = ""
+    for t in toks:
+        if t == "." or out.endswith("."):
+            out += t
+        else:
+            out += (" " if out else "") + t
+    return out
+
+
+# ------------------------------------------------------------- compiler
+
+
+def _rewrite_define(expr: str, variables: list[str]) -> str:
+    """Rewrite ``VAR.col`` → ``col`` (single-row semantics: any
+    pattern-variable prefix denotes the candidate row itself).
+    Navigation inside DEFINE is out of scope."""
+    for nav in ("PREV", "NEXT", "FIRST", "LAST"):
+        if re.search(rf"(?i)\b{nav}\s*\(", expr):
+            raise ValueError(
+                f"{nav}() inside DEFINE is out of scope — conditions are "
+                "single-row Spark SQL booleans"
+            )
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(v) for v in variables) + r")\s*\.\s*"
+    )
+    rewritten = pat.sub("", expr)
+    stray = re.search(r"\b([A-Za-z_]\w*)\s*\.", rewritten)
+    if stray:
+        raise ValueError(
+            f"DEFINE references {stray.group(1)!r}.col — only pattern "
+            "variables can qualify columns"
+        )
+    return rewritten
+
+
+def _measure_out_type(ms: _Measure, events: DataFrame) -> str:
+    if ms.func in ("MATCH_NUMBER", "COUNT", "COUNT_STAR"):
+        return "bigint"
+    if ms.func == "AVG":
+        return "double"
+    src = dict((f.name, f.dataType.simpleString()) for f in events.schema)
+    if ms.col not in src:
+        raise ValueError(f"measure column {ms.col!r} not in input schema")
+    return src[ms.col]
+
+
+def match_recognize(
+    events: DataFrame,
+    clause: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run a ``MATCH_RECOGNIZE`` clause against ``events``.
+
+    One shuffle on the partition key; DEFINE predicates evaluated
+    JVM-side as boolean flag columns; the greedy backtracking NFA runs
+    per key in a single Arrow grouped map, exactly the keyed-operator
+    shape Flink compiles this clause to. Output: partition column +
+    one column per measure, one row per match.
+    """
+    spec = parse_match_recognize(clause)
+    variables = spec.variables
+    cols = set(events.columns)
+    if spec.partition_by not in cols:
+        raise ValueError(f"PARTITION BY {spec.partition_by!r} not in input")
+    for c in spec.order_by:
+        if c not in cols:
+            raise ValueError(f"ORDER BY {c!r} not in input")
+    order_by = list(spec.order_by)
+    if id_col in cols and id_col not in order_by:
+        order_by.append(id_col)  # mandatory deterministic tie-break
+    elif id_col not in cols and len(order_by) < 2:
+        raise ValueError(
+            "need a total order: ORDER BY a second tie-break column or "
+            "provide id_col"
+        )
+
+    ts_col = spec.order_by[0]
+    need_cols = {spec.partition_by, *order_by}
+    for ms in spec.measures:
+        if ms.col is not None:
+            if ms.col not in cols:
+                raise ValueError(f"measure column {ms.col!r} not in input")
+            need_cols.add(ms.col)
+
+    flagged = events
+    flag_cols = []
+    for v in variables:
+        flag = f"__m_{v}"
+        expr = spec.defines.get(v)
+        cond = (
+            F.lit(True)
+            if expr is None
+            else F.expr(_rewrite_define(expr, variables))
+        )
+        flagged = flagged.withColumn(flag, F.coalesce(cond, F.lit(False)))
+        flag_cols.append(flag)
+    flagged = flagged.select(*sorted(need_cols), *flag_cols)
+
+    out_schema = ", ".join(
+        [
+            f"{spec.partition_by} "
+            + dict(
+                (f.name, f.dataType.simpleString()) for f in events.schema
+            )[spec.partition_by]
+        ]
+        + [f"{ms.name} {_measure_out_type(ms, events)}" for ms in spec.measures]
+    )
+    matcher = _make_matcher(spec, order_by, ts_col)
+    return flagged.groupBy(spec.partition_by).applyInPandas(
+        matcher, schema=out_schema
+    )
+
+
+# -------------------------------------------------------------- matcher
+
+
+def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
+    elements = [(e.var, e.n_min, e.n_max) for e in spec.elements]
+    measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
+    partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
+    var_names = spec.variables
+
+    def _match_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
+        if within_s is not None:
+            # normalize to ns regardless of the Arrow-side unit (us/ns)
+            ts_s = (
+                pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+                / 1e9
+            )
+        else:
+            ts_s = None
+
+        def try_match(start: int) -> list[tuple[int, int]] | None:
+            """Greedy backtracking match anchored at row ``start``;
+            returns [(row, element)] or None. Greedy = each element
+            tries its longest feasible consumption first; the first
+            complete assignment wins (regex backtracking order)."""
+            best: list[tuple[int, int]] | None = None
+
+            def rec(pos: int, ei: int, assign: list[tuple[int, int]]):
+                nonlocal best
+                if best is not None:
+                    return
+                if ei == len(elements):
+                    best = list(assign)
+                    return
+                var, n_min, n_max = elements[ei]
+                fv = flags[var]
+                cap = n - pos if n_max is None else min(n_max, n - pos)
+                run = 0
+                while run < cap and fv[pos + run]:
+                    if ts_s is not None:
+                        first = assign[0][0] if assign else pos
+                        if ts_s[pos + run] - ts_s[first] > within_s:
+                            break
+                    run += 1
+                for c in range(run, n_min - 1, -1):
+                    keep = len(assign)
+                    assign.extend((pos + t, ei) for t in range(c))
+                    rec(pos + c, ei + 1, assign)
+                    del assign[keep:]
+                    if best is not None:
+                        return
+
+            rec(start, 0, [])
+            return best
+
+        out_rows: list[list] = []
+        match_no = 0
+        i = 0
+        while i < n:
+            m = try_match(i)
+            if not m:  # no match, or empty match — advance one row
+                i += 1
+                continue
+            match_no += 1
+            by_var: dict[str, list[int]] = {}
+            for row, ei in m:
+                by_var.setdefault(elements[ei][0], []).append(row)
+            rec_out = [pdf[partition_by].iloc[0]]
+            for _, func, var, col in measures:
+                rows = by_var.get(var, []) if var is not None else None
+                if func == "MATCH_NUMBER":
+                    rec_out.append(match_no)
+                elif func == "COUNT_STAR":
+                    rec_out.append(len(m))
+                elif func == "COUNT":
+                    rec_out.append(len(rows))
+                elif not rows:
+                    rec_out.append(None)  # optional var matched 0 rows
+                elif func == "FIRST":
+                    rec_out.append(pdf[col].iloc[rows[0]])
+                elif func in ("LAST", "VAR_COL"):
+                    rec_out.append(pdf[col].iloc[rows[-1]])
+                else:  # SUM / MIN / MAX / AVG
+                    vals = pdf[col].iloc[rows]
+                    rec_out.append(
+                        {
+                            "SUM": vals.sum,
+                            "MIN": vals.min,
+                            "MAX": vals.max,
+                            "AVG": vals.mean,
+                        }[func]()
+                    )
+            out_rows.append(rec_out)
+            if skip == "past_last":
+                i = m[-1][0] + 1
+            else:  # to_next
+                i = m[0][0] + 1
+        names = [partition_by] + [ms[0] for ms in measures]
+        if not out_rows:
+            # object dtype: Arrow accepts empty object columns for any
+            # target type (empty float64 would fail to cast to timestamp)
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in names}
+            )
+        return pd.DataFrame(out_rows, columns=names)
+
+    return _match_partition

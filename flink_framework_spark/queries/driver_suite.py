@@ -1198,6 +1198,34 @@ pat_u AS (
     SELECT 1 FROM events x
     WHERE x.user_id = b.user_id AND x.event_type = 'error'
       AND x.ts > b.ts0 AND x.ts < b.tsN)),
+mr_o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         lead(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events),
+mr_oe AS (
+  SELECT *, min(CASE WHEN event_type = 'error' THEN rn END)
+         OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_err
+  FROM mr_o),
+mr_funnel AS (
+  SELECT s.user_id, s.rn AS srn,
+         row_number() OVER (PARTITION BY s.user_id, s.rn
+                            ORDER BY o.rn DESC) AS rk
+  FROM mr_oe s JOIN mr_oe o ON o.user_id = s.user_id AND o.rn > s.rn
+   AND o.event_type = 'purchase' AND o.ts <= s.ts + INTERVAL 3 DAY
+   AND (s.next_err IS NULL OR o.rn < s.next_err)
+  WHERE s.event_type = 'signup'),
+mr_isl AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS isl
+  FROM mr_o WHERE event_type = 'click'),
+mr_runs AS (
+  SELECT user_id, count(*) AS n_a, max(rn) AS end_rn
+  FROM mr_isl GROUP BY user_id, isl HAVING count(*) >= 2),
 first_m AS (
   SELECT user_id FROM (
     SELECT f1.user_id,
@@ -1310,10 +1338,25 @@ WHERE ts_last <= ts_first + INTERVAL '7 days'
     WHERE p.user_id = u.user_id AND p.event_type = 'purchase'
       AND p.ts > u.ts_last AND p.ts <= u.ts_first + INTERVAL '7 days')
 GROUP BY n_reps
+UNION ALL
+SELECT 'mr_strict', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT user_id)
+FROM mr_o WHERE event_type = 'view' AND nt = 'purchase'
+GROUP BY 1, 2
+UNION ALL
+SELECT 'mr_funnel', '', CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT user_id)
+FROM mr_funnel WHERE rk = 1
+GROUP BY 1, 2
+UNION ALL
+SELECT 'mr_runs', CAST(n_a AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT r.user_id)
+FROM mr_runs r
+JOIN mr_o o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+           AND o.event_type = 'purchase'
+GROUP BY n_a
 """,
 )
 def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CEP family (I8) tagged into ONE driver slot — thirteen
+    """The full CEP family (I8) tagged into ONE driver slot — sixteen
     pattern shapes, each reduced to the uniform
     (part, grp, n_matches, n_users) aggregate: funnel (2-step),
     sequence (3-step followedByAny), negation (notFollowedBy), strict
@@ -1321,10 +1364,13 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     times(2,3) quantifier, the three after-match skip strategies over
     the times match stream (SKIP_PAST_LAST / SKIP_TO_NEXT /
     SKIP_TO_LAST), optional() both-branches, the optional+negation
-    Pattern-builder combo, greedy oneOrMore, and oneOrMore until().
-    The granular q_cep_* queries stay registered (slots 51+) for the
-    bench and local hash checks; this melt gives the family one
-    externally-attested driver row."""
+    Pattern-builder combo, greedy oneOrMore, oneOrMore until(), and
+    the three MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
+    funnel, {2,}-quantified runs — the Arrow-NFA engine in
+    operators/match_recognize.py). The granular q_cep_* / q_mr_*
+    queries stay registered (slots 51+) for the bench and local hash
+    checks; this melt gives the family one externally-attested driver
+    row."""
     from flink_framework_spark.operators.cep import (
         enforce_strict_contiguity,
         match_one_or_more,
@@ -1338,6 +1384,11 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         skip_to_next,
     )
     from flink_framework_spark.operators.pattern import Pattern
+    from flink_framework_spark.queries.match_recognize_q import (
+        q_mr_funnel,
+        q_mr_runs,
+        q_mr_strict_pair,
+    )
 
     ev = table(spark, sf_dir, "events")
 
@@ -1393,6 +1444,9 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          "greedy", "n_reps"),
         (match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS",
                            until="error"), "until", "n_reps"),
+        (q_mr_strict_pair(spark, sf_dir), "mr_strict", None),
+        (q_mr_funnel(spark, sf_dir), "mr_funnel", None),
+        (q_mr_runs(spark, sf_dir), "mr_runs", "n_a"),
     ]:
         out = out.unionByName(part(df, name, grp))
     return out

@@ -1,0 +1,188 @@
+"""MATCH_RECOGNIZE queries — the Flink SQL spelling of CEP
+(SURVEY.md §2 I8 [F]) over the events table.
+
+Each query is one ``MATCH_RECOGNIZE`` clause run through
+:func:`operators.match_recognize.match_recognize` (JVM-side DEFINE
+flags + per-key Arrow NFA), oracle-checked against a declarative
+DuckDB spelling of the same semantics: strict contiguity via
+``lead()`` over the per-key total order, greedy filler binding via
+farthest-qualifying-row selection, and greedy quantifier runs via
+gaps-and-islands. The (ts, event_id) total order is shared by the
+matcher, the oracle, and the measures, so results are exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_framework_spark.functions.helpers import round_duck
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.match_recognize import match_recognize
+from flink_framework_spark.registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "q_mr_strict_pair",
+    family="I",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type) OVER w AS nt,
+         lead(event_id) OVER w AS nid,
+         lead(ts) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS a_id,
+       strftime(ts, '{_TS_FMT_DUCK}') AS a_ts,
+       nid AS b_id, strftime(nts, '{_TS_FMT_DUCK}') AS b_ts
+FROM o WHERE event_type = 'view' AND nt = 'purchase'
+""",
+)
+def q_mr_strict_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (A B)`` with no filler: SQL-standard STRICT
+    contiguity — B is the row immediately after A in the ordered
+    partition (the semantics that distinguish MATCH_RECOGNIZE from
+    the Pattern API's relaxed followedBy). Oracle: one ``lead()``
+    over the same total order."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, A.ts AS a_ts,
+                 B.event_id AS b_id, B.ts AS b_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""")
+    return out.select(
+        "user_id", "a_id",
+        F.date_format("a_ts", _TS_FMT_SPARK).alias("a_ts"),
+        "b_id",
+        F.date_format("b_ts", _TS_FMT_SPARK).alias("b_ts"),
+    )
+
+
+@register(
+    "q_mr_funnel",
+    family="I",
+    oracle=f"""
+WITH o0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+o AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'error' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_err
+  FROM o0),
+s AS (SELECT user_id, event_id AS s_id, ts AS s_ts, rn AS srn, next_err
+      FROM o WHERE event_type = 'signup'),
+cand AS (
+  SELECT s.user_id, s.s_id, s.s_ts, s.srn,
+         o.event_id AS p_id, o.ts AS p_ts, o.rn AS prn
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn > s.srn
+   AND o.event_type = 'purchase'
+   AND o.ts <= s.s_ts + INTERVAL 3 DAY
+   AND (s.next_err IS NULL OR o.rn < s.next_err)),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, srn
+                               ORDER BY prn DESC) AS rk
+  FROM cand)
+SELECT user_id, s_id, strftime(s_ts, '{_TS_FMT_DUCK}') AS s_ts,
+       p_id, strftime(p_ts, '{_TS_FMT_DUCK}') AS p_ts,
+       CAST(prn - srn - 1 AS BIGINT) AS n_f,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn)
+            AS BIGINT) AS mno
+FROM best WHERE rk = 1
+""",
+)
+def q_mr_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (S F* P)`` with a defined filler: relaxed funnel,
+    greedy F* binds P to the FARTHEST purchase within 3 days of the
+    signup with no error row between (F consumes only non-error
+    rows). ``SKIP TO NEXT ROW`` gives each signup its own match, so
+    MATCH_NUMBER() is the per-user matched-signup ordinal — both
+    facts the declarative oracle re-derives with window functions
+    (farthest = row_number DESC = 1 over candidate purchases)."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, S.ts AS s_ts,
+                 P.event_id AS p_id, P.ts AS p_ts,
+                 COUNT(F.*) AS n_f, MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (S F* P)
+        WITHIN INTERVAL '3' DAY
+        DEFINE S AS S.event_type = 'signup',
+               F AS F.event_type <> 'error',
+               P AS P.event_type = 'purchase'""")
+    return out.select(
+        "user_id", "s_id",
+        F.date_format("s_ts", _TS_FMT_SPARK).alias("s_ts"),
+        "p_id",
+        F.date_format("p_ts", _TS_FMT_SPARK).alias("p_ts"),
+        "n_f", "mno",
+    )
+
+
+@register(
+    "q_mr_runs",
+    family="I",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+c AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS isl
+  FROM o WHERE event_type = 'click'),
+runs AS (
+  SELECT user_id, isl, count(*) AS n_a, min(ts) AS a_first,
+         max(ts) AS a_last, max(rn) AS end_rn, sum(value) AS a_sum
+  FROM c GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT r.user_id,
+       strftime(a_first, '{_TS_FMT_DUCK}') AS a_first_ts,
+       strftime(a_last, '{_TS_FMT_DUCK}') AS a_last_ts,
+       CAST(n_a AS BIGINT) AS n_a, ROUND(a_sum, 2) AS a_sum,
+       o.event_id AS b_id
+FROM runs r
+JOIN o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+      AND o.event_type = 'purchase'
+""",
+)
+def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PATTERN (A{2,} B)``: a maximal run of >= 2 consecutive click
+    rows immediately followed by a purchase — greedy consumes the
+    whole run (backtracking can't shorten it: the next row would then
+    be a click, failing B), so matches are exactly the
+    gaps-and-islands the oracle computes. Aggregated measures
+    (COUNT/SUM/FIRST/LAST) exercise the quantified-variable measure
+    path. WITHIN 30 days never binds (the corpus spans < 30 days);
+    window truncation semantics are pinned on planted frames in
+    tests/test_match_recognize.py."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.ts) AS a_first, LAST(A.ts) AS a_last,
+                 COUNT(A.*) AS n_a, SUM(A.value) AS a_sum,
+                 B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B)
+        WITHIN INTERVAL '30' DAY
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'""")
+    return out.select(
+        "user_id",
+        F.date_format("a_first", _TS_FMT_SPARK).alias("a_first_ts"),
+        F.date_format("a_last", _TS_FMT_SPARK).alias("a_last_ts"),
+        "n_a",
+        round_duck(F.col("a_sum"), 2).alias("a_sum"),
+        "b_id",
+    )

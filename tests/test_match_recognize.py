@@ -1,0 +1,430 @@
+"""MATCH_RECOGNIZE (SQL row-pattern recognition, the Flink SQL CEP
+spelling): parser pins, planted-frame semantics (strict contiguity,
+greedy backtracking, WITHIN truncation, skip modes, measures), and a
+cross-implementation fuzz against an independent brute-force matcher
+(full enumeration + lexicographic-max greedy selection, a different
+algorithm from the operator's backtracking scan)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.operators.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+EVENTS_SCHEMA = (
+    "user_id long, ts string, event_id long, event_type string, value double"
+)
+
+
+def frame(spark, rows):
+    return spark.createDataFrame(rows, EVENTS_SCHEMA).selectExpr(
+        "user_id", "CAST(ts AS timestamp) AS ts", "event_id",
+        "event_type", "value",
+    )
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parser_full_clause():
+    spec = parse_match_recognize("""
+    MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      MEASURES S.ts AS s_ts, LAST(P.ts) AS p_ts, COUNT(F.*) AS n_f,
+               COUNT(*) AS n_rows, MATCH_NUMBER() AS mno,
+               SUM(F.value) AS f_sum
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (S F* P? Q{2,3} R{2,})
+      WITHIN INTERVAL '90' MINUTE
+      DEFINE S AS S.event_type = 'view', F AS F.value > 10
+    )""")
+    assert spec.partition_by == "user_id"
+    assert spec.order_by == ["ts"]
+    assert spec.skip == "to_next"
+    assert [(e.var, e.n_min, e.n_max) for e in spec.elements] == [
+        ("S", 1, 1), ("F", 0, None), ("P", 0, 1), ("Q", 2, 3), ("R", 2, None)
+    ]
+    assert spec.within_s == 5400.0
+    assert spec.defines == {
+        "S": "S.event_type = 'view'", "F": "F.value > 10"
+    }
+    assert [(m.name, m.func, m.var, m.col) for m in spec.measures] == [
+        ("s_ts", "VAR_COL", "S", "ts"),
+        ("p_ts", "LAST", "P", "ts"),
+        ("n_f", "COUNT", "F", None),
+        ("n_rows", "COUNT_STAR", None, None),
+        ("mno", "MATCH_NUMBER", None, None),
+        ("f_sum", "SUM", "F", "value"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "clause, msg",
+    [
+        ("PARTITION BY a, b ORDER BY ts MEASURES X.ts AS t PATTERN (X Y)",
+         "exactly one key"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X Y*?)",
+         "reluctant"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t ALL ROWS PER MATCH "
+         "PATTERN (X Y)", "ALL ROWS"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
+         "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "out of scope"),
+        ("PARTITION BY u ORDER BY ts MEASURES Z.ts AS t PATTERN (X Y)",
+         "not in PATTERN"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X Y) "
+         "DEFINE Z AS Z.v = 1", "not in PATTERN"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X {2,1})",
+         "cannot tokenize|quantifier|unexpected"),
+        ("SELECT * FROM t MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts "
+         "MEASURES X.ts AS t PATTERN (X Y))", "clause itself"),
+    ],
+)
+def test_parser_rejects(clause, msg):
+    import re as _re
+
+    with pytest.raises(ValueError, match=_re.compile(msg, _re.I)):
+        parse_match_recognize(clause)
+
+
+def test_define_navigation_rejected(spark):
+    df = frame(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
+    with pytest.raises(ValueError, match="PREV"):
+        match_recognize(df, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            DEFINE B AS B.value > PREV(B.value)""")
+
+
+# --------------------------------------------------- planted semantics
+
+
+BASE = [
+    (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+    (1, "2024-01-01 10:05:00", 2, "click", 2.0),
+    (1, "2024-01-01 10:10:00", 3, "purchase", 3.0),
+    (1, "2024-01-01 10:20:00", 4, "purchase", 4.0),
+    (1, "2024-01-01 10:25:00", 5, "error", 5.0),
+    (1, "2024-01-01 10:30:00", 6, "view", 6.0),
+    (1, "2024-01-01 10:40:00", 7, "purchase", 7.0),
+    (2, "2024-01-01 09:00:00", 8, "view", 1.0),
+    (2, "2024-01-01 09:01:00", 9, "error", 1.0),
+    (2, "2024-01-01 09:02:00", 10, "purchase", 1.0),
+]
+
+
+def test_strict_contiguity_is_default(spark):
+    """PATTERN (A B) with no filler = B is the IMMEDIATELY following
+    row (SQL standard), unlike the Pattern API's relaxed followedBy."""
+    out = match_recognize(frame(spark, BASE), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""")
+    assert [(r.a_id, r.b_id) for r in out.orderBy("a_id").collect()] == [
+        (6, 7)
+    ]
+
+
+def test_greedy_filler_backtracks_to_last_reachable(spark):
+    """S F* P: greedy F* consumes past nearer purchases; the match
+    binds P to the FARTHEST purchase not blocked by an error row."""
+    out = match_recognize(frame(spark, BASE), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, P.event_id AS p_id,
+                 COUNT(F.*) AS n_f, MATCH_NUMBER() AS mno
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S F* P)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'view',
+               F AS F.event_type <> 'error',
+               P AS P.event_type = 'purchase'""")
+    rows = [(r.user_id, r.s_id, r.p_id, r.n_f, r.mno)
+            for r in out.orderBy("user_id", "mno").collect()]
+    # user 1: view@1 -> F* {click,purchase@3} -> P=purchase@4 (error blocks
+    # nothing before it; greedy passes purchase@3); then view@6 -> purchase@7.
+    # user 2: error strictly between view and purchase -> no match.
+    assert rows == [(1, 1, 4, 2, 1), (1, 6, 7, 0, 2)]
+
+
+def test_skip_to_next_allows_overlap(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "view", 1.0),
+        (1, "2024-01-01 10:02:00", 3, "purchase", 1.0),
+    ]
+    clause = """PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, P.event_id AS p_id
+        AFTER MATCH SKIP {} PATTERN (S F* P)
+        DEFINE S AS S.event_type = 'view',
+               F AS F.event_type <> 'error',
+               P AS P.event_type = 'purchase'"""
+    past = match_recognize(frame(spark, rows), clause.format("PAST LAST ROW"))
+    nxt = match_recognize(frame(spark, rows), clause.format("TO NEXT ROW"))
+    assert [(r.s_id, r.p_id) for r in past.orderBy("s_id").collect()] == [
+        (1, 3)
+    ]
+    assert [(r.s_id, r.p_id) for r in nxt.orderBy("s_id").collect()] == [
+        (1, 3), (2, 3)
+    ]
+
+
+def test_within_truncates_and_scan_advances(spark):
+    """A run whose span exceeds WITHIN can't match from its start, but
+    the scan advances row-by-row and matches the suffix that fits."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 12:30:00", 2, "click", 2.0),
+        (1, "2024-01-01 13:00:00", 3, "purchase", 3.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_first, COUNT(A.*) AS n_a,
+                 B.event_id AS b_id
+        PATTERN (A{1,2} B)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'""")
+    assert [(r.a_first, r.n_a, r.b_id) for r in out.collect()] == [(2, 1, 3)]
+
+
+def test_bounded_quantifier_and_measures(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 10.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 20.0),
+        (1, "2024-01-01 10:02:00", 3, "click", 30.0),
+        (1, "2024-01-01 10:03:00", 4, "click", 40.0),
+        (1, "2024-01-01 10:04:00", 5, "purchase", 5.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, FIRST(A.value) AS v_first,
+                 LAST(A.value) AS v_last, SUM(A.value) AS v_sum,
+                 AVG(A.value) AS v_avg, MIN(A.event_id) AS id_min,
+                 MAX(A.event_id) AS id_max, COUNT(*) AS n_rows
+        PATTERN (A{2,3} B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'""")
+    r = out.collect()
+    assert len(r) == 1
+    # greedy {2,3} anchored at the scan position: rows 1-4 are clicks;
+    # anchor row 1 takes 3 but then B=click@4 fails, backtracks to 2,
+    # B=click@3 fails -> no match at row 1; anchor row 2 takes {2,3,4}
+    # then B=purchase@5 matches.
+    assert (r[0].n_a, r[0].v_first, r[0].v_last, r[0].v_sum, r[0].v_avg,
+            r[0].id_min, r[0].id_max, r[0].n_rows) == (
+        3, 20.0, 40.0, 90.0, 30.0, 2, 4, 4)
+
+
+def test_optional_greedy_and_null_measures(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "signup", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "view", 3.0),
+        (1, "2024-01-01 10:10:00", 4, "signup", 4.0),
+        (1, "2024-01-01 10:11:00", 5, "view", 5.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                 C.event_id AS c_id, COUNT(B.*) AS n_b
+        PATTERN (A B? C)
+        DEFINE A AS A.event_type = 'signup',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'view'""")
+    got = [(r.a_id, r.b_id, r.c_id, r.n_b)
+           for r in out.orderBy("a_id").collect()]
+    assert got == [(1, 2, 3, 1), (4, None, 5, 0)]
+
+
+def test_null_condition_rows_do_not_match(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", None),
+        (1, "2024-01-01 10:01:00", 2, "click", 9.0),
+        (1, "2024-01-01 10:02:00", 3, "purchase", 1.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_id, COUNT(A.*) AS n_a
+        PATTERN (A+ B)
+        DEFINE A AS A.value < 100,
+               B AS B.event_type = 'purchase'""")
+    # NULL < 100 is NULL -> treated as no-match (SQL boolean semantics)
+    assert [(r.a_id, r.n_a) for r in out.collect()] == [(2, 1)]
+
+
+def test_undefined_variable_matches_any_row(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "signup", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "error", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "purchase", 3.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, COUNT(F.*) AS n_f,
+                 P.event_id AS p_id
+        PATTERN (S F* P)
+        DEFINE S AS S.event_type = 'signup',
+               P AS P.event_type = 'purchase'""")
+    assert [(r.s_id, r.n_f, r.p_id) for r in out.collect()] == [(1, 1, 3)]
+
+
+# ------------------------------------------------- brute-force fuzz
+
+
+def _ref_matches(rows, elements, defines, skip, within_s):
+    """Independent reference: enumerate ALL feasible contiguous count
+    vectors per anchor and pick the lexicographic maximum (the
+    declarative statement of greedy backtracking), then apply the
+    after-match skip. rows: list of (ts_epoch, event_id, type, value),
+    pre-sorted."""
+    n = len(rows)
+
+    def flag(var, i):
+        cond = defines.get(var)
+        return cond is None or cond(rows[i])
+
+    out = []
+    i = 0
+    while i < n:
+        vecs = []
+
+        def rec(pos, ei, vec):
+            if ei == len(elements):
+                vecs.append(tuple(vec))
+                return
+            var, mn, mx = elements[ei]
+            cap = (n - pos) if mx is None else min(mx, n - pos)
+            for c in range(mn, cap + 1):
+                ok = all(flag(var, pos + t) for t in range(c))
+                if ok and within_s is not None and pos + c - 1 >= i and c:
+                    ok = rows[pos + c - 1][0] - rows[i][0] <= within_s
+                if ok:
+                    rec(pos + c, ei + 1, vec + [c])
+
+        rec(i, 0, [])
+        vecs = [v for v in vecs if sum(v)]
+        if not vecs:
+            i += 1
+            continue
+        best = max(vecs)
+        assign, pos = [], i
+        for (var, _, _), c in zip(elements, best):
+            assign.append((var, pos, pos + c))
+            pos += c
+        out.append((i, pos, assign))
+        i = pos if skip == "past_last" else i + 1
+    return out
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_fuzz_vs_bruteforce(spark, seed):
+    rng = random.Random(7000 + seed)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        t = 0.0
+        for _ in range(rng.randint(8, 22)):
+            t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
+            eid += 1
+            rows.append((uid, t, eid, rng.choice(types),
+                         float(rng.randint(0, 20))))
+    # random pattern: 2-3 elements over vars with type-equality defines
+    n_elem = rng.randint(2, 3)
+    quants = [(1, 1), (0, 1), (0, None), (1, None), (1, 2), (2, None)]
+    elements, defines_sql, defines_py = [], [], {}
+    for k in range(n_elem):
+        var = f"V{k}"
+        mn, mx = rng.choice(quants)
+        elements.append((var, mn, mx))
+        if rng.random() < 0.8:
+            ty = rng.choice(types)
+            defines_sql.append(f"{var} AS {var}.event_type = '{ty}'")
+            defines_py[var] = (lambda ty: lambda r: r[2] == ty)(ty)
+    if all(mn == 0 for _, mn, _ in elements):
+        elements[0] = (elements[0][0], 1, elements[0][2])
+    skip = rng.choice(["past_last", "to_next"])
+    within = rng.choice([None, 3600.0, 14400.0])
+
+    pat = " ".join(
+        v + {(1, 1): "", (0, 1): "?", (0, None): "*", (1, None): "+",
+             (1, 2): "{1,2}", (2, None): "{2,}"}[(mn, mx)]
+        for v, mn, mx in elements
+    )
+    measures = ", ".join(
+        [f"FIRST({v}.event_id) AS first_{v.lower()}" for v, _, _ in elements]
+        + [f"COUNT({v}.*) AS n_{v.lower()}" for v, _, _ in elements]
+        + ["MATCH_NUMBER() AS mno", "COUNT(*) AS n_rows"]
+    )
+    clause = (
+        f"PARTITION BY user_id ORDER BY ts MEASURES {measures} "
+        f"AFTER MATCH SKIP "
+        f"{'PAST LAST ROW' if skip == 'past_last' else 'TO NEXT ROW'} "
+        f"PATTERN ({pat}) "
+        + (f"WITHIN INTERVAL '{int(within)}' SECOND " if within else "")
+        + ("DEFINE " + ", ".join(defines_sql) if defines_sql else "")
+    )
+
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime.fromtimestamp(t, tz=timezone.utc)
+             .replace(tzinfo=None), e, ty, v)
+            for u, t, e, ty, v in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    got = sorted(
+        repr(tuple(r)) for r in match_recognize(df, clause).collect()
+    )
+
+    expect = []
+    for uid in (1, 2):
+        urows = sorted(
+            [(t, e, ty, v) for u, t, e, ty, v in rows if u == uid],
+            key=lambda r: (r[0], r[1]),
+        )
+        for mno, (s, e, assign) in enumerate(
+            _ref_matches(urows, elements, defines_py, skip, within), 1
+        ):
+            by = {var: (lo, hi) for var, lo, hi in assign}
+            rec = [uid]
+            for v, _, _ in elements:
+                lo, hi = by[v]
+                rec.append(urows[lo][1] if hi > lo else None)
+            for v, _, _ in elements:
+                lo, hi = by[v]
+                rec.append(hi - lo)
+            rec.extend([mno, e - s])
+            expect.append(repr(tuple(rec)))
+    assert got == sorted(expect), f"seed {seed}: {clause}"
+
+
+# ------------------------------------------------ engine-level checks
+
+
+def test_single_shuffle_plan(spark, sf_dir):
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    out = match_recognize(ev, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shuffle on the key
+    assert "FlatMapGroupsInPandas" in plan  # the Arrow NFA operator
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
