@@ -424,20 +424,15 @@ def _measure_out_type(ms: _Measure, events: DataFrame) -> str:
     return src[ms.col]
 
 
-def match_recognize(
+def prepare_flags(
     events: DataFrame,
-    clause: str,
+    spec: MRSpec,
     id_col: str = "event_id",
-) -> DataFrame:
-    """Run a ``MATCH_RECOGNIZE`` clause against ``events``.
-
-    One shuffle on the partition key; DEFINE predicates evaluated
-    JVM-side as boolean flag columns; the greedy backtracking NFA runs
-    per key in a single Arrow grouped map, exactly the keyed-operator
-    shape Flink compiles this clause to. Output: partition column +
-    one column per measure, one row per match.
-    """
-    spec = parse_match_recognize(clause)
+) -> tuple[DataFrame, list[str], str, str]:
+    """Validate the spec against the input, compute the per-variable
+    DEFINE flag columns JVM-side, and prune to the columns the matcher
+    needs. Returns ``(flagged_df, order_by, ts_col, out_schema)`` —
+    shared by the batch matcher and the streaming twin."""
     variables = spec.variables
     cols = set(events.columns)
     if spec.partition_by not in cols:
@@ -485,6 +480,26 @@ def match_recognize(
         ]
         + [f"{ms.name} {_measure_out_type(ms, events)}" for ms in spec.measures]
     )
+    return flagged, order_by, ts_col, out_schema
+
+
+def match_recognize(
+    events: DataFrame,
+    clause: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Run a ``MATCH_RECOGNIZE`` clause against ``events``.
+
+    One shuffle on the partition key; DEFINE predicates evaluated
+    JVM-side as boolean flag columns; the greedy backtracking NFA runs
+    per key in a single Arrow grouped map, exactly the keyed-operator
+    shape Flink compiles this clause to. Output: partition column +
+    one column per measure, one row per match.
+    """
+    spec = parse_match_recognize(clause)
+    flagged, order_by, ts_col, out_schema = prepare_flags(
+        events, spec, id_col
+    )
     matcher = _make_matcher(spec, order_by, ts_col)
     return flagged.groupBy(spec.partition_by).applyInPandas(
         matcher, schema=out_schema
@@ -494,111 +509,157 @@ def match_recognize(
 # -------------------------------------------------------------- matcher
 
 
+def scan_rows(
+    pdf: pd.DataFrame,
+    key_value,
+    *,
+    elements: list[tuple[str, int, int | None]],
+    measures: list[tuple[str, str, str | None, str | None]],
+    skip: str,
+    within_s: float | None,
+    var_names: list[str],
+    ts_col: str,
+    anchor_bound_s: float | None = None,
+    match_no_start: int = 0,
+) -> tuple[list[list], int, int]:
+    """Shared scan core for the batch matcher and the streaming twin.
+
+    ``pdf`` must already be sorted by the total order. Returns
+    ``(out_rows, resume_idx, match_no)``: with ``anchor_bound_s`` set
+    (streaming), the scan stops at the first anchor whose WITHIN
+    window is not yet closed by the watermark (``ts + within >
+    bound``) — every row before ``resume_idx`` is finally decided and
+    can be dropped from state, because matches only consume rows at
+    or after their anchor and within its window. With it unset
+    (batch), the scan runs to the end and ``resume_idx == len(pdf)``.
+    """
+    n = len(pdf)
+    flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
+    if within_s is not None:
+        # normalize to ns regardless of the Arrow-side unit (us/ns)
+        ts_s = (
+            pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
+            / 1e9
+        )
+    else:
+        ts_s = None
+    if anchor_bound_s is not None and ts_s is None:
+        raise ValueError("streaming MATCH_RECOGNIZE requires WITHIN")
+
+    def try_match(start: int) -> list[tuple[int, int]] | None:
+        """Greedy backtracking match anchored at row ``start``;
+        returns [(row, element)] or None. Greedy = each element
+        tries its longest feasible consumption first; the first
+        complete assignment wins (regex backtracking order)."""
+        best: list[tuple[int, int]] | None = None
+
+        def rec(pos: int, ei: int, assign: list[tuple[int, int]]):
+            nonlocal best
+            if best is not None:
+                return
+            if ei == len(elements):
+                best = list(assign)
+                return
+            var, n_min, n_max = elements[ei]
+            fv = flags[var]
+            cap = n - pos if n_max is None else min(n_max, n - pos)
+            run = 0
+            while run < cap and fv[pos + run]:
+                if ts_s is not None:
+                    first = assign[0][0] if assign else pos
+                    if ts_s[pos + run] - ts_s[first] > within_s:
+                        break
+                run += 1
+            for c in range(run, n_min - 1, -1):
+                keep = len(assign)
+                assign.extend((pos + t, ei) for t in range(c))
+                rec(pos + c, ei + 1, assign)
+                del assign[keep:]
+                if best is not None:
+                    return
+
+        rec(start, 0, [])
+        return best
+
+    out_rows: list[list] = []
+    match_no = match_no_start
+    i = 0
+    while i < n:
+        if (
+            anchor_bound_s is not None
+            and ts_s[i] + within_s > anchor_bound_s
+        ):
+            break  # this anchor's window is still open — not final
+        m = try_match(i)
+        if not m:  # no match, or empty match — advance one row
+            i += 1
+            continue
+        match_no += 1
+        by_var: dict[str, list[int]] = {}
+        for row, ei in m:
+            by_var.setdefault(elements[ei][0], []).append(row)
+        rec_out = [key_value]
+        for _, func, var, col in measures:
+            rows = by_var.get(var, []) if var is not None else None
+            if func == "MATCH_NUMBER":
+                rec_out.append(match_no)
+            elif func == "COUNT_STAR":
+                rec_out.append(len(m))
+            elif func == "COUNT":
+                rec_out.append(len(rows))
+            elif not rows:
+                rec_out.append(None)  # optional var matched 0 rows
+            elif func == "FIRST":
+                rec_out.append(pdf[col].iloc[rows[0]])
+            elif func in ("LAST", "VAR_COL"):
+                rec_out.append(pdf[col].iloc[rows[-1]])
+            else:  # SUM / MIN / MAX / AVG
+                vals = pdf[col].iloc[rows]
+                rec_out.append(
+                    {
+                        "SUM": vals.sum,
+                        "MIN": vals.min,
+                        "MAX": vals.max,
+                        "AVG": vals.mean,
+                    }[func]()
+                )
+        out_rows.append(rec_out)
+        if skip == "past_last":
+            i = m[-1][0] + 1
+        else:  # to_next
+            i = m[0][0] + 1
+    return out_rows, i, match_no
+
+
+def rows_to_frame(out_rows: list[list], names: list[str]) -> pd.DataFrame:
+    if not out_rows:
+        # object dtype: Arrow accepts empty object columns for any
+        # target type (empty float64 would fail to cast to timestamp)
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in names})
+    return pd.DataFrame(out_rows, columns=names)
+
+
 def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     elements = [(e.var, e.n_min, e.n_max) for e in spec.elements]
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     var_names = spec.variables
+    names = [partition_by] + [m.name for m in spec.measures]
 
     def _match_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
             drop=True
         )
-        n = len(pdf)
-        flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
-        if within_s is not None:
-            # normalize to ns regardless of the Arrow-side unit (us/ns)
-            ts_s = (
-                pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
-                / 1e9
-            )
-        else:
-            ts_s = None
-
-        def try_match(start: int) -> list[tuple[int, int]] | None:
-            """Greedy backtracking match anchored at row ``start``;
-            returns [(row, element)] or None. Greedy = each element
-            tries its longest feasible consumption first; the first
-            complete assignment wins (regex backtracking order)."""
-            best: list[tuple[int, int]] | None = None
-
-            def rec(pos: int, ei: int, assign: list[tuple[int, int]]):
-                nonlocal best
-                if best is not None:
-                    return
-                if ei == len(elements):
-                    best = list(assign)
-                    return
-                var, n_min, n_max = elements[ei]
-                fv = flags[var]
-                cap = n - pos if n_max is None else min(n_max, n - pos)
-                run = 0
-                while run < cap and fv[pos + run]:
-                    if ts_s is not None:
-                        first = assign[0][0] if assign else pos
-                        if ts_s[pos + run] - ts_s[first] > within_s:
-                            break
-                    run += 1
-                for c in range(run, n_min - 1, -1):
-                    keep = len(assign)
-                    assign.extend((pos + t, ei) for t in range(c))
-                    rec(pos + c, ei + 1, assign)
-                    del assign[keep:]
-                    if best is not None:
-                        return
-
-            rec(start, 0, [])
-            return best
-
-        out_rows: list[list] = []
-        match_no = 0
-        i = 0
-        while i < n:
-            m = try_match(i)
-            if not m:  # no match, or empty match — advance one row
-                i += 1
-                continue
-            match_no += 1
-            by_var: dict[str, list[int]] = {}
-            for row, ei in m:
-                by_var.setdefault(elements[ei][0], []).append(row)
-            rec_out = [pdf[partition_by].iloc[0]]
-            for _, func, var, col in measures:
-                rows = by_var.get(var, []) if var is not None else None
-                if func == "MATCH_NUMBER":
-                    rec_out.append(match_no)
-                elif func == "COUNT_STAR":
-                    rec_out.append(len(m))
-                elif func == "COUNT":
-                    rec_out.append(len(rows))
-                elif not rows:
-                    rec_out.append(None)  # optional var matched 0 rows
-                elif func == "FIRST":
-                    rec_out.append(pdf[col].iloc[rows[0]])
-                elif func in ("LAST", "VAR_COL"):
-                    rec_out.append(pdf[col].iloc[rows[-1]])
-                else:  # SUM / MIN / MAX / AVG
-                    vals = pdf[col].iloc[rows]
-                    rec_out.append(
-                        {
-                            "SUM": vals.sum,
-                            "MIN": vals.min,
-                            "MAX": vals.max,
-                            "AVG": vals.mean,
-                        }[func]()
-                    )
-            out_rows.append(rec_out)
-            if skip == "past_last":
-                i = m[-1][0] + 1
-            else:  # to_next
-                i = m[0][0] + 1
-        names = [partition_by] + [ms[0] for ms in measures]
-        if not out_rows:
-            # object dtype: Arrow accepts empty object columns for any
-            # target type (empty float64 would fail to cast to timestamp)
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=object) for c in names}
-            )
-        return pd.DataFrame(out_rows, columns=names)
+        out_rows, _, _ = scan_rows(
+            pdf,
+            pdf[partition_by].iloc[0],
+            elements=elements,
+            measures=measures,
+            skip=skip,
+            within_s=within_s,
+            var_names=var_names,
+            ts_col=ts_col,
+        )
+        return rows_to_frame(out_rows, names)
 
     return _match_partition

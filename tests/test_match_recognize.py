@@ -428,3 +428,136 @@ def test_single_shuffle_plan(spark, sf_dir):
     assert plan.count("Exchange") == 1  # one shuffle on the key
     assert "FlatMapGroupsInPandas" in plan  # the Arrow NFA operator
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------- streaming twin
+
+
+MR_STREAM_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES S.event_id AS s_id, P.event_id AS p_id,
+             COUNT(F.*) AS n_f, MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN (S F* P)
+    WITHIN INTERVAL '3' DAY
+    DEFINE S AS S.event_type = 'signup',
+           F AS F.event_type <> 'error',
+           P AS P.event_type = 'purchase'"""
+
+
+def test_mr_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming MATCH_RECOGNIZE drains to EXACTLY the batch
+    result (ids, filler counts, and MATCH_NUMBER continuity) once
+    sentinel batches push the watermark past every anchor's WITHIN
+    window and fire the re-fire timers."""
+    import shutil
+
+    from flink_framework_spark.io import _normalize_events_ts, table
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    batch = match_recognize(
+        table(spark, sf_dir, "events"), MR_STREAM_CLAUSE
+    ).toPandas()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i, day in enumerate(("2099-01-01", "2099-01-02")):
+        sent = raw.limit(1).select(
+            F.lit(-1000 - i).alias("event_id"),
+            F.lit(day).cast(raw.schema["ts"].dataType).alias("ts"),
+            F.lit(-1).alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sent.coalesce(1).write.mode("append").parquet(str(src))
+
+    sdf = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sdf = _normalize_events_ts(sdf, as_instant=True).withWatermark(
+        "ts", "10 minutes"
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, MR_STREAM_CLAUSE),
+        query_name="t_mr_stream",
+        output_mode="update",
+    )
+    stream = out.filter(F.col("user_id") >= 0).toPandas()
+    assert len(stream) == len(batch) > 0
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b
+
+
+def test_mr_stream_greedy_waits_for_window_close(spark, tmp_path):
+    """Greedy finalization is watermark-gated: a purchase arriving in
+    a LATER batch (still inside the anchor's WITHIN window) must win
+    the greedy F* binding — eager per-batch emission would have bound
+    the earlier purchase."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    def fr(spark, rows):
+        return spark.createDataFrame(
+            [(e, f"2024-01-01 {h:02d}:{m:02d}:00", u, t, 0.0)
+             for (u, e, h, m, t) in rows],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double",
+        ).selectExpr(
+            "user_id", "CAST(ts AS timestamp) AS ts", "event_id",
+            "event_type", "value",
+        )
+
+    b1 = [(1, 1, 10, 0, "signup"), (1, 2, 10, 10, "purchase")]
+    b2 = [(1, 3, 10, 20, "purchase")]
+    b3 = [(9, 90, 12, 0, "click")]    # watermark -> 11:50 (> 10:00 + 1h)
+    b4 = [(9, 91, 12, 30, "click")]   # fires user 1's re-fire timer
+    src = tmp_path / "src"
+    for b in (b1, b2, b3, b4):
+        fr(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(fr(spark, b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    clause = """PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, P.event_id AS p_id, COUNT(F.*) AS n_f
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (S F* P)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               F AS F.event_type <> 'error',
+               P AS P.event_type = 'purchase'"""
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause),
+        query_name="t_mr_greedy",
+        output_mode="update",
+    )
+    rows = [(r.s_id, r.p_id, r.n_f)
+            for r in out.filter(F.col("user_id") == 1).collect()]
+    # greedy binds the 10:20 purchase (farthest within the hour); the
+    # 10:10 purchase is consumed by F*
+    assert rows == [(1, 3, 1)]
+
+
+def test_mr_stream_requires_within(spark, sf_dir):
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    with pytest.raises(ValueError, match="WITHIN"):
+        match_recognize_stream(
+            table(spark, sf_dir, "events"),
+            """PARTITION BY user_id ORDER BY ts
+               MEASURES A.event_id AS a_id PATTERN (A B)
+               DEFINE A AS A.event_type = 'view',
+                      B AS B.event_type = 'purchase'""",
+        )
