@@ -106,9 +106,10 @@ class MRSpec:
 # ---------------------------------------------------------------- parser
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>\d+)|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
     r"|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op><>|<=|>=|!=|[(){},.*?+=<>-]))"
+    r"|(?P<op>\|\||<>|<=|>=|!=|[(){},.*?+=<>/%|\[\]:-]))"
 )
 
 
@@ -390,26 +391,42 @@ def _join_tokens(toks: list[str]) -> str:
 # ------------------------------------------------------------- compiler
 
 
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
 def _rewrite_define(expr: str, variables: list[str]) -> str:
     """Rewrite ``VAR.col`` → ``col`` (single-row semantics: any
     pattern-variable prefix denotes the candidate row itself).
-    Navigation inside DEFINE is out of scope."""
-    for nav in ("PREV", "NEXT", "FIRST", "LAST"):
-        if re.search(rf"(?i)\b{nav}\s*\(", expr):
-            raise ValueError(
-                f"{nav}() inside DEFINE is out of scope — conditions are "
-                "single-row Spark SQL booleans"
-            )
+    Navigation inside DEFINE is out of scope.
+
+    String literals are carried through untouched: the rewrite and
+    both validations run only on the segments BETWEEN quoted
+    literals, so a condition like ``A.note = 'e.g. A.x'`` neither
+    corrupts the literal nor trips the stray-qualifier check."""
+    segments = _STR_LIT_RE.split(expr)
+    literals = _STR_LIT_RE.findall(expr)
     pat = re.compile(
         r"\b(" + "|".join(re.escape(v) for v in variables) + r")\s*\.\s*"
     )
-    rewritten = pat.sub("", expr)
-    stray = re.search(r"\b([A-Za-z_]\w*)\s*\.", rewritten)
-    if stray:
-        raise ValueError(
-            f"DEFINE references {stray.group(1)!r}.col — only pattern "
-            "variables can qualify columns"
-        )
+    out_segments = []
+    for seg in segments:
+        for nav in ("PREV", "NEXT", "FIRST", "LAST"):
+            if re.search(rf"(?i)\b{nav}\s*\(", seg):
+                raise ValueError(
+                    f"{nav}() inside DEFINE is out of scope — conditions "
+                    "are single-row Spark SQL booleans"
+                )
+        seg = pat.sub("", seg)
+        stray = re.search(r"\b([A-Za-z_]\w*)\s*\.(?!\d)", seg)
+        if stray:
+            raise ValueError(
+                f"DEFINE references {stray.group(1)!r}.col — only pattern "
+                "variables can qualify columns"
+            )
+        out_segments.append(seg)
+    rewritten = out_segments[0]
+    for lit, seg in zip(literals, out_segments[1:]):
+        rewritten += lit + seg
     return rewritten
 
 
@@ -527,8 +544,9 @@ def scan_rows(
     ``pdf`` must already be sorted by the total order. Returns
     ``(out_rows, resume_idx, match_no)``: with ``anchor_bound_s`` set
     (streaming), the scan stops at the first anchor whose WITHIN
-    window is not yet closed by the watermark (``ts + within >
-    bound``) — every row before ``resume_idx`` is finally decided and
+    window is not yet closed by the watermark (``ts + within >=
+    bound``; a row at exactly ts == watermark is still admissible) —
+    every row before ``resume_idx`` is finally decided and
     can be dropped from state, because matches only consume rows at
     or after their anchor and within its window. With it unset
     (batch), the scan runs to the end and ``resume_idx == len(pdf)``.
@@ -550,8 +568,19 @@ def scan_rows(
         """Greedy backtracking match anchored at row ``start``;
         returns [(row, element)] or None. Greedy = each element
         tries its longest feasible consumption first; the first
-        complete assignment wins (regex backtracking order)."""
+        complete assignment wins (regex backtracking order).
+
+        Failed ``(pos, element)`` states are memoized per anchor:
+        consumption is contiguous from the anchor, so whether a
+        suffix can complete from ``(pos, ei)`` is independent of how
+        earlier elements split their rows (the WITHIN window is
+        anchored at ``start``, which ``pos`` equals until the first
+        row is consumed). Without the memo, patterns with several
+        unbounded quantifiers (``A* B* C``) enumerate every count
+        split — exponential; with it, each state is visited once and
+        the per-anchor cost is polynomial in the buffered run."""
         best: list[tuple[int, int]] | None = None
+        failed: set[tuple[int, int]] = set()
 
         def rec(pos: int, ei: int, assign: list[tuple[int, int]]):
             nonlocal best
@@ -560,14 +589,15 @@ def scan_rows(
             if ei == len(elements):
                 best = list(assign)
                 return
+            if (pos, ei) in failed:
+                return
             var, n_min, n_max = elements[ei]
             fv = flags[var]
             cap = n - pos if n_max is None else min(n_max, n - pos)
             run = 0
             while run < cap and fv[pos + run]:
                 if ts_s is not None:
-                    first = assign[0][0] if assign else pos
-                    if ts_s[pos + run] - ts_s[first] > within_s:
+                    if ts_s[pos + run] - ts_s[start] > within_s:
                         break
                 run += 1
             for c in range(run, n_min - 1, -1):
@@ -577,6 +607,7 @@ def scan_rows(
                 del assign[keep:]
                 if best is not None:
                     return
+            failed.add((pos, ei))
 
         rec(start, 0, [])
         return best
@@ -587,9 +618,14 @@ def scan_rows(
     while i < n:
         if (
             anchor_bound_s is not None
-            and ts_s[i] + within_s > anchor_bound_s
+            and ts_s[i] + within_s >= anchor_bound_s
         ):
-            break  # this anchor's window is still open — not final
+            # this anchor's window is still open — not final. ``>=``
+            # because Spark drops only rows STRICTLY below the
+            # watermark: a row at exactly ts == watermark can still
+            # arrive, and it sits inside the inclusive WITHIN window
+            # when anchor + within == watermark.
+            break
         m = try_match(i)
         if not m:  # no match, or empty match — advance one row
             i += 1

@@ -36,6 +36,10 @@ from flink_framework_spark.operators.match_recognize import (
     rows_to_frame,
     scan_rows,
 )
+from flink_framework_spark.streaming.epoch import (
+    epoch_s_to_timestamps,
+    ts_series_to_epoch_s,
+)
 
 _STATE_ARRAY = {
     "boolean": "array<boolean>",
@@ -100,9 +104,7 @@ def match_recognize_stream(
             cols = {}
             for c, arr in zip(carried, arrays):
                 if is_ts[c]:
-                    cols[c] = [
-                        pd.Timestamp(round(s * 1e6) * 1000) for s in arr
-                    ]
+                    cols[c] = epoch_s_to_timestamps(arr)
                 else:
                     cols[c] = list(arr)
             if cols[carried[0]]:
@@ -139,22 +141,11 @@ def match_recognize_stream(
             arrays = []
             for c in carried:
                 if is_ts[c]:
-                    arrays.append(
-                        [
-                            v / 1e9
-                            for v in rest[c]
-                            .to_numpy(dtype="datetime64[ns]")
-                            .astype("int64")
-                            .tolist()
-                        ]
-                    )
+                    arrays.append(ts_series_to_epoch_s(rest[c]))
                 else:
                     arrays.append(rest[c].tolist())
             state.update((*arrays, mno))
-            first_ts = (
-                rest[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")[0]
-                / 1e9
-            )
+            first_ts = ts_series_to_epoch_s(rest[ts_col])[0]
             # fire when the watermark closes the earliest open anchor
             # (clamped past the current watermark — a timer at or below
             # it would never fire)

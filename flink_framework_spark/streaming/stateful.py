@@ -11,6 +11,7 @@ the way a Flink process function would hold ValueState + timers.
 
 from __future__ import annotations
 
+import bisect
 from datetime import timedelta
 from typing import Any, Iterable, Iterator
 
@@ -18,6 +19,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_framework_spark.streaming.epoch import (
+    epoch_s_to_timestamps,
+    ts_series_to_epoch_s,
+)
 
 FUNNEL_SCHEMA = "user_id long, purchase_ts timestamp_ntz"
 _STATE_SCHEMA = "views array<double>"
@@ -837,16 +843,26 @@ def make_over_window_fn():
             n, sumv, buf = 0, 0.0, []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
-                    buf.append((ts.timestamp(), int(eid), float(v)))
+                for sec, eid, v in zip(
+                    ts_series_to_epoch_s(pdf["ts"]),
+                    pdf["event_id"],
+                    pdf["value"],
+                ):
+                    buf.append((sec, int(eid), float(v)))
             buf.sort()
         wm_s = state.getCurrentWatermarkMs() / 1000.0
+        # flush strictly below the watermark: Spark admits a late row
+        # at exactly ts == watermark, and a same-ts row with a smaller
+        # event_id would have to sort BEFORE an already-emitted row —
+        # one cut point, sliced once (a pop(0) loop is O(k^2) on a
+        # deep buffer)
+        cut = bisect.bisect_left(buf, (wm_s,))
         out: list[tuple] = []
-        while buf and buf[0][0] <= wm_s:
-            sec, eid, v = buf.pop(0)
+        for sec, eid, v in buf[:cut]:
             n += 1
             sumv += v
             out.append((sec, eid, n, sumv))
+        buf = buf[cut:]
         if buf:
             state.update(
                 (
@@ -871,7 +887,7 @@ def make_over_window_fn():
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
-                    "ts": [pd.Timestamp(round(s * 1e6) * 1000) for s, _, _, _ in out],
+                    "ts": epoch_s_to_timestamps(s for s, _, _, _ in out),
                     "event_id": [e for _, e, _, _ in out],
                     "run_n": [rn for _, _, rn, _ in out],
                     "run_sum": [rs for _, _, _, rs in out],

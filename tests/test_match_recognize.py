@@ -561,3 +561,114 @@ def test_mr_stream_requires_within(spark, sf_dir):
                DEFINE A AS A.event_type = 'view',
                       B AS B.event_type = 'purchase'""",
         )
+
+
+# -------------------------------------- review-regression pins (r4)
+
+
+def test_define_string_literal_survives_rewrite():
+    from flink_framework_spark.operators.match_recognize import (
+        _rewrite_define,
+    )
+
+    # a literal containing 'A.x' must ride through untouched
+    assert (
+        _rewrite_define("A.event_type = 'A.x'", ["A", "B"])
+        == "event_type = 'A.x'"
+    )
+    # a literal containing a word.word sequence must not be rejected
+    assert (
+        _rewrite_define("A.event_type = 'e.g. text'", ["A"])
+        == "event_type = 'e.g. text'"
+    )
+    # a stray qualifier OUTSIDE a literal is still rejected
+    with pytest.raises(ValueError, match="only pattern"):
+        _rewrite_define("tbl.col = 1", ["A"])
+
+
+def test_define_string_literal_end_to_end(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "A.x", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "purchase", 2.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'A.x',
+               B AS B.event_type = 'purchase'""")
+    assert [(r.a_id, r.b_id) for r in out.collect()] == [(1, 2)]
+
+
+def test_define_arithmetic_and_concat_tokenize(spark):
+    """'/', '%', '||', and decimal/exponent literals are valid
+    single-row Spark SQL and must survive the tokenizer."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "x", 4.0),
+        (1, "2024-01-01 10:01:00", 2, "y", 5.0),
+    ]
+    out = match_recognize(frame(spark, rows), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        PATTERN (A B)
+        DEFINE A AS A.value % 2 = 0 AND A.value / 2 > 1.5,
+               B AS B.event_type || '!' = 'y!' AND B.value < 1e3""")
+    assert [(r.a_id, r.b_id) for r in out.collect()] == [(1, 2)]
+
+
+def _mk_flag_pdf(flags_by_var, ts=None):
+    data = {f"__m_{v}": list(fl) for v, fl in flags_by_var.items()}
+    if ts is not None:
+        data["ts"] = pd.to_datetime(ts, unit="s")
+    return pd.DataFrame(data)
+
+
+def test_multi_unbounded_quantifiers_polynomial():
+    """PATTERN (A* B* C* D* E) with A..D undefined and E absent:
+    without failed-(pos, element) memoization the backtracker
+    enumerates every count split (O(n^4) per anchor — hours at
+    n=60); with it, each state is visited once and the whole scan is
+    sub-second."""
+    import time
+
+    from flink_framework_spark.operators.match_recognize import scan_rows
+
+    n = 60
+    pdf = _mk_flag_pdf(
+        {v: [True] * n for v in "ABCD"} | {"E": [False] * n}
+    )
+    t0 = time.monotonic()
+    out, resume, _ = scan_rows(
+        pdf,
+        1,
+        elements=[("A", 0, None), ("B", 0, None), ("C", 0, None),
+                  ("D", 0, None), ("E", 1, 1)],
+        measures=[("mno", "MATCH_NUMBER", None, None)],
+        skip="past_last",
+        within_s=None,
+        var_names=list("ABCDE"),
+        ts_col="ts",
+    )
+    assert out == [] and resume == n
+    assert time.monotonic() - t0 < 20.0
+
+
+def test_stream_anchor_final_only_strictly_inside_watermark():
+    """Spark drops only rows STRICTLY below the watermark, so a row
+    at exactly ts == watermark can still arrive; an anchor with
+    anchor_ts + WITHIN == watermark is NOT final yet."""
+    from flink_framework_spark.operators.match_recognize import scan_rows
+
+    pdf = _mk_flag_pdf({"A": [True], "B": [False]}, ts=[0.0])
+    kw = dict(
+        elements=[("A", 1, 1), ("B", 1, 1)],
+        measures=[("n", "COUNT_STAR", None, None)],
+        skip="past_last",
+        within_s=60.0,
+        var_names=["A", "B"],
+        ts_col="ts",
+    )
+    out, resume, _ = scan_rows(pdf, 1, anchor_bound_s=60.0, **kw)
+    assert (out, resume) == ([], 0)  # window still open — kept in state
+    out, resume, _ = scan_rows(pdf, 1, anchor_bound_s=60.001, **kw)
+    assert (out, resume) == ([], 1)  # now final: no B arrived, no match

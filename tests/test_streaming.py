@@ -1079,3 +1079,59 @@ def test_over_window_late_row_slots_in_order(spark, tmp_path):
         for r in out.filter(F.col("user_id") == 1).collect()
     ]
     assert sorted(rows) == [(0, 1, 1, 1.0), (5, 2, 2, 3.0), (20, 3, 3, 7.0)]
+
+
+def test_over_flush_strictly_below_watermark():
+    """The rowtime OVER twin must NOT emit a row at exactly
+    ts == watermark: Spark still admits a late row at that exact
+    timestamp, and a same-ts row with a smaller event_id sorts
+    BEFORE the already-emitted one — emitting early would break the
+    batch (ts, event_id) ordinal order. Driven directly through the
+    state function with a scripted GroupState."""
+    from flink_framework_spark.streaming.stateful import make_over_window_fn
+
+    class ScriptedState:
+        def __init__(self, wm_ms):
+            self.wm_ms = wm_ms
+            self._val = None
+            self.exists = False
+            self.hasTimedOut = False
+            self.timer = None
+
+        @property
+        def get(self):
+            return self._val
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def update(self, v):
+            self._val, self.exists = v, True
+
+        def remove(self):
+            self._val, self.exists = None, False
+
+        def setTimeoutTimestamp(self, t):
+            self.timer = t
+
+    fn = make_over_window_fn()
+    T = 1_700_000_000
+    st = ScriptedState(T * 1000)
+    pdf = pd.DataFrame(
+        {"ts": pd.to_datetime([T], unit="s"), "event_id": [2],
+         "value": [5.0]}
+    )
+    out = list(fn((1,), [pdf], st))
+    assert out == [] and st.exists  # ts == wm: buffered, not emitted
+    assert st.timer is not None and st.timer > T * 1000
+
+    # the tie row (same ts, smaller event_id) arrives; wm passes T
+    st.wm_ms = (T + 1) * 1000
+    pdf2 = pd.DataFrame(
+        {"ts": pd.to_datetime([T], unit="s"), "event_id": [1],
+         "value": [7.0]}
+    )
+    (rows,) = list(fn((1,), [pdf2], st))
+    assert list(rows.event_id) == [1, 2]
+    assert list(rows.run_n) == [1, 2]
+    assert list(rows.run_sum) == [7.0, 12.0]
