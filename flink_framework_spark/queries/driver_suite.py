@@ -876,19 +876,73 @@ FROM (
          CAST(SUM(n_ev) AS BIGINT) AS n_events,
          CAST(MAX(dur_ms) AS BIGINT) AS max_dur_ms
   FROM sess GROUP BY user_id) t
+UNION ALL
+SELECT 'cumulate', strftime(e.bstart, '%Y-%m-%d %H:%M:%S'),
+       strftime(e.bstart + to_minutes(15 * CAST(k.range AS INT)),
+                '%Y-%m-%d %H:%M:%S'),
+       COUNT(*), CAST(0 AS BIGINT), ROUND(SUM(e.value), 2)
+FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS bstart, ts, value
+      FROM events) e, range(1, 5) k
+WHERE e.ts < e.bstart + to_minutes(15 * CAST(k.range AS INT))
+GROUP BY 2, 3
+UNION ALL
+SELECT 'winjoin', 'inner', strftime(c.w, '%Y-%m-%d %H:%M:%S'),
+       CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT c.user_id),
+       CAST(0.0 AS DOUBLE)
+FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+      FROM events WHERE event_type = 'purchase') p
+  ON p.w = c.w AND p.user_id = c.user_id
+GROUP BY 2, 3
+UNION ALL
+SELECT 'winjoin', 'left_unmatched', strftime(c.w, '%Y-%m-%d %H:%M:%S'),
+       CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT c.user_id),
+       CAST(0.0 AS DOUBLE)
+FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+      FROM events WHERE event_type = 'click') c
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS w, user_id
+                 FROM events WHERE event_type = 'purchase') p
+  WHERE p.w = c.w AND p.user_id = c.user_id)
+GROUP BY 3
+UNION ALL
+SELECT 'over', CAST(user_id AS VARCHAR), '', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(run_n * event_id) AS BIGINT),
+       MAX(CASE WHEN rnd = 1 THEN run_sum END)
+FROM (
+  SELECT user_id, event_id,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,
+         ROUND(SUM(value) OVER w, 2) AS run_sum,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) ov
+GROUP BY user_id
 """,
     bench=False,  # granular I1-I3 queries carry the bench signal
 )
 def q_stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I1 + I2 + I3 in one value-complete driver slot: tumbling,
-    sliding, and session event-time windows tagged into a common
-    (tag, k1, k2, n, m, v) melt. The granular queries (and their true
-    streaming twins) stay registered; this row exists so the driver's
-    50-slot correctness pass attests all three window kinds."""
+    """I1 + I2 + I3 + the FLIP-145 TVF pair + the rowtime OVER
+    aggregate in one value-complete driver slot: tumbling, sliding,
+    and session event-time windows, CUMULATE panes, the (window, key)
+    window join (inner + left-unmatched), and the per-key running
+    OVER aggregate reduced per user to (row count, an integer
+    ordinal-assignment checksum SUM(run_n*event_id), and the final
+    running sum) — all tagged into a common (tag, k1, k2, n, m, v)
+    melt. The granular queries (and their true streaming twins) stay
+    registered; this row exists so the driver's 50-slot correctness
+    pass attests every window kind."""
     from flink_framework_spark.operators.streaming_ops import (
+        cumulate_counts,
         hourly_tumble,
         session_stats,
         sliding_counts,
+    )
+    from flink_framework_spark.queries.streaming_batch import (
+        q_stream_over,
+        q_window_join,
     )
 
     ev = table(spark, sf_dir, "events")
@@ -917,7 +971,49 @@ def q_stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").alias("m"),
         F.col("max_dur_ms").cast("double").alias("v"),
     )
-    return t.unionByName(s).unionByName(g)
+    cum = cumulate_counts(ev).select(
+        F.lit("cumulate").alias("tag"),
+        F.col("wstart").alias("k1"),
+        F.col("wend").alias("k2"),
+        F.col("n"),
+        zero.alias("m"),
+        F.col("sumv").alias("v"),
+    )
+    wj = q_window_join(spark, sf_dir).select(
+        F.lit("winjoin").alias("tag"),
+        F.col("part").alias("k1"),
+        F.col("wstart").alias("k2"),
+        F.col("n_pairs").alias("n"),
+        F.col("n_users").alias("m"),
+        F.lit(0.0).alias("v"),
+    )
+    # ets is fixed-width 'yyyy-MM-dd HH:mm:ss.SSSSSS' — lexicographic
+    # order IS chronological, so the last-row pick is exact
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ets").desc(), F.col("event_id").desc()
+    )
+    ov = (
+        q_stream_over(spark, sf_dir)
+        .withColumn("rnd", F.row_number().over(wdesc))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("run_n") * F.col("event_id")).alias("m"),
+            F.max(F.when(F.col("rnd") == 1, F.col("run_sum"))).alias("v"),
+        )
+        .select(
+            F.lit("over").alias("tag"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("n"),
+            F.col("m").cast("long"),
+            F.col("v"),
+        )
+    )
+    return (
+        t.unionByName(s).unionByName(g)
+        .unionByName(cum).unionByName(wj).unionByName(ov)
+    )
 
 
 @register(
