@@ -1,0 +1,328 @@
+"""Flink SQL statement dialect — run the statements a Flink SQL user
+already has, unchanged (SURVEY.md §2 I1-I3/I8: the SQL spellings).
+
+Flink exposes windows and CEP to SQL users through two constructs
+Spark SQL does not parse:
+
+- **FLIP-145 window TVFs** in FROM:
+  ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))``,
+  ``HOP(TABLE t, DESCRIPTOR(ts), slide, size)``,
+  ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, size)``,
+  ``SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)``.
+  Each relation is the source's columns plus ``window_start``,
+  ``window_end``, ``window_time`` (= window_end - 1 ms, Flink's
+  rowtime attribute of the window).
+- **MATCH_RECOGNIZE** attached to a FROM table reference.
+
+:func:`flink_sql` accepts a full statement, rewrites those constructs
+onto this engine's operators (``F.window`` for tumble/hop, the
+bounded-explode CUMULATE assignment, a gaps-and-islands session
+assignment, :func:`operators.match_recognize.match_recognize` for the
+NFA), registers each rewritten relation as a temp view, and hands the
+remaining — now pure Spark SQL — statement to ``spark.sql``. The
+surrounding projection/aggregation/join text therefore runs fully
+JVM-side through Catalyst; only an embedded MATCH_RECOGNIZE crosses
+into the per-key Arrow NFA, exactly like the operator form.
+
+Scope notes: this is the batch entry point (the statements are
+bounded-table semantics; the streaming twins of every window kind and
+of MATCH_RECOGNIZE live in :mod:`streaming`). Rewrites are detected
+outside string literals only; unsupported TVF arguments (offsets)
+raise loudly rather than mis-assign.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_framework_spark.operators.match_recognize import match_recognize
+from flink_framework_spark.operators.streaming_ops import cumulate_exploded
+
+_INTERVAL_RE = re.compile(
+    r"(?i)^INTERVAL\s*'([\d.]+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$"
+)
+_UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _interval_seconds(text: str) -> float:
+    m = _INTERVAL_RE.match(text.strip())
+    if not m:
+        raise ValueError(
+            f"expected INTERVAL '<n>' <unit>, got {text.strip()!r}"
+        )
+    return float(m.group(1)) * _UNIT_S[m.group(2).upper()]
+
+
+def _dur_str(seconds: float) -> str:
+    """Seconds -> a Spark window duration string (whole seconds)."""
+    if seconds != int(seconds):
+        raise ValueError(
+            f"sub-second window intervals are out of scope ({seconds}s)"
+        )
+    return f"{int(seconds)} seconds"
+
+
+def _scan_balanced(text: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching ``(`` at ``open_idx``,
+    skipping string literals."""
+    depth, i, n = 0, open_idx, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            m = re.compile(r"'(?:[^']|'')*'").match(text, i)
+            if not m:
+                raise ValueError("unterminated string literal")
+            i = m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in statement")
+
+
+def _split_top_level(args: str) -> list[str]:
+    """Split on top-level commas, respecting parens and literals."""
+    out, depth, cur, i, n = [], 0, [], 0, len(args)
+    while i < n:
+        ch = args[i]
+        if ch == "'":
+            m = re.compile(r"'(?:[^']|'')*'").match(args, i)
+            cur.append(args[i : m.end()])
+            i = m.end()
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+_TVF_HEAD_RE = re.compile(
+    r"(?i)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\("
+)
+_SOURCE_RE = re.compile(
+    r"(?is)^TABLE\s+([A-Za-z_]\w*)"
+    r"(?:\s+PARTITION\s+BY\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?$"
+)
+_DESCRIPTOR_RE = re.compile(r"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$")
+
+_MR_RE = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(")
+
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _search_outside_literals(pattern: re.Pattern, text: str):
+    """First match of ``pattern`` not inside a quoted string literal."""
+    spans = [m.span() for m in _LIT_RE.finditer(text)]
+    for m in pattern.finditer(text):
+        if not any(a <= m.start() < b for a, b in spans):
+            return m
+    return None
+
+
+def _with_window_cols(df: DataFrame, w) -> DataFrame:
+    return (
+        df.withColumn("__w", w)
+        .select(
+            *[c for c in df.columns],
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+        )
+        .withColumn(
+            "window_time", F.expr("window_end - INTERVAL 1 MILLISECOND")
+        )
+    )
+
+
+def _session_assign(
+    df: DataFrame, ts: str, keys: list[str], gap_s: float
+) -> DataFrame:
+    """FLIP-145 SESSION TVF as a relational gaps-and-islands
+    assignment: rows whose event-time gap within a partition reaches
+    ``gap`` start a new session; ``window_start`` = first ts,
+    ``window_end`` = last ts + gap (the same merged-window bounds
+    Spark's ``session_window`` and Flink's TVF produce)."""
+    ob = (
+        Window.partitionBy(*keys).orderBy(ts)
+        if keys
+        else Window.orderBy(ts)
+    )
+    # timestampdiff works on TIMESTAMP and TIMESTAMP_NTZ alike (a
+    # plain double cast does not)
+    gap_us = int(round(gap_s * 1e6))
+    is_new = F.col("__prev").isNull() | (
+        F.expr(f"timestampdiff(MICROSECOND, __prev, {ts})")
+        >= F.lit(gap_us)
+    )
+    with_sid = (
+        df.withColumn("__prev", F.lag(F.col(ts)).over(ob))
+        .withColumn(
+            "__sid",
+            F.sum(is_new.cast("long")).over(
+                ob.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__prev")
+    )
+    per_sess = Window.partitionBy(*keys, "__sid")
+    return (
+        with_sid.withColumn("window_start", F.min(ts).over(per_sess))
+        .withColumn(
+            "window_end",
+            F.max(ts).over(per_sess)
+            + F.expr(f"INTERVAL {int(gap_s * 1000)} MILLISECOND"),
+        )
+        .withColumn(
+            "window_time", F.expr("window_end - INTERVAL 1 MILLISECOND")
+        )
+        .drop("__sid")
+    )
+
+
+def _rewrite_tvfs(
+    spark: SparkSession, stmt: str
+) -> str:
+    while True:
+        m = _search_outside_literals(_TVF_HEAD_RE, stmt)
+        if m is None:
+            return stmt
+        kind = m.group(1).upper()
+        inner_open = stmt.index("(", m.end() - 1)  # the TVF's own (
+        inner_end = _scan_balanced(stmt, inner_open)
+        outer_end = _scan_balanced(stmt, stmt.index("(", m.start()))
+        args = _split_top_level(stmt[inner_open + 1 : inner_end - 1])
+
+        src = _SOURCE_RE.match(args[0])
+        if not src:
+            raise ValueError(
+                f"first {kind} argument must be TABLE <name> "
+                f"[PARTITION BY cols], got {args[0]!r}"
+            )
+        tbl, part = src.group(1), src.group(2)
+        keys = (
+            [k.strip() for k in part.split(",")] if part else []
+        )
+        if keys and kind != "SESSION":
+            raise ValueError(f"PARTITION BY inside {kind} is SESSION-only")
+        d = _DESCRIPTOR_RE.match(args[1])
+        if not d:
+            raise ValueError(
+                f"second {kind} argument must be DESCRIPTOR(<col>), "
+                f"got {args[1]!r}"
+            )
+        ts = d.group(1)
+        df = spark.table(tbl)
+
+        if kind == "TUMBLE":
+            if len(args) != 3:
+                raise ValueError(
+                    "TUMBLE(TABLE t, DESCRIPTOR(ts), size) — offsets are "
+                    "out of scope"
+                )
+            size = _interval_seconds(args[2])
+            out = _with_window_cols(df, F.window(ts, _dur_str(size)))
+        elif kind == "HOP":
+            if len(args) != 4:
+                raise ValueError(
+                    "HOP(TABLE t, DESCRIPTOR(ts), slide, size) — offsets "
+                    "are out of scope"
+                )
+            slide = _interval_seconds(args[2])
+            size = _interval_seconds(args[3])
+            out = _with_window_cols(
+                df, F.window(ts, _dur_str(size), _dur_str(slide))
+            )
+        elif kind == "CUMULATE":
+            if len(args) != 4:
+                raise ValueError(
+                    "CUMULATE(TABLE t, DESCRIPTOR(ts), step, size) — "
+                    "offsets are out of scope"
+                )
+            step = _interval_seconds(args[2])
+            size = _interval_seconds(args[3])
+            if step % 60 or size % 60:
+                raise ValueError(
+                    "CUMULATE steps/sizes must be whole minutes here"
+                )
+            renamed = ts != "ts"
+            e = cumulate_exploded(
+                df.withColumnRenamed(ts, "ts") if renamed else df,
+                int(step // 60),
+                int(size // 60),
+            )
+            if renamed:
+                e = e.withColumnRenamed("ts", ts)
+            out = e.select(
+                *df.columns,
+                F.col("w.start").alias("window_start"),
+                F.col("end_ts").alias("window_end"),
+            ).withColumn(
+                "window_time",
+                F.expr("window_end - INTERVAL 1 MILLISECOND"),
+            )
+        else:  # SESSION
+            if len(args) != 3:
+                raise ValueError(
+                    "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)"
+                )
+            gap = _interval_seconds(args[2])
+            out = _session_assign(df, ts, keys, gap)
+
+        view = "__flink_tvf_" + hashlib.md5(
+            stmt[m.start() : outer_end].encode()
+        ).hexdigest()[:10]
+        out.createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[outer_end:]
+
+
+def _rewrite_match_recognize(spark: SparkSession, stmt: str) -> str:
+    while True:
+        m = _search_outside_literals(_MR_RE, stmt)
+        if m is None:
+            return stmt
+        tbl = m.group(1)
+        open_idx = stmt.index("(", m.end() - 1)
+        end = _scan_balanced(stmt, open_idx)
+        clause = stmt[open_idx + 1 : end - 1]
+        out = match_recognize(spark.table(tbl), clause)
+        view = "__flink_mr_" + hashlib.md5(
+            stmt[m.start() : end].encode()
+        ).hexdigest()[:10]
+        out.createOrReplaceTempView(view)
+        stmt = stmt[: m.start()] + view + stmt[end:]
+
+
+def flink_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Run a Flink SQL statement: FLIP-145 window TVFs and embedded
+    MATCH_RECOGNIZE are rewritten onto this engine's operators; the
+    rest of the statement is Spark SQL and goes through Catalyst
+    untouched.
+
+    ``tables`` registers DataFrames as temp views first (a minimal
+    stand-in for Flink's catalog; views already registered on the
+    session work too)."""
+    for name, df in (tables or {}).items():
+        df.createOrReplaceTempView(name)
+    stmt = _rewrite_tvfs(spark, statement)
+    stmt = _rewrite_match_recognize(spark, stmt)
+    return spark.sql(stmt)

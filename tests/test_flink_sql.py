@@ -1,0 +1,147 @@
+"""Flink SQL statement dialect (sql.flink_sql): TVF rewrite
+mechanics, MATCH_RECOGNIZE embedding, window_time semantics, and
+loud rejection of out-of-scope argument forms. Value equivalence of
+the five registered q_fsql_* statements is oracle-checked in
+test_oracle.py; these tests pin the shim's own behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_framework_spark.sql import (
+    _interval_seconds,
+    _scan_balanced,
+    _split_top_level,
+    flink_sql,
+)
+
+EVENTS_SCHEMA = (
+    "user_id long, ts string, event_id long, event_type string, value double"
+)
+
+
+def frame(spark, rows):
+    # TIMESTAMP_NTZ like the batch tables: the suite session runs
+    # under America/New_York, and these tests assert wall-clock
+    # window bounds
+    return spark.createDataFrame(rows, EVENTS_SCHEMA).selectExpr(
+        "user_id", "CAST(ts AS timestamp_ntz) AS ts", "event_id",
+        "event_type", "value",
+    )
+
+
+ROWS = [
+    (1, "2024-01-01 10:05:00", 1, "view", 1.0),
+    (1, "2024-01-01 10:50:00", 2, "click", 2.0),
+    (1, "2024-01-01 11:40:00", 3, "purchase", 3.0),
+]
+
+
+def test_interval_parsing():
+    assert _interval_seconds("INTERVAL '1' HOUR") == 3600.0
+    assert _interval_seconds("interval '15' minutes") == 900.0
+    assert _interval_seconds("INTERVAL '2' DAY") == 172800.0
+    with pytest.raises(ValueError, match="INTERVAL"):
+        _interval_seconds("'1' HOUR")
+
+
+def test_balanced_scan_skips_literals():
+    s = "f(a, '(', g(')'))rest"
+    assert s[_scan_balanced(s, 1):] == "rest"
+    assert _split_top_level("a, f(b, c), 'x,y'") == ["a", "f(b, c)", "'x,y'"]
+
+
+def test_tumble_statement_and_window_time(spark):
+    ev = frame(spark, ROWS)
+    out = flink_sql(spark, """
+        SELECT window_start, window_end, window_time, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE ev3, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, window_time
+        ORDER BY window_start
+    """, tables={"ev3": ev}).collect()
+    assert [r.n for r in out] == [2, 1]
+    for r in out:
+        # Flink: window_time is the window's rowtime = end - 1 ms
+        assert (r.window_end - r.window_time).total_seconds() == 0.001
+
+
+def test_hop_assigns_size_over_slide_windows(spark):
+    ev = frame(spark, ROWS[:1])  # one event at 10:05
+    out = flink_sql(spark, """
+        SELECT window_start FROM TABLE(
+          HOP(TABLE ev1, DESCRIPTOR(ts), INTERVAL '15' MINUTE,
+              INTERVAL '1' HOUR))
+        ORDER BY window_start
+    """, tables={"ev1": ev}).collect()
+    # 1h windows sliding 15m: the event belongs to 4 of them
+    starts = [str(r.window_start) for r in out]
+    assert starts == [
+        "2024-01-01 09:15:00", "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00", "2024-01-01 10:00:00",
+    ]
+
+
+def test_session_tvf_bounds(spark):
+    ev = frame(spark, ROWS)  # gaps 45m, 50m with a 30m gap -> 3 sessions
+    out = flink_sql(spark, """
+        SELECT user_id, window_start, window_end, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE evs PARTITION BY user_id,
+                           DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        GROUP BY user_id, window_start, window_end
+        ORDER BY window_start
+    """, tables={"evs": ev}).collect()
+    assert len(out) == 3
+    assert str(out[0].window_start) == "2024-01-01 10:05:00"
+    assert str(out[0].window_end) == "2024-01-01 10:35:00"  # first + gap
+
+
+def test_match_recognize_embedded_with_outer_filter(spark):
+    ev = frame(spark, ROWS)
+    out = flink_sql(spark, """
+        SELECT user_id, a_id, b_id
+        FROM evm MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES A.event_id AS a_id, B.event_id AS b_id
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'click',
+                 B AS B.event_type = 'purchase'
+        ) WHERE b_id > 0
+    """, tables={"evm": ev}).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(2, 3)]
+
+
+def test_tvf_rejects_out_of_scope_forms(spark):
+    ev = frame(spark, ROWS)
+    ev.createOrReplaceTempView("evx")
+    with pytest.raises(ValueError, match="offsets are"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(TUMBLE(TABLE evx, DESCRIPTOR(ts),
+                INTERVAL '1' HOUR, INTERVAL '5' MINUTE))""")
+    with pytest.raises(ValueError, match="SESSION-only"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(TUMBLE(TABLE evx PARTITION BY user_id,
+                DESCRIPTOR(ts), INTERVAL '1' HOUR))""")
+    with pytest.raises(ValueError, match="DESCRIPTOR"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(TUMBLE(TABLE evx, ts, INTERVAL '1' HOUR))""")
+
+
+def test_statement_without_flink_constructs_passes_through(spark):
+    ev = frame(spark, ROWS)
+    out = flink_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM evp WHERE value > 1.5",
+        tables={"evp": ev},
+    ).collect()
+    assert out[0].n == 2
+
+
+def test_literal_containing_tvf_text_is_not_rewritten(spark):
+    ev = frame(spark, ROWS)
+    out = flink_sql(spark, """
+        SELECT 'TABLE(TUMBLE(' AS s, COUNT(*) AS n FROM evq GROUP BY 1
+    """, tables={"evq": ev}).collect()
+    assert out[0].s == "TABLE(TUMBLE(" and out[0].n == 3
