@@ -104,8 +104,23 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
         .start()
     )
     try:
-        time.sleep(seconds)
-        progresses = [p for p in q.recentProgress if p is not None]
+        # adaptive window: the Arrow/Python state scenarios pay a
+        # multi-second first batch (worker fork + state init); a fixed
+        # sleep can end with zero steady-state samples on a loaded
+        # machine. Observe at least ``seconds``, then keep going (up
+        # to a hard cap) until >= 4 input-bearing progress reports
+        # exist — _stream_stats drops the first one.
+        cap = max(seconds * 4, 45.0)
+        start = time.monotonic()
+        while True:
+            time.sleep(1.0)
+            elapsed = time.monotonic() - start
+            progresses = [p for p in q.recentProgress if p is not None]
+            n_input = sum(
+                1 for p in progresses if p.get("numInputRows", 0) > 0
+            )
+            if elapsed >= cap or (elapsed >= seconds and n_input >= 4):
+                break
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -113,7 +128,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, four scenarios covering the
+    """Structured Streaming throughput, seven scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
@@ -131,7 +146,11 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     - session windows (I3): one hit per key per batch with a 500 ms
       gap, append — sessions form, close on watermark, and evict,
       measuring the open/merge-check/close path rather than one
-      ever-growing session per key.
+      ever-growing session per key;
+    - plus the RocksDB-provider dedup variant, the
+      applyInPandasWithState CEP funnel, and streaming
+      MATCH_RECOGNIZE (the two Arrow/Python keyed-state paths,
+      measured apart from the JVM scenarios).
 
     Measured, not inferred from batch twins."""
     from pyspark.sql import functions as F
@@ -279,6 +298,38 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     out["cep_funnel"]["pipeline"] = (
         "rate-micro-batch (100k rows/batch, 25k keys)->"
         "applyInPandasWithState funnel state machine->noop(update)"
+    )
+
+    # streaming MATCH_RECOGNIZE: JVM-side DEFINE flags feeding the
+    # per-key Arrow NFA with watermark-gated anchor finalization.
+    # Alternating view/purchase per key per batch -> strict PATTERN
+    # (A B) matches every pair; WITHIN 2s == watermark delay, so each
+    # batch appends rows, finalizes ~2-batch-old anchors, emits, and
+    # trims state — the full buffer lifecycle at 25k keys.
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    mr_src = rate_mb(cr).select(
+        (F.col("value") % ck).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        F.when(F.col("value") % 2 == 0, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+    ).withWatermark("ts", "2 seconds")
+    mr = match_recognize_stream(mr_src, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        WITHIN INTERVAL '2' SECOND
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""")
+    out["match_recognize"] = _run_stream_scenario(mr, "update", seconds * 2)
+    out["match_recognize"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys)->JVM DEFINE "
+        "flags->per-key Arrow NFA, watermark-gated finalization"
+        "->noop(update)"
     )
     return out
 

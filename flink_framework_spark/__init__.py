@@ -16,6 +16,8 @@ where built-in functions genuinely cannot express the semantics.
 Layout
 ------
 - ``session``    SparkSession builder (AQE on, UTC, tuned shuffle)
+- ``sql``        Flink SQL statement dialect (window TVFs,
+                 MATCH_RECOGNIZE) rewritten onto the operators
 - ``io``         parquet table loaders (incl. the ns-timestamp fix)
 - ``registry``   query registry: name -> (spark callable, oracle SQL)
 - ``queries``    the full SURVEY.md §2 operator inventory
@@ -30,3 +32,4 @@ Layout
 __version__ = "0.1.0"
 
 from flink_framework_spark.registry import all_queries  # noqa: F401
+from flink_framework_spark.sql import flink_sql  # noqa: F401
