@@ -137,13 +137,16 @@ def _search_outside_literals(pattern: re.Pattern, text: str):
 
 
 def _with_window_cols(df: DataFrame, w) -> DataFrame:
+    # window_start/window_end/window_time are the FLIP-145 columns.
+    # The assignment STRUCT is also kept as ``window``: projected
+    # fields lose Spark's watermark-to-window linkage, so a STREAMING
+    # statement must GROUP BY ``window`` (then read window.start/end)
+    # for append-mode finalization — batch statements group by
+    # window_start/window_end exactly as in Flink.
     return (
-        df.withColumn("__w", w)
-        .select(
-            *[c for c in df.columns],
-            F.col("__w.start").alias("window_start"),
-            F.col("__w.end").alias("window_end"),
-        )
+        df.withColumn("window", w)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
         .withColumn(
             "window_time", F.expr("window_end - INTERVAL 1 MILLISECOND")
         )

@@ -145,3 +145,55 @@ def test_literal_containing_tvf_text_is_not_rewritten(spark):
         SELECT 'TABLE(TUMBLE(' AS s, COUNT(*) AS n FROM evq GROUP BY 1
     """, tables={"evq": ev}).collect()
     assert out[0].s == "TABLE(TUMBLE(" and out[0].n == 3
+
+
+def test_tumble_statement_streaming_append_equals_batch(spark, sf_dir):
+    """The statement dialect composes with Structured Streaming: a
+    watermarked stream registered as the TVF source supports
+    append-mode (watermark-finalized) aggregation when the statement
+    groups by the preserved ``window`` struct — and the drained
+    result equals the same statement run on the batch table."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stmt = """
+        SELECT DATE_FORMAT({start}, 'yyyy-MM-dd HH:mm:ss') AS ws,
+               event_type, COUNT(*) AS n, MAX(window.end) AS we
+        FROM TABLE(TUMBLE(TABLE {src}, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window, event_type
+    """
+    sdf = read_events_stream(spark, sf_dir, with_watermark="2 seconds")
+    streamed = flink_sql(
+        spark,
+        # the stream carries TIMESTAMP instants: render the window
+        # start in UTC so it matches the batch table's NTZ wall clock
+        stmt.format(src="fsql_sev",
+                    start="convert_timezone('UTC', window.start)"),
+        tables={"fsql_sev": sdf},
+    )
+    assert streamed.isStreaming
+    got = run_to_memory(
+        streamed, query_name="t_fsql_stream_tumble", output_mode="append"
+    )
+    bat = table(spark, sf_dir, "events")
+    exp = flink_sql(
+        spark,
+        stmt.format(src="fsql_bev", start="window.start"),
+        tables={"fsql_bev": bat},
+    )
+    # append mode only emits windows the final watermark closed: the
+    # window holding the max event time stays open when the stream
+    # drains — exclude it from the batch expectation
+    from datetime import timedelta
+
+    wm_final = bat.agg(F.max("ts")).collect()[0][0] - timedelta(seconds=2)
+    a = sorted((r.ws, r.event_type, r.n) for r in got.collect())
+    b = sorted(
+        (r.ws, r.event_type, r.n)
+        for r in exp.collect()
+        if r.we <= wm_final
+    )
+    assert a == b and len(a) > 0
