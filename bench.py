@@ -284,11 +284,17 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     # and match emission on all 25k keys.
     from flink_framework_spark.streaming.stateful import funnel_conversions
 
+    # cr/ck = 4 events per key per batch. Event type MUST alternate
+    # per key over that key's own sequence — (value // ck) % 2 gives
+    # each key view,purchase,view,purchase within a batch. (value % 2
+    # would pin each key to ONE type forever, since value % ck fixes
+    # value's parity per key for even ck: the scenario would then
+    # measure pure buffering and never the match/emit path.)
     cr, ck = 100_000, 25_000
     cep_src = rate_mb(cr).select(
         (F.col("value") % ck).alias("user_id"),
         F.col("timestamp").alias("ts"),
-        F.when(F.col("value") % 2 == 0, "view")
+        F.when((F.col("value") / ck).cast("long") % 2 == 0, "view")
         .otherwise("purchase")
         .alias("event_type"),
     )
@@ -312,7 +318,7 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         (F.col("value") % ck).alias("user_id"),
         F.col("timestamp").alias("ts"),
         F.col("value").alias("event_id"),
-        F.when(F.col("value") % 2 == 0, "view")
+        F.when((F.col("value") / ck).cast("long") % 2 == 0, "view")
         .otherwise("purchase")
         .alias("event_type"),
     ).withWatermark("ts", "2 seconds")

@@ -66,6 +66,9 @@ def _dur_str(seconds: float) -> str:
     return f"{int(seconds)} seconds"
 
 
+_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
 def _scan_balanced(text: str, open_idx: int) -> int:
     """Index just past the ``)`` matching ``(`` at ``open_idx``,
     skipping string literals."""
@@ -73,7 +76,7 @@ def _scan_balanced(text: str, open_idx: int) -> int:
     while i < n:
         ch = text[i]
         if ch == "'":
-            m = re.compile(r"'(?:[^']|'')*'").match(text, i)
+            m = _LIT_RE.match(text, i)
             if not m:
                 raise ValueError("unterminated string literal")
             i = m.end()
@@ -94,7 +97,7 @@ def _split_top_level(args: str) -> list[str]:
     while i < n:
         ch = args[i]
         if ch == "'":
-            m = re.compile(r"'(?:[^']|'')*'").match(args, i)
+            m = _LIT_RE.match(args, i)
             cur.append(args[i : m.end()])
             i = m.end()
             continue
@@ -124,8 +127,6 @@ _DESCRIPTOR_RE = re.compile(r"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$")
 
 _MR_RE = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(")
 
-_LIT_RE = re.compile(r"'(?:[^']|'')*'")
-
 
 def _search_outside_literals(pattern: re.Pattern, text: str):
     """First match of ``pattern`` not inside a quoted string literal."""
@@ -136,13 +137,25 @@ def _search_outside_literals(pattern: re.Pattern, text: str):
     return None
 
 
-def _with_window_cols(df: DataFrame, w) -> DataFrame:
+def _reject_column_collisions(df: DataFrame, kind: str, names) -> None:
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{kind} TVF source already has column(s) {clash} — the "
+            "rewrite would silently overwrite them; rename them first"
+        )
+
+
+def _with_window_cols(df: DataFrame, kind: str, w) -> DataFrame:
     # window_start/window_end/window_time are the FLIP-145 columns.
     # The assignment STRUCT is also kept as ``window``: projected
     # fields lose Spark's watermark-to-window linkage, so a STREAMING
     # statement must GROUP BY ``window`` (then read window.start/end)
     # for append-mode finalization — batch statements group by
     # window_start/window_end exactly as in Flink.
+    _reject_column_collisions(
+        df, kind, ("window", "window_start", "window_end", "window_time")
+    )
     return (
         df.withColumn("window", w)
         .withColumn("window_start", F.col("window.start"))
@@ -239,7 +252,7 @@ def _rewrite_tvfs(
                     "out of scope"
                 )
             size = _interval_seconds(args[2])
-            out = _with_window_cols(df, F.window(ts, _dur_str(size)))
+            out = _with_window_cols(df, kind, F.window(ts, _dur_str(size)))
         elif kind == "HOP":
             if len(args) != 4:
                 raise ValueError(
@@ -249,7 +262,7 @@ def _rewrite_tvfs(
             slide = _interval_seconds(args[2])
             size = _interval_seconds(args[3])
             out = _with_window_cols(
-                df, F.window(ts, _dur_str(size), _dur_str(slide))
+                df, kind, F.window(ts, _dur_str(size), _dur_str(slide))
             )
         elif kind == "CUMULATE":
             if len(args) != 4:
@@ -263,6 +276,12 @@ def _rewrite_tvfs(
                 raise ValueError(
                     "CUMULATE steps/sizes must be whole minutes here"
                 )
+            _reject_column_collisions(
+                df, kind,
+                ("w", "k", "end_ts", "window_start", "window_end",
+                 "window_time")
+                + (("ts",) if ts != "ts" else ()),
+            )
             renamed = ts != "ts"
             e = cumulate_exploded(
                 df.withColumnRenamed(ts, "ts") if renamed else df,
@@ -284,6 +303,11 @@ def _rewrite_tvfs(
                 raise ValueError(
                     "SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)"
                 )
+            _reject_column_collisions(
+                df, kind,
+                ("window_start", "window_end", "window_time",
+                 "__prev", "__sid"),
+            )
             gap = _interval_seconds(args[2])
             out = _session_assign(df, ts, keys, gap)
 

@@ -197,3 +197,17 @@ def test_tumble_statement_streaming_append_equals_batch(spark, sf_dir):
         if r.we <= wm_final
     )
     assert a == b and len(a) > 0
+
+
+def test_tvf_rejects_output_column_collisions(spark):
+    ev = frame(spark, ROWS).withColumn("window_start", F.lit(1))
+    with pytest.raises(ValueError, match="window_start"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(TUMBLE(TABLE evc, DESCRIPTOR(ts),
+                INTERVAL '1' HOUR))""", tables={"evc": ev})
+    ev2 = frame(spark, ROWS).withColumn("end_ts", F.lit(1))
+    with pytest.raises(ValueError, match="end_ts"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(CUMULATE(TABLE evc2, DESCRIPTOR(ts),
+                INTERVAL '15' MINUTE, INTERVAL '1' HOUR))""",
+            tables={"evc2": ev2})
