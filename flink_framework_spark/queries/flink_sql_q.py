@@ -193,3 +193,73 @@ def q_fsql_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  P AS P.event_type = 'purchase'
         )
     """, tables=_events(spark, sf_dir))
+
+
+_VERSIONS_ORACLE = """
+cl AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value >= 300 THEN 'gold'
+              WHEN value >= 100 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM events WHERE event_type = 'purchase'),
+last_per_ts AS (
+  SELECT user_id, ts, tier FROM (
+    SELECT user_id, ts, tier,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_ts
+    FROM cl) t
+  WHERE next_ts IS NULL OR next_ts <> ts),
+chg AS (
+  SELECT user_id, ts, tier FROM (
+    SELECT user_id, ts, tier,
+           LAG(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM last_per_ts) t
+  WHERE prev IS NULL OR prev <> tier),
+v AS (
+  SELECT user_id, tier, ts AS valid_from,
+         LEAD(ts) OVER w AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+"""
+
+
+@register(
+    "q_fsql_temporal",
+    family="C",
+    oracle=f"""
+WITH {_VERSIONS_ORACLE},
+cl2 AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       v.tier, v.version
+FROM cl2 c ASOF JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.valid_from
+""",
+)
+def q_fsql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink temporal (versioned-table) join as a statement:
+    ``JOIN tier_dim FOR SYSTEM_TIME AS OF c.ts`` against the SCD2
+    user-tier dimension (operators.scd.scd2_build) rewrites to the
+    point-in-time containment predicate — same semantics as
+    q_temporal_join's operator form (and DuckDB's ASOF JOIN oracle),
+    now in the syntax a Flink SQL user writes."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.queries.scd_q import tier_versions
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return flink_sql(spark, """
+        SELECT c.event_id, c.user_id,
+               DATE_FORMAT(c.ts, 'yyyy-MM-dd HH:mm:ss') AS ts,
+               d.tier, d.version
+        FROM fsql_clicks c
+        JOIN fsql_tier_dim FOR SYSTEM_TIME AS OF c.ts AS d
+          ON c.user_id = d.user_id
+    """, tables={
+        "fsql_clicks": clicks,
+        "fsql_tier_dim": tier_versions(spark, sf_dir),
+    })

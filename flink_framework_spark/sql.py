@@ -13,6 +13,10 @@ Spark SQL does not parse:
   ``window_end``, ``window_time`` (= window_end - 1 ms, Flink's
   rowtime attribute of the window).
 - **MATCH_RECOGNIZE** attached to a FROM table reference.
+- **Temporal (versioned-table) joins**: ``JOIN dim FOR SYSTEM_TIME
+  AS OF probe.ts [AS d] ON ...`` against an SCD2 relation carrying
+  ``valid_from``/``valid_to`` — rewritten to the point-in-time
+  containment predicate.
 
 :func:`flink_sql` accepts a full statement, rewrites those constructs
 onto this engine's operators (``F.window`` for tumble/hop, the
@@ -126,6 +130,12 @@ _SOURCE_RE = re.compile(
 _DESCRIPTOR_RE = re.compile(r"(?is)^DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)$")
 
 _MR_RE = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(")
+
+_TEMPORAL_RE = re.compile(
+    r"(?is)\b([A-Za-z_]\w*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"([A-Za-z_]\w*\.[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\b"
+)
 
 
 def _search_outside_literals(pattern: re.Pattern, text: str):
@@ -318,6 +328,37 @@ def _rewrite_tvfs(
         stmt = stmt[: m.start()] + view + stmt[outer_end:]
 
 
+def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
+    """Flink versioned-table join: ``JOIN dim FOR SYSTEM_TIME AS OF
+    probe.ts [AS d] ON <cond>``. The dimension must be an SCD2
+    versioned relation carrying ``valid_from`` / ``valid_to``
+    (half-open; NULL valid_to = current version — the shape
+    ``operators.scd.scd2_build`` produces). The clause rewrites to a
+    plain join with the point-in-time containment predicate injected
+    into ON, which Catalyst plans like any other range-bounded join;
+    a probe row before the key's first version drops (Flink's
+    event-time temporal-join semantics)."""
+    while True:
+        m = _search_outside_literals(_TEMPORAL_RE, stmt)
+        if m is None:
+            return stmt
+        dim, probe_ts, alias = m.group(1), m.group(2), m.group(3)
+        q = alias or dim
+        cols = set(spark.table(dim).columns)
+        if not {"valid_from", "valid_to"} <= cols:
+            raise ValueError(
+                f"FOR SYSTEM_TIME AS OF: {dim!r} is not a versioned "
+                "relation — it needs valid_from/valid_to columns "
+                "(build one with operators.scd.scd2_build)"
+            )
+        head = dim + (f" AS {alias}" if alias else "")
+        pred = (
+            f"({probe_ts} >= {q}.valid_from AND "
+            f"({q}.valid_to IS NULL OR {probe_ts} < {q}.valid_to))"
+        )
+        stmt = f"{stmt[: m.start()]}{head} ON {pred} AND{stmt[m.end():]}"
+
+
 def _rewrite_match_recognize(spark: SparkSession, stmt: str) -> str:
     while True:
         m = _search_outside_literals(_MR_RE, stmt)
@@ -351,5 +392,6 @@ def flink_sql(
     for name, df in (tables or {}).items():
         df.createOrReplaceTempView(name)
     stmt = _rewrite_tvfs(spark, statement)
+    stmt = _rewrite_temporal_joins(spark, stmt)
     stmt = _rewrite_match_recognize(spark, stmt)
     return spark.sql(stmt)

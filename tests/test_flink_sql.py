@@ -211,3 +211,53 @@ def test_tvf_rejects_output_column_collisions(spark):
             SELECT * FROM TABLE(CUMULATE(TABLE evc2, DESCRIPTOR(ts),
                 INTERVAL '15' MINUTE, INTERVAL '1' HOUR))""",
             tables={"evc2": ev2})
+
+
+def test_temporal_join_statement(spark):
+    dim_rows = [
+        (1, "bronze", "2024-01-01 00:00:00", "2024-01-05 00:00:00", 1),
+        (1, "gold", "2024-01-05 00:00:00", None, 2),
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "user_id long, tier string, valid_from string,"
+        " valid_to string, version long"
+    ).selectExpr(
+        "user_id", "tier", "CAST(valid_from AS timestamp_ntz) AS valid_from",
+        "CAST(valid_to AS timestamp_ntz) AS valid_to", "version",
+    )
+    facts = frame(spark, [
+        (1, "2023-12-30 12:00:00", 10, "click", 0.0),  # before v1: drops
+        (1, "2024-01-02 12:00:00", 11, "click", 0.0),  # inside v1
+        (1, "2024-01-05 00:00:00", 12, "click", 0.0),  # v2 boundary
+        (1, "2024-06-01 00:00:00", 13, "click", 0.0),  # current version
+    ])
+    out = flink_sql(spark, """
+        SELECT f.event_id, d.tier, d.version
+        FROM tj_facts f
+        JOIN tj_dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.user_id = d.user_id
+        ORDER BY f.event_id
+    """, tables={"tj_facts": facts, "tj_dim": dim})
+    assert [(r.event_id, r.tier, r.version) for r in out.collect()] == [
+        (11, "bronze", 1), (12, "gold", 2), (13, "gold", 2),
+    ]
+    # bare form (no alias): dim name qualifies the predicate
+    out2 = flink_sql(spark, """
+        SELECT f.event_id, tj_dim.tier
+        FROM tj_facts f
+        JOIN tj_dim FOR SYSTEM_TIME AS OF f.ts
+          ON f.user_id = tj_dim.user_id
+        ORDER BY f.event_id
+    """)
+    assert [r.event_id for r in out2.collect()] == [11, 12, 13]
+
+
+def test_temporal_join_rejects_unversioned_dim(spark):
+    facts = frame(spark, ROWS)
+    facts.createOrReplaceTempView("tj_facts2")
+    frame(spark, ROWS).createOrReplaceTempView("tj_plain")
+    with pytest.raises(ValueError, match="valid_from"):
+        flink_sql(spark, """
+            SELECT * FROM tj_facts2 f
+            JOIN tj_plain FOR SYSTEM_TIME AS OF f.ts AS d
+              ON f.user_id = d.user_id""")
