@@ -101,6 +101,36 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dynamic_session_windows(events: DataFrame) -> DataFrame:
+    """Per-event DYNAMIC session gap — Flink's
+    ``SessionWindowTimeGapExtractor``: each event extends its session
+    by its own gap (purchases close fast at 10 minutes, everything
+    else idles out at 30), and overlapping per-event intervals
+    ``[ts, ts+gap)`` merge into one window whose end is the MAX
+    interval end. Spark's ``session_window`` takes the gap as an
+    expression, so this stays a single JVM-side keyed aggregation —
+    batch or streaming — with no custom state code."""
+    gap = F.when(F.col("event_type") == "purchase", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", gap).alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            round_duck(F.sum("value"), 2).alias("sumv"),
+        )
+        .select(
+            "user_id",
+            _fmt_event_time(events, F.col("sw.start")).alias("ws"),
+            _fmt_event_time(events, F.col("sw.end")).alias("we"),
+            "n_ev",
+            "sumv",
+        )
+    )
+
+
 def cumulate_exploded(
     events: DataFrame, step_minutes: int = 15, size_minutes: int = 60
 ) -> DataFrame:

@@ -1046,3 +1046,47 @@ def q_stream_over(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("run_n"),
         round_duck(F.sum("value").over(w), 2).alias("run_sum"),
     )
+
+
+@register(
+    "q_stream_session_dynamic",
+    family="I",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         ts + CASE WHEN event_type = 'purchase'
+                   THEN INTERVAL 10 MINUTE
+                   ELSE INTERVAL 30 MINUTE END AS iend
+  FROM events),
+m AS (
+  SELECT *,
+         MAX(iend) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax
+  FROM g),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN pmax IS NULL OR ts >= pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       strftime(MAX(iend), '%Y-%m-%d %H:%M:%S') AS we,
+       COUNT(*) AS n_ev, ROUND(SUM(value), 2) AS sumv
+FROM s GROUP BY user_id, sid
+""",
+)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-event session gap (Flink
+    SessionWindowTimeGapExtractor): purchases extend their session by
+    only 10 minutes, other events by 30 — per-event intervals
+    [ts, ts+gap) merged by union, window end = MAX interval end. One
+    JVM-side keyed aggregation (operators.streaming_ops.
+    dynamic_session_windows); the oracle re-derives the merge with a
+    running-MAX-over-preceding-interval-ends gaps-and-islands."""
+    from flink_framework_spark.operators.streaming_ops import (
+        dynamic_session_windows,
+    )
+
+    return dynamic_session_windows(table(spark, sf_dir, "events"))

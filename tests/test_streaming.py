@@ -1135,3 +1135,25 @@ def test_over_flush_strictly_below_watermark():
     assert list(rows.event_id) == [1, 2]
     assert list(rows.run_n) == [1, 2]
     assert list(rows.run_sum) == [7.0, 12.0]
+
+
+def test_stream_dynamic_session_equals_batch(spark, sf_dir):
+    """Dynamic per-event session gap (Flink's
+    SessionWindowTimeGapExtractor, purchases 10 min / others 30):
+    the same gap EXPRESSION runs as a streaming keyed aggregation and
+    drains to exactly the batch windows — union-of-intervals merge
+    with window end = MAX(ts+gap), state handled by Spark's session
+    store, no custom state code."""
+    from flink_framework_spark.operators.streaming_ops import (
+        dynamic_session_windows,
+    )
+
+    batch = dynamic_session_windows(table(spark, sf_dir, "events"))
+    stream = run_to_memory(
+        dynamic_session_windows(read_events_stream(spark, sf_dir)),
+        query_name="t_dyn_session",
+        output_mode="complete",
+    )
+    a = sorted(map(tuple, stream.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b and len(a) > 0
