@@ -195,32 +195,9 @@ def q_fsql_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """, tables=_events(spark, sf_dir))
 
 
-_VERSIONS_ORACLE = """
-cl AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN value >= 300 THEN 'gold'
-              WHEN value >= 100 THEN 'silver'
-              ELSE 'bronze' END AS tier
-  FROM events WHERE event_type = 'purchase'),
-last_per_ts AS (
-  SELECT user_id, ts, tier FROM (
-    SELECT user_id, ts, tier,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS next_ts
-    FROM cl) t
-  WHERE next_ts IS NULL OR next_ts <> ts),
-chg AS (
-  SELECT user_id, ts, tier FROM (
-    SELECT user_id, ts, tier,
-           LAG(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-    FROM last_per_ts) t
-  WHERE prev IS NULL OR prev <> tier),
-v AS (
-  SELECT user_id, tier, ts AS valid_from,
-         LEAD(ts) OVER w AS valid_to,
-         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
-  FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-"""
+# the SCD2 versions CTE is shared with the operator-form queries —
+# one definition, no drift (queries/scd_q.py)
+from flink_framework_spark.queries.scd_q import _VERSIONS_SQL as _VERSIONS_ORACLE
 
 
 @register(

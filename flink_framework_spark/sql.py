@@ -328,16 +328,49 @@ def _rewrite_tvfs(
         stmt = stmt[: m.start()] + view + stmt[outer_end:]
 
 
+_ON_END_RE = re.compile(
+    r"(?i)\b(JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|WHERE|GROUP|"
+    r"ORDER|HAVING|LIMIT|UNION|EXCEPT|INTERSECT|WINDOW|QUALIFY)\b"
+)
+
+
+def _on_clause_end(stmt: str, start: int) -> int:
+    """Index just past the ON condition starting at ``start``: scan to
+    the next top-level clause keyword, a ``)`` closing an enclosing
+    subquery, or end of statement — skipping literals and balanced
+    parens."""
+    i, n = start, len(stmt)
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            lit = _LIT_RE.match(stmt, i)
+            if not lit:
+                raise ValueError("unterminated string literal")
+            i = lit.end()
+            continue
+        if ch == "(":
+            i = _scan_balanced(stmt, i)
+            continue
+        if ch == ")":  # closes an enclosing subquery
+            return i
+        m = _ON_END_RE.match(stmt, i)
+        if m and (i == 0 or not (stmt[i - 1].isalnum() or stmt[i - 1] == "_")):
+            return i
+        i += 1
+    return n
+
+
 def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
     """Flink versioned-table join: ``JOIN dim FOR SYSTEM_TIME AS OF
     probe.ts [AS d] ON <cond>``. The dimension must be an SCD2
     versioned relation carrying ``valid_from`` / ``valid_to``
     (half-open; NULL valid_to = current version — the shape
     ``operators.scd.scd2_build`` produces). The clause rewrites to a
-    plain join with the point-in-time containment predicate injected
-    into ON, which Catalyst plans like any other range-bounded join;
-    a probe row before the key's first version drops (Flink's
-    event-time temporal-join semantics)."""
+    plain join with the point-in-time containment predicate ANDed
+    around the PARENTHESIZED original condition (a top-level OR must
+    not escape the time filter), which Catalyst plans like any other
+    range-bounded join; a probe row before the key's first version
+    drops (Flink's event-time temporal-join semantics)."""
     while True:
         m = _search_outside_literals(_TEMPORAL_RE, stmt)
         if m is None:
@@ -356,7 +389,16 @@ def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
             f"({probe_ts} >= {q}.valid_from AND "
             f"({q}.valid_to IS NULL OR {probe_ts} < {q}.valid_to))"
         )
-        stmt = f"{stmt[: m.start()]}{head} ON {pred} AND{stmt[m.end():]}"
+        cond_end = _on_clause_end(stmt, m.end())
+        cond = stmt[m.end() : cond_end].strip()
+        if not cond:
+            raise ValueError(
+                "FOR SYSTEM_TIME AS OF: empty ON condition"
+            )
+        stmt = (
+            f"{stmt[: m.start()]}{head} ON {pred} AND ({cond}) "
+            f"{stmt[cond_end:]}"
+        )
 
 
 def _rewrite_match_recognize(spark: SparkSession, stmt: str) -> str:
@@ -381,10 +423,11 @@ def flink_sql(
     statement: str,
     tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Run a Flink SQL statement: FLIP-145 window TVFs and embedded
-    MATCH_RECOGNIZE are rewritten onto this engine's operators; the
-    rest of the statement is Spark SQL and goes through Catalyst
-    untouched.
+    """Run a Flink SQL statement: FLIP-145 window TVFs, embedded
+    MATCH_RECOGNIZE, and ``FOR SYSTEM_TIME AS OF`` temporal joins
+    (against SCD2 valid_from/valid_to relations) are rewritten onto
+    this engine's operators; the rest of the statement is Spark SQL
+    and goes through Catalyst untouched.
 
     ``tables`` registers DataFrames as temp views first (a minimal
     stand-in for Flink's catalog; views already registered on the

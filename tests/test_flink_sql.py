@@ -261,3 +261,29 @@ def test_temporal_join_rejects_unversioned_dim(spark):
             SELECT * FROM tj_facts2 f
             JOIN tj_plain FOR SYSTEM_TIME AS OF f.ts AS d
               ON f.user_id = d.user_id""")
+
+
+def test_temporal_join_parenthesizes_or_condition(spark):
+    """A top-level OR in the ON condition must not escape the
+    point-in-time filter: the rewrite parenthesizes the original
+    condition before ANDing the containment predicate."""
+    dim = spark.createDataFrame(
+        [(1, "bronze", "2024-01-01 00:00:00", "2024-01-05 00:00:00", 1),
+         (1, "gold", "2024-01-05 00:00:00", None, 2)],
+        "user_id long, tier string, valid_from string, valid_to string,"
+        " version long",
+    ).selectExpr(
+        "user_id", "tier",
+        "CAST(valid_from AS timestamp_ntz) AS valid_from",
+        "CAST(valid_to AS timestamp_ntz) AS valid_to", "version",
+    )
+    facts = frame(spark, [(1, "2024-01-02 12:00:00", 11, "click", 0.0)])
+    out = flink_sql(spark, """
+        SELECT f.event_id, d.version
+        FROM tjp_facts f
+        JOIN tjp_dim FOR SYSTEM_TIME AS OF f.ts AS d
+          ON f.user_id = d.user_id OR f.event_id = d.user_id
+        WHERE f.event_id > 0
+    """, tables={"tjp_facts": facts, "tjp_dim": dim})
+    # without parenthesization the OR branch would match BOTH versions
+    assert [(r.event_id, r.version) for r in out.collect()] == [(11, 1)]
