@@ -191,3 +191,36 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_ev"),
         F.last("event_type").over(wfull).alias("last_ev"),
     ).distinct()
+
+
+@register(
+    "q_win_time_range",
+    family="E",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+       ROUND(SUM(value) OVER w, 2) AS trail_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (Flink SQL ``OVER (... ORDER BY rowtime
+    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)``):
+    per event, the trailing-hour count and value sum for its user.
+    Unlike ROWS frames, the frame is defined by the TIME VALUES —
+    same-timestamp peers are always all included, so the result is
+    total-order-independent and needs no tie-break column. Runs as
+    one native Spark SQL window (JVM-side, one keyed shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_time_range")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+               ROUND(SUM(value) OVER w, 2) AS trail_sum
+        FROM ev_time_range
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+    """)
