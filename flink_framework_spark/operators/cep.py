@@ -252,9 +252,13 @@ def match_times(
     strategies). One row per (ending event, n_reps) — Flink's
     times(m, n) likewise emits a match per repetition count.
 
-    Output: ``(key_col, ts_first, ts_last, n_reps)`` for runs with at
-    least one ``then_step`` event after ``ts_last`` and within the
-    horizon of ``ts_first``.
+    Output: ``(key_col, ts_first, ts_last, n_reps, id_first,
+    id_last)`` for runs with at least one ``then_step`` event after
+    ``ts_last`` and within the horizon of ``ts_first``. The start/end
+    EVENT IDS ride along so two runs sharing timestamps but ending at
+    different events stay distinct matches (the per-ending-event
+    identity the streaming twin keeps in state), and so the skip
+    strategies can break timestamp ties on the true event order.
 
     Scale shape: ONE window pass over the ``step`` events computes all
     ``lag`` depths, ``stack`` melts them to per-n candidates (no
@@ -273,15 +277,18 @@ def match_times(
     lags = events.filter(F.col(type_col) == step).select(
         key_col,
         F.col(ts_col).alias("ts_last"),
+        F.col(id_col).alias("id_last"),
         *[F.lag(ts_col, n - 1).over(w).alias(f"__f{n}") for n in ns],
+        *[F.lag(id_col, n - 1).over(w).alias(f"__fi{n}") for n in ns],
     )
     stacked = lags.select(
         key_col,
         "ts_last",
+        "id_last",
         F.expr(
             f"stack({len(list(ns))}, "
-            + ", ".join(f"{n}, __f{n}" for n in ns)
-            + ") as (n_reps, ts_first)"
+            + ", ".join(f"{n}, __f{n}, __fi{n}" for n in ns)
+            + ") as (n_reps, ts_first, id_first)"
         ),
     ).filter(
         F.col("ts_first").isNotNull()
@@ -296,7 +303,7 @@ def match_times(
         & (F.col("__bts") > F.col("ts_last"))
         & (F.col("__bts") <= F.col("ts_first") + horizon),
         "left_semi",
-    ).select(key_col, "ts_first", "ts_last", "n_reps")
+    ).select(key_col, "ts_first", "ts_last", "n_reps", "id_first", "id_last")
 
 
 def enforce_strict_contiguity(
@@ -389,7 +396,10 @@ def match_one_or_more(
     unbounded looping non-combinatorial and linear-scale, the same
     reason Flink recommends greedy + skip strategies for oneOrMore.
 
-    Output: ``(key_col, ts_first, ts_last, n_reps)``.
+    Output: ``(key_col, ts_first, ts_last, n_reps, id_first,
+    id_last)`` — the run's boundary event ids ride along (min_by /
+    max_by over the total order) so downstream skip strategies can
+    distinguish runs that share timestamps.
 
     ``until`` (Flink ``oneOrMore().until(condition)``): an
     ``until``-type event stops the loop — a run cannot span one, so a
@@ -469,6 +479,12 @@ def match_one_or_more(
             F.min(ts_col).alias("ts_first"),
             F.max(ts_col).alias("ts_last"),
             F.count(F.lit(1)).alias("n_reps"),
+            F.min_by(
+                F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("id_first"),
+            F.max_by(
+                F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("id_last"),
         )
         .filter(F.col("ts_last") <= F.col("ts_first") + horizon)
     )
@@ -481,7 +497,7 @@ def match_one_or_more(
         & (F.col("__bts") > F.col("ts_last"))
         & (F.col("__bts") <= F.col("ts_first") + horizon),
         "left_semi",
-    ).select(key_col, "ts_first", "ts_last", "n_reps")
+    ).select(key_col, "ts_first", "ts_last", "n_reps", "id_first", "id_last")
 
 
 def skip_to_next(
@@ -499,15 +515,29 @@ def skip_to_next(
 
     Scale shape: pure window — one keyed shuffle, a ``row_number``
     over (key, start), filter rank 1. No grouped-map needed because
-    unlike SKIP_PAST_LAST the picks don't depend on each other."""
+    unlike SKIP_PAST_LAST the picks don't depend on each other.
+
+    Match identity is by EVENT, not timestamp: when the frame carries
+    ``id_first``/``id_last`` (match_times / match_one_or_more emit
+    them), the start partition key is (key, ts_first, id_first) — two
+    matches sharing ts_first but anchored at different events are
+    distinct starts — and the end order breaks timestamp ties on
+    id_last, the true per-key event order."""
     from pyspark.sql import Window
 
     cols = list(matches.columns)
     for c in (key_col, first_col, last_col):
         if c not in cols:
             raise ValueError(f"matches frame is missing column {c!r}")
-    order = [last_col] + [c for c in cols if c not in (key_col, first_col, last_col)]
-    w = Window.partitionBy(key_col, first_col).orderBy(*order)
+    id_first = "id_first" if "id_first" in cols else None
+    id_last = "id_last" if "id_last" in cols else None
+    start_keys = [key_col, first_col] + ([id_first] if id_first else [])
+    order = (
+        [last_col]
+        + ([id_last] if id_last else [])
+        + [c for c in cols if c not in (*start_keys, last_col, id_last)]
+    )
+    w = Window.partitionBy(*start_keys).orderBy(*order)
     return (
         matches.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -568,14 +598,30 @@ def _skip_greedy(
     """Shared greedy per-key selection: ``inclusive=False`` keeps
     matches starting strictly after the previous pick's end
     (SKIP_PAST_LAST_EVENT); ``inclusive=True`` also keeps boundary
-    starts (SKIP_TO_LAST)."""
+    starts (SKIP_TO_LAST).
+
+    When the frame carries ``id_first``/``id_last``, match boundaries
+    compare as (timestamp, event_id) pairs — the per-key total order —
+    so duplicate-timestamp runs ending at different events are ordered
+    and compared by their true event positions, not collapsed."""
     cols = list(matches.columns)
     for c in (key_col, first_col, last_col):
         if c not in cols:
             raise ValueError(f"matches frame is missing column {c!r}")
-    sort_cols = [first_col, last_col] + [
-        c for c in cols if c not in (first_col, last_col)
-    ]
+    id_first = "id_first" if "id_first" in cols else None
+    id_last = "id_last" if "id_last" in cols else None
+    lead_cols = [first_col] + ([id_first] if id_first else []) + [
+        last_col
+    ] + ([id_last] if id_last else [])
+    sort_cols = lead_cols + [c for c in cols if c not in lead_cols]
+
+    def _start(row):
+        return (
+            (row[first_col], row[id_first]) if id_first else row[first_col]
+        )
+
+    def _end(row):
+        return (row[last_col], row[id_last]) if id_last else row[last_col]
 
     def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
@@ -584,11 +630,11 @@ def _skip_greedy(
         for idx, row in pdf.iterrows():
             if (
                 last_end is None
-                or row[first_col] > last_end
-                or (inclusive and row[first_col] == last_end)
+                or _start(row) > last_end
+                or (inclusive and _start(row) == last_end)
             ):
                 keep.append(idx)
-                last_end = row[last_col]
+                last_end = _end(row)
         return pdf.loc[keep, cols]
 
     return matches.groupBy(key_col).applyInPandas(pick, matches.schema)

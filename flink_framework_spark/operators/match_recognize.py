@@ -438,6 +438,16 @@ def _measure_out_type(ms: _Measure, events: DataFrame) -> str:
     src = dict((f.name, f.dataType.simpleString()) for f in events.schema)
     if ms.col not in src:
         raise ValueError(f"measure column {ms.col!r} not in input schema")
+    if ms.func == "SUM":
+        # standard SQL aggregate result typing: summing a (possibly
+        # long) match of 32-bit ints must not overflow the declared
+        # Arrow output type — integral sums widen to bigint, float to
+        # double (pandas computes in int64/float64 regardless)
+        t = src[ms.col]
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "bigint"
+        if t in ("float", "double"):
+            return "double"
     return src[ms.col]
 
 

@@ -401,7 +401,9 @@ def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
         )
 
 
-def _rewrite_match_recognize(spark: SparkSession, stmt: str) -> str:
+def _rewrite_match_recognize(
+    spark: SparkSession, stmt: str, id_col: str = "event_id"
+) -> str:
     while True:
         m = _search_outside_literals(_MR_RE, stmt)
         if m is None:
@@ -410,7 +412,7 @@ def _rewrite_match_recognize(spark: SparkSession, stmt: str) -> str:
         open_idx = stmt.index("(", m.end() - 1)
         end = _scan_balanced(stmt, open_idx)
         clause = stmt[open_idx + 1 : end - 1]
-        out = match_recognize(spark.table(tbl), clause)
+        out = match_recognize(spark.table(tbl), clause, id_col=id_col)
         view = "__flink_mr_" + hashlib.md5(
             stmt[m.start() : end].encode()
         ).hexdigest()[:10]
@@ -422,6 +424,7 @@ def flink_sql(
     spark: SparkSession,
     statement: str,
     tables: dict[str, DataFrame] | None = None,
+    mr_id_col: str = "event_id",
 ) -> DataFrame:
     """Run a Flink SQL statement: FLIP-145 window TVFs, embedded
     MATCH_RECOGNIZE, and ``FOR SYSTEM_TIME AS OF`` temporal joins
@@ -431,10 +434,15 @@ def flink_sql(
 
     ``tables`` registers DataFrames as temp views first (a minimal
     stand-in for Flink's catalog; views already registered on the
-    session work too)."""
+    session work too).
+
+    ``mr_id_col`` is the deterministic tie-break column an embedded
+    MATCH_RECOGNIZE appends to its ORDER BY (a table without the
+    default ``event_id`` must either carry a second ORDER BY key in
+    the clause or name its id column here)."""
     for name, df in (tables or {}).items():
         df.createOrReplaceTempView(name)
     stmt = _rewrite_tvfs(spark, statement)
     stmt = _rewrite_temporal_joins(spark, stmt)
-    stmt = _rewrite_match_recognize(spark, stmt)
+    stmt = _rewrite_match_recognize(spark, stmt, id_col=mr_id_col)
     return spark.sql(stmt)

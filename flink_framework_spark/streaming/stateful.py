@@ -621,6 +621,12 @@ def make_sequence_fn(
     n = len(steps)
     if n < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
+    if absent is not None and absent in steps:
+        raise ValueError(
+            f"absent type {absent!r} is also a chain step — the event "
+            "would be both negated and chained; negate a type outside "
+            "the pattern"
+        )
     if between is not None and absent is None:
         raise ValueError("between= only applies with absent=")
     bi, bj = between if between is not None else (0, n - 1)
@@ -654,14 +660,17 @@ def make_sequence_fn(
             for ts, eid, etype in zip(
                 pdf["ts"], pdf["event_id"], pdf["event_type"]
             ):
+                # the trim high-water mark advances on EVERY row: a
+                # key dominated by unrelated event types must still
+                # trim its partials/absents at the documented
+                # horizon + disorder bound (state size, not
+                # correctness — trimmed partials can never complete)
+                sec = ts.timestamp()
+                hi = sec if hi is None else max(hi, sec)
                 if etype == absent:
-                    sec = ts.timestamp()
-                    hi = sec if hi is None else max(hi, sec)
                     absents.append(sec)
                 if etype not in positions:
                     continue
-                sec = ts.timestamp()
-                hi = sec if hi is None else max(hi, sec)
                 for i in positions[etype]:
                     if i == 0:
                         buckets[0].append(([sec], [int(eid)]))

@@ -169,3 +169,168 @@ def test_shuffle_sized_to_restores_conf_on_error(spark):
     with _shuffle_sized_to(spark, 10**12) as p:
         assert p == int(before)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ------------------------------------------- round-4 advice regressions
+
+
+def test_mr_sum_measure_widens_int_to_bigint(spark):
+    """SUM(V.col) over an int column must declare bigint output
+    (standard SQL aggregate typing): a long match of large int32
+    values sums past 2^31 in pandas (int64) and the old int-typed
+    Arrow schema would overflow/reject."""
+    import pandas as pd
+
+    from flink_framework_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    big = 2_000_000_000  # fits int32; two of them overflow it
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "event_type": ["click", "click", "purchase"],
+            "v32": [big, big, 0],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "v32", F.col("v32").cast("int")
+    )
+    out = match_recognize(df, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES SUM(A.v32) AS s, COUNT(A.*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+ B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'""")
+    assert dict(out.dtypes)["s"] == "bigint"
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["s"] == 2 * big
+
+
+def test_skip_strategies_distinguish_duplicate_timestamp_matches(spark):
+    """Two runs sharing ts_first but anchored at different events must
+    stay distinct SKIP_TO_NEXT starts, and greedy selection must
+    compare (ts, event_id) pairs — ts-only identity collapsed them."""
+    from flink_framework_spark.operators.cep import (
+        match_times,
+        skip_to_next,
+    )
+
+    # user 1: clicks at t=10,10,10 (ids 1,2,3), purchase at t=50.
+    # match_times(2,3) emits runs ending at id2 (n=2), id3 (n=2 and
+    # n=3) — the n=2 run ending at id3 and the n=3 run ending at id3
+    # share ts_first=10 with the id1-anchored runs but start at
+    # different events (id1 vs id2).
+    rows = [
+        (1, 1, 10, "click"),
+        (1, 2, 10, "click"),
+        (1, 3, 10, "click"),
+        (1, 4, 50, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, sec long, event_type string",
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_seconds("sec").alias("ts"), "event_type",
+    )
+    m = match_times(df, "click", "purchase", 2, 3, "12 HOURS")
+    assert {"id_first", "id_last"} <= set(m.columns)
+    picked = skip_to_next(m)
+    # starts: (10,id1) and (10,id2) are DISTINCT -> 2 rows survive
+    starts = {(r["ts_first"], r["id_first"]) for r in picked.collect()}
+    assert len(starts) == 2
+
+
+def test_sequence_fn_guards_absent_in_steps():
+    """absent= naming one of the chain steps means the event would be
+    both negated and chained — must raise loudly."""
+    from flink_framework_spark.streaming.stateful import make_sequence_fn
+
+    with pytest.raises(ValueError, match="absent"):
+        make_sequence_fn(["view", "click"], 100.0, absent="click")
+
+
+def test_sequence_fn_trims_state_on_unrelated_events():
+    """The trim high-water mark must advance on EVERY row: a key
+    flooded with unrelated event types still trims partials past the
+    horizon bound (state size contract)."""
+    import pandas as pd
+
+    from flink_framework_spark.streaming.stateful import make_sequence_fn
+
+    class ScriptedState:
+        def __init__(self):
+            self._val, self.exists = None, False
+            self.hasTimedOut = False
+
+        @property
+        def get(self):
+            return self._val
+
+        def update(self, v):
+            self._val, self.exists = v, True
+
+        def remove(self):
+            self._val, self.exists = None, False
+
+    fn = make_sequence_fn(["view", "click"], horizon_s=100.0)
+    st = ScriptedState()
+    T = 1_700_000_000
+    # batch 1: a 'view' opens a partial
+    p1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([T], unit="s"),
+            "event_id": [1],
+            "event_type": ["view"],
+        }
+    )
+    list(fn((1,), [p1], st))
+    assert len(st.get[0]) == 1  # one partial in state
+    # batch 2: only UNRELATED events, 500s past the horizon
+    p2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([T + 600], unit="s"),
+            "event_id": [2],
+            "event_type": ["error"],
+        }
+    )
+    list(fn((1,), [p2], st))
+    assert st.get[0] == []  # partial trimmed despite no step events
+
+
+def test_flink_sql_mr_id_col_plumbs_through(spark):
+    """A table without an ``event_id`` column runs an embedded
+    MATCH_RECOGNIZE when mr_id_col names its id column."""
+    import pandas as pd
+
+    from flink_framework_spark.sql import flink_sql
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "rid": [1, 2],
+            "ts": pd.to_datetime([1, 2], unit="s"),
+            "event_type": ["view", "purchase"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = flink_sql(
+        spark,
+        """SELECT k, a_id, b_id FROM t MATCH_RECOGNIZE (
+             PARTITION BY k ORDER BY ts
+             MEASURES A.rid AS a_id, B.rid AS b_id
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B)
+             DEFINE A AS A.event_type = 'view',
+                    B AS B.event_type = 'purchase')""",
+        tables={"t": df},
+        mr_id_col="rid",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and (rows[0]["a_id"], rows[0]["b_id"]) == (1, 2)
