@@ -135,8 +135,17 @@ def kll_quantile_summary(
     rather than exact values (property-tested against exact
     percentiles); use ``percentile_approx``/exact percentiles when a
     value-reproducible answer is required."""
-    per = df.groupBy(bucket_expr.alias(bucket_name)).agg(
-        F.kll_sketch_agg_double(value_col).alias("__sk")
+    from flink_framework_spark.operators.dedup import _staged
+
+    # both output branches (per-bucket rows AND the merged __all__
+    # row) read the per-bucket sketches; without staging, the sketch
+    # pass over the fact table runs once PER BRANCH (Spark does not
+    # dedupe common subplans) — the staged frame is tiny (one sketch
+    # blob per bucket)
+    per = _staged(
+        df.groupBy(bucket_expr.alias(bucket_name)).agg(
+            F.kll_sketch_agg_double(value_col).alias("__sk")
+        )
     )
 
     def qcols(sk):
