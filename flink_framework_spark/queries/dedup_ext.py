@@ -188,7 +188,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup candidates via 16-bit block pigeonhole
     join + exact Hamming verify. Deterministic (xxhash64 token
     hashes); value-checked against a frozen golden snapshot at sf0.01
-    (tools/freeze_driver_golden.py) + planted-dup properties."""
+    (tools/freeze_driver_golden.py) + planted-dup properties.
+
+    SCALE CONTRAST, not the shipped path: 16-bit block keys collide
+    quadratically at deep tiles (measured alpha 1.56 at 30x —
+    SCALING.md), which is exactly why the shipped method is the
+    128-bit Manku combination-key spelling (``q_dedup_simhash128``,
+    alpha 0.73 at 100x). Kept registered + benched as the labeled
+    quadratic alternative measured to its conclusion; it is
+    deliberately OUTSIDE the driver-attested ``q_dedup_suite`` melt
+    so the attested slot stays sublinear at depth."""
     return simhash_near_dup_pairs(
         table(spark, sf_dir, "documents"), max_hamming=8
     )
