@@ -18,12 +18,28 @@ Spark-first split of the work:
   so arbitrary Spark SQL (the full function library, codegen'd) is
   available in conditions and only booleans + the columns MEASURES
   actually reads cross the Arrow boundary.
+- **Non-backtracking patterns compile to a pure-relational plan.**
+  A pattern whose elements are all singletons (no quantifiers, or
+  only ``{1,1}``) has fixed length k: a match is k consecutive rows
+  whose flags line up, i.e. ONE window pass of ``lead()`` columns
+  over the per-key total order — JVM-side, whole-stage codegen, no
+  Python anywhere. ``SKIP TO NEXT ROW`` emits every candidate
+  directly; ``SKIP PAST LAST ROW`` additionally needs greedy
+  non-overlap selection, which is skipped entirely when the anchor
+  element's DEFINE is provably disjoint from every later element's
+  (the archetypal ``type = 'x'`` chains — no candidate can start
+  inside another match), and otherwise runs as a grouped-map scan
+  over the CANDIDATE rows only (a tiny fraction of the input), never
+  over the events.
 - **The NFA runs per key in one Arrow grouped map** — the same shape
-  as Flink's own keyed NFA operator. Per-key sequential matching is
-  inherently order-dependent state-machine work (no relational
-  spelling exists for general greedy backtracking), so this is the
-  sanctioned ``applyInPandas`` case: one shuffle on the partition
-  key, bounded per-key state, no driver involvement.
+  as Flink's own keyed NFA operator, kept for genuinely
+  greedy/backtracking patterns (``*``/``+``/``?``/``{m,n}``).
+  Per-key sequential matching with backtracking is inherently
+  order-dependent state-machine work (no relational spelling
+  exists), so this is the sanctioned ``applyInPandas`` case: one
+  shuffle on the partition key, bounded per-key state, no driver
+  involvement. Both paths are fuzz-checked equal on eligible
+  patterns (tests/test_match_recognize.py).
 
 Supported subset (loud errors otherwise): ``PARTITION BY`` one
 column; ``ORDER BY`` the event-time column (a deterministic
@@ -514,16 +530,35 @@ def match_recognize(
     events: DataFrame,
     clause: str,
     id_col: str = "event_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Run a ``MATCH_RECOGNIZE`` clause against ``events``.
 
     One shuffle on the partition key; DEFINE predicates evaluated
-    JVM-side as boolean flag columns; the greedy backtracking NFA runs
-    per key in a single Arrow grouped map, exactly the keyed-operator
-    shape Flink compiles this clause to. Output: partition column +
-    one column per measure, one row per match.
+    JVM-side as boolean flag columns. Singleton patterns (every
+    element exactly once) compile to a pure-relational lead-window
+    plan (see module doc — no Python stage for the archetypal
+    disjoint-DEFINE chains); everything else runs the greedy
+    backtracking NFA per key in a single Arrow grouped map, exactly
+    the keyed-operator shape Flink compiles this clause to. Output:
+    partition column + one column per measure, one row per match.
+
+    ``engine``: ``"auto"`` (default — relational when eligible),
+    ``"relational"`` (raise if the pattern is not eligible), or
+    ``"nfa"`` (force the NFA; the fuzz suite uses this to assert both
+    paths agree on eligible patterns).
     """
+    if engine not in ("auto", "relational", "nfa"):
+        raise ValueError(f"engine must be auto|relational|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
+    eligible = _relational_eligible(spec)
+    if engine == "relational" and not eligible:
+        raise ValueError(
+            "engine='relational' needs a singleton pattern (no "
+            "quantifiers) with SKIP PAST LAST ROW or TO NEXT ROW"
+        )
+    if eligible and engine != "nfa":
+        return _compile_relational(events, spec, id_col)
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )
@@ -531,6 +566,188 @@ def match_recognize(
     return flagged.groupBy(spec.partition_by).applyInPandas(
         matcher, schema=out_schema
     )
+
+
+# ------------------------------------------------- relational fast path
+
+
+def _relational_eligible(spec: MRSpec) -> bool:
+    """Singleton patterns only: every element consumed exactly once
+    means matches have fixed length k and zero backtracking — the
+    lead-window compilation below is exact. (Both supported skip
+    modes are handled; quantified patterns keep the NFA.)"""
+    return all(e.n_min == 1 and e.n_max == 1 for e in spec.elements)
+
+
+_DEFINE_EQ_RE = re.compile(
+    r"(?is)^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*=\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _define_eq_literal(expr: str | None):
+    """``[VAR.]col = <literal>`` → (col, canonical literal) or None.
+    Used only as a sufficient disjointness proof — anything fancier
+    returns None and the compiler falls back to explicit selection."""
+    if expr is None:
+        return None
+    m = _DEFINE_EQ_RE.match(expr)
+    if not m:
+        return None
+    col, lit = m.group(2).lower(), m.group(3)
+    if lit.startswith("'"):
+        return (col, ("s", lit[1:-1].replace("''", "'")))
+    return (col, ("n", float(lit)))
+
+
+def _anchor_disjoint(spec: MRSpec) -> bool:
+    """True when NO row can satisfy both the anchor element's DEFINE
+    and any later element's DEFINE — proven from literal-equality
+    conditions on one shared column (``type = 'x'`` chains). Then a
+    candidate can never start inside another match, so SKIP PAST LAST
+    ROW keeps every candidate and the plan stays join/window-only."""
+    p0 = _define_eq_literal(spec.defines.get(spec.elements[0].var))
+    if p0 is None:
+        return False
+    for e in spec.elements[1:]:
+        p = _define_eq_literal(spec.defines.get(e.var))
+        if p is None or p[0] != p0[0] or p[1] == p0[1]:
+            return False
+    return True
+
+
+def _compile_relational(
+    events: DataFrame, spec: MRSpec, id_col: str
+) -> DataFrame:
+    """Compile a singleton pattern onto one lead-window pass.
+
+    A match anchored at row r is exactly rows r..r+k-1 with element
+    j's flag true at r+j (strict contiguity) and, under WITHIN, the
+    last row inside the anchor's window — all expressible as
+    ``lead()`` columns over the per-key total order: ONE keyed sort,
+    whole-stage codegen, flags and measures alike. Every window
+    expression shares the same WindowSpec, so Catalyst plans a single
+    Window node. The WITHIN bound compares exact integer nanoseconds
+    (``timestampdiff(MICROSECOND) * 1000``) — the same arithmetic the
+    NFA scan uses, so the paths agree bit-for-bit at boundaries."""
+    from pyspark.sql import Window
+
+    flagged, order_by, ts_col, _ = prepare_flags(events, spec, id_col)
+    k = len(spec.elements)
+    w = Window.partitionBy(spec.partition_by).orderBy(*order_by)
+
+    def at(col: str, j: int):
+        return F.col(col) if j == 0 else F.lead(col, j).over(w)
+
+    positions: dict[str, list[int]] = {}
+    for j, e in enumerate(spec.elements):
+        positions.setdefault(e.var, []).append(j)
+
+    # one select computes every lead the filter and measures need
+    proj = [F.col(spec.partition_by), *(F.col(c) for c in order_by)]
+    flag_cols = []
+    for j, e in enumerate(spec.elements):
+        c = f"__c{j}"
+        proj.append(
+            F.coalesce(at(f"__m_{e.var}", j), F.lit(False)).alias(c)
+        )
+        flag_cols.append(c)
+    mvals: list[tuple[str, object]] = []  # (measure name, source expr)
+    for mi, ms in enumerate(spec.measures):
+        out_t = _measure_out_type(ms, events)
+        if ms.func == "MATCH_NUMBER":
+            expr = None  # numbered after selection, over kept matches
+        elif ms.func == "COUNT_STAR":
+            expr = F.lit(k).cast("bigint")
+        elif ms.func == "COUNT":
+            expr = F.lit(len(positions[ms.var])).cast("bigint")
+        else:
+            pos = positions[ms.var]
+            if ms.func == "FIRST":
+                expr = at(ms.col, min(pos))
+            elif ms.func in ("LAST", "VAR_COL"):
+                expr = at(ms.col, max(pos))
+            elif ms.func == "SUM":
+                terms = [at(ms.col, j).cast(out_t) for j in pos]
+                expr = terms[0]
+                for t in terms[1:]:
+                    expr = expr + t
+            elif ms.func == "MIN":
+                expr = (
+                    at(ms.col, pos[0])
+                    if len(pos) == 1
+                    else F.least(*[at(ms.col, j) for j in pos])
+                )
+            elif ms.func == "MAX":
+                expr = (
+                    at(ms.col, pos[0])
+                    if len(pos) == 1
+                    else F.greatest(*[at(ms.col, j) for j in pos])
+                )
+            else:  # AVG
+                terms = [at(ms.col, j).cast("double") for j in pos]
+                s = terms[0]
+                for t in terms[1:]:
+                    s = s + t
+                expr = s / F.lit(float(len(pos)))
+            expr = expr.cast(out_t)
+        if expr is not None:
+            proj.append(expr.alias(f"__mv{mi}"))
+            mvals.append((ms.name, f"__mv{mi}"))
+    if spec.within_s is not None and k > 1:
+        proj.append(at(ts_col, k - 1).alias("__ts_last"))
+
+    need_rn = spec.skip == "past_last" and k > 1 and not _anchor_disjoint(spec)
+    if need_rn:
+        proj.append(F.row_number().over(w).alias("__rn"))
+
+    step = flagged.select(*proj)
+    cond = F.col(flag_cols[0])
+    for c in flag_cols[1:]:
+        cond = cond & F.col(c)
+    if spec.within_s is not None and k > 1:
+        within_ns = round(spec.within_s * 1e9)
+        cond = cond & (
+            F.expr(
+                f"timestampdiff(MICROSECOND, {ts_col}, __ts_last)"
+            )
+            * F.lit(1000)
+            <= F.lit(within_ns)
+        )
+    cands = step.filter(cond)
+
+    if need_rn:
+        # greedy non-overlap selection over CANDIDATES only (rows
+        # where a full match starts — not the event stream): per key,
+        # in anchor order, keep a candidate iff its span starts past
+        # the previous kept span's end. Sequential per key by nature
+        # (each pick moves the resume point), matches are length k.
+        keep_schema = cands.schema
+
+        def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__rn", kind="mergesort")
+            keep, nxt = [], -1
+            for i, rn in zip(pdf.index, pdf["__rn"]):
+                if rn >= nxt:
+                    keep.append(i)
+                    nxt = rn + k
+            return pdf.loc[keep]
+
+        cands = cands.groupBy(spec.partition_by).applyInPandas(
+            pick, keep_schema
+        )
+
+    mno = F.row_number().over(
+        Window.partitionBy(spec.partition_by).orderBy(*order_by)
+    )
+    out_cols = [F.col(spec.partition_by)]
+    mv = dict(mvals)
+    for ms in spec.measures:
+        if ms.func == "MATCH_NUMBER":
+            out_cols.append(mno.cast("bigint").alias(ms.name))
+        else:
+            out_cols.append(F.col(mv[ms.name]).alias(ms.name))
+    return cands.select(*out_cols)
 
 
 # -------------------------------------------------------------- matcher
@@ -564,15 +781,23 @@ def scan_rows(
     n = len(pdf)
     flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
     if within_s is not None:
-        # normalize to ns regardless of the Arrow-side unit (us/ns)
-        ts_s = (
-            pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype("int64")
-            / 1e9
+        # exact integer nanoseconds (normalized regardless of the
+        # Arrow-side unit, us/ns) — float-seconds comparisons can
+        # misclassify a row whose span equals WITHIN exactly (float64
+        # eps at 2024 epochs is ~2.4e-7 s); the relational fast path
+        # compares the same integers, so the two engines agree
+        # bit-for-bit at boundaries
+        ts_ns = pdf[ts_col].to_numpy(dtype="datetime64[ns]").astype(
+            "int64"
         )
+        within_ns = round(within_s * 1e9)
     else:
-        ts_s = None
-    if anchor_bound_s is not None and ts_s is None:
-        raise ValueError("streaming MATCH_RECOGNIZE requires WITHIN")
+        ts_ns = None
+        within_ns = None
+    if anchor_bound_s is not None:
+        if ts_ns is None:
+            raise ValueError("streaming MATCH_RECOGNIZE requires WITHIN")
+        anchor_bound_ns = round(anchor_bound_s * 1e9)
 
     def try_match(start: int) -> list[tuple[int, int]] | None:
         """Greedy backtracking match anchored at row ``start``;
@@ -606,8 +831,8 @@ def scan_rows(
             cap = n - pos if n_max is None else min(n_max, n - pos)
             run = 0
             while run < cap and fv[pos + run]:
-                if ts_s is not None:
-                    if ts_s[pos + run] - ts_s[start] > within_s:
+                if ts_ns is not None:
+                    if ts_ns[pos + run] - ts_ns[start] > within_ns:
                         break
                 run += 1
             for c in range(run, n_min - 1, -1):
@@ -628,7 +853,7 @@ def scan_rows(
     while i < n:
         if (
             anchor_bound_s is not None
-            and ts_s[i] + within_s >= anchor_bound_s
+            and ts_ns[i] + within_ns >= anchor_bound_ns
         ):
             # this anchor's window is still open — not final. ``>=``
             # because Spark drops only rows STRICTLY below the

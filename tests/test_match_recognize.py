@@ -410,24 +410,192 @@ def test_fuzz_vs_bruteforce(spark, seed):
             expect.append(repr(tuple(rec)))
     assert got == sorted(expect), f"seed {seed}: {clause}"
 
+    # eligible seeds (all-singleton patterns) must route identically
+    # through the relational fast path and the forced NFA
+    if all((mn, mx) == (1, 1) for _, mn, mx in elements):
+        rel = match_recognize(df, clause)  # auto -> relational
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        nfa = sorted(
+            repr(tuple(r))
+            for r in match_recognize(df, clause, engine="nfa").collect()
+        )
+        assert sorted(repr(tuple(r)) for r in rel.collect()) == nfa
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_relational_vs_nfa_singletons(spark, seed):
+    """Dedicated both-paths fuzz on ELIGIBLE (singleton) patterns:
+    random 2-4 element chains, random defines (including undefined
+    variables -> overlapping candidates), both skip modes, random
+    WITHIN — the relational compilation must equal the forced NFA
+    row-for-row, including MATCH_NUMBER numbering."""
+    rng = random.Random(9100 + seed)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        t = 0.0
+        for _ in range(rng.randint(8, 25)):
+            t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
+            eid += 1
+            rows.append((uid, t, eid, rng.choice(types),
+                         float(rng.randint(0, 20))))
+    k = rng.randint(2, 4)
+    variables = [f"V{j}" for j in range(k)]
+    if rng.random() < 0.3 and k >= 3:
+        variables[-1] = variables[0]  # repeated variable positions
+    defines = []
+    for v in dict.fromkeys(variables):
+        if rng.random() < 0.75:
+            defines.append(f"{v} AS {v}.event_type = '{rng.choice(types)}'")
+    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    within = rng.choice([None, 3600.0, 14400.0])
+    v0 = variables[0]
+    measures = ", ".join(
+        [f"{v0}.event_id AS a_id", f"FIRST({v0}.ts) AS a_ts",
+         f"LAST({variables[-1]}.event_id) AS z_id",
+         f"SUM({v0}.value) AS s_v", f"AVG({v0}.value) AS m_v",
+         f"MIN({v0}.event_id) AS mn_v", f"MAX({v0}.event_id) AS mx_v",
+         f"COUNT({v0}.*) AS n_v", "COUNT(*) AS n_rows",
+         "MATCH_NUMBER() AS mno"]
+    )
+    clause = (
+        f"PARTITION BY user_id ORDER BY ts MEASURES {measures} "
+        f"ONE ROW PER MATCH AFTER MATCH SKIP {skip} "
+        f"PATTERN ({' '.join(variables)}) "
+        + (f"WITHIN INTERVAL '{int(within)}' SECOND " if within else "")
+        + ("DEFINE " + ", ".join(defines) if defines else "")
+    )
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime.fromtimestamp(t, tz=timezone.utc)
+             .replace(tzinfo=None), e, ty, v)
+            for u, t, e, ty, v in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    rel = match_recognize(df, clause, engine="relational")
+    nfa = match_recognize(df, clause, engine="nfa")
+    assert [f.name for f in rel.schema] == [f.name for f in nfa.schema]
+    assert [f.dataType for f in rel.schema] == [
+        f.dataType for f in nfa.schema
+    ], f"seed {seed}: {clause}"
+    a = sorted(repr(tuple(r)) for r in rel.collect())
+    b = sorted(repr(tuple(r)) for r in nfa.collect())
+    assert a == b, f"seed {seed}: {clause}"
+
 
 # ------------------------------------------------ engine-level checks
 
 
+_STRICT_PAIR = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES A.event_id AS a_id, B.event_id AS b_id
+    PATTERN (A B)
+    DEFINE A AS A.event_type = 'view',
+           B AS B.event_type = 'purchase'"""
+
+
 def test_single_shuffle_plan(spark, sf_dir):
+    """Singleton patterns compile to the relational fast path: one
+    keyed shuffle, ONE Window node, and — with disjoint DEFINEs — no
+    Python stage at all. The NFA stays available behind engine='nfa'
+    (same single-shuffle shape) and both agree on the data."""
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    out = match_recognize(ev, _STRICT_PAIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one shuffle on the key
+    for py_stage in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                     "BatchEvalPython", "MapInPandas"):
+        assert py_stage not in plan, py_stage
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    nfa = match_recognize(ev, _STRICT_PAIR, engine="nfa")
+    nplan = nfa._jdf.queryExecution().executedPlan().toString()
+    assert nplan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in nplan  # the Arrow NFA operator
+
+    a = sorted(repr(tuple(r)) for r in out.collect())
+    b = sorted(repr(tuple(r)) for r in nfa.collect())
+    assert a == b and len(a) > 0
+
+
+def test_quantified_pattern_keeps_nfa(spark, sf_dir):
     from flink_framework_spark.io import table
 
     ev = table(spark, sf_dir, "events")
     out = match_recognize(ev, """
         PARTITION BY user_id ORDER BY ts
-        MEASURES A.event_id AS a_id, B.event_id AS b_id
-        PATTERN (A B)
-        DEFINE A AS A.event_type = 'view',
+        MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+        PATTERN (A+ B)
+        DEFINE A AS A.event_type = 'click',
                B AS B.event_type = 'purchase'""")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1  # one shuffle on the key
-    assert "FlatMapGroupsInPandas" in plan  # the Arrow NFA operator
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_engine_relational_rejects_quantifiers(spark, sf_dir):
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="singleton"):
+        match_recognize(ev, """
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+            PATTERN (A* B)
+            DEFINE B AS B.event_type = 'purchase'""",
+            engine="relational")
+
+
+def test_overlapping_candidates_greedy_selection(spark):
+    """SKIP PAST LAST ROW with NON-disjoint DEFINEs (both elements
+    match 'a' rows, so candidates overlap): the relational path's
+    greedy candidate selection must reproduce the NFA's left-to-right
+    consumption exactly, and TO NEXT ROW must keep every candidate."""
+    rows = (
+        # user 1: a,a,a,a,a -> (A A) matches rows 0-1 and 2-3 under
+        # PAST LAST (row 4 unpaired); TO NEXT gives all 4 candidates
+        [(1, f"2024-01-01 00:{i:02d}:00", i + 1, "a", 0.0) for i in range(5)]
+        # user 2: x,a,a,a -> PAST LAST matches rows 1-2 only
+        + [
+            (2, f"2024-01-01 00:{i:02d}:00", i + 10, ty, 0.0)
+            for i, ty in enumerate(["x", "a", "a", "a"])
+        ]
+    )
+    df = frame(spark, rows)
+    for skip in ("PAST LAST ROW", "TO NEXT ROW"):
+        clause = f"""
+            PARTITION BY user_id ORDER BY ts
+            MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                     MATCH_NUMBER() AS mno
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP {skip}
+            PATTERN (A B)
+            DEFINE A AS A.event_type = 'a',
+                   B AS B.event_type = 'a'"""
+        rel = match_recognize(df, clause)
+        plan = rel._jdf.queryExecution().executedPlan().toString()
+        if skip == "PAST LAST ROW":
+            # overlap possible -> grouped-map selection over candidates
+            assert "FlatMapGroupsInPandas" in plan
+        else:
+            assert "FlatMapGroupsInPandas" not in plan
+        got = sorted(repr(tuple(r)) for r in rel.collect())
+        nfa = sorted(
+            repr(tuple(r))
+            for r in match_recognize(df, clause, engine="nfa").collect()
+        )
+        assert got == nfa
+        if skip == "PAST LAST ROW":
+            assert len(got) == 3
+        else:
+            assert len(got) == 4 + 2
 
 
 # ------------------------------------------------- streaming twin
