@@ -47,16 +47,19 @@ tie-break on the id column is appended automatically — running SQL
 over an ambiguous order is engine-defined, so the total order is
 mandatory here); ``MEASURES`` with ``VAR.col`` (last-row binding,
 the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
-``COUNT(VAR.*)``, ``COUNT(*)`` and ``MATCH_NUMBER()``;
-``ONE ROW PER MATCH`` (Flink likewise supports only this mode);
+``COUNT(VAR.*)``, ``COUNT(*)``, ``MATCH_NUMBER()`` and
+``CLASSIFIER()``; ``ONE ROW PER MATCH`` and ``ALL ROWS PER MATCH``
+(per-row emission with RUNNING measure semantics — BEYOND Flink,
+which ships only ONE ROW PER MATCH; batch only, the streaming twin
+keeps ONE ROW);
 ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW``; ``PATTERN`` as one
 concatenation of variables with greedy quantifiers ``?`` ``*`` ``+``
 ``{m,n}`` ``{m,}``; ``WITHIN INTERVAL 'n' unit`` (Flink extension —
 first-to-last row span bound); ``DEFINE`` with arbitrary
 single-row Spark SQL booleans (``PREV``/``NEXT``/aggregate
-navigation in DEFINE, reluctant ``?``-suffixed quantifiers,
-``ALL ROWS PER MATCH``, and alternation/grouping are documented out
-of scope). Variables without a DEFINE match any row (SQL default).
+navigation in DEFINE, reluctant ``?``-suffixed quantifiers, and
+alternation/grouping are documented out of scope). Variables
+without a DEFINE match any row (SQL default).
 
 Empty matches (every element minimum 0) are skipped rather than
 emitted, matching Flink's behaviour of not producing zero-width
@@ -109,6 +112,7 @@ class MRSpec:
     elements: list[_Element]
     within_s: float | None
     defines: dict[str, str] = field(default_factory=dict)
+    rows: str = "one"  # "one" | "all" (ROWS PER MATCH mode)
 
     @property
     def variables(self) -> list[str]:
@@ -215,12 +219,17 @@ def parse_match_recognize(sql: str) -> MRSpec:
     if not measures:
         raise ValueError("MATCH_RECOGNIZE: MEASURES clause is required")
 
+    rows_mode = "one"
     if p.peek_kw() == "ALL":
-        raise ValueError(
-            "ALL ROWS PER MATCH is out of scope (Flink's MATCH_RECOGNIZE "
-            "likewise supports only ONE ROW PER MATCH)"
-        )
-    if p.peek_kw() == "ONE":
+        # beyond Flink: Flink ships only ONE ROW PER MATCH, but the
+        # SQL-standard per-row emission has a clean relational oracle
+        # (each matched row + its match_number + running measures)
+        p.pop()
+        p.expect_kw("ROWS")
+        p.expect_kw("PER")
+        p.expect_kw("MATCH")
+        rows_mode = "all"
+    elif p.peek_kw() == "ONE":
         p.pop()
         p.expect_kw("ROW")
         p.expect_kw("PER")
@@ -327,16 +336,17 @@ def parse_match_recognize(sql: str) -> MRSpec:
         elements=elements,
         within_s=within_s,
         defines=defines,
+        rows=rows_mode,
     )
 
 
 def _parse_measure(p: _Parser) -> _Measure:
     t = p.pop()
     up = t.upper()
-    if up == "MATCH_NUMBER":
+    if up in ("MATCH_NUMBER", "CLASSIFIER"):
         if p.pop() != "(" or p.pop() != ")":
-            raise ValueError("MATCH_NUMBER takes no arguments")
-        func, var, col = "MATCH_NUMBER", None, None
+            raise ValueError(f"{up} takes no arguments")
+        func, var, col = up, None, None
     elif up in _NAV_FUNCS and p.peek() == "(":
         p.pop()
         if up == "COUNT" and p.peek() == "*":
@@ -449,6 +459,8 @@ def _rewrite_define(expr: str, variables: list[str]) -> str:
 def _measure_out_type(ms: _Measure, events: DataFrame) -> str:
     if ms.func in ("MATCH_NUMBER", "COUNT", "COUNT_STAR"):
         return "bigint"
+    if ms.func == "CLASSIFIER":
+        return "string"
     if ms.func == "AVG":
         return "double"
     src = dict((f.name, f.dataType.simpleString()) for f in events.schema)
@@ -514,13 +526,22 @@ def prepare_flags(
         flag_cols.append(flag)
     flagged = flagged.select(*sorted(need_cols), *flag_cols)
 
+    src_types = dict(
+        (f.name, f.dataType.simpleString()) for f in events.schema
+    )
+    echo_cols = (
+        [spec.partition_by] + order_by
+        if spec.rows == "all"
+        else [spec.partition_by]
+    )
+    clash = {ms.name for ms in spec.measures} & set(echo_cols)
+    if clash:
+        raise ValueError(
+            f"measure name(s) {sorted(clash)} collide with the "
+            "partition/order columns echoed by ALL ROWS PER MATCH"
+        )
     out_schema = ", ".join(
-        [
-            f"{spec.partition_by} "
-            + dict(
-                (f.name, f.dataType.simpleString()) for f in events.schema
-            )[spec.partition_by]
-        ]
+        [f"{c} {src_types[c]}" for c in echo_cols]
         + [f"{ms.name} {_measure_out_type(ms, events)}" for ms in spec.measures]
     )
     return flagged, order_by, ts_col, out_schema
@@ -555,7 +576,8 @@ def match_recognize(
     if engine == "relational" and not eligible:
         raise ValueError(
             "engine='relational' needs a singleton pattern (no "
-            "quantifiers) with SKIP PAST LAST ROW or TO NEXT ROW"
+            "quantifiers), ONE ROW PER MATCH, and SKIP PAST LAST ROW "
+            "or TO NEXT ROW"
         )
     if eligible and engine != "nfa":
         return _compile_relational(events, spec, id_col)
@@ -576,7 +598,9 @@ def _relational_eligible(spec: MRSpec) -> bool:
     means matches have fixed length k and zero backtracking — the
     lead-window compilation below is exact. (Both supported skip
     modes are handled; quantified patterns keep the NFA.)"""
-    return all(e.n_min == 1 and e.n_max == 1 for e in spec.elements)
+    return spec.rows == "one" and all(
+        e.n_min == 1 and e.n_max == 1 for e in spec.elements
+    )
 
 
 _DEFINE_EQ_RE = re.compile(
@@ -657,6 +681,10 @@ def _compile_relational(
         out_t = _measure_out_type(ms, events)
         if ms.func == "MATCH_NUMBER":
             expr = None  # numbered after selection, over kept matches
+        elif ms.func == "CLASSIFIER":
+            # ONE ROW PER MATCH: classifier of the LAST matched row,
+            # which for a singleton pattern is the last element's var
+            expr = F.lit(spec.elements[-1].var)
         elif ms.func == "COUNT_STAR":
             expr = F.lit(k).cast("bigint")
         elif ms.func == "COUNT":
@@ -765,6 +793,8 @@ def scan_rows(
     ts_col: str,
     anchor_bound_s: float | None = None,
     match_no_start: int = 0,
+    emit: str = "one",
+    row_cols: tuple = (),
 ) -> tuple[list[list], int, int]:
     """Shared scan core for the batch matcher and the streaming twin.
 
@@ -866,6 +896,51 @@ def scan_rows(
             i += 1
             continue
         match_no += 1
+        if emit == "all":
+            # SQL-standard per-row emission with RUNNING semantics:
+            # each matched row reports the measures over the match
+            # prefix up to and including itself (VAR.col == running
+            # LAST(VAR.col); FIRST is fixed once the variable first
+            # binds, NULL before)
+            pref: dict[str, list[int]] = {}
+            for p_i, (row, ei) in enumerate(m):
+                cur_var = elements[ei][0]
+                pref.setdefault(cur_var, []).append(row)
+                rec_out = [key_value] + [
+                    pdf[c].iloc[row] for c in row_cols
+                ]
+                for _, func, var, col in measures:
+                    rows = pref.get(var, []) if var is not None else None
+                    if func == "MATCH_NUMBER":
+                        rec_out.append(match_no)
+                    elif func == "CLASSIFIER":
+                        rec_out.append(cur_var)
+                    elif func == "COUNT_STAR":
+                        rec_out.append(p_i + 1)
+                    elif func == "COUNT":
+                        rec_out.append(len(rows))
+                    elif not rows:
+                        rec_out.append(None)  # var not yet bound
+                    elif func == "FIRST":
+                        rec_out.append(pdf[col].iloc[rows[0]])
+                    elif func in ("LAST", "VAR_COL"):
+                        rec_out.append(pdf[col].iloc[rows[-1]])
+                    else:  # SUM / MIN / MAX / AVG over the prefix
+                        vals = pdf[col].iloc[rows]
+                        rec_out.append(
+                            {
+                                "SUM": vals.sum,
+                                "MIN": vals.min,
+                                "MAX": vals.max,
+                                "AVG": vals.mean,
+                            }[func]()
+                        )
+                out_rows.append(rec_out)
+            if skip == "past_last":
+                i = m[-1][0] + 1
+            else:
+                i = m[0][0] + 1
+            continue
         by_var: dict[str, list[int]] = {}
         for row, ei in m:
             by_var.setdefault(elements[ei][0], []).append(row)
@@ -874,6 +949,8 @@ def scan_rows(
             rows = by_var.get(var, []) if var is not None else None
             if func == "MATCH_NUMBER":
                 rec_out.append(match_no)
+            elif func == "CLASSIFIER":
+                rec_out.append(elements[m[-1][1]][0])  # last row's var
             elif func == "COUNT_STAR":
                 rec_out.append(len(m))
             elif func == "COUNT":
@@ -915,7 +992,13 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     var_names = spec.variables
-    names = [partition_by] + [m.name for m in spec.measures]
+    emit = spec.rows
+    row_cols = tuple(order_by) if emit == "all" else ()
+    names = (
+        [partition_by]
+        + list(row_cols)
+        + [m.name for m in spec.measures]
+    )
 
     def _match_partition(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
@@ -930,6 +1013,8 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
             within_s=within_s,
             var_names=var_names,
             ts_col=ts_col,
+            emit=emit,
+            row_cols=row_cols,
         )
         return rows_to_frame(out_rows, names)
 

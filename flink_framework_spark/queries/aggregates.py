@@ -382,13 +382,17 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     glob = next(r for r in est_rows if r["bucket"] == "__all__")
-    thr = spark.createDataFrame(
-        [
-            (r["bucket"], r["p50"], r["p95"], r["p99"])
-            for r in est_rows
-            if r["bucket"] != "__all__"
-        ],
-        "bucket string, t50 double, t95 double, t99 double",
+    # inline the bounded summary as a VALUES relation (a pure-SQL
+    # LocalRelation, not a parallelized local RDD — keeps the plan
+    # inside Catalyst and the no-RDD-scan invariant); repr() of a
+    # float round-trips exactly through Spark's <digits>D literal
+    vals = ", ".join(
+        f"('{r['bucket']}', {r['p50']!r}D, {r['p95']!r}D, {r['p99']!r}D)"
+        for r in est_rows
+        if r["bucket"] != "__all__"
+    )
+    thr = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(bucket, t50, t95, t99)"
     )
 
     def _lt(c, strict):

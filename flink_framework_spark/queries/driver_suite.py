@@ -1453,10 +1453,21 @@ FROM mr_runs r
 JOIN mr_o o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
            AND o.event_type = 'purchase'
 GROUP BY n_a
+UNION ALL
+SELECT 'mr_all_rows', cls, CAST(n AS BIGINT), nu FROM (
+  SELECT 'A' AS cls, SUM(n_a) AS n, COUNT(DISTINCT r.user_id) AS nu
+  FROM mr_runs r
+  JOIN mr_o o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+             AND o.event_type = 'purchase'
+  UNION ALL
+  SELECT 'B', COUNT(*), COUNT(DISTINCT r.user_id)
+  FROM mr_runs r
+  JOIN mr_o o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+             AND o.event_type = 'purchase')
 """,
 )
 def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CEP family (I8) tagged into ONE driver slot — sixteen
+    """The full CEP family (I8) tagged into ONE driver slot — seventeen
     pattern shapes, each reduced to the uniform
     (part, grp, n_matches, n_users) aggregate: funnel (2-step),
     sequence (3-step followedByAny), negation (notFollowedBy), strict
@@ -1485,6 +1496,7 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_framework_spark.operators.pattern import Pattern
     from flink_framework_spark.queries.match_recognize_q import (
+        q_mr_all_rows,
         q_mr_funnel,
         q_mr_runs,
         q_mr_strict_pair,
@@ -1547,6 +1559,7 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q_mr_strict_pair(spark, sf_dir), "mr_strict", None),
         (q_mr_funnel(spark, sf_dir), "mr_funnel", None),
         (q_mr_runs(spark, sf_dir), "mr_runs", "n_a"),
+        (q_mr_all_rows(spark, sf_dir), "mr_all_rows", "cls"),
     ]:
         out = out.unionByName(part(df, name, grp))
     return out

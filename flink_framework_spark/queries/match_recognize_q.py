@@ -186,3 +186,74 @@ def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_duck(F.col("a_sum"), 2).alias("a_sum"),
         "b_id",
     )
+
+
+@register(
+    "q_mr_all_rows",
+    family="I",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+c AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS isl
+  FROM o WHERE event_type = 'click'),
+runs AS (
+  SELECT user_id, isl, count(*) AS n_a, min(rn) AS start_rn,
+         max(rn) AS end_rn, sum(value) AS a_total
+  FROM c GROUP BY 1, 2 HAVING count(*) >= 2),
+mm AS (
+  SELECT r.*, o.event_id AS b_id, o.ts AS b_ts,
+         CAST(row_number() OVER (PARTITION BY r.user_id
+                                 ORDER BY r.start_rn) AS BIGINT) AS mno
+  FROM runs r
+  JOIN o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+        AND o.event_type = 'purchase'),
+arows AS (
+  SELECT mm.user_id, strftime(c.ts, '{_TS_FMT_DUCK}') AS ts,
+         c.event_id, 'A' AS cls, mm.mno,
+         CAST(row_number() OVER (PARTITION BY mm.user_id, mm.isl
+                                 ORDER BY c.rn) AS BIGINT) AS n_a,
+         ROUND(SUM(c.value) OVER (PARTITION BY mm.user_id, mm.isl
+                                  ORDER BY c.rn
+                                  ROWS UNBOUNDED PRECEDING), 2) AS a_sum
+  FROM mm JOIN c ON c.user_id = mm.user_id AND c.isl = mm.isl),
+brows AS (
+  SELECT user_id, strftime(b_ts, '{_TS_FMT_DUCK}') AS ts, b_id, 'B',
+         mno, CAST(n_a AS BIGINT), ROUND(a_total, 2)
+  FROM mm)
+SELECT * FROM arows UNION ALL SELECT * FROM brows
+""",
+)
+def q_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` — the SQL-standard per-row emission
+    (BEYOND the reference surface: Flink ships only ONE ROW PER
+    MATCH): every matched row of ``PATTERN (A{2,} B)`` comes back
+    with its CLASSIFIER, MATCH_NUMBER, and RUNNING measures (count
+    and sum over the match prefix up to the row). The declarative
+    oracle re-derives the per-row view by joining each matched
+    gaps-and-islands run back to its member rows with windowed
+    running aggregates — exactly the "matched row joined back to its
+    match_number" spelling."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+                 COUNT(A.*) AS n_a, SUM(A.value) AS a_sum
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B)
+        WITHIN INTERVAL '30' DAY
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'""")
+    return out.select(
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_id",
+        "cls",
+        "mno",
+        "n_a",
+        round_duck(F.col("a_sum"), 2).alias("a_sum"),
+    )

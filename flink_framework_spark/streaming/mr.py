@@ -64,6 +64,12 @@ def match_recognize_stream(
     is emitted exactly once, when the watermark closes its anchor's
     WITHIN window."""
     spec = parse_match_recognize(clause)
+    if spec.rows == "all":
+        raise ValueError(
+            "ALL ROWS PER MATCH is batch-only here (per-row streaming "
+            "emission with running measures has no bounded-state "
+            "finalization story); use ONE ROW PER MATCH on streams"
+        )
     if spec.within_s is None:
         raise ValueError(
             "streaming MATCH_RECOGNIZE requires WITHIN — it bounds both "

@@ -74,8 +74,6 @@ def test_parser_full_clause():
          "exactly one key"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X Y*?)",
          "reluctant"),
-        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t ALL ROWS PER MATCH "
-         "PATTERN (X Y)", "ALL ROWS"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
          "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "out of scope"),
         ("PARTITION BY u ORDER BY ts MEASURES Z.ts AS t PATTERN (X Y)",
@@ -840,3 +838,121 @@ def test_stream_anchor_final_only_strictly_inside_watermark():
     assert (out, resume) == ([], 0)  # window still open — kept in state
     out, resume, _ = scan_rows(pdf, 1, anchor_bound_s=60.001, **kw)
     assert (out, resume) == ([], 1)  # now final: no B arrived, no match
+
+
+# ------------------------------------------- ALL ROWS PER MATCH mode
+
+
+ALL_ROWS_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+             FIRST(A.event_id) AS first_a, COUNT(A.*) AS n_a,
+             SUM(A.value) AS s_a, COUNT(*) AS n_rows
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A{2,} B)
+    DEFINE A AS A.event_type = 'click',
+           B AS B.event_type = 'purchase'"""
+
+
+def test_all_rows_running_semantics(spark):
+    """Per-row emission: every matched row appears with CLASSIFIER,
+    MATCH_NUMBER, and measures computed over the match PREFIX up to
+    the row (running semantics); FIRST stays fixed once bound, and a
+    not-yet-bound variable reports NULL/0."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 2.0),
+        (1, "2024-01-01 00:01:00", 2, "click", 3.0),
+        (1, "2024-01-01 00:02:00", 3, "purchase", 9.0),
+        (1, "2024-01-01 00:03:00", 4, "view", 0.0),
+        (1, "2024-01-01 00:04:00", 5, "click", 5.0),
+        (1, "2024-01-01 00:05:00", 6, "click", 7.0),
+        (1, "2024-01-01 00:06:00", 7, "click", 11.0),
+        (1, "2024-01-01 00:07:00", 8, "purchase", 1.0),
+    ]
+    out = match_recognize(frame(spark, rows), ALL_ROWS_CLAUSE)
+    got = [
+        (r["event_id"], r["cls"], r["mno"], r["first_a"], r["n_a"],
+         r["s_a"], r["n_rows"])
+        for r in out.orderBy("mno", "ts", "event_id").collect()
+    ]
+    assert got == [
+        (1, "A", 1, 1, 1, 2.0, 1),
+        (2, "A", 1, 1, 2, 5.0, 2),
+        (3, "B", 1, 1, 2, 5.0, 3),
+        (5, "A", 2, 5, 1, 5.0, 1),
+        (6, "A", 2, 5, 2, 12.0, 2),
+        (7, "A", 2, 5, 3, 23.0, 3),
+        (8, "B", 2, 5, 3, 23.0, 4),
+    ]
+    # echoed order columns make the row identity explicit
+    assert {"ts", "event_id"} <= set(out.columns)
+
+
+def test_all_rows_final_row_equals_one_row_projection(spark, sf_dir):
+    """The LAST emitted row of each ALL-ROWS match carries the full-
+    match (final) measure values, so projecting it must reproduce the
+    ONE ROW PER MATCH result exactly."""
+    from flink_framework_spark.io import table
+
+    one_clause = ALL_ROWS_CLAUSE.replace(
+        "ALL ROWS PER MATCH", "ONE ROW PER MATCH"
+    )
+    ev = table(spark, sf_dir, "events")
+    all_rows = match_recognize(ev, ALL_ROWS_CLAUSE).toPandas()
+    one = match_recognize(ev, one_clause).toPandas()
+    last = (
+        all_rows.sort_values(["user_id", "mno", "ts", "event_id"])
+        .groupby(["user_id", "mno"], as_index=False)
+        .last()[["user_id", "cls", "mno", "first_a", "n_a", "s_a", "n_rows"]]
+    )
+    key = lambda df: sorted(
+        repr(t)
+        for t in df[
+            ["user_id", "cls", "mno", "first_a", "n_a", "s_a", "n_rows"]
+        ].itertuples(index=False, name=None)
+    )
+    assert len(one) > 0 and key(last) == key(one)
+
+
+def test_all_rows_rejected_on_streams(spark):
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_stream(
+            spark.readStream.format("rate").load().selectExpr(
+                "value AS user_id", "timestamp AS ts",
+                "value AS event_id", "'a' AS event_type"
+            ).withWatermark("ts", "1 second"),
+            ALL_ROWS_CLAUSE + " WITHIN INTERVAL '1' SECOND",
+        )
+
+
+def test_classifier_one_row_mode(spark):
+    """In ONE ROW PER MATCH, CLASSIFIER() is the LAST matched row's
+    variable — on both engines."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+        (1, "2024-01-01 00:01:00", 2, "purchase", 0.0),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'"""
+    df = frame(spark, rows)
+    rel = match_recognize(df, clause).collect()
+    nfa = match_recognize(df, clause, engine="nfa").collect()
+    assert [r["cls"] for r in rel] == ["B"] == [r["cls"] for r in nfa]
+
+
+def test_parser_accepts_all_rows_per_match():
+    spec = parse_match_recognize("""
+        PARTITION BY u ORDER BY ts
+        MEASURES CLASSIFIER() AS c, MATCH_NUMBER() AS m
+        ALL ROWS PER MATCH
+        PATTERN (X Y)""")
+    assert spec.rows == "all"
+    assert [m.func for m in spec.measures] == ["CLASSIFIER", "MATCH_NUMBER"]
