@@ -128,7 +128,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, seven scenarios covering the
+    """Structured Streaming throughput, eight scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
@@ -148,9 +148,12 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
       measuring the open/merge-check/close path rather than one
       ever-growing session per key;
     - plus the RocksDB-provider dedup variant, the
-      applyInPandasWithState CEP funnel, and streaming
-      MATCH_RECOGNIZE (the two Arrow/Python keyed-state paths,
-      measured apart from the JVM scenarios).
+      applyInPandasWithState CEP funnel, the JVM join-form funnel
+      (the same 2-step pattern as chained stream-stream interval
+      joins — the relational fast path the decision rule prefers for
+      fixed chains), and streaming MATCH_RECOGNIZE (the two
+      Arrow/Python keyed-state paths, measured apart from the JVM
+      scenarios).
 
     Measured, not inferred from batch twins."""
     from pyspark.sql import functions as F
@@ -304,6 +307,47 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     out["cep_funnel"]["pipeline"] = (
         "rate-micro-batch (100k rows/batch, 25k keys)->"
         "applyInPandasWithState funnel state machine->noop(update)"
+    )
+
+    # the SAME 2-step funnel as a stream-stream interval join +
+    # watermarked dedup — the JVM-rate relational spelling
+    # (streaming.stateful.funnel_conversions_join, equivalence-tested
+    # against the state machine in tests/test_streaming.py). One
+    # interleaved source, 1M keys x (one view + one purchase) per
+    # batch; same-batch rows share a timestamp so the strict
+    # v_ts < p_ts bound matches purchases to the PRIOR batch's views
+    # (horizon 1 s at 1 s event time/batch, fan-out 1), and the dedup
+    # keeps the output one row per converting purchase — every batch
+    # exercises dual join state insert/match/evict plus dedup state.
+    # Sized like interval_join (per-batch fixed cost of the chained
+    # stateful operators amortizes over ~2M rows/batch; the ~8 s
+    # batch latency is reported honestly below). Decision rule
+    # documented on the operator: fixed chains -> joins; greedy
+    # quantifiers / skip strategies -> the NFA.
+    from flink_framework_spark.streaming.stateful import (
+        funnel_conversions_join,
+    )
+
+    jr2, jk2 = 2_000_000, 1_000_000
+    fsrc = rate_mb(jr2).select(
+        (F.col("value") % jk2).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.when((F.col("value") / jk2).cast("long") % 2 == 0, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    out["funnel_join"] = _run_stream_scenario(
+        funnel_conversions_join(
+            fsrc, horizon="1 seconds", watermark="2 seconds"
+        ),
+        "append",
+        seconds * 2,
+    )
+    out["funnel_join"]["pipeline"] = (
+        "rate-micro-batch (2M rows/batch: 1M keys x view+purchase)->"
+        "stream-stream interval join (v_ts < p_ts <= v_ts+1s)->"
+        "dropDuplicatesWithinWatermark->noop(append); the JVM-rate "
+        "twin of cep_funnel (fixed chains compile to joins)"
     )
 
     # streaming MATCH_RECOGNIZE: JVM-side DEFINE flags feeding the

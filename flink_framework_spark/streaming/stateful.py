@@ -18,6 +18,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_framework_spark.streaming.epoch import (
@@ -76,6 +77,61 @@ def funnel_conversions(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def funnel_conversions_join(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The JVM-rate relational spelling of :func:`funnel_conversions`:
+    a fixed 2-step pattern IS a stream-stream interval join, and
+    Spark's symmetric dual-state join machine runs it at millions of
+    rows/s where the Arrow/Python state machine does tens of
+    thousands (both honestly measured side by side in bench.py).
+
+    Purchases join views of the same user with ``v_ts < purchase_ts
+    <= v_ts + horizon`` (the state twin's exact bounds), then
+    ``dropDuplicatesWithinWatermark`` collapses the per-(view,
+    purchase) pairs to one row per converting purchase — the same
+    (user_id, purchase_ts) output, append mode, all JVM.
+
+    DECISION RULE (the streaming-CEP performance posture): a fixed
+    event chain — every step a known type, no quantifiers, no
+    after-match consumption — should be spelled as chained
+    watermarked stream-stream interval joins (this function;
+    n-step chains compose the same join pairwise). Reach for the
+    Arrow/Python keyed state machines (:func:`funnel_conversions`,
+    :mod:`streaming.mr`) only for what joins cannot say: greedy /
+    bounded quantifiers, after-match skip strategies, per-match
+    running state. That is also Flink's own split — its SQL planner
+    compiles simple temporal correlations to joins and reserves the
+    NFA for MATCH_RECOGNIZE."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("__v_user"),
+            F.col("ts").alias("__v_ts"),
+        )
+        .withWatermark("__v_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    pairs = p.join(
+        v,
+        (F.col("user_id") == F.col("__v_user"))
+        & (F.col("__v_ts") < F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("__v_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    )
+    return pairs.select("user_id", "purchase_ts").dropDuplicatesWithinWatermark(
+        ["user_id", "purchase_ts"]
     )
 
 

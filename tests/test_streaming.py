@@ -124,6 +124,39 @@ def test_stateful_funnel_matches_batch(spark, sf_dir):
     assert stream_n == batch_n
 
 
+def test_join_form_funnel_equals_state_machine(spark, sf_dir):
+    """The JVM join-form funnel (chained stream-stream interval join +
+    watermarked dedup) emits exactly the state-machine funnel's
+    conversion set — the equivalence that licenses the decision rule
+    (fixed chains -> joins; quantifiers/skip -> NFA)."""
+    from flink_framework_spark.streaming.stateful import (
+        funnel_conversions_join,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    state_out = run_to_memory(
+        funnel_conversions(sdf), query_name="t_funnel_sm",
+        output_mode="update",
+    ).toPandas()
+    jdf = read_events_stream(spark, sf_dir)
+    join_out = run_to_memory(
+        funnel_conversions_join(jdf), query_name="t_funnel_join",
+        output_mode="append",
+    ).toPandas()
+    # both emit (user_id, purchase_ts); the state twin declares NTZ,
+    # the join form instants — compare through UTC rendering
+    import pandas as pd
+
+    def key(df):
+        ts = pd.to_datetime(df["purchase_ts"])
+        if getattr(ts.dt, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        return sorted(zip(df["user_id"], ts.astype(str)))
+
+    assert len(join_out) > 0
+    assert key(join_out) == key(state_out)
+
+
 def test_restart_is_idempotent(spark, sf_dir, tmp_path):
     """Checkpointed availableNow run twice: second run adds no rows
     (exactly-once sink contract, SURVEY.md §2 I10)."""
