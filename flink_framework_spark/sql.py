@@ -5,10 +5,13 @@ Flink exposes windows and CEP to SQL users through two constructs
 Spark SQL does not parse:
 
 - **FLIP-145 window TVFs** in FROM:
-  ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR))``,
-  ``HOP(TABLE t, DESCRIPTOR(ts), slide, size)``,
-  ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, size)``,
-  ``SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap)``.
+  ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR
+  [, offset]))``, ``HOP(TABLE t, DESCRIPTOR(ts), slide, size
+  [, offset])``, ``CUMULATE(TABLE t, DESCRIPTOR(ts), step, size
+  [, offset])``, ``SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts),
+  gap)``. Offsets shift the window grid (Spark ``startTime``; the
+  CUMULATE assignment shifts timestamps in and bounds back out) and
+  may be negative, like Flink's timezone-shift examples.
   Each relation is the source's columns plus ``window_start``,
   ``window_end``, ``window_time`` (= window_end - 1 ms, Flink's
   rowtime attribute of the window).
@@ -31,8 +34,10 @@ into the per-key Arrow NFA, exactly like the operator form.
 Scope notes: this is the batch entry point (the statements are
 bounded-table semantics; the streaming twins of every window kind and
 of MATCH_RECOGNIZE live in :mod:`streaming`). Rewrites are detected
-outside string literals only; unsupported TVF arguments (offsets)
-raise loudly rather than mis-assign.
+outside string literals only; malformed TVF arguments raise loudly
+rather than mis-assign, and the rejections that remain are semantic
+(no Flink analogue), each pinned by a test: sub-second intervals,
+offsets at or beyond their grid, PARTITION BY on non-SESSION TVFs.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ from flink_framework_spark.operators.match_recognize import match_recognize
 from flink_framework_spark.operators.streaming_ops import cumulate_exploded
 
 _INTERVAL_RE = re.compile(
-    r"(?i)^INTERVAL\s*'([\d.]+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$"
+    r"(?i)^INTERVAL\s*'(-?[\d.]+)'\s*(SECOND|MINUTE|HOUR|DAY)S?$"
 )
 _UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
@@ -59,6 +64,21 @@ def _interval_seconds(text: str) -> float:
             f"expected INTERVAL '<n>' <unit>, got {text.strip()!r}"
         )
     return float(m.group(1)) * _UNIT_S[m.group(2).upper()]
+
+
+def _tvf_offset(args: list[str], idx: int, bound_s: float):
+    """Optional FLIP-145 window offset argument: seconds (may be
+    negative, like Flink's timezone-shift examples), required to be
+    smaller in magnitude than the grid it shifts."""
+    if len(args) <= idx:
+        return None
+    off = _interval_seconds(args[idx])
+    if abs(off) >= bound_s:
+        raise ValueError(
+            f"window offset {args[idx].strip()!r} must be smaller in "
+            "magnitude than the window/slide it shifts"
+        )
+    return off
 
 
 def _dur_str(seconds: float) -> str:
@@ -256,32 +276,48 @@ def _rewrite_tvfs(
         df = spark.table(tbl)
 
         if kind == "TUMBLE":
-            if len(args) != 3:
+            if len(args) not in (3, 4):
                 raise ValueError(
-                    "TUMBLE(TABLE t, DESCRIPTOR(ts), size) — offsets are "
-                    "out of scope"
+                    "TUMBLE(TABLE t, DESCRIPTOR(ts), size [, offset])"
                 )
             size = _interval_seconds(args[2])
-            out = _with_window_cols(df, kind, F.window(ts, _dur_str(size)))
+            off = _tvf_offset(args, 3, size)
+            w = (
+                F.window(ts, _dur_str(size))
+                if off is None
+                else F.window(
+                    # FLIP-145 offset == Spark startTime (both shift
+                    # the epoch-aligned window grid); slide must be
+                    # passed explicitly for the 4-arg form
+                    ts, _dur_str(size), _dur_str(size), _dur_str(off)
+                )
+            )
+            out = _with_window_cols(df, kind, w)
         elif kind == "HOP":
-            if len(args) != 4:
+            if len(args) not in (4, 5):
                 raise ValueError(
-                    "HOP(TABLE t, DESCRIPTOR(ts), slide, size) — offsets "
-                    "are out of scope"
+                    "HOP(TABLE t, DESCRIPTOR(ts), slide, size [, offset])"
                 )
             slide = _interval_seconds(args[2])
             size = _interval_seconds(args[3])
-            out = _with_window_cols(
-                df, kind, F.window(ts, _dur_str(size), _dur_str(slide))
+            off = _tvf_offset(args, 4, slide)
+            w = (
+                F.window(ts, _dur_str(size), _dur_str(slide))
+                if off is None
+                else F.window(
+                    ts, _dur_str(size), _dur_str(slide), _dur_str(off)
+                )
             )
+            out = _with_window_cols(df, kind, w)
         elif kind == "CUMULATE":
-            if len(args) != 4:
+            if len(args) not in (4, 5):
                 raise ValueError(
-                    "CUMULATE(TABLE t, DESCRIPTOR(ts), step, size) — "
-                    "offsets are out of scope"
+                    "CUMULATE(TABLE t, DESCRIPTOR(ts), step, size "
+                    "[, offset])"
                 )
             step = _interval_seconds(args[2])
             size = _interval_seconds(args[3])
+            off = _tvf_offset(args, 4, size)
             if step % 60 or size % 60:
                 raise ValueError(
                     "CUMULATE steps/sizes must be whole minutes here"
@@ -293,17 +329,26 @@ def _rewrite_tvfs(
                 + (("ts",) if ts != "ts" else ()),
             )
             renamed = ts != "ts"
-            e = cumulate_exploded(
-                df.withColumnRenamed(ts, "ts") if renamed else df,
-                int(step // 60),
-                int(size // 60),
-            )
+            base = df.withColumnRenamed(ts, "ts") if renamed else df
+            if off:
+                # offset shifts the window GRID: assign on shifted
+                # timestamps, then shift the bounds back — rows keep
+                # their original event times in the output
+                base = base.withColumn(
+                    "ts", F.expr(f"ts - INTERVAL {int(off)} SECOND")
+                )
+            e = cumulate_exploded(base, int(step // 60), int(size // 60))
+            if off:
+                e = e.withColumn(
+                    "ts", F.expr(f"ts + INTERVAL {int(off)} SECOND")
+                )
             if renamed:
                 e = e.withColumnRenamed("ts", ts)
+            shift = f" + INTERVAL {int(off)} SECOND" if off else ""
             out = e.select(
                 *df.columns,
-                F.col("w.start").alias("window_start"),
-                F.col("end_ts").alias("window_end"),
+                F.expr(f"w.start{shift}").alias("window_start"),
+                F.expr(f"end_ts{shift}").alias("window_end"),
             ).withColumn(
                 "window_time",
                 F.expr("window_end - INTERVAL 1 MILLISECOND"),
@@ -318,6 +363,16 @@ def _rewrite_tvfs(
                 ("window_start", "window_end", "window_time",
                  "__prev", "__sid"),
             )
+            if not keys:
+                import warnings
+
+                warnings.warn(
+                    "SESSION TVF without PARTITION BY sessionizes over "
+                    "a GLOBAL ordered window — a single partition at "
+                    "scale. Fine for bounded oracle-side statements; "
+                    "any production use must PARTITION BY a key.",
+                    stacklevel=2,
+                )
             gap = _interval_seconds(args[2])
             out = _session_assign(df, ts, keys, gap)
 

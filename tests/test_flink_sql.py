@@ -116,10 +116,11 @@ def test_match_recognize_embedded_with_outer_filter(spark):
 def test_tvf_rejects_out_of_scope_forms(spark):
     ev = frame(spark, ROWS)
     ev.createOrReplaceTempView("evx")
-    with pytest.raises(ValueError, match="offsets are"):
+    with pytest.raises(ValueError, match="TUMBLE"):
         flink_sql(spark, """
             SELECT * FROM TABLE(TUMBLE(TABLE evx, DESCRIPTOR(ts),
-                INTERVAL '1' HOUR, INTERVAL '5' MINUTE))""")
+                INTERVAL '1' HOUR, INTERVAL '5' MINUTE,
+                INTERVAL '1' MINUTE))""")
     with pytest.raises(ValueError, match="SESSION-only"):
         flink_sql(spark, """
             SELECT * FROM TABLE(TUMBLE(TABLE evx PARTITION BY user_id,
@@ -287,3 +288,130 @@ def test_temporal_join_parenthesizes_or_condition(spark):
     """, tables={"tjp_facts": facts, "tjp_dim": dim})
     # without parenthesization the OR branch would match BOTH versions
     assert [(r.event_id, r.version) for r in out.collect()] == [(11, 1)]
+
+
+def test_tumble_offset_shifts_grid(spark):
+    """FLIP-145 TUMBLE offset: the window grid shifts by the offset
+    (Spark startTime) — a 10:20 event with 1-hour windows offset by
+    15 minutes lands in [10:15, 11:15)."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    out = flink_sql(spark, """
+        SELECT window_start, window_end FROM
+        TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                     INTERVAL '15' MINUTE))""", tables={"ev": df})
+    r = out.collect()[0]
+    assert str(r["window_start"]) == "2024-01-01 10:15:00"
+    assert str(r["window_end"]) == "2024-01-01 11:15:00"
+
+
+def test_tumble_negative_offset(spark):
+    """Negative offsets (Flink's timezone-shift example) shift the
+    grid backwards: -15 minutes puts 10:20 in [09:45, 10:45)."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    out = flink_sql(spark, """
+        SELECT window_start, window_end FROM
+        TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                     INTERVAL '-15' MINUTE))""", tables={"ev": df})
+    r = out.collect()[0]
+    assert str(r["window_start"]) == "2024-01-01 09:45:00"
+    assert str(r["window_end"]) == "2024-01-01 10:45:00"
+
+
+def test_hop_offset_shifts_every_slide(spark):
+    """HOP offset shifts the slide grid: 30m windows sliding 15m with
+    a 5m offset give starts congruent to 5m (mod 15m); 10:20 falls in
+    [10:05,10:35) and [10:20,10:50) — NOT [09:50,10:20), whose
+    exclusive end equals the event time."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    out = flink_sql(spark, """
+        SELECT window_start, window_end FROM
+        TABLE(HOP(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE,
+                  INTERVAL '30' MINUTE, INTERVAL '5' MINUTE))""",
+        tables={"ev": df})
+    starts = sorted(str(r["window_start"]) for r in out.collect())
+    assert starts == ["2024-01-01 10:05:00", "2024-01-01 10:20:00"]
+
+
+def test_cumulate_offset_shifts_big_window(spark):
+    """CUMULATE offset shifts the size-aligned big window and every
+    step pane with it: step 15m / size 1h / offset 10m puts a 10:20
+    event in big window [10:10, 11:10) with panes ending 10:25,
+    10:40, 10:55, 11:10 — the event belongs to all whose end is
+    strictly after 10:20."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    out = flink_sql(spark, """
+        SELECT window_start, window_end FROM
+        TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE,
+                       INTERVAL '1' HOUR, INTERVAL '10' MINUTE))""",
+        tables={"ev": df})
+    rows = sorted((str(r["window_start"]), str(r["window_end"]))
+                  for r in out.collect())
+    assert rows == [
+        ("2024-01-01 10:10:00", "2024-01-01 10:25:00"),
+        ("2024-01-01 10:10:00", "2024-01-01 10:40:00"),
+        ("2024-01-01 10:10:00", "2024-01-01 10:55:00"),
+        ("2024-01-01 10:10:00", "2024-01-01 11:10:00"),
+    ]
+    # and the row keeps its ORIGINAL event time in the output
+    out2 = flink_sql(spark, """
+        SELECT ts FROM
+        TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '15' MINUTE,
+                       INTERVAL '1' HOUR, INTERVAL '10' MINUTE))""",
+        tables={"ev": df})
+    assert {str(r["ts"]) for r in out2.collect()} == {
+        "2024-01-01 10:20:00"
+    }
+
+
+def test_offset_must_be_smaller_than_grid(spark):
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    with pytest.raises(ValueError, match="smaller in magnitude"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts),
+                INTERVAL '1' HOUR, INTERVAL '1' HOUR))""",
+            tables={"ev": df})
+
+
+def test_session_without_partition_warns_single_partition(spark):
+    import warnings as _w
+
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0),
+                       (1, "2024-01-01 10:21:00", 2, "view", 6.0)])
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = flink_sql(spark, """
+            SELECT count(*) AS n FROM
+            TABLE(SESSION(TABLE ev, DESCRIPTOR(ts),
+                          INTERVAL '5' MINUTE))""", tables={"ev": df})
+        assert out.collect()[0]["n"] == 2
+    assert any("GLOBAL ordered window" in str(w.message) for w in rec)
+
+
+def test_tumble_offset_agrees_with_duckdb_time_bucket(spark):
+    """Statement-level cross-engine seed: TUMBLE-with-offset grouped
+    counts == DuckDB time_bucket(size, ts, offset) on the same rows."""
+    import duckdb
+
+    rows = [(1, f"2024-01-01 {h:02d}:{m:02d}:00", i, "view", float(i))
+            for i, (h, m) in enumerate(
+                [(9, 5), (9, 20), (10, 14), (10, 16), (11, 0), (11, 59)])]
+    df = frame(spark, rows)
+    got = {
+        (str(r["window_start"]), r["n"])
+        for r in flink_sql(spark, """
+            SELECT window_start, count(*) AS n FROM
+            TABLE(TUMBLE(TABLE ev, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                         INTERVAL '15' MINUTE))
+            GROUP BY window_start""", tables={"ev": df}).collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        (str(b), n)
+        for b, n in con.execute(
+            "SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),"
+            " INTERVAL '15 minutes') AS b, count(*) FROM (VALUES "
+            + ", ".join(f"('{t}')" for _, t, _, _, _ in rows)
+            + ") AS v(ts) GROUP BY b"
+        ).fetchall()
+    }
+    assert got == exp
