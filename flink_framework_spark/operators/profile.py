@@ -87,8 +87,15 @@ def hll_rollup(
     Returns one row per bucket plus an ``__all__`` row whose estimate
     comes from the sketch union (property-tested equal to the
     direct whole-table sketch)."""
-    per = df.groupBy(bucket_expr.alias(bucket_name)).agg(
-        F.hll_sketch_agg(key_col).alias("__sk")
+    from flink_framework_spark.operators.dedup import _staged
+
+    # both output branches read the per-bucket sketches; stage them so
+    # the sketch pass over the fact table runs once, not once per
+    # branch (the same staged-input discipline as kll_quantile_summary)
+    per = _staged(
+        df.groupBy(bucket_expr.alias(bucket_name)).agg(
+            F.hll_sketch_agg(key_col).alias("__sk")
+        )
     )
     buckets = per.select(
         F.col(bucket_name).cast("string").alias(bucket_name),

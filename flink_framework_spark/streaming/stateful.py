@@ -135,6 +135,76 @@ def funnel_conversions_join(
     )
 
 
+def sequence_matches_join(
+    events: DataFrame,
+    steps: list,
+    within: str,
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The n-step generalization of :func:`funnel_conversions_join`:
+    ``operators.cep.match_sequence`` (followedByAny — every
+    combination matches, so no dedup stage is needed) as CASCADED
+    watermarked stream-stream interval joins, one per chain edge, all
+    JVM. Emits the batch operator's exact columns — ``ts_0..ts_{n-1}``
+    / ``id_0..id_{n-1}`` per complete match (equivalence-tested
+    against both the batch operator and the Arrow
+    :func:`sequence_matches` state machine).
+
+    Same decision rule as the 2-step form: fixed chains belong on the
+    join machine (~hundreds of k rows/s); the Arrow state machines
+    are for quantifiers, negation-with-state, and skip semantics.
+
+    Chaining mechanics: Spark allows ONE event-time column per
+    stream, so after each edge the superseded step timestamp is
+    DEMOTED to a plain timestamp (micros round-trip strips the
+    watermark tag) and only the newest ``ts_i`` stays watermarked to
+    drive the next edge's state bound. Each edge carries the
+    per-edge eviction constraint ``ts_i <= ts_{i-1} + within`` —
+    implied by the anchor horizon (``ts_{i-1} >= ts_0``), so it
+    changes no results, but it is what lets Spark bound and evict
+    the left side's join state; the anchor bound itself rides along
+    as a residual predicate on the demoted ``ts_0``."""
+    if len(steps) < 2:
+        raise ValueError("a sequence pattern needs at least 2 steps")
+
+    def step_df(i: int, step: str) -> DataFrame:
+        return (
+            events.filter(F.col(type_col) == step)
+            .select(
+                F.col(key_col).alias(f"__k{i}"),
+                F.col(ts_col).alias(f"ts_{i}"),
+                F.col(id_col).alias(f"id_{i}"),
+            )
+            .withWatermark(f"ts_{i}", watermark)
+        )
+
+    def demote(c: str):
+        # value-identical copy without the event-time/watermark tag
+        return F.timestamp_micros(F.unix_micros(F.col(c)))
+
+    horizon = F.expr(f"INTERVAL {within}")
+    cur = step_df(0, steps[0])
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = step_df(i, step)
+        cond = (
+            (F.col(f"__k{i}") == F.col("__k0"))
+            & (F.col(f"ts_{i}") > F.col(f"ts_{i-1}"))
+            & (F.col(f"ts_{i}") <= F.col(f"ts_{i-1}") + horizon)
+        )
+        if i >= 2:
+            cond = cond & (F.col(f"ts_{i}") <= F.col("ts_0") + horizon)
+        cur = (
+            cur.join(nxt, cond)
+            .drop(f"__k{i}")
+            .withColumn(f"ts_{i-1}", demote(f"ts_{i-1}"))
+        )
+    return cur.withColumnRenamed("__k0", key_col)
+
+
 def funnel_conversions_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` spelling of the same
     funnel (the successor API to applyInPandasWithState: explicit

@@ -287,3 +287,55 @@ def test_stream_static_temporal_table_join_left(spark, sf_dir):
     n_ev = ev.count()
     assert len(got) == n_ev
     assert got.tier.isna().sum() > 0  # pre-first-version facts present
+
+
+def test_sequence_join_chain_equals_batch_and_state_machine(spark, sf_dir):
+    """The cascaded stream-stream join chain (sequence_matches_join)
+    drains to EXACTLY the batch match_sequence match set — and
+    therefore to the Arrow sequence_matches state machine, which is
+    already pinned equal to the batch operator. Fixed chains run on
+    the JVM join machine; the decision rule lives on the operator."""
+    from flink_framework_spark.operators.cep import match_sequence
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+    )
+    from flink_framework_spark.streaming.stateful import (
+        sequence_matches_join,
+    )
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    steps = ["view", "click", "purchase"]
+
+    def fmt(df, src_events):
+        # render every boundary Spark-side in UTC so instants (stream)
+        # and NTZ (batch) compare identically under any session tz
+        cols = [F.col("user_id")]
+        for i in range(len(steps)):
+            cols.append(
+                _fmt_event_time(src_events, F.col(f"ts_{i}")).alias(
+                    f"ts_{i}"
+                )
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols)
+
+    sdf = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        fmt(sequence_matches_join(sdf, steps, "12 HOURS"), sdf),
+        query_name="t_seq_join_chain",
+        output_mode="append",
+    ).toPandas()
+    bat = table(spark, sf_dir, "events")
+    exp = fmt(match_sequence(bat, steps, "12 HOURS"), bat).toPandas()
+
+    def key(df):
+        return sorted(
+            map(repr, df[sorted(df.columns)].itertuples(index=False,
+                                                        name=None))
+        )
+
+    assert len(got) == len(exp) > 0
+    assert key(got) == key(exp)
