@@ -339,3 +339,66 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return incremental_dedup_ngram(new_batch, corpus).select("doc_id")
+
+
+@register(
+    "q_dedup_embed_cells",
+    family="K",
+    oracle="""
+SELECT * FROM read_parquet(
+  '/root/repo/tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet')
+""",
+    oracle_sf="sf0.01",
+)
+def q_dedup_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs under the DEPLOYMENT blocking
+    discipline: IMI product cells sized to the corpus (``n_cells =
+    max(9, N/250)``, two codebooks of ``ceil(sqrt(n_cells))``
+    centroids each) instead of the fixture's fixed 10-label buckets.
+    Label buckets grow with the corpus, so the label-bucketed
+    spelling (``q_dedup_embed``, kept registered as the
+    live-SQL-oracle fixture form) goes quadratic at depth — measured
+    as the dedup melt's former 10x hotspot (embed branch alpha ~2,
+    108 s at the 10x tile). Three design choices, each the repo's
+    established scale pattern measured to its conclusion:
+
+    - **cells ~ N** bounds per-cell pair work (SemDeDup sizing);
+    - **IMI two-level assignment** keeps the corpus->cell step at
+      O(N*sqrt(k)) where flat IVF's O(N*k), k ~ N, re-grows a
+      quadratic term (the flat variant measured alpha 1.16 at the
+      30x tile before this switch);
+    - **top-4 multi-probe assignment** recovers boundary-straddling
+      pairs (single assignment sees 37% of the brute-force >= 0.4
+      pairs at sf0.01; top-4 IMI probes see 59/59 = 100% — recall floor
+      pinned in tests/test_oracle_independent.py), at ~p^2/k of the
+      all-pairs space.
+
+    The pair kernel is per-cell numpy GEMM
+    (operators.similarity.cell_near_dup_pairs — the vectorization
+    discipline the semantic family already uses; the interpreted
+    expression kernel measured 26 s at sf0.1 vs 0.9 s). Deterministic
+    (seeded bounded-sample k-means + float64 assignment contract), so
+    the oracle is a frozen golden at the driver's sf0.01."""
+    import math
+
+    from flink_framework_spark.functions.helpers import (
+        round_duck,
+        to_double_array,
+    )
+    from flink_framework_spark.operators.similarity import (
+        _imi_probes_vec,
+        cell_near_dup_pairs,
+        train_imi,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()  # bounded scalar read — sizes the cell count
+    k_half = max(3, math.ceil(math.sqrt(n / 250)))
+    books = train_imi(emb, k_per_half=k_half)
+    return cell_near_dup_pairs(
+        emb,
+        threshold=0.4,
+        cells=_imi_probes_vec(books, 4)(to_double_array("embedding")),
+    ).select(
+        "vec_a", "vec_b", round_duck(F.col("cos"), 4).alias("cosim")
+    )

@@ -673,3 +673,39 @@ FROM read_parquet('{sf_dir}/documents.parquet')
 """
     ).fetchone()[0]
     assert len(golden) == n
+
+
+def test_embed_cells_pairs_sound_and_recall_floor():
+    """Independent re-verification of the q_dedup_embed_cells golden:
+    every emitted pair's cosine is recomputed from the raw embeddings
+    in DuckDB and must match exactly (soundness — no pair below the
+    0.4 threshold, no wrong cosim), and the celled blocking's recall
+    against the full brute-force >= 0.4 pair set must hold the
+    measured floor (top-3 multi-assignment sees 57/59 = 97% at
+    sf0.01; pinned at >= 0.9 so a cell-count or probe regression
+    trips loudly)."""
+    import duckdb
+
+    g = "tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet"
+    e = "/root/testdata/sf0.01/embeddings.parquet"
+    con = duckdb.connect()
+    bf = con.execute(
+        f"""
+        SELECT a.vec_id, b.vec_id,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])),
+                     4)
+        FROM read_parquet('{e}') a JOIN read_parquet('{e}') b
+          ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """
+    ).fetchall()
+    gp = con.execute(
+        f"SELECT vec_a, vec_b, cosim FROM read_parquet('{g}')"
+    ).fetchall()
+    truth = {(a, b): c for a, b, c in bf}
+    assert all(
+        (a, b) in truth and abs(truth[(a, b)] - c) < 1e-9 for a, b, c in gp
+    )
+    assert len(gp) >= 0.9 * len(bf) > 0

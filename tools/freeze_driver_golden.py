@@ -26,6 +26,7 @@ from flink_framework_spark.session import get_spark  # noqa: E402
 SF = "sf0.01"  # the driver's correctness scale factor
 SF_DIR = f"/root/testdata/{SF}"
 GOLDEN_QUERIES = (
+    "q_dedup_embed_cells",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_simhash128",
