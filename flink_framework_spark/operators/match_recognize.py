@@ -629,13 +629,25 @@ def _anchor_disjoint(spec: MRSpec) -> bool:
     and any later element's DEFINE — proven from literal-equality
     conditions on one shared column (``type = 'x'`` chains). Then a
     candidate can never start inside another match, so SKIP PAST LAST
-    ROW keeps every candidate and the plan stays join/window-only."""
+    ROW keeps every candidate and the plan stays join/window-only.
+
+    The literals must be the SAME kind with different values: a
+    string literal vs a numeric literal on one column is NOT a
+    disjointness proof — Spark's implicit casts can make BOTH
+    conditions true for the same row (``v = '5'`` and ``v = 5``), so
+    a kind mismatch conservatively falls back to explicit greedy
+    selection."""
     p0 = _define_eq_literal(spec.defines.get(spec.elements[0].var))
     if p0 is None:
         return False
     for e in spec.elements[1:]:
         p = _define_eq_literal(spec.defines.get(e.var))
-        if p is None or p[0] != p0[0] or p[1] == p0[1]:
+        if (
+            p is None
+            or p[0] != p0[0]          # different column
+            or p[1][0] != p0[1][0]    # different literal kind
+            or p[1] == p0[1]          # same value
+        ):
             return False
     return True
 
@@ -696,10 +708,19 @@ def _compile_relational(
             elif ms.func in ("LAST", "VAR_COL"):
                 expr = at(ms.col, max(pos))
             elif ms.func == "SUM":
+                # SQL aggregate NULL semantics (both engines): NULLs
+                # are ignored, an all-NULL set sums to NULL — a plain
+                # `+` chain would propagate any NULL instead
                 terms = [at(ms.col, j).cast(out_t) for j in pos]
-                expr = terms[0]
+                acc = F.coalesce(terms[0], F.lit(0).cast(out_t))
                 for t in terms[1:]:
-                    expr = expr + t
+                    acc = acc + F.coalesce(t, F.lit(0).cast(out_t))
+                expr = F.when(
+                    F.coalesce(*terms).isNull()
+                    if len(terms) > 1
+                    else terms[0].isNull(),
+                    F.lit(None).cast(out_t),
+                ).otherwise(acc)
             elif ms.func == "MIN":
                 expr = (
                     at(ms.col, pos[0])
@@ -712,12 +733,14 @@ def _compile_relational(
                     if len(pos) == 1
                     else F.greatest(*[at(ms.col, j) for j in pos])
                 )
-            else:  # AVG
+            else:  # AVG — NULLs ignored, divide by the NON-NULL count
                 terms = [at(ms.col, j).cast("double") for j in pos]
-                s = terms[0]
+                acc = F.coalesce(terms[0], F.lit(0.0))
+                nn = terms[0].isNotNull().cast("int")
                 for t in terms[1:]:
-                    s = s + t
-                expr = s / F.lit(float(len(pos)))
+                    acc = acc + F.coalesce(t, F.lit(0.0))
+                    nn = nn + t.isNotNull().cast("int")
+                expr = acc / F.nullif(nn.cast("double"), F.lit(0.0))
             expr = expr.cast(out_t)
         if expr is not None:
             proj.append(expr.alias(f"__mv{mi}"))
@@ -926,10 +949,12 @@ def scan_rows(
                     elif func in ("LAST", "VAR_COL"):
                         rec_out.append(pdf[col].iloc[rows[-1]])
                     else:  # SUM / MIN / MAX / AVG over the prefix
+                        # same SQL NULL semantics as the final
+                        # measures (sum min_count=1: all-NULL -> NULL)
                         vals = pdf[col].iloc[rows]
                         rec_out.append(
                             {
-                                "SUM": vals.sum,
+                                "SUM": lambda v=vals: v.sum(min_count=1),
                                 "MIN": vals.min,
                                 "MAX": vals.max,
                                 "AVG": vals.mean,
@@ -961,11 +986,14 @@ def scan_rows(
                 rec_out.append(pdf[col].iloc[rows[0]])
             elif func in ("LAST", "VAR_COL"):
                 rec_out.append(pdf[col].iloc[rows[-1]])
-            else:  # SUM / MIN / MAX / AVG
+            else:  # SUM / MIN / MAX / AVG — SQL NULL semantics:
+                # NULLs skipped, all-NULL -> NULL (sum needs
+                # min_count=1; pandas min/max/mean already skip NaN
+                # and return NaN on all-NaN)
                 vals = pdf[col].iloc[rows]
                 rec_out.append(
                     {
-                        "SUM": vals.sum,
+                        "SUM": lambda v=vals: v.sum(min_count=1),
                         "MIN": vals.min,
                         "MAX": vals.max,
                         "AVG": vals.mean,

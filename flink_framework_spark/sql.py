@@ -57,22 +57,39 @@ _INTERVAL_RE = re.compile(
 _UNIT_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
-def _interval_seconds(text: str) -> float:
+def _interval_seconds(text: str, allow_negative: bool = False) -> float:
     m = _INTERVAL_RE.match(text.strip())
     if not m:
         raise ValueError(
             f"expected INTERVAL '<n>' <unit>, got {text.strip()!r}"
         )
-    return float(m.group(1)) * _UNIT_S[m.group(2).upper()]
+    out = float(m.group(1)) * _UNIT_S[m.group(2).upper()]
+    if out < 0 and not allow_negative:
+        # only window OFFSETS may be negative (Flink's timezone-shift
+        # examples); a negative size/slide/step/gap would silently
+        # produce garbage windows (e.g. every-row sessions with
+        # window_end < window_start)
+        raise ValueError(
+            f"negative interval {text.strip()!r} is only valid as a "
+            "window offset"
+        )
+    return out
 
 
 def _tvf_offset(args: list[str], idx: int, bound_s: float):
-    """Optional FLIP-145 window offset argument: seconds (may be
-    negative, like Flink's timezone-shift examples), required to be
-    smaller in magnitude than the grid it shifts."""
+    """Optional FLIP-145 window offset argument: whole seconds (may
+    be negative, like Flink's timezone-shift examples), required to
+    be smaller in magnitude than the grid it shifts. Validated HERE
+    for all three grid TVFs so CUMULATE cannot silently truncate a
+    fractional offset that TUMBLE/HOP would reject."""
     if len(args) <= idx:
         return None
-    off = _interval_seconds(args[idx])
+    off = _interval_seconds(args[idx], allow_negative=True)
+    if off != int(off):
+        raise ValueError(
+            f"sub-second window offsets are out of scope "
+            f"({args[idx].strip()!r})"
+        )
     if abs(off) >= bound_s:
         raise ValueError(
             f"window offset {args[idx].strip()!r} must be smaller in "

@@ -415,3 +415,30 @@ def test_tumble_offset_agrees_with_duckdb_time_bucket(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_negative_interval_only_valid_as_offset(spark):
+    """A negative SIZE/gap must raise loudly (a negative SESSION gap
+    would silently make every row its own session with window_end <
+    window_start); negative OFFSETS stay accepted."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    with pytest.raises(ValueError, match="negative interval"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(SESSION(TABLE ev, DESCRIPTOR(ts),
+                INTERVAL '-5' MINUTE))""", tables={"ev": df})
+    with pytest.raises(ValueError, match="negative interval"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts),
+                INTERVAL '-15' MINUTE, INTERVAL '1' HOUR))""",
+            tables={"ev": df})
+
+
+def test_fractional_offset_rejected_on_all_tvfs(spark):
+    """Sub-second offsets raise on CUMULATE too (int() used to
+    silently truncate them) — same contract as TUMBLE/HOP."""
+    df = frame(spark, [(1, "2024-01-01 10:20:00", 1, "view", 5.0)])
+    with pytest.raises(ValueError, match="sub-second window offsets"):
+        flink_sql(spark, """
+            SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts),
+                INTERVAL '15' MINUTE, INTERVAL '1' HOUR,
+                INTERVAL '0.5' SECOND))""", tables={"ev": df})

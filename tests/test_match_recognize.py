@@ -413,6 +413,9 @@ def test_fuzz_vs_bruteforce(spark, seed):
     if all((mn, mx) == (1, 1) for _, mn, mx in elements):
         rel = match_recognize(df, clause)  # auto -> relational
         plan = rel._jdf.queryExecution().executedPlan().toString()
+        if skip == "to_next":
+            # TO NEXT emits candidates directly: never a Python stage
+            assert "FlatMapGroupsInPandas" not in plan
         nfa = sorted(
             repr(tuple(r))
             for r in match_recognize(df, clause, engine="nfa").collect()
@@ -436,8 +439,13 @@ def test_fuzz_relational_vs_nfa_singletons(spark, seed):
         for _ in range(rng.randint(8, 25)):
             t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
             eid += 1
-            rows.append((uid, t, eid, rng.choice(types),
-                         float(rng.randint(0, 20))))
+            # ~15% NULL values: SUM/AVG/MIN/MAX must follow SQL NULL
+            # semantics identically on both engines (NULLs skipped,
+            # all-NULL aggregates -> NULL)
+            val = (
+                None if rng.random() < 0.15 else float(rng.randint(0, 20))
+            )
+            rows.append((uid, t, eid, rng.choice(types), val))
     k = rng.randint(2, 4)
     variables = [f"V{j}" for j in range(k)]
     if rng.random() < 0.3 and k >= 3:
@@ -956,3 +964,79 @@ def test_parser_accepts_all_rows_per_match():
         PATTERN (X Y)""")
     assert spec.rows == "all"
     assert [m.func for m in spec.measures] == ["CLASSIFIER", "MATCH_NUMBER"]
+
+
+def test_disjointness_proof_requires_same_literal_kind(spark):
+    """A string literal and a numeric literal on the same column are
+    NOT a disjointness proof: Spark's implicit cast can satisfy both
+    for one row ('5' = 5), so the relational path must fall back to
+    explicit greedy selection — and still match the NFA."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1],
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime([1, 2, 3, 4], unit="s"),
+            "v": ["5", "5", "5", "5"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.v = '5', B AS B.v = 5"""
+    rel = match_recognize(df, clause)
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    # both conditions hold for every row -> candidates overlap -> the
+    # fast path must run greedy selection (a Python stage), not the
+    # emit-all disjoint shortcut
+    assert "FlatMapGroupsInPandas" in plan
+    got = sorted((r["a_id"], r["b_id"]) for r in rel.collect())
+    nfa = sorted(
+        (r["a_id"], r["b_id"])
+        for r in match_recognize(df, clause, engine="nfa").collect()
+    )
+    assert got == nfa == [(1, 2), (3, 4)]
+
+
+def test_null_measure_sql_semantics_both_engines(spark):
+    """SUM/AVG/MIN/MAX ignore NULLs; an all-NULL set aggregates to
+    NULL — pinned identically on the relational path and the NFA
+    (the old `+`-chain propagated NULL; the old pandas sum returned
+    0.0 for all-NaN)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", None),
+        (1, "2024-01-01 00:01:00", 2, "a", 7.0),
+        (1, "2024-01-01 00:02:00", 3, "b", 1.0),
+        (2, "2024-01-01 00:00:00", 4, "a", None),
+        (2, "2024-01-01 00:01:00", 5, "a", None),
+        (2, "2024-01-01 00:02:00", 6, "b", 1.0),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES SUM(A.value) AS s, AVG(A.value) AS m,
+                 MIN(A.value) AS lo, MAX(A.value) AS hi
+        ONE ROW PER MATCH
+        PATTERN (A A B)
+        DEFINE A AS A.event_type = 'a',
+               B AS B.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        out = sorted(
+            (
+                (r["s"], r["m"], r["lo"], r["hi"])
+                for r in match_recognize(df, clause, engine=engine)
+                .collect()
+            ),
+            key=repr,
+        )
+        # user 1: one NULL skipped -> 7.0 everywhere; user 2: all
+        # NULL -> NULL aggregates
+        assert out == [
+            (7.0, 7.0, 7.0, 7.0),
+            (None, None, None, None),
+        ], engine
