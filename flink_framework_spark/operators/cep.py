@@ -600,16 +600,21 @@ def _skip_greedy(
     (SKIP_PAST_LAST_EVENT); ``inclusive=True`` also keeps boundary
     starts (SKIP_TO_LAST).
 
-    When the frame carries ``id_first``/``id_last``, match boundaries
-    compare as (timestamp, event_id) pairs — the per-key total order —
-    so duplicate-timestamp runs ending at different events are ordered
-    and compared by their true event positions, not collapsed."""
+    When the frame carries BOTH ``id_first`` and ``id_last``, match
+    boundaries compare as (timestamp, event_id) pairs — the per-key
+    total order — so duplicate-timestamp runs ending at different
+    events are ordered and compared by their true event positions,
+    not collapsed. With only one of the two present, neither is used
+    (both-or-neither): starts and ends must compare against each
+    other, so a tuple start against a scalar end would TypeError."""
     cols = list(matches.columns)
     for c in (key_col, first_col, last_col):
         if c not in cols:
             raise ValueError(f"matches frame is missing column {c!r}")
     id_first = "id_first" if "id_first" in cols else None
     id_last = "id_last" if "id_last" in cols else None
+    if id_first is None or id_last is None:
+        id_first = id_last = None
     lead_cols = [first_col] + ([id_first] if id_first else []) + [
         last_col
     ] + ([id_last] if id_last else [])

@@ -624,29 +624,56 @@ def _define_eq_literal(expr: str | None):
     return (col, ("n", float(lit)))
 
 
-def _anchor_disjoint(spec: MRSpec) -> bool:
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _anchor_disjoint(spec: MRSpec, events: DataFrame) -> bool:
     """True when NO row can satisfy both the anchor element's DEFINE
     and any later element's DEFINE — proven from literal-equality
     conditions on one shared column (``type = 'x'`` chains). Then a
     candidate can never start inside another match, so SKIP PAST LAST
     ROW keeps every candidate and the plan stays join/window-only.
 
-    The literals must be the SAME kind with different values: a
-    string literal vs a numeric literal on one column is NOT a
-    disjointness proof — Spark's implicit casts can make BOTH
-    conditions true for the same row (``v = '5'`` and ``v = 5``), so
-    a kind mismatch conservatively falls back to explicit greedy
-    selection."""
-    p0 = _define_eq_literal(spec.defines.get(spec.elements[0].var))
+    Literal comparison is against the COLUMN's type, not the literal's
+    spelling: Spark's implicit casts can make two textually different
+    conditions true for the same row (``v = '5'`` and ``v = 5``, or
+    ``v = '05'``, on a numeric ``v`` all compare as 5.0). So on a
+    string column only string literals prove disjointness (compared
+    as text); on a numeric column every literal is canonicalized to
+    its numeric value first (an unparseable string falls back — the
+    cast yields NULL, never a proof); any other column type
+    conservatively falls back to explicit greedy selection."""
+    col_types = {
+        f.name.lower(): f.dataType.simpleString() for f in events.schema
+    }
+
+    def canon(p):
+        if p is None:
+            return None
+        col, (kind, val) = p
+        t = col_types.get(col)
+        if t == "string":
+            return (col, val) if kind == "s" else None
+        if t in _NUMERIC_TYPES:
+            if kind == "n":
+                return (col, val)
+            try:
+                return (col, float(val))
+            except ValueError:
+                return None
+        return None
+
+    p0 = canon(_define_eq_literal(spec.defines.get(spec.elements[0].var)))
     if p0 is None:
         return False
     for e in spec.elements[1:]:
-        p = _define_eq_literal(spec.defines.get(e.var))
+        p = canon(_define_eq_literal(spec.defines.get(e.var)))
         if (
             p is None
-            or p[0] != p0[0]          # different column
-            or p[1][0] != p0[1][0]    # different literal kind
-            or p[1] == p0[1]          # same value
+            or p[0] != p0[0]  # different column
+            or p[1] == p0[1]  # same canonical value
         ):
             return False
     return True
@@ -748,7 +775,11 @@ def _compile_relational(
     if spec.within_s is not None and k > 1:
         proj.append(at(ts_col, k - 1).alias("__ts_last"))
 
-    need_rn = spec.skip == "past_last" and k > 1 and not _anchor_disjoint(spec)
+    need_rn = (
+        spec.skip == "past_last"
+        and k > 1
+        and not _anchor_disjoint(spec, events)
+    )
     if need_rn:
         proj.append(F.row_number().over(w).alias("__rn"))
 

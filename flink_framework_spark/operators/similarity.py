@@ -582,32 +582,6 @@ def _cell_assign_vec(centroids):
     return assign
 
 
-def _cells_topp_vec(centroids, p: int):
-    """Multi-assign variant of ``_cell_assign_vec``: the ``p`` nearest
-    cells per vector (ordered, ties to the lowest cell id) — the
-    standard recall lever for cell-blocked NEAR-DUP PAIRING, where a
-    pair straddling a cell boundary is lost under single assignment.
-    Pair-space cost grows ~p^2/k per bucket, still bounded by the
-    n_cells ~ N sizing discipline."""
-    mat = np.array([c for _, c in centroids], dtype=np.float64)
-    cell_ids = np.array([int(i) for i, _ in centroids], dtype=np.int32)
-
-    @F.pandas_udf("array<int>")
-    def assign(vs: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(X) == 0:
-            return pd.Series([], dtype=object)
-        d2 = _pairwise_d2(X, mat)
-        ids = np.arange(d2.shape[1])
-        out = []
-        for row in d2:
-            order = np.lexsort((ids, row))[:p]
-            out.append(cell_ids[order])
-        return pd.Series(out)
-
-    return assign
-
-
 def cell_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -620,9 +594,13 @@ def cell_near_dup_pairs(
     vectorization that took semantic_dedup's 30x sweep from ~180 s of
     interpreted per-element expressions to a few Gflop): ``cells`` is
     an array column / Column of probe cell ids per vector (multi-
-    assignment — see ``_cells_topp_vec``), each cell's block computes
+    assignment — see ``_imi_probes_vec``), each cell's block computes
     one normalized X·Xᵀ, and pairs found in several shared cells
-    dedup once at the end. Cell size is the memory/compute bound,
+    collapse deterministically at the end (``max(cos)`` per pair —
+    the same quantity up to float summation order across per-cell
+    GEMM blocks, so the surviving value is order-independent where
+    ``dropDuplicates`` would keep an arbitrary block's copy). Cell
+    size is the memory/compute bound,
     controlled by the ``n_cells ~ N / target`` sizing; AQE's
     skew-join split handles hot cells. Output: (vec_a < vec_b, cos)
     with cos UNROUNDED — callers round for oracle comparison."""
@@ -660,7 +638,8 @@ def cell_near_dup_pairs(
     return (
         assigned.groupBy("__cell")
         .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos").alias("cos"))
     )
 
 

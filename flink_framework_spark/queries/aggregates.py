@@ -381,15 +381,33 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    glob = next(r for r in est_rows if r["bucket"] == "__all__")
+    import math
+
     # inline the bounded summary as a VALUES relation (a pure-SQL
     # LocalRelation, not a parallelized local RDD — keeps the plan
     # inside Catalyst and the no-RDD-scan invariant); repr() of a
-    # float round-trips exactly through Spark's <digits>D literal
+    # FINITE float round-trips exactly through Spark's <digits>D
+    # literal, so guard the two cases that would string-build broken
+    # SQL: no day buckets at all (empty VALUES list) and non-finite
+    # estimates (an all-NaN value column renders as `nanD`)
+    day_rows = [r for r in est_rows if r["bucket"] != "__all__"]
+    if not day_rows:
+        raise ValueError(
+            "q_kll_quantiles: events has no day buckets — nothing to "
+            "profile (empty or all-NULL ts column)"
+        )
+    glob = next(r for r in est_rows if r["bucket"] == "__all__")
+    for r in day_rows + [glob]:
+        for s, _ in stats:
+            if r[s] is None or not math.isfinite(r[s]):
+                raise ValueError(
+                    f"q_kll_quantiles: non-finite {s} estimate for "
+                    f"bucket {r['bucket']!r} — value column is empty or "
+                    "all-NaN for that day"
+                )
     vals = ", ".join(
         f"('{r['bucket']}', {r['p50']!r}D, {r['p95']!r}D, {r['p99']!r}D)"
-        for r in est_rows
-        if r["bucket"] != "__all__"
+        for r in day_rows
     )
     thr = spark.sql(
         f"SELECT * FROM VALUES {vals} AS t(bucket, t50, t95, t99)"

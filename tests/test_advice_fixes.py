@@ -303,6 +303,122 @@ def test_sequence_fn_trims_state_on_unrelated_events():
     assert st.get[0] == []  # partial trimmed despite no step events
 
 
+# ------------------------------------------- round-6 advice regressions
+
+
+def test_anchor_disjoint_respects_column_type(spark):
+    """String literals with different TEXT are a disjointness proof
+    only on a string column: on a numeric column Spark coerces them
+    (v = '5' and v = '05' both hold at v=5), so the relational SKIP
+    PAST LAST ROW path must fall back to explicit greedy selection —
+    and its output must equal the NFA's."""
+    import pandas as pd
+
+    from flink_framework_spark.operators.match_recognize import (
+        _anchor_disjoint,
+        match_recognize,
+        parse_match_recognize,
+    )
+
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS A.v = '5', B AS B.v = '05'"""
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "v": [5, 5, 5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    spec = parse_match_recognize(clause)
+    assert not _anchor_disjoint(spec, df)  # numeric v: NOT a proof
+    rel = {
+        (r["a_id"], r["b_id"])
+        for r in match_recognize(df, clause, engine="relational").collect()
+    }
+    nfa = {
+        (r["a_id"], r["b_id"])
+        for r in match_recognize(df, clause, engine="nfa").collect()
+    }
+    assert rel == nfa == {(1, 2)}  # one non-overlapping match, not two
+
+    # same literals on a STRING column: genuinely disjoint text
+    sdf = df.withColumn("v", F.col("v").cast("string"))
+    assert _anchor_disjoint(spec, sdf)
+    # numeric literals canonicalized: '5' vs 5.0 is the SAME value
+    spec_same = parse_match_recognize(clause.replace("'05'", "5.0"))
+    assert not _anchor_disjoint(spec_same, df)
+    # distinct canonical numerics on a numeric column still prove
+    spec_diff = parse_match_recognize(clause.replace("'05'", "'6'"))
+    assert _anchor_disjoint(spec_diff, df)
+
+
+def test_skip_greedy_one_sided_id_column(spark):
+    """A matches frame carrying id_first but NOT id_last must not
+    TypeError (tuple start vs scalar end) — both-or-neither rule."""
+    import pandas as pd
+
+    from flink_framework_spark.operators.cep import (
+        skip_past_last,
+        skip_to_last,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts_first": pd.to_datetime([10, 10, 30], unit="s"),
+            "ts_last": pd.to_datetime([20, 25, 40], unit="s"),
+            "id_first": [1, 2, 5],
+        }
+    )
+    m = spark.createDataFrame(pdf)
+    kept = skip_past_last(m).collect()
+    # ts-only greedy: first pick ends t=20, next start must be >20
+    assert {r["id_first"] for r in kept} == {1, 5}
+    kept2 = skip_to_last(m).collect()
+    assert {r["id_first"] for r in kept2} == {1, 5}
+
+
+def test_cell_pair_multi_cell_collapse_deterministic(spark):
+    """A pair sharing several probe cells must emit exactly once with
+    the max of the per-cell cosines (deterministic collapse; the old
+    dropDuplicates kept an arbitrary block's float)."""
+    from flink_framework_spark.operators.similarity import (
+        cell_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = cell_near_dup_pairs(
+        df, threshold=0.4, cells=F.array(F.lit(0), F.lit(1))
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["vec_a"], r["vec_b"]) == (1, 2) and r["cos"] > 0.99
+
+
+def test_kll_guards_empty_events(spark, tmp_path):
+    """An empty events table must raise a clear error, not build
+    malformed 'SELECT * FROM VALUES ' SQL."""
+    from flink_framework_spark.queries.aggregates import q_kll_quantiles
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="no day buckets"):
+        q_kll_quantiles(spark, str(tmp_path))
+
+
 def test_flink_sql_mr_id_col_plumbs_through(spark):
     """A table without an ``event_id`` column runs an embedded
     MATCH_RECOGNIZE when mr_id_col names its id column."""

@@ -681,9 +681,9 @@ def test_embed_cells_pairs_sound_and_recall_floor():
     in DuckDB and must match exactly (soundness — no pair below the
     0.4 threshold, no wrong cosim), and the celled blocking's recall
     against the full brute-force >= 0.4 pair set must hold the
-    measured floor (top-3 multi-assignment sees 57/59 = 97% at
-    sf0.01; pinned at >= 0.9 so a cell-count or probe regression
-    trips loudly)."""
+    measured floor (the shipped top-4 multi-probe assignment sees
+    59/59 = 100% at sf0.01; pinned at >= 0.9 so a cell-count or
+    probe regression trips loudly)."""
     import duckdb
 
     g = "tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet"
