@@ -7,7 +7,19 @@ JVM/codegen startup. Env knobs:
 
 - SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
 - SPARK_GRAFT_CPUS     local[N] cores (default *)
-"""
+- SPARK_GRAFT_BENCH_ONLY  comma-separated query names — runs just
+  those (and skips the streaming scenarios unless 'streaming' is in
+  the list). Iteration/smoke knob; the driver runs the full set.
+
+Auditability contract (round 5's driver record had ``parsed: null``
+because streaming-teardown stderr swamped the captured tail): the
+result is (a) written ATOMICALLY to ``BENCH.json`` next to this script
+before teardown, so the committed record never depends on stdout
+capture, and (b) printed as the LAST stdout line AFTER every streaming
+query is stopped and the session is down — nothing Spark-side can
+interleave after it. Log level is pinned to ERROR so state-store
+maintenance/abort chatter from scenario teardown stays out of the
+tail."""
 
 from __future__ import annotations
 
@@ -33,7 +45,20 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark(app_name="flink-framework-spark-bench")
+    # ERROR, not WARN: HDFSBackedStateStoreProvider logs multi-line
+    # abort/maintenance warnings during streaming-scenario teardown,
+    # which previously buried the result JSON in the captured tail
+    spark.sparkContext.setLogLevel("ERROR")
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    run_streaming = True
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        run_streaming = "streaming" in names
+        unknown = names - set(queries) - {"streaming"}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown {unknown}")
+        queries = {n: q for n, q in queries.items() if n in names}
 
     # Warmup: JVM/codegen via the flagship join, plus the Python/Arrow
     # worker pool (first pandas-UDF stage in a session pays a one-time
@@ -69,23 +94,35 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
-    streaming = stream_throughput(spark)
+    streaming = stream_throughput(spark) if run_streaming else {}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "streaming": streaming,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_seconds_all_queries",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "n_queries": len(timings),
+            "streaming": streaming,
+        }
     )
+    # atomic committed record first: the artifact of record exists
+    # even if the caller's stdout capture is lossy (full runs only —
+    # a SPARK_GRAFT_BENCH_ONLY smoke must not clobber the record)
+    if not only:
+        here = os.path.dirname(os.path.abspath(__file__))
+        tmp = os.path.join(here, ".BENCH.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, os.path.join(here, "BENCH.json"))
+    # quiesce: every scenario already stops its query, but any
+    # straggler would emit teardown noise after our print
+    for q in spark.streams.active:
+        q.stop()
     spark.stop()
+    print(line, flush=True)
 
 
 def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
