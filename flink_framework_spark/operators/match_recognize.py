@@ -572,15 +572,20 @@ def match_recognize(
     if engine not in ("auto", "relational", "nfa"):
         raise ValueError(f"engine must be auto|relational|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
-    eligible = _relational_eligible(spec)
-    if engine == "relational" and not eligible:
+    singleton = _relational_eligible(spec)
+    run_qi = None if singleton else _run_pattern_info(spec)
+    if engine == "relational" and not singleton and run_qi is None:
         raise ValueError(
-            "engine='relational' needs a singleton pattern (no "
-            "quantifiers), ONE ROW PER MATCH, and SKIP PAST LAST ROW "
-            "or TO NEXT ROW"
+            "engine='relational' needs a singleton pattern or a "
+            "single-variable run (exactly one quantified element, no "
+            "repeated variables, no MIN/MAX over the quantified "
+            "variable) — multi-variable backtracking keeps the NFA"
         )
-    if eligible and engine != "nfa":
-        return _compile_relational(events, spec, id_col)
+    if engine != "nfa":
+        if singleton:
+            return _compile_relational(events, spec, id_col)
+        if run_qi is not None:
+            return _compile_relational_run(events, spec, id_col, run_qi)
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )
@@ -629,6 +634,47 @@ _NUMERIC_TYPES = {
 }
 
 
+def _canon_eq(
+    spec: MRSpec, events: DataFrame, var: str
+) -> tuple[str, object] | None:
+    """The variable's DEFINE as a canonical ``(col, value)`` equality
+    proof, or None. Literals are canonicalized against the COLUMN's
+    type (see :func:`_anchor_disjoint` for why the spelling alone is
+    not enough)."""
+    p = _define_eq_literal(spec.defines.get(var))
+    if p is None:
+        return None
+    col, (kind, val) = p
+    t = {f.name.lower(): f.dataType.simpleString() for f in events.schema}.get(
+        col
+    )
+    if t == "string":
+        return (col, val) if kind == "s" else None
+    if t in _NUMERIC_TYPES:
+        if kind == "n":
+            return (col, val)
+        try:
+            return (col, float(val))
+        except ValueError:
+            return None
+    return None
+
+
+def _vars_disjoint(
+    spec: MRSpec, events: DataFrame, var_a: str, var_b: str
+) -> bool:
+    """True when no row can satisfy both variables' DEFINEs — proven
+    from canonical literal-equality conditions on one shared column."""
+    pa = _canon_eq(spec, events, var_a)
+    pb = _canon_eq(spec, events, var_b)
+    return (
+        pa is not None
+        and pb is not None
+        and pa[0] == pb[0]
+        and pa[1] != pb[1]
+    )
+
+
 def _anchor_disjoint(spec: MRSpec, events: DataFrame) -> bool:
     """True when NO row can satisfy both the anchor element's DEFINE
     and any later element's DEFINE — proven from literal-equality
@@ -645,31 +691,11 @@ def _anchor_disjoint(spec: MRSpec, events: DataFrame) -> bool:
     its numeric value first (an unparseable string falls back — the
     cast yields NULL, never a proof); any other column type
     conservatively falls back to explicit greedy selection."""
-    col_types = {
-        f.name.lower(): f.dataType.simpleString() for f in events.schema
-    }
-
-    def canon(p):
-        if p is None:
-            return None
-        col, (kind, val) = p
-        t = col_types.get(col)
-        if t == "string":
-            return (col, val) if kind == "s" else None
-        if t in _NUMERIC_TYPES:
-            if kind == "n":
-                return (col, val)
-            try:
-                return (col, float(val))
-            except ValueError:
-                return None
-        return None
-
-    p0 = canon(_define_eq_literal(spec.defines.get(spec.elements[0].var)))
+    p0 = _canon_eq(spec, events, spec.elements[0].var)
     if p0 is None:
         return False
     for e in spec.elements[1:]:
-        p = canon(_define_eq_literal(spec.defines.get(e.var)))
+        p = _canon_eq(spec, events, e.var)
         if (
             p is None
             or p[0] != p0[0]  # different column
@@ -830,6 +856,500 @@ def _compile_relational(
         else:
             out_cols.append(F.col(mv[ms.name]).alias(ms.name))
     return cands.select(*out_cols)
+
+
+# ------------------------------------------ relational run fast path
+
+
+def _run_pattern_info(spec: MRSpec) -> int | None:
+    """Index of the single quantified element when the pattern is a
+    single-variable greedy run — ``P1..Pa Q{m,n} S1..Sb`` with every
+    other element a singleton — else None.
+
+    Why this class is relationally compilable: with one quantified
+    element the greedy backtracking search degenerates — a match
+    anchored at r is fully determined by the LARGEST feasible end
+    position (longest Q consumption whose fixed-length suffix still
+    matches), so "the NFA's answer per anchor" is an argmax over
+    candidate ends, not a search tree. Exclusions: repeated variable
+    names (measures would aggregate non-contiguous row sets) and
+    MIN/MAX over the quantified variable (a range-min over a
+    variable-length span has no prefix-sum spelling; SUM/AVG/COUNT
+    do)."""
+    qs = [
+        j
+        for j, e in enumerate(spec.elements)
+        if not (e.n_min == 1 and e.n_max == 1)
+    ]
+    if len(qs) != 1:
+        return None
+    names = [e.var for e in spec.elements]
+    if len(set(names)) != len(names):
+        return None
+    qi = qs[0]
+    qe = spec.elements[qi]
+    if qi == len(spec.elements) - 1 and qe.n_min == 0 and qi > 0:
+        # trailing OPTIONAL run (``A B*``): its c=0 matches have no
+        # end row to anchor the band join on — keep the NFA
+        return None
+    for ms in spec.measures:
+        if ms.var == qe.var and ms.func in ("MIN", "MAX"):
+            return None
+    return qi
+
+
+def _compile_relational_run(
+    events: DataFrame, spec: MRSpec, id_col: str, qi: int
+) -> DataFrame:
+    """Compile ``P1..Pa Q{m,n} S1..Sb`` onto windows + one per-key
+    band join — no per-event Python.
+
+    Plan shape (the gaps-and-islands spelling the CEP operators
+    already use, see ``operators.cep.match_one_or_more``):
+
+    1. ONE keyed sort computes, per row: the total-order row number,
+       the Q-island reach (first non-Q row at or after, via a
+       forward-min window — island length from any position is one
+       subtraction), running SUM/COUNT per aggregated measure column
+       (so a Q-run aggregate is a difference of two prefix sums; the
+       run is contiguous by definition, which is what makes this
+       exact), and the lead/lag flag conjunctions for the fixed
+       prefix/suffix.
+    2. Anchors (prefix flags hold) band-join candidate ends (suffix
+       flags hold) per key: ``rn_e ∈ [rn_r+a+m, rn_r+a+min(n,qlen)]``
+       plus the WITHIN bound in exact integer nanoseconds. The join
+       is equi on the key with a time/row band residual — the same
+       bounded shape as the funnel join chain, candidate count capped
+       by island reach and WITHIN, never |events|².
+    3. Greedy = ``row_number() == 1`` over ends DESC per anchor (the
+       NFA tries longest consumption first; with a fixed-length
+       suffix the first success IS the max feasible end).
+    4. AFTER MATCH SKIP selection, cheapest proof that applies:
+       TO NEXT ROW emits every candidate (the NFA re-anchors on the
+       very next row, selection-free). PAST LAST ROW: (i) all
+       candidates when the anchor's DEFINE is literal-disjoint from
+       every other element's (no anchor can sit inside another
+       match); (ii) for runs anchored ON the quantified variable
+       (a=0) with a disjoint single suffix — ``A{2,} B`` chains —
+       the first feasible anchor per island end, a per-end
+       ``row_number()``; (iii) a=0 with no WITHIN/upper bound:
+       island-start anchors only (the island start is feasible
+       whenever any in-island anchor is, and its greedy match
+       swallows every later in-island candidate); (iv) otherwise the
+       sequential grouped-map pick — over CANDIDATES only, the same
+       bounded selection the singleton path uses.
+
+    The ALL ROWS PER MATCH emission joins selected matches back to
+    their row span (equi key + rn band, output-bounded) and rebuilds
+    RUNNING measures from the same prefix sums. Fuzz-checked equal to
+    the NFA on eligible patterns including boundaries
+    (tests/test_match_recognize.py)."""
+    from pyspark.sql import Window
+
+    flagged, order_by, ts_col, _ = prepare_flags(events, spec, id_col)
+    key = spec.partition_by
+    elems = spec.elements
+    k = len(elems)
+    a, b = qi, k - qi - 1
+    qe = elems[qi]
+    m, nmax, qvar = qe.n_min, qe.n_max, qe.var
+    c_lo = max(m, 1) if (a == 0 and b == 0) else m
+    qflag = f"__m_{qvar}"
+
+    w = Window.partitionBy(key).orderBy(*order_by)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    # measure columns needing prefix sums (SUM/AVG over the Q run)
+    qagg_cols = sorted(
+        {
+            ms.col
+            for ms in spec.measures
+            if ms.var == qvar and ms.func in ("SUM", "AVG")
+        }
+    )
+    base = flagged.withColumn("__rn", F.row_number().over(w))
+    base = base.select(
+        "*",
+        F.min(F.when(~F.col(qflag), F.col("__rn"))).over(wfwd).alias(
+            "__qstop"
+        ),
+        F.max("__rn").over(Window.partitionBy(key)).alias("__maxrn"),
+        *[F.sum(c).over(wcum).alias(f"__cum_{c}") for c in qagg_cols],
+        *[F.count(c).over(wcum).alias(f"__nn_{c}") for c in qagg_cols],
+    )
+
+    def at_off(col: str, off: int):
+        if off == 0:
+            return F.col(col)
+        if off > 0:
+            return F.lead(col, off).over(w)
+        return F.lag(col, -off).over(w)
+
+    # absolute row offset (from the anchor) of each singleton element;
+    # the element's measure values bind on the side that can reach
+    # them with a CONSTANT lead: prefix offsets from the anchor row,
+    # suffix offsets from the end row
+    def elem_abs(j: int) -> tuple[str, int]:
+        """('a'|'e', constant offset from that side's row)."""
+        if j < qi:
+            return ("a", j)
+        return ("e", j - qi - 1)
+
+    # ---- anchor side -------------------------------------------------
+    aproj = [
+        F.col(key).alias("__ak"),
+        F.col("__rn").alias("__arn"),
+        F.col(ts_col).alias("__ats"),
+    ]
+    prefix_ok = F.lit(True)
+    for j in range(a):
+        prefix_ok = prefix_ok & F.coalesce(
+            at_off(f"__m_{elems[j].var}", j), F.lit(False)
+        )
+    qlen = F.greatest(
+        F.lit(0),
+        F.coalesce(at_off("__qstop", a), F.col("__maxrn") + 1)
+        - (F.col("__rn") + F.lit(a)),
+    )
+    c_hi = qlen if nmax is None else F.least(F.lit(nmax), qlen)
+    aproj.append(c_hi.alias("__chi"))
+    if spec.skip == "past_last" and a == 0:
+        aproj.append(
+            (
+                F.col(qflag)
+                & ~F.coalesce(F.lag(qflag, 1).over(w), F.lit(False))
+            ).alias("__isl0")
+        )
+    # measure values bound anchor-side: prefix singletons + FIRST(Q)
+    a_mvals: dict[int, str] = {}
+    for mi, ms in enumerate(spec.measures):
+        if ms.var is None or ms.func == "COUNT":
+            continue
+        if ms.var == qvar:
+            if ms.func == "FIRST":
+                aproj.append(at_off(ms.col, a).alias(f"__amv{mi}"))
+                a_mvals[mi] = f"__amv{mi}"
+            continue
+        side, off = elem_abs(
+            next(j for j, e in enumerate(elems) if e.var == ms.var)
+        )
+        if side == "a":
+            aproj.append(at_off(ms.col, off).alias(f"__amv{mi}"))
+            a_mvals[mi] = f"__amv{mi}"
+    for c in qagg_cols:
+        aproj.append(at_off(f"__cum_{c}", a - 1).alias(f"__acum_{c}"))
+        aproj.append(at_off(f"__nn_{c}", a - 1).alias(f"__ann_{c}"))
+    # window expressions must be projected before they can filter
+    aproj.append(prefix_ok.alias("__pok"))
+    anchors = (
+        base.select(*aproj)
+        .where(
+            F.col("__pok") & (F.col("__chi") >= F.lit(c_lo))
+            if a > 0 or m > 0
+            else F.col("__pok")
+        )
+        .drop("__pok")
+    )
+
+    # ---- end side ----------------------------------------------------
+    eproj = [F.col(key).alias("__ek")]
+    e_mvals: dict[int, str] = {}
+    if b > 0:
+        eproj += [
+            F.col("__rn").alias("__ern"),
+            at_off(ts_col, b - 1).alias("__ets"),
+        ]
+        suffix_ok = F.lit(True)
+        for i in range(b):
+            suffix_ok = suffix_ok & F.coalesce(
+                at_off(f"__m_{elems[qi + 1 + i].var}", i), F.lit(False)
+            )
+        for c in qagg_cols:
+            eproj.append(at_off(f"__cum_{c}", -1).alias(f"__ecum_{c}"))
+            eproj.append(at_off(f"__nn_{c}", -1).alias(f"__enn_{c}"))
+        qlast_off = -1
+    else:
+        # the "end" is the last Q row itself; rn_e := rn_f + 1 keeps
+        # the join arithmetic (c = rn_e - rn_r - a) uniform
+        eproj += [
+            (F.col("__rn") + F.lit(1)).alias("__ern"),
+            F.col(ts_col).alias("__ets"),
+        ]
+        suffix_ok = F.col(qflag)
+        for c in qagg_cols:
+            eproj.append(F.col(f"__cum_{c}").alias(f"__ecum_{c}"))
+            eproj.append(F.col(f"__nn_{c}").alias(f"__enn_{c}"))
+        qlast_off = 0
+    for mi, ms in enumerate(spec.measures):
+        if ms.var is None or ms.func == "COUNT":
+            continue
+        if ms.var == qvar:
+            if ms.func in ("LAST", "VAR_COL"):
+                eproj.append(at_off(ms.col, qlast_off).alias(f"__emv{mi}"))
+                e_mvals[mi] = f"__emv{mi}"
+            continue
+        side, off = elem_abs(
+            next(j for j, e in enumerate(elems) if e.var == ms.var)
+        )
+        if side == "e":
+            eproj.append(at_off(ms.col, off).alias(f"__emv{mi}"))
+            e_mvals[mi] = f"__emv{mi}"
+    eproj.append(suffix_ok.alias("__sok"))
+    ends = base.select(*eproj).where(F.col("__sok")).drop("__sok")
+
+    # ---- band join + greedy (longest consumption first) --------------
+    cond = (
+        (F.col("__ak") == F.col("__ek"))
+        & (F.col("__ern") >= F.col("__arn") + F.lit(a + c_lo))
+        & (F.col("__ern") <= F.col("__arn") + F.lit(a) + F.col("__chi"))
+    )
+    if spec.within_s is not None:
+        within_ns = round(spec.within_s * 1e9)
+        cond = cond & (
+            F.expr("timestampdiff(MICROSECOND, __ats, __ets)") * F.lit(1000)
+            <= F.lit(within_ns)
+        )
+    joined = anchors.join(ends, cond).drop("__ek")
+    wpick = Window.partitionBy("__ak", "__arn").orderBy(F.col("__ern").desc())
+    cands = (
+        joined.withColumn("__gk", F.row_number().over(wpick))
+        .where(F.col("__gk") == 1)
+        .drop("__gk")
+        .withColumn("__c", (F.col("__ern") - F.col("__arn") - F.lit(a)))
+        .withColumn("__lrn", F.col("__ern") + F.lit(b - 1))
+    )
+
+    # ---- AFTER MATCH SKIP selection ----------------------------------
+    if spec.skip == "to_next":
+        sel = cands
+    elif a >= 1 and _anchor_disjoint(spec, events):
+        sel = cands
+    elif (
+        a == 0
+        and m >= 1
+        and b == 1
+        and _vars_disjoint(spec, events, qvar, elems[qi + 1].var)
+    ):
+        # ends can only sit one past an island (suffix disjoint from
+        # Q), so per island there is ONE end and the feasible anchors
+        # for it are contiguous; the NFA keeps the FIRST feasible
+        # anchor and its match covers every other in-island anchor
+        wend = Window.partitionBy("__ak", "__ern").orderBy("__arn")
+        sel = (
+            cands.withColumn("__ek1", F.row_number().over(wend))
+            .where(F.col("__ek1") == 1)
+            .drop("__ek1")
+        )
+    elif a == 0 and m >= 1 and b <= 1 and spec.within_s is None and nmax is None:
+        # unbounded, un-windowed runs: the island start is feasible
+        # whenever any in-island anchor is, and greedy from it eats
+        # through the last feasible end — nothing later in the island
+        # can match again
+        sel = cands.where("__isl0")
+    else:
+        # sequential greedy selection over CANDIDATES only (one per
+        # anchor, variable span): keep a candidate iff its anchor
+        # starts past the previous kept match's last row
+        keep_schema = cands.schema
+
+        def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__arn", kind="mergesort")
+            keep, nxt = [], -1
+            for i, rn, lrn in zip(pdf.index, pdf["__arn"], pdf["__lrn"]):
+                if rn >= nxt:
+                    keep.append(i)
+                    nxt = lrn + 1
+            return pdf.loc[keep]
+
+        sel = cands.groupBy("__ak").applyInPandas(pick, keep_schema)
+
+    sel = sel.withColumn(
+        "__mno",
+        F.row_number().over(Window.partitionBy("__ak").orderBy("__arn")),
+    )
+    if spec.rows == "all":
+        return _emit_all_rows_run(
+            base, sel, spec, events, order_by, qi, qagg_cols, w
+        )
+
+    # ---- ONE ROW PER MATCH output ------------------------------------
+    out_cols = [F.col("__ak").alias(key)]
+    for mi, ms in enumerate(spec.measures):
+        out_t = _measure_out_type(ms, events)
+        c_col = F.col("__c")
+        if ms.func == "MATCH_NUMBER":
+            expr = F.col("__mno").cast("bigint")
+        elif ms.func == "CLASSIFIER":
+            if b > 0:
+                expr = F.lit(elems[-1].var)
+            elif a > 0 and m == 0:
+                expr = F.when(c_col > 0, F.lit(qvar)).otherwise(
+                    F.lit(elems[a - 1].var)
+                )
+            else:
+                expr = F.lit(qvar)
+        elif ms.func == "COUNT_STAR":
+            expr = (c_col + F.lit(a + b)).cast("bigint")
+        elif ms.func == "COUNT":
+            if ms.var == qvar:
+                expr = c_col.cast("bigint")
+            else:
+                expr = F.lit(1).cast("bigint")
+        elif ms.var == qvar:
+            if ms.func == "FIRST":
+                expr = F.when(c_col > 0, F.col(a_mvals[mi]))
+            elif ms.func in ("LAST", "VAR_COL"):
+                expr = F.when(c_col > 0, F.col(e_mvals[mi]))
+            else:  # SUM / AVG over the run: prefix-sum difference
+                sumv = F.coalesce(F.col(f"__ecum_{ms.col}"), F.lit(0)) - (
+                    F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
+                )
+                nnv = F.coalesce(F.col(f"__enn_{ms.col}"), F.lit(0)) - (
+                    F.coalesce(F.col(f"__ann_{ms.col}"), F.lit(0))
+                )
+                if ms.func == "SUM":
+                    expr = F.when(nnv > 0, sumv)
+                else:
+                    expr = F.when(
+                        nnv > 0, sumv.cast("double") / nnv.cast("double")
+                    )
+            expr = expr.cast(out_t)
+        else:
+            src = a_mvals.get(mi) or e_mvals[mi]
+            expr = F.col(src).cast(out_t)
+        out_cols.append(expr.alias(ms.name))
+    return sel.select(*out_cols)
+
+
+def _emit_all_rows_run(
+    base: DataFrame,
+    sel: DataFrame,
+    spec: MRSpec,
+    events: DataFrame,
+    order_by: list[str],
+    qi: int,
+    qagg_cols: list[str],
+    w,
+) -> DataFrame:
+    """ALL ROWS PER MATCH for the run fast path: join each selected
+    match back to its row span (equi key + rn band — output-bounded,
+    matches are short bursts) and rebuild the RUNNING measures from
+    the row's own prefix sums; CLASSIFIER and per-row counts are CASE
+    arithmetic on the row's offset within the match."""
+    key = spec.partition_by
+    elems = spec.elements
+    a = qi
+    b = len(elems) - qi - 1
+    qvar = elems[qi].var
+
+    rows = base.select(
+        F.col(key).alias("__rk"),
+        F.col("__rn").alias("__rrn"),
+        *[F.col(c) for c in order_by],
+        *[
+            F.col(c).alias(f"__rv_{c}")
+            for c in sorted(
+                {ms.col for ms in spec.measures if ms.col is not None}
+            )
+        ],
+        *[F.col(f"__cum_{c}").alias(f"__rcum_{c}") for c in qagg_cols],
+        *[F.col(f"__nn_{c}").alias(f"__rnn_{c}") for c in qagg_cols],
+    )
+    matches = sel.drop(*order_by, *[c for c in sel.columns if c == "__ats"])
+    joined = rows.join(
+        matches,
+        (F.col("__rk") == F.col("__ak"))
+        & (F.col("__rrn") >= F.col("__arn"))
+        & (F.col("__rrn") <= F.col("__lrn")),
+    )
+    pos = F.col("__rrn") - F.col("__arn")  # 0-based offset in match
+    c_col = F.col("__c")
+    in_q = (pos >= F.lit(a)) & (pos < F.lit(a) + c_col)
+    after_q = pos >= F.lit(a) + c_col
+
+    # absolute offset of each singleton element within the match
+    def abs_pos(j: int):
+        if j < qi:
+            return F.lit(j)
+        return F.lit(a) + c_col + F.lit(j - qi - 1)
+
+    out_cols = [F.col("__rk").alias(key)] + [F.col(c) for c in order_by]
+    # measure-source lookup mirrors the ONE ROW path: anchor-side
+    # values carry __amv{mi}, end-side __emv{mi}
+    for mi, ms in enumerate(spec.measures):
+        out_t = _measure_out_type(ms, events)
+        if ms.func == "MATCH_NUMBER":
+            expr = F.col("__mno").cast("bigint")
+        elif ms.func == "CLASSIFIER":
+            expr = None
+            for j, e in enumerate(elems):
+                if j == qi:
+                    continue
+                cnd = pos == abs_pos(j)
+                expr = (
+                    F.when(cnd, F.lit(e.var))
+                    if expr is None
+                    else expr.when(cnd, F.lit(e.var))
+                )
+            q_cnd = in_q
+            expr = (
+                F.when(q_cnd, F.lit(qvar))
+                if expr is None
+                else expr.when(q_cnd, F.lit(qvar))
+            )
+        elif ms.func == "COUNT_STAR":
+            expr = (pos + F.lit(1)).cast("bigint")
+        elif ms.func == "COUNT" and ms.var == qvar:
+            expr = F.greatest(
+                F.lit(0), F.least(pos - F.lit(a) + F.lit(1), c_col)
+            ).cast("bigint")
+        elif ms.func == "COUNT":
+            j = next(i for i, e in enumerate(elems) if e.var == ms.var)
+            expr = F.when(pos >= abs_pos(j), F.lit(1)).otherwise(
+                F.lit(0)
+            ).cast("bigint")
+        elif ms.var == qvar:
+            bound = (pos >= F.lit(a)) & (c_col > 0)
+            if ms.func == "FIRST":
+                expr = F.when(bound, F.col(f"__amv{mi}")).cast(out_t)
+            elif ms.func in ("LAST", "VAR_COL"):
+                # running LAST: inside the run it's the current row,
+                # after it the run's final row
+                expr = (
+                    F.when(in_q, F.col(f"__rv_{ms.col}"))
+                    .when(
+                        after_q & (c_col > 0), F.col(f"__emv{mi}")
+                    )
+                    .cast(out_t)
+                )
+            else:  # SUM / AVG over the prefix of the run
+                eff_cum = F.when(in_q, F.col(f"__rcum_{ms.col}")).otherwise(
+                    F.col(f"__ecum_{ms.col}")
+                )
+                eff_nn = F.when(in_q, F.col(f"__rnn_{ms.col}")).otherwise(
+                    F.col(f"__enn_{ms.col}")
+                )
+                sumv = F.coalesce(eff_cum, F.lit(0)) - F.coalesce(
+                    F.col(f"__acum_{ms.col}"), F.lit(0)
+                )
+                nnv = F.coalesce(eff_nn, F.lit(0)) - F.coalesce(
+                    F.col(f"__ann_{ms.col}"), F.lit(0)
+                )
+                val = (
+                    F.when(nnv > 0, sumv)
+                    if ms.func == "SUM"
+                    else F.when(
+                        nnv > 0, sumv.cast("double") / nnv.cast("double")
+                    )
+                )
+                expr = F.when(bound, val).cast(out_t)
+        else:
+            j = next(i for i, e in enumerate(elems) if e.var == ms.var)
+            src = f"__amv{mi}" if j < qi else f"__emv{mi}"
+            expr = F.when(pos >= abs_pos(j), F.col(src)).cast(out_t)
+        out_cols.append(expr.alias(ms.name))
+    return joined.select(*out_cols)
 
 
 # -------------------------------------------------------------- matcher

@@ -494,6 +494,107 @@ def test_fuzz_relational_vs_nfa_singletons(spark, seed):
     assert a == b, f"seed {seed}: {clause}"
 
 
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_relational_vs_nfa_runs(spark, seed):
+    """Both-paths fuzz on single-variable RUN patterns (the round-6
+    fast path): random quantifier position/bounds (including {0,n}
+    optional runs and unbounded {m,}), random defines (undefined ->
+    always-true, overlapping suffixes), both skip modes, ONE and ALL
+    ROWS, random WITHIN — the relational band-join compilation must
+    equal the forced NFA row-for-row. Ineligible draws (trailing
+    optional run) are asserted to route to the NFA instead."""
+    import random as _random
+    from datetime import datetime, timezone
+
+    from flink_framework_spark.operators.match_recognize import (
+        _run_pattern_info,
+        parse_match_recognize,
+    )
+
+    rng = _random.Random(7000 + seed)
+    rows = []
+    eid = 0
+    for uid in (1, 2, 3):
+        t = 0.0
+        for _ in range(rng.randint(8, 28)):
+            t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
+            eid += 1
+            val = None if rng.random() < 0.2 else float(rng.randint(0, 20))
+            rows.append(
+                (
+                    uid,
+                    datetime.fromtimestamp(t, tz=timezone.utc).replace(
+                        tzinfo=None
+                    ),
+                    eid,
+                    rng.choice(["a", "b", "c"]),
+                    val,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    k = rng.randint(1, 4)
+    qi = rng.randrange(k)
+    m = rng.choice([0, 1, 2, 3])
+    nmax = rng.choice([None, None, m + rng.randint(0, 3)])
+    names = [f"V{j}" for j in range(k)]
+    qv = names[qi]
+    pat = []
+    for j, v in enumerate(names):
+        if j == qi:
+            if nmax is None:
+                pat.append(f"{v}{{{m},}}" if m != 1 else f"{v}+")
+            else:
+                pat.append(f"{v}{{{m},{nmax}}}")
+        else:
+            pat.append(v)
+    defines = []
+    for v in names:
+        r = rng.random()
+        if r < 0.6:
+            defines.append(
+                f"{v} AS {v}.event_type = '{rng.choice(['a', 'b', 'c'])}'"
+            )
+        elif r < 0.75:
+            defines.append(f"{v} AS {v}.value >= {rng.randint(0, 15)}")
+    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    within = rng.choice([None, 3600.0, 14400.0, 86400.0])
+    rowsmode = rng.choice(["ONE ROW PER MATCH", "ALL ROWS PER MATCH"])
+    meas = [
+        f"COUNT({qv}.*) AS n_q",
+        f"SUM({qv}.value) AS s_q",
+        f"AVG({qv}.value) AS m_q",
+        f"FIRST({qv}.event_id) AS f_q",
+        f"LAST({qv}.event_id) AS l_q",
+        "COUNT(*) AS n_all",
+        "CLASSIFIER() AS cls",
+        "MATCH_NUMBER() AS mno",
+    ] + [f"{v}.event_id AS id_{j}" for j, v in enumerate(names) if j != qi]
+    clause = (
+        f"PARTITION BY user_id ORDER BY ts MEASURES {', '.join(meas)} "
+        f"{rowsmode} AFTER MATCH SKIP {skip} PATTERN ({' '.join(pat)}) "
+        + (f"WITHIN INTERVAL '{int(within)}' SECOND " if within else "")
+        + ("DEFINE " + ", ".join(defines) if defines else "")
+    )
+    spec = parse_match_recognize(clause)
+    if _run_pattern_info(spec) is None:
+        # trailing optional run: NFA only, relational must refuse
+        with pytest.raises(ValueError):
+            match_recognize(df, clause, engine="relational")
+        return
+    rel = match_recognize(df, clause, engine="relational")
+    nfa = match_recognize(df, clause, engine="nfa")
+    assert [f.dataType for f in rel.schema] == [
+        f.dataType for f in nfa.schema
+    ], f"seed {seed}: {clause}"
+    a = sorted(repr(tuple(r)) for r in rel.collect())
+    b = sorted(repr(tuple(r)) for r in nfa.collect())
+    assert a == b, f"seed {seed}: {clause}"
+
+
 # ------------------------------------------------ engine-level checks
 
 
@@ -532,31 +633,93 @@ def test_single_shuffle_plan(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
-def test_quantified_pattern_keeps_nfa(spark, sf_dir):
+def test_single_quantifier_compiles_relationally(spark, sf_dir):
+    """``A+ B`` is a single-variable run: it must compile onto the
+    windows + band-join plan with NO Python stage (the suffix DEFINE
+    is literal-disjoint from the run's, so even the PAST LAST
+    selection is relational), and agree with the NFA."""
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+        PATTERN (A+ B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    out = match_recognize(ev, clause)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for py_stage in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                     "BatchEvalPython", "MapInPandas"):
+        assert py_stage not in plan, py_stage
+    assert "CartesianProduct" not in plan
+    a = sorted(repr(tuple(r)) for r in out.collect())
+    b = sorted(
+        repr(tuple(r))
+        for r in match_recognize(ev, clause, engine="nfa").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_multi_quantifier_pattern_keeps_nfa(spark, sf_dir):
+    """Two quantified variables need genuine backtracking (how A* and
+    B* split a run is a search) — stays on the Arrow NFA."""
     from flink_framework_spark.io import table
 
     ev = table(spark, sf_dir, "events")
     out = match_recognize(ev, """
         PARTITION BY user_id ORDER BY ts
-        MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+        MEASURES COUNT(A.*) AS n_a, COUNT(B.*) AS n_b, C.event_id AS c_id
+        PATTERN (A+ B* C)
+        DEFINE A AS A.event_type = 'click',
+               C AS C.event_type = 'purchase'""")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_trailing_optional_run_keeps_nfa(spark, sf_dir):
+    """``A B*`` (trailing optional run): its c=0 matches have no end
+    row to anchor the band join on — stays on the NFA."""
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    out = match_recognize(ev, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b
+        PATTERN (A B*)
+        DEFINE A AS A.event_type = 'signup',
+               B AS B.event_type = 'click'""")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_engine_relational_rejects_multi_quantifier(spark, sf_dir):
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="single-variable run"):
+        match_recognize(ev, """
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+            PATTERN (A* B+ C)
+            DEFINE B AS B.event_type = 'purchase'""",
+            engine="relational")
+
+
+def test_run_min_max_measure_keeps_nfa(spark, sf_dir):
+    """MIN/MAX over the quantified variable has no prefix-sum
+    spelling — the run compiler refuses it and the NFA answers."""
+    from flink_framework_spark.io import table
+
+    ev = table(spark, sf_dir, "events")
+    out = match_recognize(ev, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES MIN(A.value) AS mn, B.event_id AS b_id
         PATTERN (A+ B)
         DEFINE A AS A.event_type = 'click',
                B AS B.event_type = 'purchase'""")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
-
-
-def test_engine_relational_rejects_quantifiers(spark, sf_dir):
-    from flink_framework_spark.io import table
-
-    ev = table(spark, sf_dir, "events")
-    with pytest.raises(ValueError, match="singleton"):
-        match_recognize(ev, """
-            PARTITION BY user_id ORDER BY ts
-            MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
-            PATTERN (A* B)
-            DEFINE B AS B.event_type = 'purchase'""",
-            engine="relational")
 
 
 def test_overlapping_candidates_greedy_selection(spark):
