@@ -480,7 +480,11 @@ _GREEDY_STATE_SCHEMA = (
 
 
 def make_greedy_fn(
-    max_gap_s: float, horizon_s: float, use_timeout: bool = False
+    max_gap_s: float,
+    horizon_s: float,
+    use_timeout: bool = False,
+    step: str = "click",
+    then_step: str = "purchase",
 ):
     """Streaming twin of operators.cep.match_one_or_more (greedy
     oneOrMore): per key, state holds the OPEN run (a maximal run is
@@ -559,7 +563,7 @@ def make_greedy_fn(
                 for ts, etype in zip(pdf["ts"], pdf["event_type"]):
                     sec = ts.timestamp()
                     closed[:] = [r for r in closed if sec <= r[0] + horizon_s]
-                    if etype == "click":
+                    if etype == step:
                         if (
                             open_first is not None
                             and sec <= open_last + max_gap_s
@@ -571,7 +575,7 @@ def make_greedy_fn(
                             close_open(sec)
                             open_first = open_last = sec
                             open_n = 1
-                    elif etype == "purchase":
+                    elif etype == then_step:
                         for r in list(closed):
                             if try_match(r, sec):
                                 out.append(r)
@@ -623,16 +627,19 @@ def greedy_matches(
     max_gap_s: float = 24 * 3600,
     horizon_s: float = 7 * 24 * 3600,
     use_timeout: bool = False,
+    step: str = "click",
+    then_step: str = "purchase",
 ) -> DataFrame:
-    """Streaming twin of q_cep_greedy: maximal click-run matches per
-    user (update mode), one row per run on closure if any qualifying
-    purchase exists. ``use_timeout=True`` closes runs on event-time
-    timers too (input must carry a watermark)."""
+    """Streaming twin of q_cep_greedy: maximal ``step``-run matches
+    per user (update mode), one row per run on closure if any
+    qualifying ``then_step`` exists. ``use_timeout=True`` closes runs
+    on event-time timers too (input must carry a watermark)."""
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_greedy_fn(max_gap_s, horizon_s, use_timeout),
+            make_greedy_fn(max_gap_s, horizon_s, use_timeout,
+                           step, then_step),
             outputStructType=GREEDY_SCHEMA,
             stateStructType=_GREEDY_STATE_SCHEMA,
             outputMode="update",

@@ -18,6 +18,7 @@ from flink_framework_spark.operators.cep import (
     skip_past_last,
 )
 from flink_framework_spark.operators.pattern import Pattern
+from pyspark.sql import functions as F
 
 
 def _canon(df):
@@ -368,3 +369,158 @@ def test_one_or_more_until_equals_operator(spark, events):
     assert _canon(p.match(events)) == _canon(direct)
     with pytest.raises(ValueError, match="one_or_more"):
         Pattern.begin("click").until("error")
+
+
+# ------------------------------------------- streaming auto-routing
+
+
+def _sstream(spark):
+    """A tiny unstarted rate-based stream with the events shape —
+    enough to compile streaming plans without running them."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 10)
+        .load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.when(F.col("value") % 2 == 0, "view")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+    )
+
+
+def _has_arrow_state(df) -> bool:
+    return "FlatMapGroupsInPandasWithState" in (
+        df._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_match_stream_fixed_chain_routes_to_join(spark):
+    p = Pattern.begin("view").followed_by("purchase").within("30 minutes")
+    out = p.match_stream(_sstream(spark))
+    assert out.isStreaming
+    assert not _has_arrow_state(out)  # JVM join machine, no Python
+    assert {"ts_0", "ts_1", "id_0", "id_1"} <= set(out.columns)
+    # engine='nfa' forces the Arrow state machine on the same pattern
+    nfa = p.match_stream(_sstream(spark), engine="nfa")
+    assert _has_arrow_state(nfa)
+
+
+def test_match_stream_negation_routes_to_nfa(spark):
+    p = (
+        Pattern.begin("view")
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("30 minutes")
+    )
+    out = p.match_stream(_sstream(spark))
+    assert _has_arrow_state(out)
+    with pytest.raises(ValueError, match="ANTI"):
+        p.match_stream(_sstream(spark), engine="join")
+
+
+def test_match_stream_quantified_routes_to_state_machines(spark):
+    pt = (
+        Pattern.begin("view")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("12 hours")
+    )
+    assert _has_arrow_state(pt.match_stream(_sstream(spark)))
+    pg = (
+        Pattern.begin("view")
+        .one_or_more("1 hour")
+        .followed_by("purchase")
+        .within("12 hours")
+    )
+    assert _has_arrow_state(pg.match_stream(_sstream(spark)))
+    with pytest.raises(ValueError, match="join lowering"):
+        pt.match_stream(_sstream(spark), engine="join")
+    with pytest.raises(ValueError, match="until"):
+        (
+            Pattern.begin("view")
+            .one_or_more("1 hour")
+            .until("error")
+            .followed_by("purchase")
+            .within("12 hours")
+        ).match_stream(_sstream(spark))
+
+
+def test_match_stream_rejects_batch_only_shapes(spark):
+    base = Pattern.begin("view").followed_by("purchase").within("1 hour")
+    base.skip_strategy = "skip_past_last"
+    with pytest.raises(ValueError, match="batch-only"):
+        base.match_stream(_sstream(spark))
+    p2 = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .optional()
+        .followed_by("purchase")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="streaming twin"):
+        p2.match_stream(_sstream(spark))
+
+
+def test_interval_seconds_parser():
+    from flink_framework_spark.operators.pattern import _interval_seconds
+
+    assert _interval_seconds("30 minutes") == 1800.0
+    assert _interval_seconds("3 DAYS") == 3 * 86400.0
+    assert _interval_seconds("1 hour") == 3600.0
+    assert _interval_seconds("500 milliseconds") == 0.5
+    with pytest.raises(ValueError, match="parse"):
+        _interval_seconds("fortnight")
+
+
+def test_match_stream_join_equals_nfa_drained(spark, sf_dir):
+    """The SAME Pattern drained through both streaming engines yields
+    the same match set (the auto-routing must be a pure performance
+    choice, never a semantics one)."""
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+    )
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("12 hours")
+    )
+
+    def fmt(df, src):
+        cols = [F.col("user_id")]
+        for i in range(3):
+            cols.append(
+                _fmt_event_time(src, F.col(f"ts_{i}")).alias(f"ts_{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols)
+
+    def drained(engine, mode, name):
+        sdf = read_events_stream(spark, sf_dir)
+        got = run_to_memory(
+            fmt(p.match_stream(sdf, engine=engine), sdf),
+            query_name=name,
+            output_mode=mode,
+        ).toPandas()
+        return sorted(
+            map(
+                repr,
+                got[sorted(got.columns)].itertuples(index=False, name=None),
+            )
+        )
+
+    a = drained("auto", "append", "t_ms_join")
+    b = drained("nfa", "update", "t_ms_nfa")
+    assert len(a) == len(b) > 0
+    assert a == b
