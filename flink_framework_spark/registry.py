@@ -79,7 +79,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # H. scalar function library
     "q_string_suite",         # H1 + H2
     "q_datetime_cond",        # H3 + H5
-    "q_math_funcs",           # H4
+    "q_fsql_cumulate",        # FLIP-145 CUMULATE TVF via the statement
+                              #     dialect — rotated in (round 6) so the
+                              #     newest flink_sql() surface carries a
+                              #     direct driver attestation; H4's
+                              #     granular q_math_funcs stays registered
+                              #     in slots 51+ (hash-checked by the
+                              #     local oracle suite; its functions are
+                              #     also exercised across the corpus)
     "q_array_funcs",          # H6
     "q_map_json",             # H7
     # I. streaming semantics (oracle-checked batch twins; stream
