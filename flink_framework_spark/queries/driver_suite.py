@@ -1495,10 +1495,10 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_framework_spark.operators.pattern import Pattern
     from flink_framework_spark.queries.match_recognize_q import (
-        q_mr_all_rows,
-        q_mr_funnel,
-        q_mr_runs,
-        q_mr_strict_pair,
+        mr_all_rows_frame,
+        mr_funnel_frame,
+        mr_runs_frame,
+        mr_strict_pair_frame,
     )
 
     ev = table(spark, sf_dir, "events")
@@ -1518,7 +1518,10 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("part"), "grp", "n_matches", "n_users")
         )
 
-    times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS")
+    # four parts (times + the three skip strategies) read this match
+    # frame — persist it so the window+stack+semi-join pipeline runs
+    # once, not four times (match frames are burst-bounded, tiny)
+    times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
     opt_m = match_optional(ev, ["view", "click", "purchase"], 1, "12 HOURS")
     pat_m = (
         Pattern.begin("view")
@@ -1555,10 +1558,13 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          "greedy", "n_reps"),
         (match_one_or_more(ev, "click", "purchase", "24 HOURS", "7 DAYS",
                            until="error"), "until", "n_reps"),
-        (q_mr_strict_pair(spark, sf_dir), "mr_strict", None),
-        (q_mr_funnel(spark, sf_dir), "mr_funnel", None),
-        (q_mr_runs(spark, sf_dir), "mr_runs", "n_a"),
-        (q_mr_all_rows(spark, sf_dir), "mr_all_rows", "cls"),
+        # the four MR parts read the melt's shared events frame (no
+        # re-table, no per-part formatting — the aggregates only need
+        # the raw match frames)
+        (mr_strict_pair_frame(ev), "mr_strict", None),
+        (mr_funnel_frame(ev), "mr_funnel", None),
+        (mr_runs_frame(ev), "mr_runs", "n_a"),
+        (mr_all_rows_frame(ev), "mr_all_rows", "cls"),
     ]:
         out = out.unionByName(part(df, name, grp))
     return out

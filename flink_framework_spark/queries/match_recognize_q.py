@@ -23,6 +23,74 @@ from flink_framework_spark.registry import register
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
+# Shared clause constants + raw match frames: the granular queries
+# below format these for their oracles, and the q_cep_suite melt
+# reads the SAME frames off its one shared events scan (re-tabling
+# events and rebuilding DEFINE flags four times was the melt's
+# round-5 driver-side constant).
+
+_STRICT_PAIR_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES A.event_id AS a_id, A.ts AS a_ts,
+             B.event_id AS b_id, B.ts AS b_ts
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B)
+    DEFINE A AS A.event_type = 'view',
+           B AS B.event_type = 'purchase'"""
+
+_FUNNEL_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES S.event_id AS s_id, S.ts AS s_ts,
+             P.event_id AS p_id, P.ts AS p_ts,
+             COUNT(F.*) AS n_f, MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN (S F* P)
+    WITHIN INTERVAL '3' DAY
+    DEFINE S AS S.event_type = 'signup',
+           F AS F.event_type <> 'error',
+           P AS P.event_type = 'purchase'"""
+
+_RUNS_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES FIRST(A.ts) AS a_first, LAST(A.ts) AS a_last,
+             COUNT(A.*) AS n_a, SUM(A.value) AS a_sum,
+             B.event_id AS b_id
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A{2,} B)
+    WITHIN INTERVAL '30' DAY
+    DEFINE A AS A.event_type = 'click',
+           B AS B.event_type = 'purchase'"""
+
+_ALL_ROWS_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+             COUNT(A.*) AS n_a, SUM(A.value) AS a_sum
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A{2,} B)
+    WITHIN INTERVAL '30' DAY
+    DEFINE A AS A.event_type = 'click',
+           B AS B.event_type = 'purchase'"""
+
+
+def mr_strict_pair_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _STRICT_PAIR_CLAUSE)
+
+
+def mr_funnel_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _FUNNEL_CLAUSE)
+
+
+def mr_runs_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _RUNS_CLAUSE)
+
+
+def mr_all_rows_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _ALL_ROWS_CLAUSE)
+
 
 @register(
     "q_mr_strict_pair",
@@ -47,15 +115,7 @@ def q_mr_strict_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (the semantics that distinguish MATCH_RECOGNIZE from
     the Pattern API's relaxed followedBy). Oracle: one ``lead()``
     over the same total order."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES A.event_id AS a_id, A.ts AS a_ts,
-                 B.event_id AS b_id, B.ts AS b_ts
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP PAST LAST ROW
-        PATTERN (A B)
-        DEFINE A AS A.event_type = 'view',
-               B AS B.event_type = 'purchase'""")
+    out = mr_strict_pair_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id", "a_id",
         F.date_format("a_ts", _TS_FMT_SPARK).alias("a_ts"),
@@ -109,18 +169,7 @@ def q_mr_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATCH_NUMBER() is the per-user matched-signup ordinal — both
     facts the declarative oracle re-derives with window functions
     (farthest = row_number DESC = 1 over candidate purchases)."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES S.event_id AS s_id, S.ts AS s_ts,
-                 P.event_id AS p_id, P.ts AS p_ts,
-                 COUNT(F.*) AS n_f, MATCH_NUMBER() AS mno
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP TO NEXT ROW
-        PATTERN (S F* P)
-        WITHIN INTERVAL '3' DAY
-        DEFINE S AS S.event_type = 'signup',
-               F AS F.event_type <> 'error',
-               P AS P.event_type = 'purchase'""")
+    out = mr_funnel_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id", "s_id",
         F.date_format("s_ts", _TS_FMT_SPARK).alias("s_ts"),
@@ -167,17 +216,7 @@ def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path. WITHIN 30 days never binds (the corpus spans < 30 days);
     window truncation semantics are pinned on planted frames in
     tests/test_match_recognize.py."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES FIRST(A.ts) AS a_first, LAST(A.ts) AS a_last,
-                 COUNT(A.*) AS n_a, SUM(A.value) AS a_sum,
-                 B.event_id AS b_id
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP PAST LAST ROW
-        PATTERN (A{2,} B)
-        WITHIN INTERVAL '30' DAY
-        DEFINE A AS A.event_type = 'click',
-               B AS B.event_type = 'purchase'""")
+    out = mr_runs_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id",
         F.date_format("a_first", _TS_FMT_SPARK).alias("a_first_ts"),
@@ -238,16 +277,7 @@ def q_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands run back to its member rows with windowed
     running aggregates — exactly the "matched row joined back to its
     match_number" spelling."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
-                 COUNT(A.*) AS n_a, SUM(A.value) AS a_sum
-        ALL ROWS PER MATCH
-        AFTER MATCH SKIP PAST LAST ROW
-        PATTERN (A{2,} B)
-        WITHIN INTERVAL '30' DAY
-        DEFINE A AS A.event_type = 'click',
-               B AS B.event_type = 'purchase'""")
+    out = mr_all_rows_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id",
         F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
