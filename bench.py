@@ -49,22 +49,23 @@ def main() -> None:
     # abort/maintenance warnings during streaming-scenario teardown,
     # which previously buried the result JSON in the captured tail
     spark.sparkContext.setLogLevel("ERROR")
-    queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
+    registry = {n: q for n, q in sorted(all_queries().items()) if q.bench}
+    queries = registry
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     run_streaming = True
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
         run_streaming = "streaming" in names
-        unknown = names - set(queries) - {"streaming"}
+        unknown = names - set(registry) - {"streaming"}
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown {unknown}")
-        queries = {n: q for n, q in queries.items() if n in names}
+        queries = {n: q for n, q in registry.items() if n in names}
 
     # Warmup: JVM/codegen via the flagship join, plus the Python/Arrow
     # worker pool (first pandas-UDF stage in a session pays a one-time
     # worker fork + import cost ~3s that would otherwise be billed to
     # whichever UDF query happens to run first).
-    materialize(queries["q_join_multi"].fn(spark, sf_dir))
+    materialize(registry["q_join_multi"].fn(spark, sf_dir))
     from pyspark.sql import functions as F
 
     _warm = F.pandas_udf(lambda s: s, "long")

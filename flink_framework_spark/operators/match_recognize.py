@@ -654,9 +654,13 @@ def _canon_eq(
         if kind == "n":
             return (col, val)
         try:
-            return (col, float(val))
+            f = float(val)
         except ValueError:
             return None
+        # NaN is no proof: nan != nan in Python, but Spark SQL's
+        # equality treats NaN = NaN as TRUE, so two 'nan' literals
+        # would falsely canonicalize as distinct values
+        return None if f != f else (col, f)
     return None
 
 
@@ -1181,14 +1185,10 @@ def _compile_relational_run(
         if ms.func == "MATCH_NUMBER":
             expr = F.col("__mno").cast("bigint")
         elif ms.func == "CLASSIFIER":
-            if b > 0:
-                expr = F.lit(elems[-1].var)
-            elif a > 0 and m == 0:
-                expr = F.when(c_col > 0, F.lit(qvar)).otherwise(
-                    F.lit(elems[a - 1].var)
-                )
-            else:
-                expr = F.lit(qvar)
+            # b == 0 implies the run is last AND non-optional
+            # (_run_pattern_info rejects trailing optional runs), so
+            # the last matched row is always a Q row
+            expr = F.lit(elems[-1].var if b > 0 else qvar)
         elif ms.func == "COUNT_STAR":
             expr = (c_col + F.lit(a + b)).cast("bigint")
         elif ms.func == "COUNT":

@@ -57,31 +57,20 @@ from flink_framework_spark.operators.cep import (
 
 _SKIPS = ("no_skip", "skip_to_next", "skip_to_last", "skip_past_last")
 
-_UNIT_S = {
-    "millisecond": 0.001,
-    "second": 1.0,
-    "minute": 60.0,
-    "hour": 3600.0,
-    "day": 86400.0,
-    "week": 604800.0,
-}
-
-
 def _interval_seconds(interval: str) -> float:
     """``"30 minutes"`` / ``"3 DAYS"`` → seconds, for handing a SQL
-    interval string to the float-second Arrow state machines."""
-    m = None
-    import re as _re
+    interval string to the float-second Arrow state machines.
+    (Distinct from ``sql._interval_seconds``, which parses the
+    ``INTERVAL '3' DAY`` statement-dialect spelling.)"""
+    import pandas as pd
 
-    m = _re.match(
-        r"(?i)^\s*(\d+(?:\.\d+)?)\s+([a-z]+?)s?\s*$", interval
-    )
-    if not m or m.group(2).lower() not in _UNIT_S:
+    try:
+        return pd.Timedelta(interval.lower()).total_seconds()
+    except ValueError as e:
         raise ValueError(
-            f"cannot parse interval {interval!r} (use '<n> "
-            f"{'|'.join(_UNIT_S)}[s]')"
-        )
-    return float(m.group(1)) * _UNIT_S[m.group(2).lower()]
+            f"cannot parse interval {interval!r} (use '<n> <unit>', "
+            "e.g. '30 minutes', '3 days')"
+        ) from e
 
 
 @dataclass
@@ -302,6 +291,12 @@ class Pattern:
                     "quantified patterns need per-run state — no join "
                     "lowering exists; use engine='auto' or 'nfa'"
                 )
+            if self.negations:
+                raise ValueError(
+                    "not_followed_by on a quantified pattern has no "
+                    "streaming twin (the batch compiler rejects the "
+                    "combination too)"
+                )
             if (
                 len(self.steps) != 2
                 or self.steps[1].times
@@ -328,6 +323,13 @@ class Pattern:
                 if head.until is not None:
                     raise ValueError(
                         "one_or_more().until() has no streaming twin"
+                    )
+                if disorder_s:
+                    raise ValueError(
+                        "the one_or_more state machine has no cross-"
+                        "batch disorder allowance (greedy closure is "
+                        "decided by in-order arrival) — disorder_s "
+                        "must be 0 on this path"
                     )
                 out = greedy_matches(
                     src,

@@ -390,7 +390,14 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal, so guard the two cases that would string-build broken
     # SQL: no day buckets at all (empty VALUES list) and non-finite
     # estimates (an all-NaN value column renders as `nanD`)
-    day_rows = [r for r in est_rows if r["bucket"] != "__all__"]
+    # a NULL ts yields a NULL day bucket: those rows still feed the
+    # '__all__' sketch but have no day to profile — exclude the NULL
+    # bucket from the day table instead of rendering a phantom 'None'
+    day_rows = [
+        r
+        for r in est_rows
+        if r["bucket"] is not None and r["bucket"] != "__all__"
+    ]
     if not day_rows:
         raise ValueError(
             "q_kll_quantiles: events has no day buckets — nothing to "

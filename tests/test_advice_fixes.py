@@ -450,3 +450,26 @@ def test_flink_sql_mr_id_col_plumbs_through(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and (rows[0]["a_id"], rows[0]["b_id"]) == (1, 2)
+
+
+def test_nan_literals_are_no_disjointness_proof(spark):
+    """DEFINE A AS v = 'nan', B AS v = 'nan' on a double column: both
+    canonicalize to NaN, and Spark SQL's equality treats NaN = NaN as
+    TRUE — so this must NOT count as disjoint (nan != nan in Python
+    would otherwise claim distinct values)."""
+    import pandas as pd
+
+    from flink_framework_spark.operators.match_recognize import (
+        _anchor_disjoint,
+        parse_match_recognize,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "v": [float("nan")]})
+    )
+    spec = parse_match_recognize("""
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.v AS av ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE A AS A.v = 'nan', B AS B.v = 'nan'""")
+    assert not _anchor_disjoint(spec, df)

@@ -524,3 +524,29 @@ def test_match_stream_join_equals_nfa_drained(spark, sf_dir):
     b = drained("nfa", "update", "t_ms_nfa")
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_match_stream_quantified_negation_raises(spark):
+    """not_followed_by on a quantified pattern must raise on the
+    stream path (the batch compiler rejects the combination too) —
+    silently dropping the negation would emit wrong matches."""
+    p = (
+        Pattern.begin("view")
+        .times(2, 3)
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("12 hours")
+    )
+    with pytest.raises(ValueError, match="not_followed_by"):
+        p.match_stream(_sstream(spark))
+
+
+def test_match_stream_one_or_more_rejects_disorder(spark):
+    p = (
+        Pattern.begin("view")
+        .one_or_more("1 hour")
+        .followed_by("purchase")
+        .within("12 hours")
+    )
+    with pytest.raises(ValueError, match="disorder"):
+        p.match_stream(_sstream(spark), disorder_s=60.0)

@@ -64,9 +64,13 @@ def _build_spark() -> SparkSession:
 
 def _shuffle_totals(spark) -> tuple[int, int, int]:
     """(total shuffle write bytes, total read bytes, peak per-stage
-    write) across all completed stages so far, via the status API."""
+    write) across all completed stages so far, via the status API.
+    The base URL comes from the context (Spark silently retries
+    4050+ when the configured port is bound — a constant would then
+    query the wrong app)."""
     app_id = spark.sparkContext.applicationId
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages"
+    base = spark.sparkContext.uiWebUrl
+    url = f"{base}/api/v1/applications/{app_id}/stages"
     with urllib.request.urlopen(url, timeout=30) as r:
         stages = json.load(r)
     w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
