@@ -31,14 +31,24 @@ Spark-first split of the work:
   inside another match), and otherwise runs as a grouped-map scan
   over the CANDIDATE rows only (a tiny fraction of the input), never
   over the events.
+- **Single-variable quantified runs also compile relationally**
+  (round 6): ``P1..Pa Q{m,n} S1..Sb`` — with one quantified element
+  the greedy backtracking search degenerates to an argmax over
+  candidate end positions, so the match is windows (island reach,
+  prefix sums) + one per-key band join, greedy = max end per
+  anchor, and skip selection by the cheapest applicable proof. ONE
+  ROW and ALL ROWS PER MATCH both supported. See
+  :func:`_compile_relational_run`.
 - **The NFA runs per key in one Arrow grouped map** — the same shape
-  as Flink's own keyed NFA operator, kept for genuinely
-  greedy/backtracking patterns (``*``/``+``/``?``/``{m,n}``).
-  Per-key sequential matching with backtracking is inherently
+  as Flink's own keyed NFA operator, kept for what genuinely
+  backtracks: two or more quantified elements (how ``A* B*`` split a
+  run is a search), repeated variable names, MIN/MAX over the
+  quantified variable, and trailing optional runs. Per-key
+  sequential matching with backtracking is inherently
   order-dependent state-machine work (no relational spelling
   exists), so this is the sanctioned ``applyInPandas`` case: one
   shuffle on the partition key, bounded per-key state, no driver
-  involvement. Both paths are fuzz-checked equal on eligible
+  involvement. All paths are fuzz-checked equal on eligible
   patterns (tests/test_match_recognize.py).
 
 Supported subset (loud errors otherwise): ``PARTITION BY`` one

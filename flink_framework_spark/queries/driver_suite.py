@@ -1475,12 +1475,13 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the times match stream (SKIP_PAST_LAST / SKIP_TO_NEXT /
     SKIP_TO_LAST), optional() both-branches, the optional+negation
     Pattern-builder combo, greedy oneOrMore, oneOrMore until(), and
-    the three MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
-    funnel, {2,}-quantified runs — the Arrow-NFA engine in
-    operators/match_recognize.py). The granular q_cep_* / q_mr_*
-    queries stay registered (slots 51+) for the bench and local hash
-    checks; this melt gives the family one externally-attested driver
-    row."""
+    the four MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
+    funnel, {2,}-quantified runs, ALL ROWS PER MATCH — all compiled
+    relationally with zero Python stages since round 6, reading this
+    melt's ONE shared events frame; operators/match_recognize.py).
+    The granular q_cep_* / q_mr_* queries stay registered (slots
+    51+) for the bench and local hash checks; this melt gives the
+    family one externally-attested driver row."""
     from flink_framework_spark.operators.cep import (
         enforce_strict_contiguity,
         match_one_or_more,
