@@ -502,7 +502,10 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
     always-true, overlapping suffixes), both skip modes, ONE and ALL
     ROWS, random WITHIN — the relational band-join compilation must
     equal the forced NFA row-for-row. Ineligible draws (trailing
-    optional run) are asserted to route to the NFA instead."""
+    optional run) are asserted to route to the NFA instead. Odd
+    seeds generate ~40% DUPLICATE timestamps so the total-order
+    tie-break (event_id) is exercised at island boundaries, WITHIN
+    edges, and greedy selection — where ts-only identities break."""
     import random as _random
     from datetime import datetime, timezone
 
@@ -512,12 +515,14 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
     )
 
     rng = _random.Random(7000 + seed)
+    dup_ts = seed % 2 == 1
     rows = []
     eid = 0
     for uid in (1, 2, 3):
         t = 0.0
         for _ in range(rng.randint(8, 28)):
-            t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
+            if not (dup_ts and rng.random() < 0.4):
+                t += rng.choice([60.0, 300.0, 1800.0, 7200.0])
             eid += 1
             val = None if rng.random() < 0.2 else float(rng.randint(0, 20))
             rows.append(
