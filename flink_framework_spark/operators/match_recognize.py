@@ -605,6 +605,99 @@ def match_recognize(
     )
 
 
+def route_info(clause: str, events: DataFrame | None = None) -> dict:
+    """Explain how :func:`match_recognize` would execute ``clause`` —
+    the porting diagnostic: ``{"engine": "relational-singleton" |
+    "relational-run" | "nfa", "reason": ..., "selection": ...}``.
+
+    ``selection`` (PAST LAST ROW relational paths only) names the
+    greedy-selection proof that applies — ``"all-candidates
+    (disjoint anchor)"`` needs the input schema, so pass ``events``
+    to resolve it; without a frame, schema-dependent proofs report
+    ``"schema-dependent (pass events)"``."""
+    spec = parse_match_recognize(clause)
+    if _relational_eligible(spec):
+        info = {
+            "engine": "relational-singleton",
+            "reason": "all elements singletons — fixed-length "
+            "lead-window compilation",
+        }
+        if spec.skip == "to_next":
+            info["selection"] = "none (TO NEXT emits every candidate)"
+        elif len(spec.elements) == 1:
+            info["selection"] = "none (length-1 matches cannot overlap)"
+        elif events is None:
+            info["selection"] = "schema-dependent (pass events)"
+        elif _anchor_disjoint(spec, events):
+            info["selection"] = "all-candidates (disjoint anchor)"
+        else:
+            info["selection"] = "grouped-map pick over candidates"
+        return info
+    qi = _run_pattern_info(spec)
+    if qi is not None:
+        qe = spec.elements[qi]
+        a, b = qi, len(spec.elements) - qi - 1
+        info = {
+            "engine": "relational-run",
+            "reason": f"single quantified element "
+            f"{qe.var}{{{qe.n_min},{qe.n_max if qe.n_max is not None else ''}}} "
+            "— windows + per-key band join, greedy = max end per anchor",
+        }
+        if spec.skip == "to_next":
+            info["selection"] = "none (TO NEXT emits every candidate)"
+        elif events is None:
+            info["selection"] = "schema-dependent (pass events)"
+        elif a >= 1 and _anchor_disjoint(spec, events):
+            info["selection"] = "all-candidates (disjoint anchor)"
+        elif (
+            a == 0
+            and qe.n_min >= 1
+            and b == 1
+            and _vars_disjoint(
+                spec, events, qe.var, spec.elements[qi + 1].var
+            )
+        ):
+            info["selection"] = "first-feasible-anchor per island end"
+        elif (
+            a == 0
+            and qe.n_min >= 1
+            and b <= 1
+            and spec.within_s is None
+            and qe.n_max is None
+        ):
+            info["selection"] = "island-start anchors"
+        else:
+            info["selection"] = "grouped-map pick over candidates"
+        return info
+    qs = [
+        e for e in spec.elements if not (e.n_min == 1 and e.n_max == 1)
+    ]
+    names = [e.var for e in spec.elements]
+    if len(qs) >= 2:
+        reason = (
+            f"{len(qs)} quantified elements — how they split a run "
+            "is a backtracking search"
+        )
+    elif len(set(names)) != len(names):
+        reason = "repeated variable names — non-contiguous measure sets"
+    elif qs and any(
+        ms.var == qs[0].var and ms.func in ("MIN", "MAX")
+        for ms in spec.measures
+    ):
+        reason = (
+            "MIN/MAX over the quantified variable — no prefix-sum "
+            "spelling for a range extremum"
+        )
+    elif qs and qs[0].n_min == 0 and spec.elements[-1] is qs[0]:
+        reason = (
+            "trailing optional run — its c=0 matches have no end row "
+            "to anchor the band join on"
+        )
+    else:
+        reason = "ALL ROWS PER MATCH on a singleton pattern"
+    return {"engine": "nfa", "reason": reason}
+
+
 # ------------------------------------------------- relational fast path
 
 

@@ -1208,3 +1208,43 @@ def test_null_measure_sql_semantics_both_engines(spark):
             (7.0, 7.0, 7.0, 7.0),
             (None, None, None, None),
         ], engine
+
+
+def test_route_info_names_engine_and_selection(spark, sf_dir):
+    """The porting diagnostic reports the engine and the greedy-
+    selection proof match_recognize would actually use."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.match_recognize import (
+        route_info,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    r = route_info(_STRICT_PAIR, ev)
+    assert r["engine"] == "relational-singleton"
+    assert "disjoint anchor" in r["selection"]
+
+    runs = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, B.event_id AS b_id
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B) WITHIN INTERVAL '30' DAY
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    r = route_info(runs, ev)
+    assert r["engine"] == "relational-run"
+    assert "island end" in r["selection"]
+    # without a frame, schema-dependent proofs say so
+    assert "schema-dependent" in route_info(runs)["selection"]
+
+    multi = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(A.*) AS n_a, C.event_id AS c_id
+        ONE ROW PER MATCH
+        PATTERN (A+ B* C)
+        DEFINE C AS C.event_type = 'purchase'"""
+    r = route_info(multi)
+    assert r["engine"] == "nfa" and "quantified elements" in r["reason"]
+
+    minmax = runs.replace("COUNT(A.*) AS n_a", "MIN(A.value) AS mn")
+    r = route_info(minmax)
+    assert r["engine"] == "nfa" and "MIN/MAX" in r["reason"]
