@@ -64,8 +64,11 @@ which ships only ONE ROW PER MATCH; batch only, the streaming twin
 keeps ONE ROW);
 ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW``; ``PATTERN`` as one
 concatenation of variables with greedy quantifiers ``?`` ``*`` ``+``
-``{m,n}`` ``{m,}``; ``WITHIN INTERVAL 'n' unit`` (Flink extension —
-first-to-last row span bound); ``DEFINE`` with arbitrary
+``{m,n}`` ``{m,}``; ``SUBSET U = (A, B)`` union variables usable in
+MEASURES (SQL standard — BEYOND Flink, which does not expose SUBSET;
+compiled as position unions on the relational singleton path,
+sorted row unions in the NFA); ``WITHIN INTERVAL 'n' unit`` (Flink
+extension — first-to-last row span bound); ``DEFINE`` with arbitrary
 single-row Spark SQL booleans (``PREV``/``NEXT``/aggregate
 navigation in DEFINE, reluctant ``?``-suffixed quantifiers, and
 alternation/grouping are documented out of scope). Variables
@@ -123,6 +126,7 @@ class MRSpec:
     within_s: float | None
     defines: dict[str, str] = field(default_factory=dict)
     rows: str = "one"  # "one" | "all" (ROWS PER MATCH mode)
+    subsets: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def variables(self) -> list[str]:
@@ -308,15 +312,49 @@ def parse_match_recognize(sql: str) -> MRSpec:
     if not elements:
         raise ValueError("PATTERN is empty")
 
+    # SUBSET (SQL-standard union variables) and the Flink WITHIN
+    # extension both trail PATTERN; real queries spell them in either
+    # order, so accept both
     within_s: float | None = None
-    if p.peek_kw() == "WITHIN":
-        p.pop()
-        p.expect_kw("INTERVAL")
-        lit = p.pop()
-        if not (lit.startswith("'") and lit.endswith("'")):
-            raise ValueError("WITHIN INTERVAL needs a quoted magnitude")
-        unit = p.expect_kw(*_UNIT_SECONDS, *[u + "S" for u in _UNIT_SECONDS])
-        within_s = float(lit.strip("'")) * _UNIT_SECONDS[unit.rstrip("S")]
+    subsets: dict[str, list[str]] = {}
+    while p.peek_kw() in ("WITHIN", "SUBSET"):
+        if p.peek_kw() == "WITHIN":
+            if within_s is not None:
+                raise ValueError("duplicate WITHIN clause")
+            p.pop()
+            p.expect_kw("INTERVAL")
+            lit = p.pop()
+            if not (lit.startswith("'") and lit.endswith("'")):
+                raise ValueError("WITHIN INTERVAL needs a quoted magnitude")
+            unit = p.expect_kw(
+                *_UNIT_SECONDS, *[u + "S" for u in _UNIT_SECONDS]
+            )
+            within_s = float(lit.strip("'")) * _UNIT_SECONDS[unit.rstrip("S")]
+        else:
+            if subsets:
+                raise ValueError("duplicate SUBSET clause")
+            p.pop()
+            while True:
+                name = p.pop()
+                if p.pop() != "=":
+                    raise ValueError("SUBSET needs NAME = (members)")
+                if p.pop() != "(":
+                    raise ValueError("SUBSET members need parentheses")
+                members = [p.pop()]
+                while p.peek() == ",":
+                    p.pop()
+                    members.append(p.pop())
+                if p.pop() != ")":
+                    raise ValueError("unterminated SUBSET member list")
+                if len(set(members)) != len(members):
+                    raise ValueError(
+                        f"SUBSET {name!r} lists a member twice"
+                    )
+                subsets[name] = members
+                if p.peek() == ",":
+                    p.pop()
+                    continue
+                break
 
     defines: dict[str, str] = {}
     if p.peek_kw() == "DEFINE":
@@ -330,13 +368,29 @@ def parse_match_recognize(sql: str) -> MRSpec:
         )
 
     var_set = {e.var for e in elements}
+    for name, members in subsets.items():
+        if name in var_set:
+            raise ValueError(
+                f"SUBSET {name!r} collides with a pattern variable"
+            )
+        for mvar in members:
+            if mvar not in var_set:
+                raise ValueError(
+                    f"SUBSET {name!r} member {mvar!r} not in PATTERN "
+                    "(subsets of subsets are out of scope)"
+                )
     for v in defines:
         if v not in var_set:
             raise ValueError(f"DEFINE references {v!r}, not in PATTERN")
     for ms in measures:
-        if ms.var is not None and ms.var not in var_set:
+        if (
+            ms.var is not None
+            and ms.var not in var_set
+            and ms.var not in subsets
+        ):
             raise ValueError(
-                f"measure {ms.name!r} references {ms.var!r}, not in PATTERN"
+                f"measure {ms.name!r} references {ms.var!r}, not in "
+                "PATTERN or SUBSET"
             )
     return MRSpec(
         partition_by=partition_by,
@@ -347,6 +401,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         within_s=within_s,
         defines=defines,
         rows=rows_mode,
+        subsets=subsets,
     )
 
 
@@ -693,6 +748,11 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
             "trailing optional run — its c=0 matches have no end row "
             "to anchor the band join on"
         )
+    elif qs and any(ms.var in spec.subsets for ms in spec.measures):
+        reason = (
+            "SUBSET measure on a quantified pattern — union rows "
+            "straddle the run compiler's binding sides"
+        )
     else:
         reason = "ALL ROWS PER MATCH on a singleton pattern"
     return {"engine": "nfa", "reason": reason}
@@ -838,6 +898,12 @@ def _compile_relational(
     positions: dict[str, list[int]] = {}
     for j, e in enumerate(spec.elements):
         positions.setdefault(e.var, []).append(j)
+    # SUBSET union variables: their positions are the sorted union of
+    # the members' — every measure function below then works unchanged
+    for name, members in spec.subsets.items():
+        positions[name] = sorted(
+            j for mv in members for j in positions.get(mv, [])
+        )
 
     # one select computes every lead the filter and measures need
     proj = [F.col(spec.partition_by), *(F.col(c) for c in order_by)]
@@ -1001,6 +1067,11 @@ def _run_pattern_info(spec: MRSpec) -> int | None:
         return None
     for ms in spec.measures:
         if ms.var == qe.var and ms.func in ("MIN", "MAX"):
+            return None
+        if ms.var in spec.subsets:
+            # a union variable's rows straddle the anchor/end binding
+            # sides — keep the NFA (the singleton compiler handles
+            # SUBSET via position unions; runs do not)
             return None
     return qi
 
@@ -1472,6 +1543,7 @@ def scan_rows(
     match_no_start: int = 0,
     emit: str = "one",
     row_cols: tuple = (),
+    subsets: dict[str, list[str]] | None = None,
 ) -> tuple[list[list], int, int]:
     """Shared scan core for the batch matcher and the streaming twin.
 
@@ -1554,6 +1626,19 @@ def scan_rows(
         rec(start, 0, [])
         return best
 
+    def rows_of(var, table):
+        """A variable's bound rows — for a SUBSET union variable, the
+        sorted union of its members' rows (row indices are the total
+        order, so sorting restores match order)."""
+        if var is None:
+            return None
+        if subsets and var in subsets:
+            merged: list[int] = []
+            for mvar in subsets[var]:
+                merged.extend(table.get(mvar, []))
+            return sorted(merged)
+        return table.get(var, [])
+
     out_rows: list[list] = []
     match_no = match_no_start
     i = 0
@@ -1587,7 +1672,7 @@ def scan_rows(
                     pdf[c].iloc[row] for c in row_cols
                 ]
                 for _, func, var, col in measures:
-                    rows = pref.get(var, []) if var is not None else None
+                    rows = rows_of(var, pref)
                     if func == "MATCH_NUMBER":
                         rec_out.append(match_no)
                     elif func == "CLASSIFIER":
@@ -1625,7 +1710,7 @@ def scan_rows(
             by_var.setdefault(elements[ei][0], []).append(row)
         rec_out = [key_value]
         for _, func, var, col in measures:
-            rows = by_var.get(var, []) if var is not None else None
+            rows = rows_of(var, by_var)
             if func == "MATCH_NUMBER":
                 rec_out.append(match_no)
             elif func == "CLASSIFIER":
@@ -1674,6 +1759,7 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     var_names = spec.variables
+    subsets = dict(spec.subsets)
     emit = spec.rows
     row_cols = tuple(order_by) if emit == "all" else ()
     names = (
@@ -1697,6 +1783,7 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
             ts_col=ts_col,
             emit=emit,
             row_cols=row_cols,
+            subsets=subsets,
         )
         return rows_to_frame(out_rows, names)
 

@@ -287,3 +287,50 @@ def q_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         round_duck(F.col("a_sum"), 2).alias("a_sum"),
     )
+
+
+@register(
+    "q_mr_subset",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         lead(event_type) OVER w AS nt1,
+         lead(event_type, 2) OVER w AS nt2,
+         lead(event_id) OVER w AS nid1,
+         lead(event_id, 2) OVER w AS nid2,
+         lead(value, 2) OVER w AS nv2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id AS u_first, nid2 AS u_last,
+       CASE WHEN value IS NULL AND nv2 IS NULL THEN NULL
+            ELSE COALESCE(value, 0) + COALESCE(nv2, 0) END AS u_sum,
+       CAST(2 AS BIGINT) AS n_u, nid1 AS b_id
+FROM o
+WHERE event_type = 'view' AND nt1 = 'click' AND nt2 = 'purchase'
+""",
+)
+def q_mr_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ``SUBSET`` union variables (BEYOND Flink, which
+    does not expose SUBSET): the strict view->click->purchase chain
+    with ``SUBSET U = (A, C)`` — measures over U aggregate the union
+    of A's and C's rows (first/last ids, NULL-aware SUM). On this
+    singleton pattern the compiler stays fully relational: subset
+    positions are the sorted union of member positions, so every
+    measure lowers onto the same lead-window plan, no Python stage
+    (disjoint literal DEFINEs keep even the greedy selection
+    relational). The oracle re-derives the union measures from the
+    same two leads."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+                 SUM(U.value) AS u_sum, COUNT(U.*) AS n_u,
+                 B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B C)
+        SUBSET U = (A, C)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'""")
+    return out.select("user_id", "u_first", "u_last", "u_sum", "n_u", "b_id")

@@ -96,6 +96,7 @@ def match_recognize_stream(
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     names = [spec.partition_by] + [m.name for m in spec.measures]
     var_names = spec.variables
+    subsets = dict(spec.subsets)
     skip, within_s, key_col = spec.skip, spec.within_s, spec.partition_by
 
     def _mr_fn(
@@ -141,6 +142,7 @@ def match_recognize_stream(
             ts_col=ts_col,
             anchor_bound_s=wm_s,
             match_no_start=mno,
+            subsets=subsets,
         )
         rest = buf.iloc[resume:]
         if len(rest):

@@ -1248,3 +1248,172 @@ def test_route_info_names_engine_and_selection(spark, sf_dir):
     minmax = runs.replace("COUNT(A.*) AS n_a", "MIN(A.value) AS mn")
     r = route_info(minmax)
     assert r["engine"] == "nfa" and "MIN/MAX" in r["reason"]
+
+
+# ----------------------------------------------------- SUBSET clause
+
+
+def test_subset_parser_and_validation():
+    spec = parse_match_recognize("""
+        PARTITION BY user_id ORDER BY ts
+        MEASURES LAST(U.ts) AS u_ts, COUNT(U.*) AS n_u
+        PATTERN (A B C)
+        SUBSET U = (A, C)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'view'""")
+    assert spec.subsets == {"U": ["A", "C"]}
+    assert spec.within_s == 3600.0
+    # WITHIN-then-SUBSET order also accepted
+    spec2 = parse_match_recognize("""
+        PARTITION BY user_id ORDER BY ts
+        MEASURES LAST(U.ts) AS u_ts
+        PATTERN (A B)
+        WITHIN INTERVAL '1' HOUR
+        SUBSET U = (A, B)""")
+    assert spec2.subsets == {"U": ["A", "B"]}
+    with pytest.raises(ValueError, match="collides"):
+        parse_match_recognize(
+            "PARTITION BY u ORDER BY ts MEASURES A.ts AS t "
+            "PATTERN (A B) SUBSET A = (B)"
+        )
+    with pytest.raises(ValueError, match="not in PATTERN"):
+        parse_match_recognize(
+            "PARTITION BY u ORDER BY ts MEASURES A.ts AS t "
+            "PATTERN (A B) SUBSET U = (A, Z)"
+        )
+    with pytest.raises(ValueError, match="twice"):
+        parse_match_recognize(
+            "PARTITION BY u ORDER BY ts MEASURES A.ts AS t "
+            "PATTERN (A B) SUBSET U = (A, A)"
+        )
+    with pytest.raises(ValueError, match="not in PATTERN or SUBSET"):
+        parse_match_recognize(
+            "PARTITION BY u ORDER BY ts MEASURES W.ts AS t "
+            "PATTERN (A B) SUBSET U = (A, B)"
+        )
+
+
+def test_subset_measures_singleton_relational_equals_nfa(spark):
+    """SUBSET union measures over a singleton pattern: the relational
+    position-union compilation must equal the NFA row-for-row, and the
+    values must be the member rows' union in match order."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 2.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 3.0),
+        (1, "2024-01-01 10:02:00", 3, "purchase", 5.0),
+        (1, "2024-01-01 11:00:00", 4, "view", None),
+        (1, "2024-01-01 11:01:00", 5, "click", 7.0),
+        (1, "2024-01-01 11:02:00", 6, "purchase", None),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(U.event_id) AS u_first, LAST(U.event_id) AS u_last,
+                 SUM(U.value) AS u_sum, AVG(U.value) AS u_avg,
+                 MIN(U.event_id) AS u_min, MAX(U.event_id) AS u_max,
+                 COUNT(U.*) AS n_u, B.event_id AS b_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B C)
+        SUBSET U = (A, C)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'"""
+    df = frame(spark, rows)
+    rel = match_recognize(df, clause)  # auto -> relational singleton
+    plan = rel._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # still no Python
+    a = sorted(repr(tuple(r)) for r in rel.collect())
+    b = sorted(
+        repr(tuple(r))
+        for r in match_recognize(df, clause, engine="nfa").collect()
+    )
+    assert a == b
+    got = {r["b_id"]: r for r in rel.collect()}
+    # match 1: U rows = {view@1, purchase@3}: sum 7, avg 3.5
+    assert got[2]["u_first"] == 1 and got[2]["u_last"] == 3
+    assert got[2]["u_sum"] == 7.0 and got[2]["n_u"] == 2
+    # match 2: both member values NULL -> SUM/AVG are NULL (SQL
+    # aggregate semantics, not 0)
+    assert got[5]["u_sum"] is None
+    assert got[5]["u_avg"] is None
+    assert got[5]["u_min"] == 4 and got[5]["u_max"] == 6
+
+
+def test_subset_on_quantified_pattern_keeps_nfa(spark, sf_dir):
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.match_recognize import (
+        route_info,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(U.*) AS n_u, B.event_id AS b_id
+        ONE ROW PER MATCH
+        PATTERN (A{2,} B)
+        SUBSET U = (A, B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    out = match_recognize(ev, clause)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert route_info(clause)["reason"].startswith("SUBSET measure")
+    # and the union count is the whole match here: n_u == n_a + 1
+    rows = out.limit(5).collect()
+    assert all(r["n_u"] >= 3 for r in rows)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_subset_singleton_vs_nfa(spark, seed):
+    """Randomized SUBSET unions over singleton chains, both engines."""
+    import random as _random
+    from datetime import datetime, timezone
+
+    rng = _random.Random(9900 + seed)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        t = 0.0
+        for _ in range(rng.randint(10, 24)):
+            t += rng.choice([60.0, 600.0])
+            eid += 1
+            val = None if rng.random() < 0.25 else float(rng.randint(0, 9))
+            rows.append(
+                (
+                    uid,
+                    datetime.fromtimestamp(t, tz=timezone.utc).replace(
+                        tzinfo=None
+                    ),
+                    eid,
+                    rng.choice(["a", "b", "c"]),
+                    val,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    k = rng.randint(2, 4)
+    names = [f"V{j}" for j in range(k)]
+    members = rng.sample(names, rng.randint(2, k))
+    defines = [
+        f"{v} AS {v}.event_type = '{rng.choice(['a', 'b', 'c'])}'"
+        for v in names
+        if rng.random() < 0.7
+    ]
+    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    clause = (
+        "PARTITION BY user_id ORDER BY ts "
+        "MEASURES FIRST(U.event_id) AS f_u, LAST(U.event_id) AS l_u, "
+        "SUM(U.value) AS s_u, COUNT(U.*) AS n_u, MATCH_NUMBER() AS mno "
+        f"ONE ROW PER MATCH AFTER MATCH SKIP {skip} "
+        f"PATTERN ({' '.join(names)}) "
+        f"SUBSET U = ({', '.join(members)}) "
+        + ("DEFINE " + ", ".join(defines) if defines else "")
+    )
+    rel = match_recognize(df, clause, engine="relational")
+    nfa = match_recognize(df, clause, engine="nfa")
+    a = sorted(repr(tuple(r)) for r in rel.collect())
+    b = sorted(repr(tuple(r)) for r in nfa.collect())
+    assert a == b, f"seed {seed}: {clause}"
