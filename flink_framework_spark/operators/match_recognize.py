@@ -63,15 +63,20 @@ the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
 which ships only ONE ROW PER MATCH; batch only, the streaming twin
 keeps ONE ROW);
 ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW``; ``PATTERN`` as one
-concatenation of variables with greedy quantifiers ``?`` ``*`` ``+``
-``{m,n}`` ``{m,}``; ``SUBSET U = (A, B)`` union variables usable in
+concatenation of variables with quantifiers ``?`` ``*`` ``+``
+``{m,n}`` ``{m,}`` — greedy by default, reluctant (lazy) with a
+trailing ``?`` (``??`` ``*?`` ``+?`` ``{m,n}?``, Flink parity:
+prefer the FEWEST repetitions; on the relational run path the
+greedy max-end argmax flips to an argmin, in the NFA the
+backtracking count order flips to ascending); ``SUBSET U = (A, B)``
+union variables usable in
 MEASURES (SQL standard — BEYOND Flink, which does not expose SUBSET;
 compiled as position unions on the relational singleton path,
 sorted row unions in the NFA); ``WITHIN INTERVAL 'n' unit`` (Flink
 extension — first-to-last row span bound); ``DEFINE`` with arbitrary
 single-row Spark SQL booleans (``PREV``/``NEXT``/aggregate
-navigation in DEFINE, reluctant ``?``-suffixed quantifiers, and
-alternation/grouping are documented out of scope). Variables
+navigation in DEFINE and alternation/grouping are documented out
+of scope). Variables
 without a DEFINE match any row (SQL default).
 
 Empty matches (every element minimum 0) are skipped rather than
@@ -103,6 +108,11 @@ class _Element:
     var: str
     n_min: int
     n_max: int | None  # None = unbounded
+    # reluctant (lazy) quantifier — ``??``/``*?``/``+?``/``{m,n}?``:
+    # prefer the FEWEST repetitions that let the rest of the pattern
+    # complete (greedy prefers the most). Normalized to False when
+    # n_min == n_max (no choice to prefer).
+    reluctant: bool = False
 
 
 @dataclass
@@ -280,6 +290,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         if not re.match(r"^[A-Za-z_]\w*$", t):
             raise ValueError(f"unexpected token {t!r} in PATTERN")
         n_min, n_max = 1, 1
+        quantified = True
         nxt = p.peek()
         if nxt == "?":
             p.pop()
@@ -302,12 +313,17 @@ def parse_match_recognize(sql: str) -> MRSpec:
                 raise ValueError("unterminated {m,n} quantifier")
             if n_max is not None and n_max < n_min:
                 raise ValueError(f"quantifier {{{n_min},{n_max}}} is empty")
-        if p.peek() == "?":
-            raise ValueError(
-                "reluctant quantifiers (??, *?, +?, {m,n}?) are out of "
-                "scope — greedy only, like operators.pattern"
-            )
-        elements.append(_Element(t, n_min, n_max))
+        else:
+            quantified = False
+        reluctant = False
+        if quantified and p.peek() == "?":
+            # a second '?' after a quantifier = the SQL-standard
+            # reluctant (lazy) marker: prefer the fewest repetitions.
+            # {n}? (n_min == n_max) has no choice — normalize to
+            # greedy so eligibility proofs see one canonical form.
+            p.pop()
+            reluctant = n_min != n_max
+        elements.append(_Element(t, n_min, n_max, reluctant))
     p.pop()  # ")"
     if not elements:
         raise ValueError("PATTERN is empty")
@@ -695,8 +711,14 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
         info = {
             "engine": "relational-run",
             "reason": f"single quantified element "
-            f"{qe.var}{{{qe.n_min},{qe.n_max if qe.n_max is not None else ''}}} "
-            "— windows + per-key band join, greedy = max end per anchor",
+            f"{qe.var}{{{qe.n_min},{qe.n_max if qe.n_max is not None else ''}}}"
+            f"{'?' if qe.reluctant else ''} "
+            "— windows + per-key band join, "
+            + (
+                "reluctant = min end per anchor"
+                if qe.reluctant
+                else "greedy = max end per anchor"
+            ),
         }
         if spec.skip == "to_next":
             info["selection"] = "none (TO NEXT emits every candidate)"
@@ -719,6 +741,7 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
             and b <= 1
             and spec.within_s is None
             and qe.n_max is None
+            and not qe.reluctant
         ):
             info["selection"] = "island-start anchors"
         else:
@@ -1101,7 +1124,10 @@ def _compile_relational_run(
        by island reach and WITHIN, never |events|².
     3. Greedy = ``row_number() == 1`` over ends DESC per anchor (the
        NFA tries longest consumption first; with a fixed-length
-       suffix the first success IS the max feasible end).
+       suffix the first success IS the max feasible end). A reluctant
+       quantifier flips the argmax to an argmin — ends ASC — because
+       the lazy NFA tries the SHORTEST consumption first; the
+       candidate set is identical either way.
     4. AFTER MATCH SKIP selection, cheapest proof that applies:
        TO NEXT ROW emits every candidate (the NFA re-anchors on the
        very next row, selection-free). PAST LAST ROW: (i) all
@@ -1289,7 +1315,9 @@ def _compile_relational_run(
             <= F.lit(within_ns)
         )
     joined = anchors.join(ends, cond).drop("__ek")
-    wpick = Window.partitionBy("__ak", "__arn").orderBy(F.col("__ern").desc())
+    wpick = Window.partitionBy("__ak", "__arn").orderBy(
+        F.col("__ern").asc() if qe.reluctant else F.col("__ern").desc()
+    )
     cands = (
         joined.withColumn("__gk", F.row_number().over(wpick))
         .where(F.col("__gk") == 1)
@@ -1297,6 +1325,15 @@ def _compile_relational_run(
         .withColumn("__c", (F.col("__ern") - F.col("__arn") - F.lit(a)))
         .withColumn("__lrn", F.col("__ern") + F.lit(b - 1))
     )
+    if qe.reluctant and a == 0 and b == 0 and m == 0:
+        # a lone reluctant optional run (``B*?`` / ``B{0,n}?``): the
+        # preferred (lazy) match at EVERY anchor is the empty match,
+        # which this engine omits (module doc) — and skipping past an
+        # empty match advances one row, so nothing is ever emitted.
+        # The NFA agrees by construction (its first complete
+        # assignment is the empty one); Catalyst folds the plan to an
+        # empty relation.
+        cands = cands.where(F.lit(False))
 
     # ---- AFTER MATCH SKIP selection ----------------------------------
     if spec.skip == "to_next":
@@ -1319,11 +1356,21 @@ def _compile_relational_run(
             .where(F.col("__ek1") == 1)
             .drop("__ek1")
         )
-    elif a == 0 and m >= 1 and b <= 1 and spec.within_s is None and nmax is None:
-        # unbounded, un-windowed runs: the island start is feasible
-        # whenever any in-island anchor is, and greedy from it eats
-        # through the last feasible end — nothing later in the island
-        # can match again
+    elif (
+        a == 0
+        and m >= 1
+        and b <= 1
+        and spec.within_s is None
+        and nmax is None
+        and not qe.reluctant
+    ):
+        # unbounded, un-windowed GREEDY runs: the island start is
+        # feasible whenever any in-island anchor is, and greedy from
+        # it eats through the last feasible end — nothing later in
+        # the island can match again. (A reluctant run consumes only
+        # its minimum and re-anchors INSIDE the island, so this proof
+        # is greedy-only; reluctant falls through to the sequential
+        # pick.)
         sel = cands.where("__isl0")
     else:
         # sequential greedy selection over CANDIDATES only (one per
@@ -1533,7 +1580,7 @@ def scan_rows(
     pdf: pd.DataFrame,
     key_value,
     *,
-    elements: list[tuple[str, int, int | None]],
+    elements: list[tuple[str, int, int | None, bool]],
     measures: list[tuple[str, str, str | None, str | None]],
     skip: str,
     within_s: float | None,
@@ -1579,10 +1626,12 @@ def scan_rows(
         anchor_bound_ns = round(anchor_bound_s * 1e9)
 
     def try_match(start: int) -> list[tuple[int, int]] | None:
-        """Greedy backtracking match anchored at row ``start``;
-        returns [(row, element)] or None. Greedy = each element
-        tries its longest feasible consumption first; the first
-        complete assignment wins (regex backtracking order).
+        """Backtracking match anchored at row ``start``; returns
+        [(row, element)] or None. Greedy elements try their longest
+        feasible consumption first, reluctant (lazy) elements their
+        shortest; the first complete assignment wins (regex
+        backtracking order — leftmost element's preference decides
+        first).
 
         Failed ``(pos, element)`` states are memoized per anchor:
         consumption is contiguous from the anchor, so whether a
@@ -1605,7 +1654,7 @@ def scan_rows(
                 return
             if (pos, ei) in failed:
                 return
-            var, n_min, n_max = elements[ei]
+            var, n_min, n_max, reluctant = elements[ei]
             fv = flags[var]
             cap = n - pos if n_max is None else min(n_max, n - pos)
             run = 0
@@ -1614,7 +1663,12 @@ def scan_rows(
                     if ts_ns[pos + run] - ts_ns[start] > within_ns:
                         break
                 run += 1
-            for c in range(run, n_min - 1, -1):
+            counts = (
+                range(n_min, run + 1)
+                if reluctant
+                else range(run, n_min - 1, -1)
+            )
+            for c in counts:
                 keep = len(assign)
                 assign.extend((pos + t, ei) for t in range(c))
                 rec(pos + c, ei + 1, assign)
@@ -1755,7 +1809,9 @@ def rows_to_frame(out_rows: list[list], names: list[str]) -> pd.DataFrame:
 
 
 def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
-    elements = [(e.var, e.n_min, e.n_max) for e in spec.elements]
+    elements = [
+        (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
+    ]
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     var_names = spec.variables

@@ -334,3 +334,65 @@ def q_mr_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
                B AS B.event_type = 'click',
                C AS C.event_type = 'purchase'""")
     return out.select("user_id", "u_first", "u_last", "u_sum", "n_u", "b_id")
+
+
+@register(
+    "q_mr_reluctant",
+    family="I",
+    oracle="""
+WITH o0 AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+o AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'error' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_err
+  FROM o0),
+s AS (SELECT user_id, event_id AS s_id, rn AS srn, ts AS s_ts, next_err
+      FROM o WHERE event_type = 'signup'),
+cand AS (
+  SELECT s.user_id, s.s_id, s.srn,
+         o.event_id AS p_id, o.rn AS prn
+  FROM s JOIN o ON o.user_id = s.user_id AND o.rn >= s.srn + 2
+   AND o.event_type = 'purchase'
+   AND o.ts <= s.s_ts + INTERVAL 3 DAY
+   AND (s.next_err IS NULL OR o.rn < s.next_err)),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, srn
+                               ORDER BY prn ASC) AS rk
+  FROM cand)
+SELECT user_id, s_id, p_id,
+       CAST(prn - srn - 1 AS BIGINT) AS n_n,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn)
+            AS BIGINT) AS mno
+FROM best WHERE rk = 1
+""",
+)
+def q_mr_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reluctant (lazy) quantifier — ``PATTERN (S N+? P)``: signup,
+    then the FEWEST non-error filler rows, then a purchase. The lazy
+    ``+?`` binds P to the NEAREST purchase at least two rows after
+    the signup (greedy ``N+`` would bind the farthest — exactly
+    :func:`q_mr_funnel` with its selection flipped), within 3 days,
+    no error row between. Compiles onto the relational run path with
+    the greedy max-end argmax flipped to an argmin (ends ASC); the
+    oracle is the funnel oracle with ``ORDER BY prn DESC`` flipped
+    to ``ASC`` and the >= 1-filler floor added. Flink parity: its
+    MATCH_RECOGNIZE ships the same ``??/*?/+?/{m,n}?`` reluctant
+    markers."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id, P.event_id AS p_id,
+                 COUNT(N.*) AS n_n, MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (S N+? P)
+        WITHIN INTERVAL '3' DAY
+        DEFINE S AS S.event_type = 'signup',
+               N AS N.event_type <> 'error',
+               P AS P.event_type = 'purchase'""")
+    return out.select("user_id", "s_id", "p_id", "n_n", "mno")

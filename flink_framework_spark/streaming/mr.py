@@ -92,7 +92,9 @@ def match_recognize_stream(
     state_schema = ", ".join(state_fields + ["mno bigint"])
     is_ts = {c: types[c].startswith("timestamp") for c in carried}
 
-    elements = [(e.var, e.n_min, e.n_max) for e in spec.elements]
+    elements = [
+        (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
+    ]
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     names = [spec.partition_by] + [m.name for m in spec.measures]
     var_names = spec.variables

@@ -72,8 +72,6 @@ def test_parser_full_clause():
     [
         ("PARTITION BY a, b ORDER BY ts MEASURES X.ts AS t PATTERN (X Y)",
          "exactly one key"),
-        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X Y*?)",
-         "reluctant"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
          "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "out of scope"),
         ("PARTITION BY u ORDER BY ts MEASURES Z.ts AS t PATTERN (X Y)",
@@ -275,20 +273,166 @@ def test_undefined_variable_matches_any_row(spark):
     assert [(r.s_id, r.n_f, r.p_id) for r in out.collect()] == [(1, 1, 3)]
 
 
+# ------------------------------------------- reluctant quantifiers
+
+
+def test_parser_reluctant_flags():
+    spec = parse_match_recognize("""
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(*) AS n
+      PATTERN (A?? B*? C+? D{2,5}? E{3}? F{1,1}? G H?)
+      DEFINE A AS A.value > 0""")
+    got = [(e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements]
+    assert got == [
+        ("A", 0, 1, True),
+        ("B", 0, None, True),
+        ("C", 1, None, True),
+        ("D", 2, 5, True),
+        # {n}? and {1,1}? have no repetition choice — normalized to
+        # greedy so eligibility proofs see one canonical form
+        ("E", 3, 3, False),
+        ("F", 1, 1, False),
+        ("G", 1, 1, False),
+        ("H", 0, 1, False),
+    ]
+
+
+def test_reluctant_prefers_fewest(spark):
+    """``A B+?`` stops at ONE b where greedy ``A B+`` eats the run;
+    both engines agree (the relational argmax flips to an argmin)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "b", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "b", 3.0),
+        (1, "2024-01-01 10:03:00", 4, "b", 4.0),
+    ]
+    base = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(B.*) AS n_b, LAST(B.event_id) AS lb
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+{q})
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        lazy = match_recognize(
+            df, base.format(q="?"), engine=engine
+        ).collect()
+        assert [(r.n_b, r.lb) for r in lazy] == [(1, 2)], engine
+        greedy = match_recognize(
+            df, base.format(q=""), engine=engine
+        ).collect()
+        assert [(r.n_b, r.lb) for r in greedy] == [(3, 4)], engine
+
+
+def test_reluctant_rechunks_islands(spark):
+    """``B{2,}?`` chops a 5-island into 2+2 (greedy takes all 5):
+    the lazy NFA re-anchors INSIDE the island, which is why the
+    island-start selection proof is gated to greedy."""
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "b", 1.0) for j in range(5)
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(B.event_id) AS fb, COUNT(B.*) AS n_b
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B{2,}?)
+        DEFINE B AS B.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        got = sorted(
+            (r.fb, r.n_b)
+            for r in match_recognize(df, clause, engine=engine).collect()
+        )
+        assert got == [(1, 2), (3, 2)], engine
+
+
+def test_reluctant_optional_prefers_absent(spark):
+    """``A B?? C`` binds zero B-rows when C can match immediately;
+    greedy ``A B? C`` binds the B row."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "b", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "b", 3.0),
+    ]
+    base = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(B.*) AS n_b, C.event_id AS c_id
+        ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B?{q} C)
+        DEFINE A AS A.event_type = 'a', C AS C.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        lazy = match_recognize(
+            df, base.format(q="?"), engine=engine
+        ).collect()
+        assert [(r.n_b, r.c_id) for r in lazy] == [(0, 2)], engine
+        greedy = match_recognize(
+            df, base.format(q=""), engine=engine
+        ).collect()
+        assert [(r.n_b, r.c_id) for r in greedy] == [(1, 3)], engine
+
+
+def test_lone_reluctant_optional_run_emits_nothing(spark):
+    """``B*?`` alone: the preferred (lazy) match at every anchor is
+    the EMPTY match, which this engine omits — both engines emit
+    zero rows (the relational path folds to an empty relation)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "b", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "b", 2.0),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(B.*) AS n_b
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B*?)
+        DEFINE B AS B.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        assert match_recognize(df, clause, engine=engine).count() == 0
+
+
+def test_route_info_reluctant_run(spark):
+    from flink_framework_spark.operators.match_recognize import route_info
+
+    rows = [(1, "2024-01-01 10:00:00", 1, "b", 1.0)]
+    df = frame(spark, rows)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(B.*) AS n_b
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B{2,}?)
+        DEFINE B AS B.event_type = 'b'"""
+    info = route_info(clause, df)
+    assert info["engine"] == "relational-run"
+    assert "min end per anchor" in info["reason"]
+    # island-start is a greedy-only proof — reluctant must pick the
+    # sequential candidates-only scan
+    assert info["selection"] == "grouped-map pick over candidates"
+
+
 # ------------------------------------------------- brute-force fuzz
 
 
 def _ref_matches(rows, elements, defines, skip, within_s):
     """Independent reference: enumerate ALL feasible contiguous count
-    vectors per anchor and pick the lexicographic maximum (the
-    declarative statement of greedy backtracking), then apply the
-    after-match skip. rows: list of (ts_epoch, event_id, type, value),
-    pre-sorted."""
+    vectors per anchor and pick the preference-lexicographic maximum
+    (greedy elements prefer MORE repetitions, reluctant elements
+    FEWER — the declarative statement of regex backtracking order:
+    the leftmost element's preference decides first). A preferred
+    match that is EMPTY is omitted and the scan advances one row
+    (the engine's documented empty-match rule). Then apply the
+    after-match skip. rows: list of (ts_epoch, event_id, type,
+    value), pre-sorted. elements: (var, n_min, n_max, reluctant)."""
     n = len(rows)
 
     def flag(var, i):
         cond = defines.get(var)
         return cond is None or cond(rows[i])
+
+    def pref(vec):
+        return tuple(
+            -c if elements[j][3] else c for j, c in enumerate(vec)
+        )
 
     out = []
     i = 0
@@ -299,7 +443,7 @@ def _ref_matches(rows, elements, defines, skip, within_s):
             if ei == len(elements):
                 vecs.append(tuple(vec))
                 return
-            var, mn, mx = elements[ei]
+            var, mn, mx, _rel = elements[ei]
             cap = (n - pos) if mx is None else min(mx, n - pos)
             for c in range(mn, cap + 1):
                 ok = all(flag(var, pos + t) for t in range(c))
@@ -309,13 +453,17 @@ def _ref_matches(rows, elements, defines, skip, within_s):
                     rec(pos + c, ei + 1, vec + [c])
 
         rec(i, 0, [])
-        vecs = [v for v in vecs if sum(v)]
         if not vecs:
             i += 1
             continue
-        best = max(vecs)
+        best = max(vecs, key=pref)
+        if sum(best) == 0:
+            # the PREFERRED match is empty (all-reluctant optional
+            # elements) — omitted, resume at the next row
+            i += 1
+            continue
         assign, pos = [], i
-        for (var, _, _), c in zip(elements, best):
+        for (var, _, _, _), c in zip(elements, best):
             assign.append((var, pos, pos + c))
             pos += c
         out.append((i, pos, assign))
@@ -336,31 +484,38 @@ def test_fuzz_vs_bruteforce(spark, seed):
             eid += 1
             rows.append((uid, t, eid, rng.choice(types),
                          float(rng.randint(0, 20))))
-    # random pattern: 2-3 elements over vars with type-equality defines
+    # random pattern: 2-3 elements over vars with type-equality
+    # defines; quantified elements draw reluctant (lazy) ~35% of the
+    # time — preference order is what distinguishes them, so mixed
+    # greedy/reluctant chains exercise the leftmost-decides rule
     n_elem = rng.randint(2, 3)
     quants = [(1, 1), (0, 1), (0, None), (1, None), (1, 2), (2, None)]
     elements, defines_sql, defines_py = [], [], {}
     for k in range(n_elem):
         var = f"V{k}"
         mn, mx = rng.choice(quants)
-        elements.append((var, mn, mx))
+        rel = (mn, mx) != (1, 1) and mn != mx and rng.random() < 0.35
+        elements.append((var, mn, mx, rel))
         if rng.random() < 0.8:
             ty = rng.choice(types)
             defines_sql.append(f"{var} AS {var}.event_type = '{ty}'")
             defines_py[var] = (lambda ty: lambda r: r[2] == ty)(ty)
-    if all(mn == 0 for _, mn, _ in elements):
-        elements[0] = (elements[0][0], 1, elements[0][2])
+    if all(mn == 0 for _, mn, _, _ in elements):
+        elements[0] = (elements[0][0], 1, elements[0][2], elements[0][3])
     skip = rng.choice(["past_last", "to_next"])
     within = rng.choice([None, 3600.0, 14400.0])
 
     pat = " ".join(
-        v + {(1, 1): "", (0, 1): "?", (0, None): "*", (1, None): "+",
-             (1, 2): "{1,2}", (2, None): "{2,}"}[(mn, mx)]
-        for v, mn, mx in elements
+        v
+        + {(1, 1): "", (0, 1): "?", (0, None): "*", (1, None): "+",
+           (1, 2): "{1,2}", (2, None): "{2,}"}[(mn, mx)]
+        + ("?" if rel else "")
+        for v, mn, mx, rel in elements
     )
     measures = ", ".join(
-        [f"FIRST({v}.event_id) AS first_{v.lower()}" for v, _, _ in elements]
-        + [f"COUNT({v}.*) AS n_{v.lower()}" for v, _, _ in elements]
+        [f"FIRST({v}.event_id) AS first_{v.lower()}"
+         for v, _, _, _ in elements]
+        + [f"COUNT({v}.*) AS n_{v.lower()}" for v, _, _, _ in elements]
         + ["MATCH_NUMBER() AS mno", "COUNT(*) AS n_rows"]
     )
     clause = (
@@ -398,10 +553,10 @@ def test_fuzz_vs_bruteforce(spark, seed):
         ):
             by = {var: (lo, hi) for var, lo, hi in assign}
             rec = [uid]
-            for v, _, _ in elements:
+            for v, _, _, _ in elements:
                 lo, hi = by[v]
                 rec.append(urows[lo][1] if hi > lo else None)
-            for v, _, _ in elements:
+            for v, _, _, _ in elements:
                 lo, hi = by[v]
                 rec.append(hi - lo)
             rec.extend([mno, e - s])
@@ -410,7 +565,7 @@ def test_fuzz_vs_bruteforce(spark, seed):
 
     # eligible seeds (all-singleton patterns) must route identically
     # through the relational fast path and the forced NFA
-    if all((mn, mx) == (1, 1) for _, mn, mx in elements):
+    if all((mn, mx) == (1, 1) for _, mn, mx, _ in elements):
         rel = match_recognize(df, clause)  # auto -> relational
         plan = rel._jdf.queryExecution().executedPlan().toString()
         if skip == "to_next":
@@ -545,6 +700,9 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
     qi = rng.randrange(k)
     m = rng.choice([0, 1, 2, 3])
     nmax = rng.choice([None, None, m + rng.randint(0, 3)])
+    # reluctant runs flip greedy's max-end argmax to an argmin and
+    # disable the island-start selection proof — draw them ~40%
+    rel_q = rng.random() < 0.4
     names = [f"V{j}" for j in range(k)]
     qv = names[qi]
     pat = []
@@ -554,6 +712,8 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
                 pat.append(f"{v}{{{m},}}" if m != 1 else f"{v}+")
             else:
                 pat.append(f"{v}{{{m},{nmax}}}")
+            if rel_q:
+                pat[-1] += "?"
         else:
             pat.append(v)
     defines = []
@@ -983,8 +1143,9 @@ def test_multi_unbounded_quantifiers_polynomial():
     out, resume, _ = scan_rows(
         pdf,
         1,
-        elements=[("A", 0, None), ("B", 0, None), ("C", 0, None),
-                  ("D", 0, None), ("E", 1, 1)],
+        elements=[("A", 0, None, False), ("B", 0, None, False),
+                  ("C", 0, None, False), ("D", 0, None, False),
+                  ("E", 1, 1, False)],
         measures=[("mno", "MATCH_NUMBER", None, None)],
         skip="past_last",
         within_s=None,
@@ -1003,7 +1164,7 @@ def test_stream_anchor_final_only_strictly_inside_watermark():
 
     pdf = _mk_flag_pdf({"A": [True], "B": [False]}, ts=[0.0])
     kw = dict(
-        elements=[("A", 1, 1), ("B", 1, 1)],
+        elements=[("A", 1, 1, False), ("B", 1, 1, False)],
         measures=[("n", "COUNT_STAR", None, None)],
         skip="past_last",
         within_s=60.0,
