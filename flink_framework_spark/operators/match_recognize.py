@@ -62,7 +62,13 @@ the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
 (per-row emission with RUNNING measure semantics — BEYOND Flink,
 which ships only ONE ROW PER MATCH; batch only, the streaming twin
 keeps ONE ROW);
-``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW``; ``PATTERN`` as one
+``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST <var> |
+TO LAST <var>`` (all four Flink strategies; the variable-targeted
+modes resume AT the variable's first/last matched row, raise the
+SQL-standard errors loudly — variable bound no rows, or a resume at
+the match start that would loop forever — and reject the
+statically-hopeless spellings at parse time, like Flink);
+``PATTERN`` as one
 concatenation of variables with quantifiers ``?`` ``*`` ``+``
 ``{m,n}`` ``{m,}`` — greedy by default, reluctant (lazy) with a
 trailing ``?`` (``??`` ``*?`` ``+?`` ``{m,n}?``, Flink parity:
@@ -131,12 +137,15 @@ class MRSpec:
     partition_by: str
     order_by: list[str]
     measures: list[_Measure]
-    skip: str  # "past_last" | "to_next"
+    skip: str  # "past_last" | "to_next" | "to_first" | "to_last"
     elements: list[_Element]
     within_s: float | None
     defines: dict[str, str] = field(default_factory=dict)
     rows: str = "one"  # "one" | "all" (ROWS PER MATCH mode)
     subsets: dict[str, list[str]] = field(default_factory=dict)
+    # SKIP TO FIRST/LAST <var>: the pattern variable whose first/last
+    # matched row the scan resumes AT (None for the row-based modes)
+    skip_var: str | None = None
 
     @property
     def variables(self) -> list[str]:
@@ -260,6 +269,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         p.expect_kw("MATCH")
 
     skip = "past_last"
+    skip_var: str | None = None
     if p.peek_kw() == "AFTER":
         p.pop()
         p.expect_kw("MATCH")
@@ -271,13 +281,15 @@ def parse_match_recognize(sql: str) -> MRSpec:
             skip = "past_last"
         else:
             nxt = p.expect_kw("NEXT", "FIRST", "LAST")
-            if nxt != "NEXT":
-                raise ValueError(
-                    "AFTER MATCH SKIP TO FIRST/LAST <var> is out of scope "
-                    "(supported: PAST LAST ROW, TO NEXT ROW)"
-                )
-            p.expect_kw("ROW")
-            skip = "to_next"
+            if nxt == "NEXT":
+                p.expect_kw("ROW")
+                skip = "to_next"
+            else:
+                # SKIP TO FIRST/LAST <var>: resume AT the named
+                # variable's first/last matched row (Flink parity —
+                # its MATCH_RECOGNIZE ships all four strategies)
+                skip = "to_first" if nxt == "FIRST" else "to_last"
+                skip_var = p.pop()
 
     p.expect_kw("PATTERN")
     if p.pop() != "(":
@@ -395,6 +407,42 @@ def parse_match_recognize(sql: str) -> MRSpec:
                     f"SUBSET {name!r} member {mvar!r} not in PATTERN "
                     "(subsets of subsets are out of scope)"
                 )
+    if skip_var is not None:
+        if skip_var in subsets:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO FIRST/LAST {skip_var}: SUBSET "
+                "union variables are not a skip target here — name a "
+                "pattern variable"
+            )
+        if skip_var not in var_set:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO FIRST/LAST references "
+                f"{skip_var!r}, not in PATTERN"
+            )
+        e0 = elements[0]
+        only_first = all(
+            e.var != skip_var for e in elements[1:]
+        )
+        if skip == "to_first" and e0.var == skip_var:
+            # the first row mapped to the first element IS the match
+            # start — resuming there can never advance. Flink rejects
+            # this statically too.
+            raise ValueError(
+                f"AFTER MATCH SKIP TO FIRST {skip_var} would resume at "
+                "the match start — infinite loop (Flink rejects this "
+                "pattern as well)"
+            )
+        if (
+            skip == "to_last"
+            and e0.var == skip_var
+            and only_first
+            and e0.n_max == 1
+        ):
+            raise ValueError(
+                f"AFTER MATCH SKIP TO LAST {skip_var} would resume at "
+                "the match start — infinite loop (the variable binds "
+                "only the first row)"
+            )
     for v in defines:
         if v not in var_set:
             raise ValueError(f"DEFINE references {v!r}, not in PATTERN")
@@ -418,6 +466,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         defines=defines,
         rows=rows_mode,
         subsets=subsets,
+        skip_var=skip_var,
     )
 
 
@@ -695,6 +744,19 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
         }
         if spec.skip == "to_next":
             info["selection"] = "none (TO NEXT emits every candidate)"
+        elif spec.skip in ("to_first", "to_last"):
+            pos = [
+                j
+                for j, e in enumerate(spec.elements)
+                if e.var == spec.skip_var
+            ]
+            off = pos[0] if spec.skip == "to_first" else pos[-1]
+            info["selection"] = (
+                "none (resume stride 1 — every candidate emits)"
+                if off == 1
+                else "grouped-map pick over candidates (constant "
+                f"resume stride {off})"
+            )
         elif len(spec.elements) == 1:
             info["selection"] = "none (length-1 matches cannot overlap)"
         elif events is None:
@@ -722,6 +784,11 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
         }
         if spec.skip == "to_next":
             info["selection"] = "none (TO NEXT emits every candidate)"
+        elif spec.skip in ("to_first", "to_last"):
+            info["selection"] = (
+                "grouped-map pick over candidates (variable-targeted "
+                "resume)"
+            )
         elif events is None:
             info["selection"] = "schema-dependent (pass events)"
         elif a >= 1 and _anchor_disjoint(spec, events):
@@ -997,11 +1064,23 @@ def _compile_relational(
     if spec.within_s is not None and k > 1:
         proj.append(at(ts_col, k - 1).alias("__ts_last"))
 
+    # SKIP TO FIRST/LAST <var> on a singleton pattern: every element
+    # binds exactly one row at a CONSTANT offset from the anchor, so
+    # the resume row is anchor + off — a fixed stride. off == 1
+    # admits every later candidate (distinct anchor rows are >= 1
+    # apart), i.e. selection-free like TO NEXT ROW; off > 1 needs the
+    # sequential pick with nxt = anchor + off. The parse-time
+    # no-advance check guarantees off >= 1, and misses are impossible
+    # (singletons always bind).
+    stride = k
+    if spec.skip in ("to_first", "to_last"):
+        pos = positions[spec.skip_var]
+        stride = pos[0] if spec.skip == "to_first" else pos[-1]
     need_rn = (
         spec.skip == "past_last"
         and k > 1
         and not _anchor_disjoint(spec, events)
-    )
+    ) or (spec.skip in ("to_first", "to_last") and stride > 1)
     if need_rn:
         proj.append(F.row_number().over(w).alias("__rn"))
 
@@ -1021,12 +1100,14 @@ def _compile_relational(
     cands = step.filter(cond)
 
     if need_rn:
-        # greedy non-overlap selection over CANDIDATES only (rows
-        # where a full match starts — not the event stream): per key,
-        # in anchor order, keep a candidate iff its span starts past
-        # the previous kept span's end. Sequential per key by nature
-        # (each pick moves the resume point), matches are length k.
+        # sequential selection over CANDIDATES only (rows where a
+        # full match starts — not the event stream): per key, in
+        # anchor order, keep a candidate iff its anchor is at or past
+        # the previous pick's resume row. PAST LAST ROW resumes one
+        # past the span (stride k); SKIP TO FIRST/LAST <var> resumes
+        # AT the variable's row (constant stride = its position).
         keep_schema = cands.schema
+        _stride = stride
 
         def pick(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__rn", kind="mergesort")
@@ -1034,7 +1115,7 @@ def _compile_relational(
             for i, rn in zip(pdf.index, pdf["__rn"]):
                 if rn >= nxt:
                     keep.append(i)
-                    nxt = rn + k
+                    nxt = rn + _stride
             return pdf.loc[keep]
 
         cands = cands.groupBy(spec.partition_by).applyInPandas(
@@ -1338,6 +1419,61 @@ def _compile_relational_run(
     # ---- AFTER MATCH SKIP selection ----------------------------------
     if spec.skip == "to_next":
         sel = cands
+    elif spec.skip in ("to_first", "to_last"):
+        # variable-targeted resume: the resume row is a CONSTANT
+        # offset from whichever side binds the variable — prefix
+        # singleton j: anchor + j; the run itself: first Q row
+        # (anchor + a) or last Q row (end - 1); suffix singleton j:
+        # end + j. The sequential pick then keeps a candidate iff its
+        # anchor is at or past the previous pick's resume row, with
+        # the two SQL-standard runtime errors raised loudly (the
+        # variable bound zero rows — only possible for an optional
+        # run; resume == match start — infinite loop).
+        sv = spec.skip_var
+        sv_idx = next(j for j, e in enumerate(elems) if e.var == sv)
+        if sv_idx < qi:
+            resume_col = F.col("__arn") + F.lit(sv_idx)
+        elif sv_idx == qi:
+            resume_col = (
+                F.col("__arn") + F.lit(a)
+                if spec.skip == "to_first"
+                else F.col("__ern") - F.lit(1)
+            )
+        else:
+            resume_col = F.col("__ern") + F.lit(sv_idx - qi - 1)
+        cands_r = cands.withColumn("__resume", resume_col)
+        keep_schema = cands_r.schema
+        miss_possible = sv_idx == qi and m == 0
+        which = "FIRST" if spec.skip == "to_first" else "LAST"
+
+        def pick_to(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__arn", kind="mergesort")
+            keep, nxt = [], -1
+            for i, arn, c, res in zip(
+                pdf.index, pdf["__arn"], pdf["__c"], pdf["__resume"]
+            ):
+                if arn < nxt:
+                    continue
+                if miss_possible and c == 0:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {which} {sv}: the "
+                        "variable matched no rows in a match (optional "
+                        "variable bound zero rows) — no row to resume at"
+                    )
+                if res <= arn:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP TO {which} {sv} would resume "
+                        "at the match start — infinite loop"
+                    )
+                keep.append(i)
+                nxt = res
+            return pdf.loc[keep]
+
+        sel = (
+            cands_r.groupBy("__ak")
+            .applyInPandas(pick_to, keep_schema)
+            .drop("__resume")
+        )
     elif a >= 1 and _anchor_disjoint(spec, events):
         sel = cands
     elif (
@@ -1591,6 +1727,7 @@ def scan_rows(
     emit: str = "one",
     row_cols: tuple = (),
     subsets: dict[str, list[str]] | None = None,
+    skip_var: str | None = None,
 ) -> tuple[list[list], int, int]:
     """Shared scan core for the batch matcher and the streaming twin.
 
@@ -1693,6 +1830,33 @@ def scan_rows(
             return sorted(merged)
         return table.get(var, [])
 
+    def next_scan_pos(m, table) -> int:
+        """Where the scan resumes after a match — the AFTER MATCH SKIP
+        strategy. Row-based modes advance unconditionally; the
+        variable-targeted modes resume AT the variable's first/last
+        matched row and raise loudly on the two SQL-standard error
+        cases (variable bound no rows; resume row == match start,
+        an infinite loop — Flink raises on both as well)."""
+        if skip == "past_last":
+            return m[-1][0] + 1
+        if skip == "to_next":
+            return m[0][0] + 1
+        vrows = table.get(skip_var, [])
+        which = "FIRST" if skip == "to_first" else "LAST"
+        if not vrows:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {which} {skip_var}: the variable "
+                "matched no rows in a match (optional variable bound "
+                "zero rows) — no row to resume at"
+            )
+        r = vrows[0] if skip == "to_first" else vrows[-1]
+        if r <= m[0][0]:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO {which} {skip_var} would resume "
+                "at the match start — infinite loop"
+            )
+        return r
+
     out_rows: list[list] = []
     match_no = match_no_start
     i = 0
@@ -1754,10 +1918,7 @@ def scan_rows(
                             }[func]()
                         )
                 out_rows.append(rec_out)
-            if skip == "past_last":
-                i = m[-1][0] + 1
-            else:
-                i = m[0][0] + 1
+            i = next_scan_pos(m, pref)
             continue
         by_var: dict[str, list[int]] = {}
         for row, ei in m:
@@ -1793,10 +1954,7 @@ def scan_rows(
                     }[func]()
                 )
         out_rows.append(rec_out)
-        if skip == "past_last":
-            i = m[-1][0] + 1
-        else:  # to_next
-            i = m[0][0] + 1
+        i = next_scan_pos(m, by_var)
     return out_rows, i, match_no
 
 
@@ -1814,6 +1972,7 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     ]
     measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
+    skip_var = spec.skip_var
     var_names = spec.variables
     subsets = dict(spec.subsets)
     emit = spec.rows
@@ -1840,6 +1999,7 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
             emit=emit,
             row_cols=row_cols,
             subsets=subsets,
+            skip_var=skip_var,
         )
         return rows_to_frame(out_rows, names)
 

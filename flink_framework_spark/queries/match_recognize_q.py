@@ -396,3 +396,57 @@ def q_mr_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
                N AS N.event_type <> 'error',
                P AS P.event_type = 'purchase'""")
     return out.select("user_id", "s_id", "p_id", "n_n", "mno")
+
+
+@register(
+    "q_mr_skip_to",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+c AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+           AS isl,
+         lead(event_id, 2) OVER (PARTITION BY user_id ORDER BY rn)
+           AS zid2
+  FROM o WHERE event_type = 'click'),
+w AS (
+  SELECT user_id, event_id, rn, zid2,
+         row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) - 1
+           AS off,
+         count(*) OVER (PARTITION BY user_id, isl) AS len
+  FROM c)
+SELECT user_id, event_id AS x_id, zid2 AS z_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS BIGINT) AS mno
+FROM w WHERE off % 2 = 0 AND off + 2 <= len - 1
+""",
+)
+def q_mr_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST Z`` (Flink parity — the
+    variable-targeted resume strategies): click-triples ``(X Y Z)``
+    all defined as clicks, so matches chain END-TO-START through a
+    click run, sharing their boundary row — a run of 5 clicks yields
+    matches at offsets 0 and 2, where PAST LAST ROW would keep only
+    the first and TO NEXT ROW all three (all three strategies
+    genuinely differ here). Relational singleton path with a
+    constant resume stride of 2 (the grouped-map pick runs over
+    CANDIDATES only). The oracle derives kept anchors declaratively:
+    within each click island (gaps-and-islands), keep even offsets
+    with a full triple remaining (``off % 2 = 0 AND off + 2 <=
+    len - 1``)."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES X.event_id AS x_id, Z.event_id AS z_id,
+                 MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST Z
+        PATTERN (X Y Z)
+        DEFINE X AS X.event_type = 'click',
+               Y AS Y.event_type = 'click',
+               Z AS Z.event_type = 'click'""")
+    return out.select("user_id", "x_id", "z_id", "mno")

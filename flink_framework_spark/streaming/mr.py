@@ -100,6 +100,7 @@ def match_recognize_stream(
     var_names = spec.variables
     subsets = dict(spec.subsets)
     skip, within_s, key_col = spec.skip, spec.within_s, spec.partition_by
+    skip_var = spec.skip_var
 
     def _mr_fn(
         key: tuple,
@@ -145,6 +146,7 @@ def match_recognize_stream(
             anchor_bound_s=wm_s,
             match_no_start=mno,
             subsets=subsets,
+            skip_var=skip_var,
         )
         rest = buf.iloc[resume:]
         if len(rest):

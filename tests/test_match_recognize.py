@@ -73,7 +73,14 @@ def test_parser_full_clause():
         ("PARTITION BY a, b ORDER BY ts MEASURES X.ts AS t PATTERN (X Y)",
          "exactly one key"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
-         "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "out of scope"),
+         "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "infinite loop"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
+         "AFTER MATCH SKIP TO LAST X PATTERN (X Y)", "infinite loop"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
+         "AFTER MATCH SKIP TO FIRST Z PATTERN (X Y)", "not in PATTERN"),
+        ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
+         "AFTER MATCH SKIP TO LAST U PATTERN (X Y) SUBSET U = (X, Y)",
+         "SUBSET"),
         ("PARTITION BY u ORDER BY ts MEASURES Z.ts AS t PATTERN (X Y)",
          "not in PATTERN"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t PATTERN (X Y) "
@@ -410,10 +417,174 @@ def test_route_info_reluctant_run(spark):
     assert info["selection"] == "grouped-map pick over candidates"
 
 
+# --------------------------------------- SKIP TO FIRST/LAST <var>
+
+
+def test_parser_skip_to_var():
+    spec = parse_match_recognize("""
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(*) AS n
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A B C)
+      DEFINE A AS A.value > 0""")
+    assert (spec.skip, spec.skip_var) == ("to_last", "B")
+    spec = parse_match_recognize("""
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(*) AS n
+      AFTER MATCH SKIP TO FIRST C
+      PATTERN (A B C)
+      DEFINE A AS A.value > 0""")
+    assert (spec.skip, spec.skip_var) == ("to_first", "C")
+
+
+def test_skip_to_last_overlaps_singleton(spark):
+    """``PATTERN (X Y Z)`` over alternating a/b with SKIP TO LAST Z:
+    the next match may START AT the previous match's Z row — matches
+    chain end-to-start where PAST LAST ROW would drop every other
+    one. Both engines agree (the relational pick resumes at a
+    constant stride)."""
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, ("a" if j % 2 == 0 else "b"),
+         1.0)
+        for j in range(5)
+    ]  # types: a b a b a
+    base = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES X.event_id AS x_id, Z.event_id AS z_id
+        ONE ROW PER MATCH AFTER MATCH SKIP {skip}
+        PATTERN (X Y Z)
+        DEFINE X AS X.event_type = 'a', Y AS Y.event_type = 'b',
+               Z AS Z.event_type = 'a'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        chained = match_recognize(
+            df, base.format(skip="TO LAST Z"), engine=engine
+        ).collect()
+        assert sorted((r.x_id, r.z_id) for r in chained) == [
+            (1, 3), (3, 5)
+        ], engine
+        past = match_recognize(
+            df, base.format(skip="PAST LAST ROW"), engine=engine
+        ).collect()
+        assert sorted((r.x_id, r.z_id) for r in past) == [(1, 3)], engine
+
+
+def test_skip_to_on_run_pattern(spark):
+    """Variable-targeted resume on the relational RUN path: TO LAST Q
+    re-anchors at the run's final row, TO FIRST S at the suffix —
+    engines agree; PAST LAST ROW differs (fewer matches)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "b", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "a", 3.0),
+        (1, "2024-01-01 10:03:00", 4, "b", 4.0),
+        (1, "2024-01-01 10:04:00", 5, "a", 5.0),
+        (1, "2024-01-01 10:05:00", 6, "b", 6.0),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES P.event_id AS p_id, COUNT(Q.*) AS n_q,
+                 S.event_id AS s_id
+        ONE ROW PER MATCH AFTER MATCH SKIP TO FIRST S
+        PATTERN (P Q{0,2}? S)
+        DEFINE P AS P.event_type = 'a', S AS S.event_type = 'b'"""
+    df = frame(spark, rows)
+    for engine in ("relational", "nfa"):
+        got = sorted(
+            (r.p_id, r.n_q, r.s_id)
+            for r in match_recognize(df, clause, engine=engine).collect()
+        )
+        assert got == [(1, 0, 2), (3, 0, 4), (5, 0, 6)], engine
+
+
+def test_skip_to_runtime_errors(spark):
+    """The two SQL-standard runtime errors raise loudly on BOTH
+    engines: resume at the match start (infinite loop), and a target
+    variable that bound zero rows (miss)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "b", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "c", 2.0),
+    ]
+    df = frame(spark, rows)
+    # Q{1,2} anchored at element 0, TO LAST Q, c == 1 -> resume == start
+    loop_clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(Q.*) AS n_q
+        ONE ROW PER MATCH AFTER MATCH SKIP TO LAST Q
+        PATTERN (Q{1,2} S)
+        DEFINE Q AS Q.event_type = 'b', S AS S.event_type = 'c'"""
+    from py4j.protocol import Py4JJavaError
+
+    for engine in ("relational", "nfa"):
+        with pytest.raises(Exception) as ei:
+            match_recognize(df, loop_clause, engine=engine).collect()
+        assert "infinite loop" in str(ei.value), engine
+    # optional run bound zero rows -> miss (NFA route: trailing
+    # optional runs are NFA-only, so this exercises scan_rows)
+    miss_clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(Q.*) AS n_q
+        ONE ROW PER MATCH AFTER MATCH SKIP TO LAST Q
+        PATTERN (B Q?)
+        DEFINE B AS B.event_type = 'b', Q AS Q.event_type = 'zzz'"""
+    with pytest.raises(Exception) as ei:
+        match_recognize(df, miss_clause, engine="nfa").collect()
+    assert "matched no rows" in str(ei.value)
+
+
+def test_mr_stream_skip_to_last_matches_batch(spark, tmp_path):
+    """SKIP TO LAST chains matches end-to-start across micro-batches:
+    the streaming twin drains to exactly the batch result."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    def fr(rows):
+        return frame(spark, rows)
+
+    # a b a b a per user, split across batches, plus watermark movers
+    evs = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1,
+         ("a" if j % 2 == 0 else "b"), 1.0)
+        for j in range(5)
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES X.event_id AS x_id, Z.event_id AS z_id
+        ONE ROW PER MATCH AFTER MATCH SKIP TO LAST Z
+        PATTERN (X Y Z)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE X AS X.event_type = 'a', Y AS Y.event_type = 'b',
+               Z AS Z.event_type = 'a'"""
+    batch = match_recognize(fr(evs), clause).toPandas()
+    sent = [
+        (9, "2024-01-01 12:00:00", 90, "s", 0.0),
+        (9, "2024-01-01 13:00:00", 91, "s", 0.0),
+    ]
+    src = tmp_path / "src"
+    for b in (evs[:3], evs[3:], [sent[0]], [sent[1]]):
+        fr(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(fr(evs).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause),
+        query_name="t_mr_skipto",
+        output_mode="update",
+    )
+    stream = out.filter(F.col("user_id") == 1).toPandas()
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b and len(a) == 2
+
+
 # ------------------------------------------------- brute-force fuzz
 
 
-def _ref_matches(rows, elements, defines, skip, within_s):
+def _ref_matches(rows, elements, defines, skip, within_s, skip_var=None):
     """Independent reference: enumerate ALL feasible contiguous count
     vectors per anchor and pick the preference-lexicographic maximum
     (greedy elements prefer MORE repetitions, reluctant elements
@@ -467,7 +638,19 @@ def _ref_matches(rows, elements, defines, skip, within_s):
             assign.append((var, pos, pos + c))
             pos += c
         out.append((i, pos, assign))
-        i = pos if skip == "past_last" else i + 1
+        if skip == "past_last":
+            i = pos
+        elif skip == "to_next":
+            i = i + 1
+        else:  # to_first / to_last <var> — fuzz draws guarantee the
+            # variable binds >= 1 row and the resume row advances
+            vrows = [
+                r
+                for var, lo, hi in assign
+                if var == skip_var
+                for r in range(lo, hi)
+            ]
+            i = vrows[0] if skip == "to_first" else vrows[-1]
     return out
 
 
@@ -502,7 +685,14 @@ def test_fuzz_vs_bruteforce(spark, seed):
             defines_py[var] = (lambda ty: lambda r: r[2] == ty)(ty)
     if all(mn == 0 for _, mn, _, _ in elements):
         elements[0] = (elements[0][0], 1, elements[0][2], elements[0][3])
-    skip = rng.choice(["past_last", "to_next"])
+    # variable-targeted skips are drawn only where they are statically
+    # safe: the target binds >= 1 row (no miss) and at least one
+    # earlier element consumes >= 1 row (the resume always advances)
+    skip_choices = [("past_last", None), ("to_next", None)]
+    for j, (v, mn, _mx, _r) in enumerate(elements):
+        if j >= 1 and mn >= 1 and any(e[1] >= 1 for e in elements[:j]):
+            skip_choices += [("to_first", v), ("to_last", v)]
+    skip, skip_var = rng.choice(skip_choices)
     within = rng.choice([None, 3600.0, 14400.0])
 
     pat = " ".join(
@@ -518,10 +708,15 @@ def test_fuzz_vs_bruteforce(spark, seed):
         + [f"COUNT({v}.*) AS n_{v.lower()}" for v, _, _, _ in elements]
         + ["MATCH_NUMBER() AS mno", "COUNT(*) AS n_rows"]
     )
+    skip_sql = {
+        "past_last": "PAST LAST ROW",
+        "to_next": "TO NEXT ROW",
+        "to_first": f"TO FIRST {skip_var}",
+        "to_last": f"TO LAST {skip_var}",
+    }[skip]
     clause = (
         f"PARTITION BY user_id ORDER BY ts MEASURES {measures} "
-        f"AFTER MATCH SKIP "
-        f"{'PAST LAST ROW' if skip == 'past_last' else 'TO NEXT ROW'} "
+        f"AFTER MATCH SKIP {skip_sql} "
         f"PATTERN ({pat}) "
         + (f"WITHIN INTERVAL '{int(within)}' SECOND " if within else "")
         + ("DEFINE " + ", ".join(defines_sql) if defines_sql else "")
@@ -549,7 +744,10 @@ def test_fuzz_vs_bruteforce(spark, seed):
             key=lambda r: (r[0], r[1]),
         )
         for mno, (s, e, assign) in enumerate(
-            _ref_matches(urows, elements, defines_py, skip, within), 1
+            _ref_matches(
+                urows, elements, defines_py, skip, within, skip_var
+            ),
+            1,
         ):
             by = {var: (lo, hi) for var, lo, hi in assign}
             rec = [uid]
@@ -609,7 +807,20 @@ def test_fuzz_relational_vs_nfa_singletons(spark, seed):
     for v in dict.fromkeys(variables):
         if rng.random() < 0.75:
             defines.append(f"{v} AS {v}.event_type = '{rng.choice(types)}'")
-    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    # singleton patterns always bind every variable, so the only
+    # skip-to safety constraint is the parse-time one: the target's
+    # first (TO FIRST) / last (TO LAST) position must not be the
+    # anchor
+    vpos: dict[str, list[int]] = {}
+    for j, v in enumerate(variables):
+        vpos.setdefault(v, []).append(j)
+    skip_opts = ["PAST LAST ROW", "TO NEXT ROW"]
+    for v, ps in vpos.items():
+        if ps[0] >= 1:
+            skip_opts.append(f"TO FIRST {v}")
+        if ps[-1] >= 1:
+            skip_opts.append(f"TO LAST {v}")
+    skip = rng.choice(skip_opts)
     within = rng.choice([None, 3600.0, 14400.0])
     v0 = variables[0]
     measures = ", ".join(
@@ -725,7 +936,14 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
             )
         elif r < 0.75:
             defines.append(f"{v} AS {v}.value >= {rng.randint(0, 15)}")
-    skip = rng.choice(["PAST LAST ROW", "TO NEXT ROW"])
+    # variable-targeted skips drawn only where statically safe (the
+    # target binds >= 1 row; something before it consumes >= 1 row)
+    nmins = [m if j == qi else 1 for j in range(k)]
+    skips = ["PAST LAST ROW", "TO NEXT ROW"]
+    for j in range(1, k):
+        if nmins[j] >= 1 and sum(nmins[:j]) >= 1:
+            skips += [f"TO FIRST {names[j]}", f"TO LAST {names[j]}"]
+    skip = rng.choice(skips)
     within = rng.choice([None, 3600.0, 14400.0, 86400.0])
     rowsmode = rng.choice(["ONE ROW PER MATCH", "ALL ROWS PER MATCH"])
     meas = [
