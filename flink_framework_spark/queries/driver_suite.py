@@ -1325,6 +1325,21 @@ mr_isl AS (
 mr_runs AS (
   SELECT user_id, count(*) AS n_a, max(rn) AS end_rn
   FROM mr_isl GROUP BY user_id, isl HAVING count(*) >= 2),
+mr_rel AS (
+  SELECT s.user_id, s.rn AS srn, o.rn AS prn,
+         row_number() OVER (PARTITION BY s.user_id, s.rn
+                            ORDER BY o.rn ASC) AS rk
+  FROM mr_oe s JOIN mr_oe o ON o.user_id = s.user_id
+   AND o.rn >= s.rn + 2
+   AND o.event_type = 'purchase' AND o.ts <= s.ts + INTERVAL 3 DAY
+   AND (s.next_err IS NULL OR o.rn < s.next_err)
+  WHERE s.event_type = 'signup'),
+mr_skipto AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id, isl ORDER BY rn) - 1
+           AS off,
+         count(*) OVER (PARTITION BY user_id, isl) AS len
+  FROM mr_isl),
 first_m AS (
   SELECT user_id FROM (
     SELECT f1.user_id,
@@ -1463,10 +1478,20 @@ SELECT 'mr_all_rows', cls, CAST(n AS BIGINT), nu FROM (
   FROM mr_runs r
   JOIN mr_o o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
              AND o.event_type = 'purchase')
+UNION ALL
+SELECT 'mr_reluctant', CAST(prn - srn - 1 AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT user_id)
+FROM mr_rel WHERE rk = 1
+GROUP BY prn - srn - 1
+UNION ALL
+SELECT 'mr_skip_to', '', CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM mr_skipto WHERE off % 2 = 0 AND off + 2 <= len - 1
+GROUP BY 1, 2
 """,
 )
 def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CEP family (I8) tagged into ONE driver slot — seventeen
+    """The full CEP family (I8) tagged into ONE driver slot — nineteen
     pattern shapes, each reduced to the uniform
     (part, grp, n_matches, n_users) aggregate: funnel (2-step),
     sequence (3-step followedByAny), negation (notFollowedBy), strict
@@ -1475,9 +1500,10 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the times match stream (SKIP_PAST_LAST / SKIP_TO_NEXT /
     SKIP_TO_LAST), optional() both-branches, the optional+negation
     Pattern-builder combo, greedy oneOrMore, oneOrMore until(), and
-    the four MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
-    funnel, {2,}-quantified runs, ALL ROWS PER MATCH — all compiled
-    relationally with zero Python stages since round 6, reading this
+    the six MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
+    funnel, {2,}-quantified runs, ALL ROWS PER MATCH, the reluctant
+    ``N+?`` lazy funnel, and SKIP TO LAST chained click-triples — all
+    compiled relationally with zero Python stages, reading this
     melt's ONE shared events frame; operators/match_recognize.py).
     The granular q_cep_* / q_mr_* queries stay registered (slots
     51+) for the bench and local hash checks; this melt gives the
@@ -1498,7 +1524,9 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_framework_spark.queries.match_recognize_q import (
         mr_all_rows_frame,
         mr_funnel_frame,
+        mr_reluctant_frame,
         mr_runs_frame,
+        mr_skip_to_frame,
         mr_strict_pair_frame,
     )
 
@@ -1566,6 +1594,8 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mr_funnel_frame(ev), "mr_funnel", None),
         (mr_runs_frame(ev), "mr_runs", "n_a"),
         (mr_all_rows_frame(ev), "mr_all_rows", "cls"),
+        (mr_reluctant_frame(ev), "mr_reluctant", "n_n"),
+        (mr_skip_to_frame(ev), "mr_skip_to", None),
     ]:
         out = out.unionByName(part(df, name, grp))
     return out

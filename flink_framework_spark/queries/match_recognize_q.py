@@ -76,8 +76,40 @@ _ALL_ROWS_CLAUSE = """
            B AS B.event_type = 'purchase'"""
 
 
+_RELUCTANT_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES S.event_id AS s_id, P.event_id AS p_id,
+             COUNT(N.*) AS n_n, MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN (S N+? P)
+    WITHIN INTERVAL '3' DAY
+    DEFINE S AS S.event_type = 'signup',
+           N AS N.event_type <> 'error',
+           P AS P.event_type = 'purchase'"""
+
+_SKIP_TO_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES X.event_id AS x_id, Z.event_id AS z_id,
+             MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO LAST Z
+    PATTERN (X Y Z)
+    DEFINE X AS X.event_type = 'click',
+           Y AS Y.event_type = 'click',
+           Z AS Z.event_type = 'click'"""
+
+
 def mr_strict_pair_frame(ev: DataFrame) -> DataFrame:
     return match_recognize(ev, _STRICT_PAIR_CLAUSE)
+
+
+def mr_reluctant_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _RELUCTANT_CLAUSE)
+
+
+def mr_skip_to_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _SKIP_TO_CLAUSE)
 
 
 def mr_funnel_frame(ev: DataFrame) -> DataFrame:
@@ -384,17 +416,7 @@ def q_mr_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ``ASC`` and the >= 1-filler floor added. Flink parity: its
     MATCH_RECOGNIZE ships the same ``??/*?/+?/{m,n}?`` reluctant
     markers."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES S.event_id AS s_id, P.event_id AS p_id,
-                 COUNT(N.*) AS n_n, MATCH_NUMBER() AS mno
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP TO NEXT ROW
-        PATTERN (S N+? P)
-        WITHIN INTERVAL '3' DAY
-        DEFINE S AS S.event_type = 'signup',
-               N AS N.event_type <> 'error',
-               P AS P.event_type = 'purchase'""")
+    out = mr_reluctant_frame(table(spark, sf_dir, "events"))
     return out.select("user_id", "s_id", "p_id", "n_n", "mno")
 
 
@@ -439,14 +461,5 @@ def q_mr_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     within each click island (gaps-and-islands), keep even offsets
     with a full triple remaining (``off % 2 = 0 AND off + 2 <=
     len - 1``)."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES X.event_id AS x_id, Z.event_id AS z_id,
-                 MATCH_NUMBER() AS mno
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP TO LAST Z
-        PATTERN (X Y Z)
-        DEFINE X AS X.event_type = 'click',
-               Y AS Y.event_type = 'click',
-               Z AS Z.event_type = 'click'""")
+    out = mr_skip_to_frame(table(spark, sf_dir, "events"))
     return out.select("user_id", "x_id", "z_id", "mno")
