@@ -113,6 +113,46 @@ def test_match_recognize_embedded_with_outer_filter(spark):
     assert [(r.a_id, r.b_id) for r in out] == [(2, 3)]
 
 
+def test_match_recognize_embedded_reluctant_and_skip_to(spark):
+    """Round-6 additions ride through the statement dialect: a
+    reluctant quantifier and a variable-targeted skip inside a
+    FROM-embedded MATCH_RECOGNIZE."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 2.0),
+        (1, "2024-01-01 10:02:00", 3, "click", 3.0),
+        (1, "2024-01-01 10:03:00", 4, "click", 4.0),
+        (1, "2024-01-01 10:04:00", 5, "click", 5.0),
+    ]
+    ev = frame(spark, rows)
+    # lazy run: B{2,}? chops the 5-island into 2+2
+    out = flink_sql(spark, """
+        SELECT user_id, fb, n_b
+        FROM evm MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(B.event_id) AS fb, COUNT(B.*) AS n_b
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (B{2,}?)
+          DEFINE B AS B.event_type = 'click'
+        )
+    """, tables={"evm": ev}).collect()
+    assert sorted((r.fb, r.n_b) for r in out) == [(1, 2), (3, 2)]
+    # SKIP TO LAST chains triples end-to-start
+    out = flink_sql(spark, """
+        SELECT user_id, x_id, z_id
+        FROM evm MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES X.event_id AS x_id, Z.event_id AS z_id
+          AFTER MATCH SKIP TO LAST Z
+          PATTERN (X Y Z)
+          DEFINE X AS X.event_type = 'click',
+                 Y AS Y.event_type = 'click',
+                 Z AS Z.event_type = 'click'
+        )
+    """, tables={"evm": ev}).collect()
+    assert sorted((r.x_id, r.z_id) for r in out) == [(1, 3), (3, 5)]
+
+
 def test_tvf_rejects_out_of_scope_forms(spark):
     ev = frame(spark, ROWS)
     ev.createOrReplaceTempView("evx")
