@@ -80,9 +80,12 @@ MEASURES (SQL standard — BEYOND Flink, which does not expose SUBSET;
 compiled as position unions on the relational singleton path,
 sorted row unions in the NFA); ``WITHIN INTERVAL 'n' unit`` (Flink
 extension — first-to-last row span bound); ``DEFINE`` with arbitrary
-single-row Spark SQL booleans (``PREV``/``NEXT``/aggregate
-navigation in DEFINE and alternation/grouping are documented out
-of scope). Variables
+single-row Spark SQL booleans plus ``PREV/NEXT(VAR.col [, n])``
+physical navigation (the Flink flagship ``price < PREV(price)``
+form — input-relative offsets compiled to one lag/lead window pass
+before flagging, NULL past the partition edge, batch engines only;
+``FIRST``/``LAST`` match-relative navigation in DEFINE and
+alternation/grouping are documented out of scope). Variables
 without a DEFINE match any row (SQL default).
 
 Empty matches (every element minimum 0) are skipped rather than
@@ -549,11 +552,30 @@ def _join_tokens(toks: list[str]) -> str:
 
 _STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
+# PREV/NEXT(VAR.col) or PREV/NEXT(VAR.col, n) — physical navigation
+_NAV_CALL_RE = re.compile(
+    r"(?i)\b(PREV|NEXT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*"
+    r"(?:,\s*(\d+)\s*)?\)"
+)
 
-def _rewrite_define(expr: str, variables: list[str]) -> str:
+
+def _rewrite_define(
+    expr: str,
+    variables: list[str],
+    navs: dict[str, tuple[str, str, int]] | None = None,
+) -> str:
     """Rewrite ``VAR.col`` → ``col`` (single-row semantics: any
-    pattern-variable prefix denotes the candidate row itself).
-    Navigation inside DEFINE is out of scope.
+    pattern-variable prefix denotes the candidate row itself) and
+    ``PREV/NEXT(VAR.col [, n])`` → a generated navigation-column
+    placeholder recorded in ``navs`` (physical, input-relative
+    offsets — the SQL-standard/Flink DEFINE semantics: the row n
+    before/after the CANDIDATE row in the ordered partition,
+    regardless of what matched; exactly one ``lag/lead`` over the
+    per-key total order, so Flink's flagship ``price <
+    PREV(price)`` patterns run JVM-side on both engines). Beyond the
+    partition edge the navigation is NULL and the flag coalesces to
+    false, matching Flink. FIRST/LAST inside DEFINE (match-relative
+    navigation) stay out of scope.
 
     String literals are carried through untouched: the rewrite and
     both validations run only on the segments BETWEEN quoted
@@ -566,11 +588,32 @@ def _rewrite_define(expr: str, variables: list[str]) -> str:
     )
     out_segments = []
     for seg in segments:
+        def _nav_sub(m: re.Match) -> str:
+            d = m.group(1).upper()
+            if m.group(2).upper() not in {v.upper() for v in variables}:
+                raise ValueError(
+                    f"{d}() needs a VAR.col argument with a pattern "
+                    f"variable, got {m.group(2)!r}"
+                )
+            col = m.group(3)
+            n = int(m.group(4) or 1)
+            if navs is None:
+                raise ValueError(
+                    f"{d}() inside DEFINE is not supported here"
+                )
+            if n == 0:
+                return col  # offset 0 = the candidate row itself
+            ph = f"__nav_{d.lower()}{n}_{col}"
+            navs[ph] = (d, col, n)
+            return ph
+
+        seg = _NAV_CALL_RE.sub(_nav_sub, seg)
         for nav in ("PREV", "NEXT", "FIRST", "LAST"):
             if re.search(rf"(?i)\b{nav}\s*\(", seg):
                 raise ValueError(
                     f"{nav}() inside DEFINE is out of scope — conditions "
-                    "are single-row Spark SQL booleans"
+                    "are single-row Spark SQL booleans plus "
+                    "PREV/NEXT(VAR.col [, n]) physical navigation"
                 )
         seg = pat.sub("", seg)
         stray = re.search(r"\b([A-Za-z_]\w*)\s*\.(?!\d)", seg)
@@ -642,15 +685,39 @@ def prepare_flags(
                 raise ValueError(f"measure column {ms.col!r} not in input")
             need_cols.add(ms.col)
 
+    navs: dict[str, tuple[str, str, int]] = {}
+    rewritten = {
+        v: (
+            None
+            if spec.defines.get(v) is None
+            else _rewrite_define(spec.defines[v], variables, navs)
+        )
+        for v in variables
+    }
     flagged = events
+    if navs:
+        # physical PREV/NEXT navigation: one lag/lead pass over the
+        # per-key total order, computed BEFORE the flags so every
+        # DEFINE stays a single-row JVM expression. The navigation
+        # columns are consumed by the flag expressions and pruned by
+        # the projection below — they never cross to Python.
+        from pyspark.sql import Window
+
+        wnav = Window.partitionBy(spec.partition_by).orderBy(*order_by)
+        for ph, (d, col, n) in sorted(navs.items()):
+            if col not in cols:
+                raise ValueError(
+                    f"{d}() references column {col!r}, not in input"
+                )
+            off = F.lag(col, n) if d == "PREV" else F.lead(col, n)
+            flagged = flagged.withColumn(ph, off.over(wnav))
     flag_cols = []
     for v in variables:
         flag = f"__m_{v}"
-        expr = spec.defines.get(v)
         cond = (
             F.lit(True)
-            if expr is None
-            else F.expr(_rewrite_define(expr, variables))
+            if rewritten[v] is None
+            else F.expr(rewritten[v])
         )
         flagged = flagged.withColumn(flag, F.coalesce(cond, F.lit(False)))
         flag_cols.append(flag)

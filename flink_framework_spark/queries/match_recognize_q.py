@@ -463,3 +463,65 @@ def q_mr_skip_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     len - 1``)."""
     out = mr_skip_to_frame(table(spark, sf_dir, "events"))
     return out.select("user_id", "x_id", "z_id", "mno")
+
+
+@register(
+    "q_mr_prev",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT *, COALESCE(value < pv, FALSE) AS dn FROM o),
+d AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS isl
+  FROM f WHERE dn),
+g AS (SELECT user_id, isl, max(rn) AS end_rn FROM d GROUP BY 1, 2),
+m AS (
+  SELECT d.user_id, d.rn, g.end_rn,
+         (g.end_rn - d.rn + 1) AS n_down
+  FROM d JOIN g ON g.user_id = d.user_id AND g.isl = d.isl)
+SELECT m.user_id, a.value AS strt_v, b.value AS bottom_v,
+       u.value AS up_v, CAST(n_down AS BIGINT) AS n_down,
+       CAST(row_number() OVER (PARTITION BY m.user_id ORDER BY m.rn)
+            AS BIGINT) AS mno
+FROM m
+JOIN o a ON a.user_id = m.user_id AND a.rn = m.rn - 1
+JOIN o b ON b.user_id = m.user_id AND b.rn = m.end_rn
+JOIN o u ON u.user_id = m.user_id AND u.rn = m.end_rn + 1
+WHERE u.value >= b.value
+""",
+)
+def q_mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PREV()`` physical navigation in DEFINE — Flink's flagship
+    MATCH_RECOGNIZE example, the V-pattern: a strictly-decreasing
+    value run (``DOWN AS DOWN.value < PREV(DOWN.value)``) bottoming
+    out into a recovery row (``UP AS UP.value >= PREV(UP.value)``).
+    Navigation is input-relative (the SQL-standard physical offset),
+    compiled to ONE lag() window pass before flagging, so both
+    engines consume plain boolean flags and the run compiler's
+    band-join plan is unchanged (zero Python; NULL past the
+    partition edge coalesces the flag to false, matching Flink).
+    SKIP TO NEXT emits every anchor's greedy match declaratively:
+    each down row opens one match anchored just before it, consuming
+    the rest of its down-island (greedy cannot stop early — the next
+    row would still be DOWN, failing UP), provided the island is
+    followed by a row at all and its value comparison is non-NULL —
+    exactly the oracle's gaps-and-islands join."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.value AS strt_v, LAST(DOWN.value) AS bottom_v,
+                 UP.value AS up_v, COUNT(DOWN.*) AS n_down,
+                 MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+               UP AS UP.value >= PREV(UP.value)""")
+    return out.select(
+        "user_id", "strt_v", "bottom_v", "up_v", "n_down", "mno"
+    )

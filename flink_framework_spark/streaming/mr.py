@@ -75,6 +75,16 @@ def match_recognize_stream(
             "streaming MATCH_RECOGNIZE requires WITHIN — it bounds both "
             "state and finalization latency"
         )
+    from flink_framework_spark.operators.match_recognize import _NAV_CALL_RE
+
+    for v, expr in spec.defines.items():
+        if expr is not None and _NAV_CALL_RE.search(expr):
+            raise ValueError(
+                "PREV()/NEXT() in DEFINE is batch-only here: flags are "
+                "precomputed per micro-batch, and physical navigation "
+                "across batch boundaries under late data would read the "
+                "wrong neighbor — run the clause on the batch engine"
+            )
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )

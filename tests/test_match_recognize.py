@@ -98,11 +98,78 @@ def test_parser_rejects(clause, msg):
         parse_match_recognize(clause)
 
 
-def test_define_navigation_rejected(spark):
+def test_define_match_relative_navigation_rejected(spark):
+    """FIRST/LAST inside DEFINE (match-relative navigation) stay out
+    of scope; physical PREV/NEXT is supported (see the V-pattern
+    tests below)."""
     df = frame(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
-    with pytest.raises(ValueError, match="PREV"):
+    with pytest.raises(ValueError, match="LAST"):
         match_recognize(df, """PARTITION BY user_id ORDER BY ts
             MEASURES A.ts AS t PATTERN (A B)
+            DEFINE B AS B.value > LAST(B.value, 1)""")
+    # PREV's argument must be VAR.col with a pattern variable
+    with pytest.raises(ValueError, match="pattern\n?\\s*variable"):
+        match_recognize(df, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            DEFINE B AS B.value > PREV(tbl.value)""")
+
+
+def test_define_prev_next_navigation(spark):
+    """Flink's flagship V-pattern: ``DOWN AS value < PREV(value)``,
+    ``UP AS value >= PREV(value)`` — physical input-relative
+    navigation compiled to one lag/lead pass before flagging. Both
+    engines agree; the partition edge navigates to NULL (flag
+    false), so a partition-opening row can never be DOWN."""
+    vals = [10.0, 8.0, 5.0, 3.0, 7.0, 9.0, 4.0, 4.0]
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate(vals)
+    ]
+    df = frame(spark, rows)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.value AS strt_v, LAST(DOWN.value) AS bottom_v,
+                 UP.value AS up_v, COUNT(DOWN.*) AS n_down
+        ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+               UP AS UP.value >= PREV(UP.value)"""
+    expect = [
+        (1, 10.0, 3.0, 7.0, 3),
+        (1, 8.0, 3.0, 7.0, 2),
+        (1, 5.0, 3.0, 7.0, 1),
+        (1, 9.0, 4.0, 4.0, 1),
+    ]
+    for engine in ("relational", "nfa"):
+        got = sorted(
+            tuple(r)
+            for r in match_recognize(df, clause, engine=engine).collect()
+        )
+        assert got == sorted(expect), engine
+    # NEXT with an explicit offset
+    clause2 = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        DEFINE A AS NEXT(A.value, 2) > A.value, B AS B.value < 6"""
+    for engine in ("relational", "nfa"):
+        got = [
+            (r.a_id, r.b_id)
+            for r in match_recognize(df, clause2, engine=engine).collect()
+        ]
+        assert got == [(3, 4)], engine
+
+
+def test_mr_stream_rejects_prev_next(spark, sf_dir):
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    ev = table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_stream(ev, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
             DEFINE B AS B.value > PREV(B.value)""")
 
 
@@ -930,12 +997,24 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
     defines = []
     for v in names:
         r = rng.random()
-        if r < 0.6:
+        if r < 0.55:
             defines.append(
                 f"{v} AS {v}.event_type = '{rng.choice(['a', 'b', 'c'])}'"
             )
-        elif r < 0.75:
+        elif r < 0.7:
             defines.append(f"{v} AS {v}.value >= {rng.randint(0, 15)}")
+        elif r < 0.85:
+            # physical navigation: both engines read the same
+            # precomputed lag/lead flag, so any disagreement is a
+            # compiler bug, not a navigation bug
+            nav = rng.choice(
+                [
+                    f"{v}.value < PREV({v}.value)",
+                    f"{v}.value >= PREV({v}.value, 2)",
+                    f"NEXT({v}.value) > {v}.value",
+                ]
+            )
+            defines.append(f"{v} AS {nav}")
     # variable-targeted skips drawn only where statically safe (the
     # target binds >= 1 row; something before it consumes >= 1 row)
     nmins = [m if j == qi else 1 for j in range(k)]
