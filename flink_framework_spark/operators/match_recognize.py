@@ -58,8 +58,12 @@ over an ambiguous order is engine-defined, so the total order is
 mandatory here); ``MEASURES`` with ``VAR.col`` (last-row binding,
 the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
 ``COUNT(VAR.*)``, ``COUNT(*)``, ``MATCH_NUMBER()`` and
-``CLASSIFIER()``; ``ONE ROW PER MATCH`` and ``ALL ROWS PER MATCH``
-(per-row emission with RUNNING measure semantics — BEYOND Flink,
+``CLASSIFIER()``, each optionally prefixed with the SQL-standard
+``RUNNING``/``FINAL`` semantics keyword (Flink parity — in ONE ROW
+PER MATCH they coincide, as Flink documents; in ALL ROWS, RUNNING
+is the per-row-prefix default and FINAL reports the whole match on
+every row); ``ONE ROW PER MATCH`` and ``ALL ROWS PER MATCH``
+(per-row emission — BEYOND Flink,
 which ships only ONE ROW PER MATCH; batch only, the streaming twin
 keeps ONE ROW);
 ``AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST <var> |
@@ -131,6 +135,13 @@ class _Measure:
     #            COUNT | COUNT_STAR | MATCH_NUMBER
     var: str | None = None
     col: str | None = None
+    # SQL-standard RUNNING/FINAL semantics marker. Only observable in
+    # ALL ROWS PER MATCH (per-row emission): RUNNING (the default)
+    # evaluates over the match prefix up to the current row, FINAL
+    # over the whole match on every row. In ONE ROW PER MATCH the two
+    # coincide (measures evaluate at the final row — Flink documents
+    # the same), so the keyword is accepted and has no effect there.
+    final: bool = False
 
 
 @dataclass
@@ -476,6 +487,14 @@ def parse_match_recognize(sql: str) -> MRSpec:
 def _parse_measure(p: _Parser) -> _Measure:
     t = p.pop()
     up = t.upper()
+    final = False
+    if up in ("RUNNING", "FINAL") and p.peek() != ".":
+        # optional SQL-standard semantics keyword; a variable that
+        # happens to be named RUNNING/FINAL is disambiguated by the
+        # following "." (VAR.col form)
+        final = up == "FINAL"
+        t = p.pop()
+        up = t.upper()
     if up in ("MATCH_NUMBER", "CLASSIFIER"):
         if p.pop() != "(" or p.pop() != ")":
             raise ValueError(f"{up} takes no arguments")
@@ -509,7 +528,7 @@ def _parse_measure(p: _Parser) -> _Measure:
         func, col = "VAR_COL", p.pop()
     p.expect_kw("AS")
     name = p.pop()
-    return _Measure(name=name, func=func, var=var, col=col)
+    return _Measure(name=name, func=func, var=var, col=col, final=final)
 
 
 def _raw_defines(p: _Parser) -> list[tuple[str, str]]:
@@ -1660,7 +1679,10 @@ def _emit_all_rows_run(
     match back to its row span (equi key + rn band — output-bounded,
     matches are short bursts) and rebuild the RUNNING measures from
     the row's own prefix sums; CLASSIFIER and per-row counts are CASE
-    arithmetic on the row's offset within the match."""
+    arithmetic on the row's offset within the match. FINAL measures
+    take the ONE ROW path's whole-match expressions instead — the
+    span join already broadcasts the anchor/end-side values to every
+    member row."""
     key = spec.partition_by
     elems = spec.elements
     a = qi
@@ -1703,6 +1725,48 @@ def _emit_all_rows_run(
     # values carry __amv{mi}, end-side __emv{mi}
     for mi, ms in enumerate(spec.measures):
         out_t = _measure_out_type(ms, events)
+        if ms.final and ms.func != "MATCH_NUMBER":
+            # FINAL semantics: the whole-match value on EVERY row —
+            # exactly the ONE ROW path's expressions, broadcast by
+            # the span join (the anchor/end-side measure columns ride
+            # on every joined row already)
+            if ms.func == "CLASSIFIER":
+                expr = F.lit(elems[-1].var if b > 0 else qvar)
+            elif ms.func == "COUNT_STAR":
+                expr = (c_col + F.lit(a + b)).cast("bigint")
+            elif ms.func == "COUNT":
+                expr = (
+                    c_col if ms.var == qvar else F.lit(1)
+                ).cast("bigint")
+            elif ms.var == qvar:
+                if ms.func == "FIRST":
+                    expr = F.when(c_col > 0, F.col(f"__amv{mi}"))
+                elif ms.func in ("LAST", "VAR_COL"):
+                    expr = F.when(c_col > 0, F.col(f"__emv{mi}"))
+                else:  # SUM / AVG over the whole run
+                    sumv = F.coalesce(
+                        F.col(f"__ecum_{ms.col}"), F.lit(0)
+                    ) - F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
+                    nnv = F.coalesce(
+                        F.col(f"__enn_{ms.col}"), F.lit(0)
+                    ) - F.coalesce(F.col(f"__ann_{ms.col}"), F.lit(0))
+                    expr = (
+                        F.when(nnv > 0, sumv)
+                        if ms.func == "SUM"
+                        else F.when(
+                            nnv > 0,
+                            sumv.cast("double") / nnv.cast("double"),
+                        )
+                    )
+                expr = expr.cast(out_t)
+            else:
+                j = next(
+                    i for i, e in enumerate(elems) if e.var == ms.var
+                )
+                src = f"__amv{mi}" if j < qi else f"__emv{mi}"
+                expr = F.col(src).cast(out_t)
+            out_cols.append(expr.alias(ms.name))
+            continue
         if ms.func == "MATCH_NUMBER":
             expr = F.col("__mno").cast("bigint")
         elif ms.func == "CLASSIFIER":
@@ -1784,7 +1848,7 @@ def scan_rows(
     key_value,
     *,
     elements: list[tuple[str, int, int | None, bool]],
-    measures: list[tuple[str, str, str | None, str | None]],
+    measures: list[tuple[str, str, str | None, str | None, bool]],
     skip: str,
     within_s: float | None,
     var_names: list[str],
@@ -1944,11 +2008,16 @@ def scan_rows(
             continue
         match_no += 1
         if emit == "all":
-            # SQL-standard per-row emission with RUNNING semantics:
-            # each matched row reports the measures over the match
-            # prefix up to and including itself (VAR.col == running
-            # LAST(VAR.col); FIRST is fixed once the variable first
-            # binds, NULL before)
+            # SQL-standard per-row emission: RUNNING measures (the
+            # default) report the match prefix up to and including
+            # the current row (VAR.col == running LAST(VAR.col);
+            # FIRST is fixed once the variable first binds, NULL
+            # before); FINAL measures report the WHOLE match on
+            # every row
+            full: dict[str, list[int]] = {}
+            for row, ei in m:
+                full.setdefault(elements[ei][0], []).append(row)
+            last_var = elements[m[-1][1]][0]
             pref: dict[str, list[int]] = {}
             for p_i, (row, ei) in enumerate(m):
                 cur_var = elements[ei][0]
@@ -1956,23 +2025,23 @@ def scan_rows(
                 rec_out = [key_value] + [
                     pdf[c].iloc[row] for c in row_cols
                 ]
-                for _, func, var, col in measures:
-                    rows = rows_of(var, pref)
+                for _, func, var, col, final in measures:
+                    rows = rows_of(var, full if final else pref)
                     if func == "MATCH_NUMBER":
                         rec_out.append(match_no)
                     elif func == "CLASSIFIER":
-                        rec_out.append(cur_var)
+                        rec_out.append(last_var if final else cur_var)
                     elif func == "COUNT_STAR":
-                        rec_out.append(p_i + 1)
+                        rec_out.append(len(m) if final else p_i + 1)
                     elif func == "COUNT":
                         rec_out.append(len(rows))
                     elif not rows:
-                        rec_out.append(None)  # var not yet bound
+                        rec_out.append(None)  # var not (yet) bound
                     elif func == "FIRST":
                         rec_out.append(pdf[col].iloc[rows[0]])
                     elif func in ("LAST", "VAR_COL"):
                         rec_out.append(pdf[col].iloc[rows[-1]])
-                    else:  # SUM / MIN / MAX / AVG over the prefix
+                    else:  # SUM / MIN / MAX / AVG over the row set
                         # same SQL NULL semantics as the final
                         # measures (sum min_count=1: all-NULL -> NULL)
                         vals = pdf[col].iloc[rows]
@@ -1991,7 +2060,9 @@ def scan_rows(
         for row, ei in m:
             by_var.setdefault(elements[ei][0], []).append(row)
         rec_out = [key_value]
-        for _, func, var, col in measures:
+        for _, func, var, col, _final in measures:
+            # ONE ROW PER MATCH: RUNNING and FINAL coincide (measures
+            # evaluate at the final row), so _final is not consulted
             rows = rows_of(var, by_var)
             if func == "MATCH_NUMBER":
                 rec_out.append(match_no)
@@ -2037,7 +2108,9 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     elements = [
         (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
     ]
-    measures = [(m.name, m.func, m.var, m.col) for m in spec.measures]
+    measures = [
+        (m.name, m.func, m.var, m.col, m.final) for m in spec.measures
+    ]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     skip_var = spec.skip_var
     var_names = spec.variables

@@ -67,7 +67,9 @@ _RUNS_CLAUSE = """
 _ALL_ROWS_CLAUSE = """
     PARTITION BY user_id ORDER BY ts
     MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
-             COUNT(A.*) AS n_a, SUM(A.value) AS a_sum
+             COUNT(A.*) AS n_a, SUM(A.value) AS a_sum,
+             FINAL COUNT(A.*) AS n_a_f, FINAL SUM(A.value) AS a_sum_f,
+             FINAL CLASSIFIER() AS cls_f
     ALL ROWS PER MATCH
     AFTER MATCH SKIP PAST LAST ROW
     PATTERN (A{2,} B)
@@ -290,11 +292,14 @@ arows AS (
                                  ORDER BY c.rn) AS BIGINT) AS n_a,
          ROUND(SUM(c.value) OVER (PARTITION BY mm.user_id, mm.isl
                                   ORDER BY c.rn
-                                  ROWS UNBOUNDED PRECEDING), 2) AS a_sum
+                                  ROWS UNBOUNDED PRECEDING), 2) AS a_sum,
+         CAST(mm.n_a AS BIGINT) AS n_a_f,
+         ROUND(mm.a_total, 2) AS a_sum_f, 'B' AS cls_f
   FROM mm JOIN c ON c.user_id = mm.user_id AND c.isl = mm.isl),
 brows AS (
   SELECT user_id, strftime(b_ts, '{_TS_FMT_DUCK}') AS ts, b_id, 'B',
-         mno, CAST(n_a AS BIGINT), ROUND(a_total, 2)
+         mno, CAST(n_a AS BIGINT), ROUND(a_total, 2),
+         CAST(n_a AS BIGINT), ROUND(a_total, 2), 'B'
   FROM mm)
 SELECT * FROM arows UNION ALL SELECT * FROM brows
 """,
@@ -303,12 +308,15 @@ def q_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ALL ROWS PER MATCH`` — the SQL-standard per-row emission
     (BEYOND the reference surface: Flink ships only ONE ROW PER
     MATCH): every matched row of ``PATTERN (A{2,} B)`` comes back
-    with its CLASSIFIER, MATCH_NUMBER, and RUNNING measures (count
-    and sum over the match prefix up to the row). The declarative
-    oracle re-derives the per-row view by joining each matched
-    gaps-and-islands run back to its member rows with windowed
-    running aggregates — exactly the "matched row joined back to its
-    match_number" spelling."""
+    with its CLASSIFIER, MATCH_NUMBER, RUNNING measures (count and
+    sum over the match prefix up to the row), and FINAL measures
+    (whole-match count/sum/classifier broadcast to every row — the
+    SQL-standard RUNNING/FINAL keyword pair, accepted everywhere but
+    only observable here). The declarative oracle re-derives the
+    per-row view by joining each matched gaps-and-islands run back
+    to its member rows with windowed running aggregates — exactly
+    the "matched row joined back to its match_number" spelling; the
+    FINAL columns are the island-level totals on every row."""
     out = mr_all_rows_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id",
@@ -318,6 +326,9 @@ def q_mr_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mno",
         "n_a",
         round_duck(F.col("a_sum"), 2).alias("a_sum"),
+        "n_a_f",
+        round_duck(F.col("a_sum_f"), 2).alias("a_sum_f"),
+        "cls_f",
     )
 
 

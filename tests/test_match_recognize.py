@@ -484,6 +484,73 @@ def test_route_info_reluctant_run(spark):
     assert info["selection"] == "grouped-map pick over candidates"
 
 
+# --------------------------------------------- RUNNING / FINAL
+
+
+def test_final_running_measures_all_rows(spark):
+    """SQL-standard RUNNING/FINAL semantics in ALL ROWS PER MATCH:
+    RUNNING (default) evaluates the match prefix per row, FINAL the
+    whole match on every row — both engines agree; in ONE ROW they
+    coincide (Flink documents the same)."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 2.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 3.0),
+        (1, "2024-01-01 10:02:00", 3, "click", 5.0),
+        (1, "2024-01-01 10:03:00", 4, "purchase", 7.0),
+    ]
+    df = frame(spark, rows)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES CLASSIFIER() AS cls, FINAL CLASSIFIER() AS cls_f,
+                 COUNT(A.*) AS n_a, FINAL COUNT(A.*) AS n_a_f,
+                 SUM(A.value) AS s_a, FINAL SUM(A.value) AS s_a_f,
+                 RUNNING COUNT(*) AS n_all, FINAL COUNT(*) AS n_all_f,
+                 FINAL LAST(A.value) AS last_a_f, FINAL B.value AS b_v_f
+        ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    expect = [
+        ("A", "B", 1, 3, 2.0, 10.0, 1, 4, 5.0, 7.0),
+        ("A", "B", 2, 3, 5.0, 10.0, 2, 4, 5.0, 7.0),
+        ("A", "B", 3, 3, 10.0, 10.0, 3, 4, 5.0, 7.0),
+        ("B", "B", 3, 3, 10.0, 10.0, 4, 4, 5.0, 7.0),
+    ]
+    for engine in ("relational", "nfa"):
+        got = [
+            tuple(r)[3:]  # echo cols: user_id, ts, event_id
+            for r in match_recognize(df, clause, engine=engine)
+            .orderBy("ts")
+            .collect()
+        ]
+        assert got == expect, engine
+    one = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FINAL COUNT(A.*) AS n_a, RUNNING SUM(A.value) AS s_a
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    for engine in ("relational", "nfa"):
+        got = [
+            (r.n_a, r.s_a)
+            for r in match_recognize(df, one, engine=engine).collect()
+        ]
+        assert got == [(3, 10.0)], engine
+
+
+def test_parser_final_running_flags():
+    spec = parse_match_recognize("""
+      PARTITION BY user_id ORDER BY ts
+      MEASURES FINAL SUM(A.value) AS s_f, RUNNING COUNT(*) AS n_r,
+               A.value AS v, FINAL CLASSIFIER() AS c_f
+      PATTERN (A B)
+      DEFINE A AS A.value > 0""")
+    assert [(m.name, m.final) for m in spec.measures] == [
+        ("s_f", True), ("n_r", False), ("v", False), ("c_f", True)
+    ]
+
+
 # --------------------------------------- SKIP TO FIRST/LAST <var>
 
 
@@ -1034,6 +1101,12 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
         "COUNT(*) AS n_all",
         "CLASSIFIER() AS cls",
         "MATCH_NUMBER() AS mno",
+        # FINAL twins — only observable under ALL ROWS, but drawn
+        # unconditionally so ONE ROW pins their coincidence too
+        f"FINAL SUM({qv}.value) AS s_q_f",
+        f"FINAL LAST({qv}.event_id) AS l_q_f",
+        "FINAL CLASSIFIER() AS cls_f",
+        "FINAL COUNT(*) AS n_all_f",
     ] + [f"{v}.event_id AS id_{j}" for j, v in enumerate(names) if j != qi]
     clause = (
         f"PARTITION BY user_id ORDER BY ts MEASURES {', '.join(meas)} "
