@@ -51,8 +51,12 @@ Spark-first split of the work:
   involvement. All paths are fuzz-checked equal on eligible
   patterns (tests/test_match_recognize.py).
 
-Supported subset (loud errors otherwise): ``PARTITION BY`` one
-column; ``ORDER BY`` the event-time column (a deterministic
+Supported subset (loud errors otherwise): ``PARTITION BY`` one or
+more columns (several compile onto ONE internal struct key —
+grouping, windows, and equi-joins compare structs natively, so the
+plan shape and shuffle count are identical to the single-key case;
+batch engines only, the streaming twin keys state on one column);
+``ORDER BY`` the event-time column (a deterministic
 tie-break on the id column is appended automatically — running SQL
 over an ambiguous order is engine-defined, so the total order is
 mandatory here); ``MEASURES`` with ``VAR.col`` (last-row binding,
@@ -160,6 +164,11 @@ class MRSpec:
     # SKIP TO FIRST/LAST <var>: the pattern variable whose first/last
     # matched row the scan resumes AT (None for the row-based modes)
     skip_var: str | None = None
+    # full PARTITION BY column list (Flink allows several); the
+    # engine machinery keys on the single ``partition_by`` column —
+    # for a multi-column clause, :func:`match_recognize` synthesizes
+    # one internal struct key and re-expands it on output
+    partition_cols: list[str] = field(default_factory=list)
 
     @property
     def variables(self) -> list[str]:
@@ -241,11 +250,13 @@ def parse_match_recognize(sql: str) -> MRSpec:
 
     p.expect_kw("PARTITION")
     p.expect_kw("BY")
-    partition_by = p.pop()
-    if p.peek() == ",":
-        raise ValueError(
-            "PARTITION BY supports exactly one key column here"
-        )
+    partition_cols = [p.pop()]
+    while p.peek() == ",":
+        p.pop()
+        partition_cols.append(p.pop())
+    if len(set(partition_cols)) != len(partition_cols):
+        raise ValueError("PARTITION BY lists a column twice")
+    partition_by = partition_cols[0]
 
     p.expect_kw("ORDER")
     p.expect_kw("BY")
@@ -481,6 +492,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         rows=rows_mode,
         subsets=subsets,
         skip_var=skip_var,
+        partition_cols=partition_cols,
     )
 
 
@@ -788,6 +800,39 @@ def match_recognize(
     if engine not in ("auto", "relational", "nfa"):
         raise ValueError(f"engine must be auto|relational|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
+    if len(spec.partition_cols) > 1:
+        # multi-column PARTITION BY (Flink allows several): the
+        # machinery keys on ONE column, so synthesize an internal
+        # struct key — grouping, windows, and equi-joins all compare
+        # structs natively, every engine inherits unchanged — and
+        # re-expand the key fields on output. Same single shuffle.
+        import dataclasses
+
+        pk = spec.partition_cols
+        missing = [c for c in pk if c not in events.columns]
+        if missing:
+            raise ValueError(f"PARTITION BY {missing[0]!r} not in input")
+        clash = {ms.name for ms in spec.measures} & set(pk)
+        if clash:
+            raise ValueError(
+                f"measure name(s) {sorted(clash)} collide with the "
+                "PARTITION BY columns echoed in the output"
+            )
+        ev2 = events.withColumn("__mr_pk", F.struct(*pk))
+        spec2 = dataclasses.replace(
+            spec, partition_by="__mr_pk", partition_cols=["__mr_pk"]
+        )
+        out = _dispatch(ev2, spec2, id_col, engine)
+        lead = [F.col("__mr_pk").getField(c).alias(c) for c in pk]
+        rest = [F.col(c) for c in out.columns if c != "__mr_pk"]
+        return out.select(*lead, *rest)
+    return _dispatch(events, spec, id_col, engine)
+
+
+def _dispatch(
+    events: DataFrame, spec: MRSpec, id_col: str, engine: str
+) -> DataFrame:
+    """Route a parsed spec to the relational compilers or the NFA."""
     singleton = _relational_eligible(spec)
     run_qi = None if singleton else _run_pattern_info(spec)
     if engine == "relational" and not singleton and run_qi is None:

@@ -536,3 +536,48 @@ def q_mr_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "strt_v", "bottom_v", "up_v", "n_down", "mno"
     )
+
+
+@register(
+    "q_mr_multikey",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS pv,
+         lead(event_id) OVER w AS nid,
+         lead(value) OVER w AS nv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id))
+SELECT user_id, event_type, event_id AS a_id, value AS a_v,
+       nid AS b_id, nv AS b_v,
+       CAST(row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY rn) AS BIGINT) AS mno
+FROM o WHERE nv > value
+""",
+)
+def q_mr_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column ``PARTITION BY`` (Flink parity) combined with
+    ``PREV()`` navigation: within each (user_id, event_type)
+    substream, adjacent row pairs whose value rises. The engine
+    synthesizes one internal struct key — grouping, the lead-window
+    plan, and the navigation lag all ride the SAME single shuffle as
+    a one-column key — and re-expands both key fields on output.
+    ``B.value > PREV(B.value)`` is input-relative WITHIN the
+    composite partition, which is what the oracle's two-column
+    window proves. TO NEXT ROW keeps the singleton plan
+    selection-free (every candidate emits)."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id, event_type ORDER BY ts
+        MEASURES A.event_id AS a_id, A.value AS a_v,
+                 B.event_id AS b_id, B.value AS b_v,
+                 MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE B AS B.value > PREV(B.value)""")
+    return out.select(
+        "user_id", "event_type", "a_id", "a_v", "b_id", "b_v", "mno"
+    )

@@ -64,6 +64,13 @@ def match_recognize_stream(
     is emitted exactly once, when the watermark closes its anchor's
     WITHIN window."""
     spec = parse_match_recognize(clause)
+    if len(spec.partition_cols) > 1:
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE keys state on ONE partition "
+            "column — pre-combine the keys into a single column "
+            "(e.g. a struct or concat) or run the clause on the batch "
+            "engine, which supports multi-column PARTITION BY directly"
+        )
     if spec.rows == "all":
         raise ValueError(
             "ALL ROWS PER MATCH is batch-only here (per-row streaming "

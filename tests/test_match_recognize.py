@@ -70,8 +70,6 @@ def test_parser_full_clause():
 @pytest.mark.parametrize(
     "clause, msg",
     [
-        ("PARTITION BY a, b ORDER BY ts MEASURES X.ts AS t PATTERN (X Y)",
-         "exactly one key"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
          "AFTER MATCH SKIP TO FIRST X PATTERN (X Y)", "infinite loop"),
         ("PARTITION BY u ORDER BY ts MEASURES X.ts AS t "
@@ -482,6 +480,98 @@ def test_route_info_reluctant_run(spark):
     # island-start is a greedy-only proof — reluctant must pick the
     # sequential candidates-only scan
     assert info["selection"] == "grouped-map pick over candidates"
+
+
+# --------------------------------------- multi-column PARTITION BY
+
+
+MULTIKEY_SCHEMA = (
+    "user_id long, region string, ts string, event_id long, "
+    "event_type string, value double"
+)
+
+
+def _mk_frame(spark):
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for reg in ("x", "y"):
+            for t in ("a", "b", "b", "c"):
+                eid += 1
+                rows.append(
+                    (u, reg, "2024-01-01 10:%02d:00" % eid, eid, t,
+                     float(eid))
+                )
+    return spark.createDataFrame(rows, MULTIKEY_SCHEMA).selectExpr(
+        "user_id", "region", "CAST(ts AS timestamp) AS ts", "event_id",
+        "event_type", "value",
+    )
+
+
+def test_multi_column_partition_by(spark):
+    """Flink allows PARTITION BY several columns; the engine
+    synthesizes ONE internal struct key (same shuffle count) and
+    re-expands the key fields on output — all paths agree and the
+    (user_id, region) pairs never bleed into each other."""
+    df = _mk_frame(spark)
+    clause = """
+        PARTITION BY user_id, region ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b,
+                 C.event_id AS c_id
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B{1,2} C)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'"""
+    expect = [
+        (1, "x", 1, 2, 4), (1, "y", 5, 2, 8),
+        (2, "x", 9, 2, 12), (2, "y", 13, 2, 16),
+    ]
+    for engine in ("relational", "nfa"):
+        got = sorted(
+            tuple(r)
+            for r in match_recognize(df, clause, engine=engine).collect()
+        )
+        assert got == expect, engine
+        cols = [
+            f.name for f in match_recognize(df, clause, engine=engine).schema
+        ]
+        assert cols == ["user_id", "region", "a_id", "n_b", "c_id"], engine
+
+
+def test_multi_column_partition_by_all_rows(spark):
+    df = _mk_frame(spark)
+    clause = """
+        PARTITION BY user_id, region ORDER BY ts
+        MEASURES CLASSIFIER() AS cls, FINAL COUNT(*) AS n_f
+        ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B{1,2} C)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c'"""
+    a = sorted(
+        repr(tuple(r))
+        for r in match_recognize(df, clause, engine="relational").collect()
+    )
+    b = sorted(
+        repr(tuple(r))
+        for r in match_recognize(df, clause, engine="nfa").collect()
+    )
+    assert a == b and len(a) == 16  # 4 keys x 4 matched rows
+
+
+def test_multi_column_partition_by_rejections(spark):
+    from flink_framework_spark.io import table as _table
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    with pytest.raises(ValueError, match="twice"):
+        parse_match_recognize("""PARTITION BY u, u ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)""")
+    df = _mk_frame(spark)
+    with pytest.raises(ValueError, match="ONE partition"):
+        match_recognize_stream(df, """
+            PARTITION BY user_id, region ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            WITHIN INTERVAL '1' HOUR
+            DEFINE A AS A.event_type = 'a'""")
 
 
 # --------------------------------------------- RUNNING / FINAL
