@@ -60,7 +60,9 @@ batch engines only, the streaming twin keys state on one column);
 tie-break on the id column is appended automatically — running SQL
 over an ambiguous order is engine-defined, so the total order is
 mandatory here); ``MEASURES`` with ``VAR.col`` (last-row binding,
-the ONE ROW PER MATCH rule), ``FIRST/LAST/SUM/MIN/MAX/AVG(VAR.col)``,
+the ONE ROW PER MATCH rule), ``FIRST/LAST(VAR.col [, n])`` with the
+Flink logical offset (the (n+1)-th / (n+1)-th-from-last row mapped
+to the variable, NULL past its rows), ``SUM/MIN/MAX/AVG(VAR.col)``,
 ``COUNT(VAR.*)``, ``COUNT(*)``, ``MATCH_NUMBER()`` and
 ``CLASSIFIER()``, each optionally prefixed with the SQL-standard
 ``RUNNING``/``FINAL`` semantics keyword (Flink parity — in ONE ROW
@@ -146,6 +148,10 @@ class _Measure:
     # coincide (measures evaluate at the final row — Flink documents
     # the same), so the keyword is accepted and has no effect there.
     final: bool = False
+    # FIRST/LAST logical offset (Flink parity): FIRST(A.x, 1) is the
+    # SECOND row mapped to A, LAST(A.x, 1) the second-to-last; an
+    # offset past the variable's matched rows is NULL.
+    offset: int = 0
 
 
 @dataclass
@@ -500,6 +506,7 @@ def _parse_measure(p: _Parser) -> _Measure:
     t = p.pop()
     up = t.upper()
     final = False
+    offset = 0
     if up in ("RUNNING", "FINAL") and p.peek() != ".":
         # optional SQL-standard semantics keyword; a variable that
         # happens to be named RUNNING/FINAL is disambiguated by the
@@ -527,6 +534,20 @@ def _parse_measure(p: _Parser) -> _Measure:
                 func, col = up, p.pop()
                 if up == "COUNT":
                     raise ValueError("COUNT supports COUNT(V.*) / COUNT(*)")
+        if p.peek() == ",":
+            if up not in ("FIRST", "LAST"):
+                raise ValueError(
+                    f"{up}() takes no offset — logical offsets apply "
+                    "to FIRST/LAST only"
+                )
+            p.pop()
+            off_tok = p.pop()
+            if not re.match(r"^\d+$", off_tok):
+                raise ValueError(
+                    f"{up}() offset must be a non-negative integer "
+                    f"literal, got {off_tok!r}"
+                )
+            offset = int(off_tok)
         if p.pop() != ")":
             raise ValueError(f"unterminated {up}(...) measure")
     else:
@@ -540,7 +561,9 @@ def _parse_measure(p: _Parser) -> _Measure:
         func, col = "VAR_COL", p.pop()
     p.expect_kw("AS")
     name = p.pop()
-    return _Measure(name=name, func=func, var=var, col=col, final=final)
+    return _Measure(
+        name=name, func=func, var=var, col=col, final=final, offset=offset
+    )
 
 
 def _raw_defines(p: _Parser) -> list[tuple[str, str]]:
@@ -974,6 +997,15 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
             "SUBSET measure on a quantified pattern — union rows "
             "straddle the run compiler's binding sides"
         )
+    elif (
+        qs
+        and spec.rows == "all"
+        and any(ms.offset for ms in spec.measures)
+    ):
+        reason = (
+            "ALL ROWS with FIRST/LAST logical offsets — a running "
+            "offset over a growing prefix keeps the NFA"
+        )
     else:
         reason = "ALL ROWS PER MATCH on a singleton pattern"
     return {"engine": "nfa", "reason": reason}
@@ -1151,9 +1183,19 @@ def _compile_relational(
         else:
             pos = positions[ms.var]
             if ms.func == "FIRST":
-                expr = at(ms.col, min(pos))
+                # logical offset: the (offset+1)-th row mapped to the
+                # variable; past the variable's rows -> NULL
+                expr = (
+                    at(ms.col, pos[ms.offset])
+                    if ms.offset < len(pos)
+                    else F.lit(None)
+                )
             elif ms.func in ("LAST", "VAR_COL"):
-                expr = at(ms.col, max(pos))
+                expr = (
+                    at(ms.col, pos[-1 - ms.offset])
+                    if ms.offset < len(pos)
+                    else F.lit(None)
+                )
             elif ms.func == "SUM":
                 # SQL aggregate NULL semantics (both engines): NULLs
                 # are ignored, an all-NULL set sums to NULL — a plain
@@ -1303,6 +1345,10 @@ def _run_pattern_info(spec: MRSpec) -> int | None:
     for ms in spec.measures:
         if ms.var == qe.var and ms.func in ("MIN", "MAX"):
             return None
+        if spec.rows == "all" and ms.offset > 0:
+            # running FIRST/LAST with a logical offset over a growing
+            # prefix has no clean lead/lag spelling — keep the NFA
+            return None
         if ms.var in spec.subsets:
             # a union variable's rows straddle the anchor/end binding
             # sides — keep the NFA (the singleton compiler handles
@@ -1444,9 +1490,15 @@ def _compile_relational_run(
             continue
         if ms.var == qvar:
             if ms.func == "FIRST":
-                aproj.append(at_off(ms.col, a).alias(f"__amv{mi}"))
+                # logical offset rides the anchor-side lead: the
+                # (offset+1)-th run row is anchor + a + offset
+                aproj.append(
+                    at_off(ms.col, a + ms.offset).alias(f"__amv{mi}")
+                )
                 a_mvals[mi] = f"__amv{mi}"
             continue
+        if ms.offset > 0:
+            continue  # singleton var: one row, offset >= 1 -> NULL
         side, off = elem_abs(
             next(j for j, e in enumerate(elems) if e.var == ms.var)
         )
@@ -1502,9 +1554,16 @@ def _compile_relational_run(
             continue
         if ms.var == qvar:
             if ms.func in ("LAST", "VAR_COL"):
-                eproj.append(at_off(ms.col, qlast_off).alias(f"__emv{mi}"))
+                # LAST(Q, off): off rows before the run's final row
+                eproj.append(
+                    at_off(ms.col, qlast_off - ms.offset).alias(
+                        f"__emv{mi}"
+                    )
+                )
                 e_mvals[mi] = f"__emv{mi}"
             continue
+        if ms.offset > 0:
+            continue  # singleton var: one row, offset >= 1 -> NULL
         side, off = elem_abs(
             next(j for j, e in enumerate(elems) if e.var == ms.var)
         )
@@ -1686,9 +1745,9 @@ def _compile_relational_run(
                 expr = F.lit(1).cast("bigint")
         elif ms.var == qvar:
             if ms.func == "FIRST":
-                expr = F.when(c_col > 0, F.col(a_mvals[mi]))
+                expr = F.when(c_col > ms.offset, F.col(a_mvals[mi]))
             elif ms.func in ("LAST", "VAR_COL"):
-                expr = F.when(c_col > 0, F.col(e_mvals[mi]))
+                expr = F.when(c_col > ms.offset, F.col(e_mvals[mi]))
             else:  # SUM / AVG over the run: prefix-sum difference
                 sumv = F.coalesce(F.col(f"__ecum_{ms.col}"), F.lit(0)) - (
                     F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
@@ -1704,8 +1763,13 @@ def _compile_relational_run(
                     )
             expr = expr.cast(out_t)
         else:
-            src = a_mvals.get(mi) or e_mvals[mi]
-            expr = F.col(src).cast(out_t)
+            if ms.offset > 0:
+                # a singleton variable binds exactly one row, so any
+                # logical offset walks past it
+                expr = F.lit(None).cast(out_t)
+            else:
+                src = a_mvals.get(mi) or e_mvals[mi]
+                expr = F.col(src).cast(out_t)
         out_cols.append(expr.alias(ms.name))
     return sel.select(*out_cols)
 
@@ -1893,7 +1957,7 @@ def scan_rows(
     key_value,
     *,
     elements: list[tuple[str, int, int | None, bool]],
-    measures: list[tuple[str, str, str | None, str | None, bool]],
+    measures: list[tuple[str, str, str | None, str | None, bool, int]],
     skip: str,
     within_s: float | None,
     var_names: list[str],
@@ -2070,7 +2134,7 @@ def scan_rows(
                 rec_out = [key_value] + [
                     pdf[c].iloc[row] for c in row_cols
                 ]
-                for _, func, var, col, final in measures:
+                for _, func, var, col, final, off in measures:
                     rows = rows_of(var, full if final else pref)
                     if func == "MATCH_NUMBER":
                         rec_out.append(match_no)
@@ -2080,12 +2144,12 @@ def scan_rows(
                         rec_out.append(len(m) if final else p_i + 1)
                     elif func == "COUNT":
                         rec_out.append(len(rows))
-                    elif not rows:
-                        rec_out.append(None)  # var not (yet) bound
+                    elif not rows or off >= len(rows):
+                        rec_out.append(None)  # var/offset not (yet) bound
                     elif func == "FIRST":
-                        rec_out.append(pdf[col].iloc[rows[0]])
+                        rec_out.append(pdf[col].iloc[rows[off]])
                     elif func in ("LAST", "VAR_COL"):
-                        rec_out.append(pdf[col].iloc[rows[-1]])
+                        rec_out.append(pdf[col].iloc[rows[-1 - off]])
                     else:  # SUM / MIN / MAX / AVG over the row set
                         # same SQL NULL semantics as the final
                         # measures (sum min_count=1: all-NULL -> NULL)
@@ -2105,7 +2169,7 @@ def scan_rows(
         for row, ei in m:
             by_var.setdefault(elements[ei][0], []).append(row)
         rec_out = [key_value]
-        for _, func, var, col, _final in measures:
+        for _, func, var, col, _final, off in measures:
             # ONE ROW PER MATCH: RUNNING and FINAL coincide (measures
             # evaluate at the final row), so _final is not consulted
             rows = rows_of(var, by_var)
@@ -2117,12 +2181,12 @@ def scan_rows(
                 rec_out.append(len(m))
             elif func == "COUNT":
                 rec_out.append(len(rows))
-            elif not rows:
-                rec_out.append(None)  # optional var matched 0 rows
+            elif not rows or off >= len(rows):
+                rec_out.append(None)  # var/offset matched no row
             elif func == "FIRST":
-                rec_out.append(pdf[col].iloc[rows[0]])
+                rec_out.append(pdf[col].iloc[rows[off]])
             elif func in ("LAST", "VAR_COL"):
-                rec_out.append(pdf[col].iloc[rows[-1]])
+                rec_out.append(pdf[col].iloc[rows[-1 - off]])
             else:  # SUM / MIN / MAX / AVG — SQL NULL semantics:
                 # NULLs skipped, all-NULL -> NULL (sum needs
                 # min_count=1; pandas min/max/mean already skip NaN
@@ -2154,7 +2218,8 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
         (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
     ]
     measures = [
-        (m.name, m.func, m.var, m.col, m.final) for m in spec.measures
+        (m.name, m.func, m.var, m.col, m.final, m.offset)
+        for m in spec.measures
     ]
     partition_by, skip, within_s = spec.partition_by, spec.skip, spec.within_s
     skip_var = spec.skip_var

@@ -56,6 +56,7 @@ _RUNS_CLAUSE = """
     PARTITION BY user_id ORDER BY ts
     MEASURES FIRST(A.ts) AS a_first, LAST(A.ts) AS a_last,
              COUNT(A.*) AS n_a, SUM(A.value) AS a_sum,
+             FIRST(A.value, 1) AS a_v2,
              B.event_id AS b_id
     ONE ROW PER MATCH
     AFTER MATCH SKIP PAST LAST ROW
@@ -228,16 +229,19 @@ c AS (
   FROM o WHERE event_type = 'click'),
 runs AS (
   SELECT user_id, isl, count(*) AS n_a, min(ts) AS a_first,
-         max(ts) AS a_last, max(rn) AS end_rn, sum(value) AS a_sum
+         max(ts) AS a_last, min(rn) AS start_rn, max(rn) AS end_rn,
+         sum(value) AS a_sum
   FROM c GROUP BY 1, 2 HAVING count(*) >= 2)
 SELECT r.user_id,
        strftime(a_first, '{_TS_FMT_DUCK}') AS a_first_ts,
        strftime(a_last, '{_TS_FMT_DUCK}') AS a_last_ts,
        CAST(n_a AS BIGINT) AS n_a, ROUND(a_sum, 2) AS a_sum,
+       c2.value AS a_v2,
        o.event_id AS b_id
 FROM runs r
 JOIN o ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
       AND o.event_type = 'purchase'
+JOIN c c2 ON c2.user_id = r.user_id AND c2.rn = r.start_rn + 1
 """,
 )
 def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,9 +251,11 @@ def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     be a click, failing B), so matches are exactly the
     gaps-and-islands the oracle computes. Aggregated measures
     (COUNT/SUM/FIRST/LAST) exercise the quantified-variable measure
-    path. WITHIN 30 days never binds (the corpus spans < 30 days);
-    window truncation semantics are pinned on planted frames in
-    tests/test_match_recognize.py."""
+    path; ``FIRST(A.value, 1)`` (the run's SECOND click — the Flink
+    logical-offset form) pins the offset-aware anchor-side lead
+    against the oracle's start_rn + 1 join. WITHIN 30 days never
+    binds (the corpus spans < 30 days); window truncation semantics
+    are pinned on planted frames in tests/test_match_recognize.py."""
     out = mr_runs_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id",
@@ -257,6 +263,7 @@ def q_mr_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("a_last", _TS_FMT_SPARK).alias("a_last_ts"),
         "n_a",
         round_duck(F.col("a_sum"), 2).alias("a_sum"),
+        "a_v2",
         "b_id",
     )
 

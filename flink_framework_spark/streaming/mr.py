@@ -113,7 +113,8 @@ def match_recognize_stream(
         (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
     ]
     measures = [
-        (m.name, m.func, m.var, m.col, m.final) for m in spec.measures
+        (m.name, m.func, m.var, m.col, m.final, m.offset)
+        for m in spec.measures
     ]
     names = [spec.partition_by] + [m.name for m in spec.measures]
     var_names = spec.variables

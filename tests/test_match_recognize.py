@@ -482,6 +482,64 @@ def test_route_info_reluctant_run(spark):
     assert info["selection"] == "grouped-map pick over candidates"
 
 
+# ------------------------------------- FIRST/LAST logical offsets
+
+
+def test_measure_logical_offsets(spark):
+    """Flink's FIRST(A.x, n)/LAST(A.x, n): the (n+1)-th /
+    (n+1)-th-from-last row mapped to the variable; an offset past the
+    variable's rows is NULL. Both engines agree on runs, singletons,
+    and repeated-position variables."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 10.0),
+        (1, "2024-01-01 10:01:00", 2, "click", 20.0),
+        (1, "2024-01-01 10:02:00", 3, "click", 30.0),
+        (1, "2024-01-01 10:03:00", 4, "purchase", 99.0),
+    ]
+    df = frame(spark, rows)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.value) AS f0, FIRST(A.value, 1) AS f1,
+                 FIRST(A.value, 2) AS f2, FIRST(A.value, 3) AS f3,
+                 LAST(A.value, 1) AS l1, LAST(A.value, 2) AS l2,
+                 LAST(A.value, 9) AS l9, FIRST(B.value, 1) AS bf1
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A{2,} B)
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase'"""
+    for engine in ("relational", "nfa"):
+        got = [
+            tuple(r)[1:]
+            for r in match_recognize(df, clause, engine=engine).collect()
+        ]
+        assert got == [
+            (10.0, 20.0, 30.0, None, 20.0, 10.0, None, None)
+        ], engine
+    # singleton pattern: repeated variable -> offsets walk positions
+    clause2 = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.value, 1) AS f1, LAST(A.value, 1) AS l1
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A C A)
+        DEFINE C AS C.value = 20.0"""
+    for engine in ("relational", "nfa"):
+        got = [
+            (r.f1, r.l1)
+            for r in match_recognize(df, clause2, engine=engine).collect()
+        ]
+        # A binds rows 1 and 3 (values 10, 30): FIRST(,1)=30, LAST(,1)=10
+        assert got == [(30.0, 10.0)], engine
+
+
+def test_measure_offset_rejections():
+    with pytest.raises(ValueError, match="offset"):
+        parse_match_recognize("""PARTITION BY u ORDER BY ts
+            MEASURES SUM(A.value, 1) AS s PATTERN (A B)""")
+    with pytest.raises(ValueError, match="non-negative integer"):
+        parse_match_recognize("""PARTITION BY u ORDER BY ts
+            MEASURES FIRST(A.value, x) AS f PATTERN (A B)""")
+
+
 # --------------------------------------- multi-column PARTITION BY
 
 
@@ -1198,6 +1256,13 @@ def test_fuzz_relational_vs_nfa_runs(spark, seed):
         "FINAL CLASSIFIER() AS cls_f",
         "FINAL COUNT(*) AS n_all_f",
     ] + [f"{v}.event_id AS id_{j}" for j, v in enumerate(names) if j != qi]
+    if rowsmode == "ONE ROW PER MATCH":
+        # logical offsets (ALL ROWS + offsets is an NFA-only class,
+        # asserted by the refusal branch below when drawn there)
+        meas += [
+            f"FIRST({qv}.event_id, 1) AS f_q1",
+            f"LAST({qv}.event_id, {rng.randint(1, 3)}) AS l_qn",
+        ]
     clause = (
         f"PARTITION BY user_id ORDER BY ts MEASURES {', '.join(meas)} "
         f"{rowsmode} AFTER MATCH SKIP {skip} PATTERN ({' '.join(pat)}) "
