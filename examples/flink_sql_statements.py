@@ -1,12 +1,14 @@
 """Flink SQL statement demo: run the statements a Flink SQL user
 already has, unchanged, against the parquet lake.
 
-Four statements tour the dialect shim (``flink_framework_spark.sql``):
+Five statements tour the dialect shim (``flink_framework_spark.sql``):
 a TUMBLE window TVF aggregate, a CUMULATE early-firing rollup, a
-SESSION TVF with PARTITION BY inside the call, and a funnel spelled
-as FROM-embedded MATCH_RECOGNIZE with an outer filter. The TVF and
-match relations rewrite onto the engine's operators; everything else
-in each statement is Spark SQL running through Catalyst untouched.
+SESSION TVF with PARTITION BY inside the call, a funnel spelled as
+FROM-embedded MATCH_RECOGNIZE with an outer filter, and the
+Flink-docs V-pattern (PREV() navigation, a lazy ``+?`` run, a
+composite partition key, and a FINAL measure). The TVF and match
+relations rewrite onto the engine's operators; everything else in
+each statement is Spark SQL running through Catalyst untouched.
 
 Run:  python examples/flink_sql_statements.py [sf_dir]
 """
@@ -71,6 +73,26 @@ def main() -> None:
                  P AS P.event_type = 'purchase'
         ) WHERE n_rows > 2
         ORDER BY n_rows DESC LIMIT 5
+    """, tables=tables).show(truncate=False)
+
+    print("== MATCH_RECOGNIZE V-pattern: PREV() navigation, lazy "
+          "run, composite key ==")
+    # the Flink-docs flagship shape: a falling-value run bottoming
+    # out into a recovery, keyed by (user_id, event_type), with the
+    # run's depth reported both running and FINAL
+    flink_sql(spark, """
+        SELECT user_id, event_type, bottom_v, n_down
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id, event_type ORDER BY ts
+          MEASURES LAST(DOWN.value) AS bottom_v,
+                   FINAL COUNT(DOWN.*) AS n_down
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (STRT DOWN+? UP)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value >= PREV(UP.value)
+        )
+        ORDER BY n_down DESC LIMIT 5
     """, tables=tables).show(truncate=False)
 
     spark.stop()
