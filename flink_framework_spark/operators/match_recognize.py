@@ -606,10 +606,12 @@ def _join_tokens(toks: list[str]) -> str:
 
 _STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
 
-# PREV/NEXT(VAR.col) or PREV/NEXT(VAR.col, n) — physical navigation
+# PREV/NEXT([VAR.]col [, n]) — physical navigation; the variable
+# qualifier is optional, matching the rest of DEFINE (bare column
+# refs denote the candidate row)
 _NAV_CALL_RE = re.compile(
-    r"(?i)\b(PREV|NEXT)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*"
-    r"(?:,\s*(\d+)\s*)?\)"
+    r"(?i)\b(PREV|NEXT)\s*\(\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
+    r"([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)"
 )
 
 
@@ -644,10 +646,12 @@ def _rewrite_define(
     for seg in segments:
         def _nav_sub(m: re.Match) -> str:
             d = m.group(1).upper()
-            if m.group(2).upper() not in {v.upper() for v in variables}:
+            if m.group(2) is not None and m.group(2).upper() not in {
+                v.upper() for v in variables
+            }:
                 raise ValueError(
-                    f"{d}() needs a VAR.col argument with a pattern "
-                    f"variable, got {m.group(2)!r}"
+                    f"{d}()'s qualifier must be a pattern variable, "
+                    f"got {m.group(2)!r}"
                 )
             col = m.group(3)
             n = int(m.group(4) or 1)
@@ -1725,53 +1729,62 @@ def _compile_relational_run(
         )
 
     # ---- ONE ROW PER MATCH output ------------------------------------
+    # (shared with the ALL ROWS FINAL branch — _run_match_expr)
     out_cols = [F.col("__ak").alias(key)]
     for mi, ms in enumerate(spec.measures):
         out_t = _measure_out_type(ms, events)
-        c_col = F.col("__c")
-        if ms.func == "MATCH_NUMBER":
-            expr = F.col("__mno").cast("bigint")
-        elif ms.func == "CLASSIFIER":
-            # b == 0 implies the run is last AND non-optional
-            # (_run_pattern_info rejects trailing optional runs), so
-            # the last matched row is always a Q row
-            expr = F.lit(elems[-1].var if b > 0 else qvar)
-        elif ms.func == "COUNT_STAR":
-            expr = (c_col + F.lit(a + b)).cast("bigint")
-        elif ms.func == "COUNT":
-            if ms.var == qvar:
-                expr = c_col.cast("bigint")
-            else:
-                expr = F.lit(1).cast("bigint")
-        elif ms.var == qvar:
-            if ms.func == "FIRST":
-                expr = F.when(c_col > ms.offset, F.col(a_mvals[mi]))
-            elif ms.func in ("LAST", "VAR_COL"):
-                expr = F.when(c_col > ms.offset, F.col(e_mvals[mi]))
-            else:  # SUM / AVG over the run: prefix-sum difference
-                sumv = F.coalesce(F.col(f"__ecum_{ms.col}"), F.lit(0)) - (
-                    F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
-                )
-                nnv = F.coalesce(F.col(f"__enn_{ms.col}"), F.lit(0)) - (
-                    F.coalesce(F.col(f"__ann_{ms.col}"), F.lit(0))
-                )
-                if ms.func == "SUM":
-                    expr = F.when(nnv > 0, sumv)
-                else:
-                    expr = F.when(
-                        nnv > 0, sumv.cast("double") / nnv.cast("double")
-                    )
-            expr = expr.cast(out_t)
-        else:
-            if ms.offset > 0:
-                # a singleton variable binds exactly one row, so any
-                # logical offset walks past it
-                expr = F.lit(None).cast(out_t)
-            else:
-                src = a_mvals.get(mi) or e_mvals[mi]
-                expr = F.col(src).cast(out_t)
+        expr = _run_match_expr(ms, mi, out_t, elems, qi, a, b)
         out_cols.append(expr.alias(ms.name))
     return sel.select(*out_cols)
+
+
+def _run_match_expr(ms, mi: int, out_t: str, elems, qi: int, a: int, b: int):
+    """Whole-match value of one measure on the RUN fast path — shared
+    by the ONE ROW PER MATCH output and by FINAL measures in ALL ROWS
+    (the span join broadcasts the same anchor/end-side columns to
+    every member row, so FINAL is this expression verbatim). Column
+    naming is the compiler's convention: anchor-side values ride
+    ``__amv{mi}``, end-side ``__emv{mi}``, run prefix sums
+    ``__acum/__ecum`` and their non-null counts ``__ann/__enn``."""
+    qvar = elems[qi].var
+    c_col = F.col("__c")
+    if ms.func == "MATCH_NUMBER":
+        return F.col("__mno").cast("bigint")
+    if ms.func == "CLASSIFIER":
+        # b == 0 implies the run is last AND non-optional
+        # (_run_pattern_info rejects trailing optional runs), so the
+        # last matched row is always a Q row
+        return F.lit(elems[-1].var if b > 0 else qvar)
+    if ms.func == "COUNT_STAR":
+        return (c_col + F.lit(a + b)).cast("bigint")
+    if ms.func == "COUNT":
+        return (c_col if ms.var == qvar else F.lit(1)).cast("bigint")
+    if ms.var == qvar:
+        if ms.func == "FIRST":
+            expr = F.when(c_col > ms.offset, F.col(f"__amv{mi}"))
+        elif ms.func in ("LAST", "VAR_COL"):
+            expr = F.when(c_col > ms.offset, F.col(f"__emv{mi}"))
+        else:  # SUM / AVG over the run: prefix-sum difference
+            sumv = F.coalesce(F.col(f"__ecum_{ms.col}"), F.lit(0)) - (
+                F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
+            )
+            nnv = F.coalesce(F.col(f"__enn_{ms.col}"), F.lit(0)) - (
+                F.coalesce(F.col(f"__ann_{ms.col}"), F.lit(0))
+            )
+            if ms.func == "SUM":
+                expr = F.when(nnv > 0, sumv)
+            else:
+                expr = F.when(
+                    nnv > 0, sumv.cast("double") / nnv.cast("double")
+                )
+        return expr.cast(out_t)
+    if ms.offset > 0:
+        # a singleton variable binds exactly one row, so any logical
+        # offset walks past it
+        return F.lit(None).cast(out_t)
+    j = next(i for i, e in enumerate(elems) if e.var == ms.var)
+    src = f"__amv{mi}" if j < qi else f"__emv{mi}"
+    return F.col(src).cast(out_t)
 
 
 def _emit_all_rows_run(
@@ -1834,46 +1847,12 @@ def _emit_all_rows_run(
     # values carry __amv{mi}, end-side __emv{mi}
     for mi, ms in enumerate(spec.measures):
         out_t = _measure_out_type(ms, events)
-        if ms.final and ms.func != "MATCH_NUMBER":
+        if ms.final:
             # FINAL semantics: the whole-match value on EVERY row —
-            # exactly the ONE ROW path's expressions, broadcast by
-            # the span join (the anchor/end-side measure columns ride
-            # on every joined row already)
-            if ms.func == "CLASSIFIER":
-                expr = F.lit(elems[-1].var if b > 0 else qvar)
-            elif ms.func == "COUNT_STAR":
-                expr = (c_col + F.lit(a + b)).cast("bigint")
-            elif ms.func == "COUNT":
-                expr = (
-                    c_col if ms.var == qvar else F.lit(1)
-                ).cast("bigint")
-            elif ms.var == qvar:
-                if ms.func == "FIRST":
-                    expr = F.when(c_col > 0, F.col(f"__amv{mi}"))
-                elif ms.func in ("LAST", "VAR_COL"):
-                    expr = F.when(c_col > 0, F.col(f"__emv{mi}"))
-                else:  # SUM / AVG over the whole run
-                    sumv = F.coalesce(
-                        F.col(f"__ecum_{ms.col}"), F.lit(0)
-                    ) - F.coalesce(F.col(f"__acum_{ms.col}"), F.lit(0))
-                    nnv = F.coalesce(
-                        F.col(f"__enn_{ms.col}"), F.lit(0)
-                    ) - F.coalesce(F.col(f"__ann_{ms.col}"), F.lit(0))
-                    expr = (
-                        F.when(nnv > 0, sumv)
-                        if ms.func == "SUM"
-                        else F.when(
-                            nnv > 0,
-                            sumv.cast("double") / nnv.cast("double"),
-                        )
-                    )
-                expr = expr.cast(out_t)
-            else:
-                j = next(
-                    i for i, e in enumerate(elems) if e.var == ms.var
-                )
-                src = f"__amv{mi}" if j < qi else f"__emv{mi}"
-                expr = F.col(src).cast(out_t)
+            # exactly the ONE ROW path's expressions (shared helper),
+            # broadcast by the span join (the anchor/end-side measure
+            # columns ride on every joined row already)
+            expr = _run_match_expr(ms, mi, out_t, elems, qi, a, b)
             out_cols.append(expr.alias(ms.name))
             continue
         if ms.func == "MATCH_NUMBER":

@@ -82,16 +82,25 @@ def match_recognize_stream(
             "streaming MATCH_RECOGNIZE requires WITHIN — it bounds both "
             "state and finalization latency"
         )
-    from flink_framework_spark.operators.match_recognize import _NAV_CALL_RE
+    from flink_framework_spark.operators.match_recognize import (
+        _rewrite_define,
+    )
 
+    # same detector the batch rewrite uses: literals are split out
+    # (navigation text inside a quoted string is not navigation) and
+    # PREV(x, 0) folds to the plain column (no cross-batch hazard) —
+    # only a REAL lag/lead requirement rejects
+    navs: dict[str, tuple[str, str, int]] = {}
     for v, expr in spec.defines.items():
-        if expr is not None and _NAV_CALL_RE.search(expr):
-            raise ValueError(
-                "PREV()/NEXT() in DEFINE is batch-only here: flags are "
-                "precomputed per micro-batch, and physical navigation "
-                "across batch boundaries under late data would read the "
-                "wrong neighbor — run the clause on the batch engine"
-            )
+        if expr is not None:
+            _rewrite_define(expr, spec.variables, navs)
+    if navs:
+        raise ValueError(
+            "PREV()/NEXT() in DEFINE is batch-only here: flags are "
+            "precomputed per micro-batch, and physical navigation "
+            "across batch boundaries under late data would read the "
+            "wrong neighbor — run the clause on the batch engine"
+        )
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )

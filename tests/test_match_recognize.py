@@ -159,6 +159,30 @@ def test_define_prev_next_navigation(spark):
         assert got == [(3, 4)], engine
 
 
+def test_define_unqualified_prev(spark):
+    """The SQL-standard/Flink spelling without a variable qualifier —
+    ``value < PREV(value)`` — works like the qualified form (bare
+    column refs denote the candidate row everywhere in DEFINE)."""
+    vals = [10.0, 8.0, 5.0, 9.0]
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate(vals)
+    ]
+    df = frame(spark, rows)
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(DOWN.event_id) AS fd, COUNT(DOWN.*) AS n_down
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (DOWN+)
+        DEFINE DOWN AS value < PREV(value)"""
+    for engine in ("relational", "nfa"):
+        got = [
+            (r.fd, r.n_down)
+            for r in match_recognize(df, clause, engine=engine).collect()
+        ]
+        assert got == [(2, 2)], engine
+
+
 def test_mr_stream_rejects_prev_next(spark, sf_dir):
     from flink_framework_spark.io import table
     from flink_framework_spark.streaming.mr import match_recognize_stream
@@ -169,6 +193,15 @@ def test_mr_stream_rejects_prev_next(spark, sf_dir):
             MEASURES A.ts AS t PATTERN (A B)
             WITHIN INTERVAL '1' HOUR
             DEFINE B AS B.value > PREV(B.value)""")
+    # navigation text INSIDE a string literal is not navigation, and
+    # offset 0 folds to the plain column — neither rejects (same
+    # detector as the batch rewrite)
+    q = match_recognize_stream(ev, """PARTITION BY user_id ORDER BY ts
+        MEASURES A.ts AS t PATTERN (A B)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type <> 'PREV(A.x)',
+               B AS B.value >= PREV(B.value, 0)""")
+    assert q is not None
 
 
 # --------------------------------------------------- planted semantics
@@ -1671,7 +1704,7 @@ def test_multi_unbounded_quantifiers_polynomial():
         elements=[("A", 0, None, False), ("B", 0, None, False),
                   ("C", 0, None, False), ("D", 0, None, False),
                   ("E", 1, 1, False)],
-        measures=[("mno", "MATCH_NUMBER", None, None)],
+        measures=[("mno", "MATCH_NUMBER", None, None, False, 0)],
         skip="past_last",
         within_s=None,
         var_names=list("ABCDE"),
@@ -1690,7 +1723,7 @@ def test_stream_anchor_final_only_strictly_inside_watermark():
     pdf = _mk_flag_pdf({"A": [True], "B": [False]}, ts=[0.0])
     kw = dict(
         elements=[("A", 1, 1, False), ("B", 1, 1, False)],
-        measures=[("n", "COUNT_STAR", None, None)],
+        measures=[("n", "COUNT_STAR", None, None, False, 0)],
         skip="past_last",
         within_s=60.0,
         var_names=["A", "B"],
