@@ -95,12 +95,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                               #     tagged melt; granulars in slots 51+)
     "q_stream_late",          # I4
     "q_stream_dedup",         # I5
-    "q_cep_suite",            # I8: funnel + twelve CEP shapes (sequence,
+    "q_cep_suite",            # I8: funnel + eighteen CEP shapes (sequence,
                               #     negation, strict, first, times, three
                               #     skip strategies, optional, pattern
-                              #     combo, greedy/until oneOrMore), tagged
-                              #     melt; granular q_funnel/q_cep_* in
-                              #     slots 51+
+                              #     combo, greedy/until oneOrMore, six
+                              #     MATCH_RECOGNIZE parts incl. the
+                              #     reluctant lazy funnel and SKIP TO LAST
+                              #     chained triples), tagged melt; granular
+                              #     q_funnel/q_cep_*/q_mr_* in slots 51+
     # J. UDF surface
     "q_udf_python",           # J1
     "q_udf_pandas",           # J2

@@ -847,6 +847,49 @@ def test_skip_to_runtime_errors(spark):
     assert "matched no rows" in str(ei.value)
 
 
+def test_mr_stream_reluctant_matches_batch(spark, tmp_path):
+    """A reluctant run chunks its island lazily; the streaming twin
+    (same scan core, lazy count order) drains to exactly the batch
+    result even when the island spans micro-batches."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    evs = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "b", 1.0) for j in range(5)
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(B.event_id) AS fb, COUNT(B.*) AS n_b
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B{2,}?)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE B AS B.event_type = 'b'"""
+    batch = match_recognize(frame(spark, evs), clause).toPandas()
+    sent = [
+        (9, "2024-01-01 12:00:00", 90, "s", 0.0),
+        (9, "2024-01-01 13:00:00", 91, "s", 0.0),
+    ]
+    src = tmp_path / "src"
+    for b in (evs[:3], evs[3:], [sent[0]], [sent[1]]):
+        frame(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(spark, evs).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause),
+        query_name="t_mr_lazy",
+        output_mode="update",
+    )
+    stream = out.filter(F.col("user_id") == 1).toPandas()
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    assert a == b and len(a) == 2  # island of 5 -> lazy 2+2
+
+
 def test_mr_stream_skip_to_last_matches_batch(spark, tmp_path):
     """SKIP TO LAST chains matches end-to-start across micro-batches:
     the streaming twin drains to exactly the batch result."""
