@@ -93,9 +93,19 @@ extension — first-to-last row span bound); ``DEFINE`` with arbitrary
 single-row Spark SQL booleans plus ``PREV/NEXT(VAR.col [, n])``
 physical navigation (the Flink flagship ``price < PREV(price)``
 form — input-relative offsets compiled to one lag/lead window pass
-before flagging, NULL past the partition edge, batch engines only;
+before flagging, NULL past the partition edge, batch engines only)
+plus ONE running aggregate per variable —
+``AGG(V.col) cmp <number>`` (AGG in SUM/AVG/COUNT/MIN/MAX,
+COUNT also V.*), optionally AND-combined with one row-level
+condition: a row joins V iff the aggregate over V's rows so far
+INCLUDING the row satisfies the comparison (SQL RUNNING semantics,
+the Flink aggregations-in-DEFINE feature). Running values depend on
+where the match anchored, so these patterns run on the NFA — the
+per-element state is O(1) and incremental, and the prefix property
+(every admitted prefix passed its own check) keeps greedy and
+reluctant counts sharing one feasibility scan.
 ``FIRST``/``LAST`` match-relative navigation in DEFINE and
-alternation/grouping are documented out of scope). Variables
+alternation/grouping are documented out of scope. Variables
 without a DEFINE match any row (SQL default).
 
 Empty matches (every element minimum 0) are skipped rather than
@@ -175,6 +185,15 @@ class MRSpec:
     # for a multi-column clause, :func:`match_recognize` synthesizes
     # one internal struct key and re-expands it on output
     partition_cols: list[str] = field(default_factory=list)
+    # running aggregates in DEFINE (Flink parity, bounded grammar):
+    # var -> (func, col-or-'*', op, literal). The condition admits a
+    # row iff the aggregate over the variable's rows so far PLUS the
+    # candidate row satisfies the comparison (SQL RUNNING
+    # semantics). NFA-only — the running value depends on where the
+    # match anchored, so no per-row flag can precompute it.
+    agg_defines: dict[str, tuple[str, str, str, float]] = field(
+        default_factory=dict
+    )
 
     @property
     def variables(self) -> list[str]:
@@ -236,6 +255,83 @@ class _Parser:
                 f"MATCH_RECOGNIZE: expected {'/'.join(kws)}, got {t!r}"
             )
         return t.upper()
+
+
+_AGG_CMP_RE = re.compile(
+    r"(?i)\b(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
+    r"([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|=|<|>)\s*(-?\d+(?:\.\d+)?)"
+)
+_AGG_CALL_RE = re.compile(r"(?i)\b(SUM|AVG|COUNT|MIN|MAX)\s*\(")
+
+
+def _extract_agg_define(var: str, expr: str):
+    """Split a DEFINE body into (agg_constraint | None, residual
+    row-level text | None) under the bounded grammar: the whole body
+    is ``AGG(V.col) cmp literal``, optionally AND-combined at the top
+    level with ONE row-level residual on either side. Aggregate calls
+    anywhere else (inside the residual, under OR, over another
+    variable, non-literal bounds) raise with the supported forms
+    named. Detection runs on the non-literal segments only, so quoted
+    strings containing 'SUM(' are inert."""
+    segs = _STR_LIT_RE.split(expr)
+    if not any(_AGG_CALL_RE.search(seg) for seg in segs):
+        return None, expr
+    m = _AGG_CMP_RE.search(expr)
+    supported = (
+        "running aggregates in DEFINE support exactly "
+        "'AGG(V.col) cmp <number>' (AGG in SUM/AVG/COUNT/MIN/MAX, "
+        "COUNT also V.*), optionally AND-combined with one row-level "
+        "condition"
+    )
+    if m is None:
+        raise ValueError(
+            f"DEFINE {var}: unsupported aggregate form — {supported}"
+        )
+    if m.group(2).upper() != var.upper():
+        raise ValueError(
+            f"DEFINE {var}: the running aggregate must range over the "
+            f"variable being defined, got {m.group(2)!r} ({supported})"
+        )
+    func = m.group(1).upper()
+    col = m.group(3) if m.group(3) == "*" else m.group(3)
+    if col == "*" and func != "COUNT":
+        raise ValueError(f"DEFINE {var}: {func}(V.*) is not a thing")
+    agg = (func, col, m.group(4), float(m.group(5)))
+    before = expr[: m.start()].strip()
+    after = expr[m.end():].strip()
+    residual = None
+    if before and after:
+        raise ValueError(
+            f"DEFINE {var}: the aggregate term must sit at one end of "
+            f"a top-level AND ({supported})"
+        )
+    rest = before or after
+    if rest:
+        if before:
+            mand = re.search(r"(?is)^(.*)\bAND\s*$", rest)
+        else:
+            mand = re.match(r"(?is)^AND\b(.*)$", rest)
+        if not mand:
+            raise ValueError(
+                f"DEFINE {var}: aggregate terms combine with a "
+                f"top-level AND only ({supported})"
+            )
+        residual = mand.group(1).strip()
+        if not residual:
+            raise ValueError(f"DEFINE {var}: empty condition beside AND")
+        res_segs = _STR_LIT_RE.split(residual)
+        if any(_AGG_CALL_RE.search(sg) for sg in res_segs):
+            raise ValueError(
+                f"DEFINE {var}: one aggregate term per DEFINE "
+                f"({supported})"
+            )
+        if any(re.search(r"(?i)\bOR\b", sg) for sg in res_segs):
+            raise ValueError(
+                f"DEFINE {var}: OR around an aggregate term is out of "
+                f"scope — the aggregate must be a top-level conjunct "
+                f"({supported})"
+            )
+    return agg, residual
 
 
 def parse_match_recognize(sql: str) -> MRSpec:
@@ -477,6 +573,23 @@ def parse_match_recognize(sql: str) -> MRSpec:
     for v in defines:
         if v not in var_set:
             raise ValueError(f"DEFINE references {v!r}, not in PATTERN")
+    agg_defines: dict[str, tuple[str, str, str, float]] = {}
+    for v in list(defines):
+        agg, residual = _extract_agg_define(v, defines[v])
+        if agg is None:
+            continue
+        if sum(1 for e in elements if e.var == v) != 1:
+            raise ValueError(
+                f"DEFINE {v}: a running-aggregate DEFINE requires the "
+                "variable to appear exactly once in PATTERN (the "
+                "aggregate would otherwise span non-contiguous "
+                "segments)"
+            )
+        agg_defines[v] = agg
+        if residual is None:
+            del defines[v]
+        else:
+            defines[v] = residual
     for ms in measures:
         if (
             ms.var is not None
@@ -499,6 +612,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         subsets=subsets,
         skip_var=skip_var,
         partition_cols=partition_cols,
+        agg_defines=agg_defines,
     )
 
 
@@ -742,6 +856,20 @@ def prepare_flags(
             if ms.col not in cols:
                 raise ValueError(f"measure column {ms.col!r} not in input")
             need_cols.add(ms.col)
+    src_types0 = {f.name: f.dataType.simpleString() for f in events.schema}
+    for v, (afunc, acol, _op, _lit) in spec.agg_defines.items():
+        if acol == "*":
+            continue
+        if acol not in cols:
+            raise ValueError(
+                f"DEFINE {v}: aggregate column {acol!r} not in input"
+            )
+        if src_types0[acol] not in _NUMERIC_TYPES:
+            raise ValueError(
+                f"DEFINE {v}: {afunc}({acol}) needs a numeric column, "
+                f"got {src_types0[acol]}"
+            )
+        need_cols.add(acol)
 
     navs: dict[str, tuple[str, str, int]] = {}
     rewritten = {
@@ -976,7 +1104,13 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
         e for e in spec.elements if not (e.n_min == 1 and e.n_max == 1)
     ]
     names = [e.var for e in spec.elements]
-    if len(qs) >= 2:
+    if spec.agg_defines:
+        reason = (
+            "running-aggregate DEFINE — the running value depends on "
+            "where the match anchored, so no per-row flag can "
+            "precompute it; NFA only"
+        )
+    elif len(qs) >= 2:
         reason = (
             f"{len(qs)} quantified elements — how they split a run "
             "is a backtracking search"
@@ -1021,10 +1155,14 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
 def _relational_eligible(spec: MRSpec) -> bool:
     """Singleton patterns only: every element consumed exactly once
     means matches have fixed length k and zero backtracking — the
-    lead-window compilation below is exact. (Both supported skip
-    modes are handled; quantified patterns keep the NFA.)"""
-    return spec.rows == "one" and all(
-        e.n_min == 1 and e.n_max == 1 for e in spec.elements
+    lead-window compilation below is exact. (All supported skip
+    modes are handled; quantified patterns keep the NFA, as do
+    running-aggregate DEFINEs — the running value depends on the
+    anchor, so no per-row flag can precompute it.)"""
+    return (
+        spec.rows == "one"
+        and not spec.agg_defines
+        and all(e.n_min == 1 and e.n_max == 1 for e in spec.elements)
     )
 
 
@@ -1330,6 +1468,9 @@ def _run_pattern_info(spec: MRSpec) -> int | None:
     MIN/MAX over the quantified variable (a range-min over a
     variable-length span has no prefix-sum spelling; SUM/AVG/COUNT
     do)."""
+    if spec.agg_defines:
+        # running aggregates are anchor-dependent — NFA only
+        return None
     qs = [
         j
         for j, e in enumerate(spec.elements)
@@ -1935,7 +2076,9 @@ def scan_rows(
     pdf: pd.DataFrame,
     key_value,
     *,
-    elements: list[tuple[str, int, int | None, bool]],
+    elements: list[
+        tuple[str, int, int | None, bool, tuple | None]
+    ],  # (var, n_min, n_max, reluctant, agg-constraint)
     measures: list[tuple[str, str, str | None, str | None, bool, int]],
     skip: str,
     within_s: float | None,
@@ -1962,6 +2105,67 @@ def scan_rows(
     """
     n = len(pdf)
     flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
+
+    # running-aggregate DEFINE constraints (one per element at most):
+    # evaluated incrementally while extending that element's run —
+    # SQL RUNNING semantics, the candidate row included. The prefix
+    # property (every admitted prefix satisfied its check when added)
+    # is what lets greedy/reluctant counts reuse one feasibility scan.
+    import operator as _op
+
+    _CMPS = {
+        "<": _op.lt, "<=": _op.le, ">": _op.gt,
+        ">=": _op.ge, "=": _op.eq, "<>": _op.ne,
+    }
+
+    def _make_agg_try_add(agg):
+        afunc, acol, aop, alit = agg
+        cmp = _CMPS[aop]
+        av = (
+            None
+            if acol == "*"
+            else pdf[acol].to_numpy(dtype="float64", na_value=float("nan"))
+        )
+
+        def try_add(st, i):
+            """state = (sum, n_nonnull, min, max, n_rows); returns the
+            updated state if the aggregate INCLUDING row i satisfies
+            the comparison, else None (SQL NULL semantics: an
+            aggregate over zero non-null values is NULL -> the
+            comparison fails)."""
+            s, nn, mn, mx, nr = st
+            if av is None:  # COUNT(V.*)
+                return (
+                    (s, nn, mn, mx, nr + 1)
+                    if cmp(nr + 1, alit)
+                    else None
+                )
+            v = av[i]
+            if v == v:  # non-null
+                s, nn = s + v, nn + 1
+                mn, mx = min(mn, v), max(mx, v)
+            if afunc == "COUNT":
+                cur = nn
+            elif nn == 0:
+                return None  # NULL aggregate never satisfies
+            elif afunc == "SUM":
+                cur = s
+            elif afunc == "AVG":
+                cur = s / nn
+            elif afunc == "MIN":
+                cur = mn
+            else:
+                cur = mx
+            return (s, nn, mn, mx, nr + 1) if cmp(cur, alit) else None
+
+        return try_add
+
+    agg_adders = {
+        elements.index(e): _make_agg_try_add(e[4])
+        for e in elements
+        if e[4] is not None
+    }
+    _AGG_ZERO = (0.0, 0, float("inf"), float("-inf"), 0)
     if within_s is not None:
         # exact integer nanoseconds (normalized regardless of the
         # Arrow-side unit, us/ns) — float-seconds comparisons can
@@ -2010,13 +2214,19 @@ def scan_rows(
                 return
             if (pos, ei) in failed:
                 return
-            var, n_min, n_max, reluctant = elements[ei]
+            var, n_min, n_max, reluctant, _agg = elements[ei]
             fv = flags[var]
             cap = n - pos if n_max is None else min(n_max, n - pos)
+            adder = agg_adders.get(ei)
+            ast = _AGG_ZERO
             run = 0
             while run < cap and fv[pos + run]:
                 if ts_ns is not None:
                     if ts_ns[pos + run] - ts_ns[start] > within_ns:
+                        break
+                if adder is not None:
+                    ast = adder(ast, pos + run)
+                    if ast is None:
                         break
                 run += 1
             counts = (
@@ -2194,7 +2404,9 @@ def rows_to_frame(out_rows: list[list], names: list[str]) -> pd.DataFrame:
 
 def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
     elements = [
-        (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
+        (e.var, e.n_min, e.n_max, e.reluctant,
+         spec.agg_defines.get(e.var))
+        for e in spec.elements
     ]
     measures = [
         (m.name, m.func, m.var, m.col, m.final, m.offset)

@@ -588,3 +588,73 @@ def q_mr_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_type", "a_id", "a_v", "b_id", "b_v", "mno"
     )
+
+
+@register(
+    "q_mr_agg_define",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER w AS rn,
+         sum(COALESCE(value, 0))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+e AS (
+  SELECT *,
+         COALESCE(min(CASE WHEN event_type = 'error' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+           2147483647) AS next_err
+  FROM o),
+cand AS (
+  SELECT a.user_id, a.event_id AS q1_id, a.rn AS arn,
+         p.event_id AS p_id, p.rn AS prn,
+         (SELECT cum FROM o x WHERE x.user_id = a.user_id
+            AND x.rn = p.rn - 1) - (a.cum - COALESCE(a.value, 0))
+           AS q_sum
+  FROM e a JOIN e p ON p.user_id = a.user_id AND p.rn > a.rn
+   AND p.event_type = 'purchase'
+   AND p.ts <= a.ts + INTERVAL 1 DAY
+   AND a.next_err >= p.rn
+  WHERE a.event_type <> 'error'),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, arn
+                               ORDER BY prn DESC) AS rk
+  FROM cand WHERE q_sum <= 60.005)
+SELECT user_id, q1_id, CAST(prn - arn AS BIGINT) AS n_q,
+       ROUND(q_sum, 2) AS q_sum, p_id
+FROM best WHERE rk = 1
+""",
+)
+def q_mr_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates in DEFINE (Flink's aggregations-in-DEFINE
+    feature): ``Q AS Q.event_type <> 'error' AND SUM(Q.value) <=
+    60.005`` — a row joins Q only while the running sum INCLUDING it
+    stays under the cap (SQL RUNNING semantics), then greedy binds P
+    to the farthest in-cap purchase. Anchor-dependent running values
+    have no per-row flag spelling, so this is a sanctioned NFA
+    query (route_info names the reason); the per-element state is
+    O(1) and incremental. events.value is strictly positive, so the
+    every-prefix condition collapses to the total (monotone running
+    sums) and the oracle spells it as a prefix-sum difference over
+    the band join; the cap sits OFF the 2-decimal value grid
+    (60.005) so float summation order cannot flip the boundary
+    between the engine's incremental sum and the oracle's
+    cumsum difference."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS q1_id, COUNT(Q.*) AS n_q,
+                 SUM(Q.value) AS q_sum, P.event_id AS p_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (Q+ P)
+        WITHIN INTERVAL '1' DAY
+        DEFINE Q AS Q.event_type <> 'error' AND SUM(Q.value) <= 60.005,
+               P AS P.event_type = 'purchase'""")
+    return out.select(
+        "user_id", "q1_id", "n_q",
+        round_duck(F.col("q_sum"), 2).alias("q_sum"), "p_id"
+    )

@@ -119,7 +119,9 @@ def match_recognize_stream(
     is_ts = {c: types[c].startswith("timestamp") for c in carried}
 
     elements = [
-        (e.var, e.n_min, e.n_max, e.reluctant) for e in spec.elements
+        (e.var, e.n_min, e.n_max, e.reluctant,
+         spec.agg_defines.get(e.var))
+        for e in spec.elements
     ]
     measures = [
         (m.name, m.func, m.var, m.col, m.final, m.offset)

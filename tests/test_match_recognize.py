@@ -515,6 +515,246 @@ def test_route_info_reluctant_run(spark):
     assert info["selection"] == "grouped-map pick over candidates"
 
 
+# -------------------------------------- running aggregates in DEFINE
+
+
+def test_agg_define_sum_cap(spark):
+    """Flink's aggregations-in-DEFINE: ``SUM(Q.value) <= 40`` admits
+    a row iff the running sum INCLUDING it stays under the cap —
+    greedy chunks the stream into maximal capped runs."""
+    vals = [10.0, 15.0, 20.0, 5.0, 30.0, 2.0, 3.0]
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "c", v)
+        for j, v in enumerate(vals)
+    ]
+    df = frame(spark, rows)
+    out = match_recognize(df, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q,
+                 SUM(Q.value) AS s_q
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (Q+)
+        DEFINE Q AS Q.event_type = 'c' AND SUM(Q.value) <= 40""")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 1, 2, 25.0), (1, 3, 2, 25.0), (1, 5, 3, 35.0)]
+    # AND on the other side + AVG + lazy quantifier
+    out2 = match_recognize(df, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (Q{2,}?)
+        DEFINE Q AS AVG(Q.value) >= 10 AND Q.event_type = 'c'""")
+    assert sorted((r.fq, r.n_q) for r in out2.collect()) == [
+        (1, 2), (3, 2), (5, 2)
+    ]
+
+
+def test_agg_define_null_and_count_semantics(spark):
+    """SQL NULL semantics: an aggregate over zero non-null values is
+    NULL and the comparison fails, so a NULL-value row cannot OPEN a
+    SUM-capped run (but can ride inside one — the sum is unchanged);
+    COUNT(Q.*) counts rows regardless."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "c", None),
+        (1, "2024-01-01 10:01:00", 2, "c", 5.0),
+        (1, "2024-01-01 10:02:00", 3, "c", None),
+        (1, "2024-01-01 10:03:00", 4, "c", 6.0),
+    ]
+    df = frame(spark, rows)
+    out = match_recognize(df, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q,
+                 SUM(Q.value) AS s_q
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (Q+)
+        DEFINE Q AS SUM(Q.value) <= 100""")
+    # row 1 (NULL) cannot open; rows 2-4 form one run (NULL rides)
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 3, 11.0)]
+    out2 = match_recognize(df, """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (Q+)
+        DEFINE Q AS COUNT(Q.*) <= 3""")
+    assert sorted((r.fq, r.n_q) for r in out2.collect()) == [
+        (1, 3), (4, 1)
+    ]
+
+
+def test_agg_define_rejections(spark):
+    bad = [
+        ("DEFINE Q AS SUM(Q.value) <= 40 OR Q.value > 0", "AND only"),
+        ("DEFINE Q AS Q.value > 0 OR SUM(Q.value) <= 40", "AND only"),
+        ("DEFINE Q AS SUM(P.value) <= 40", "variable being defined"),
+        ("DEFINE Q AS SUM(Q.value) <= P.value", "unsupported aggregate"),
+        ("DEFINE Q AS AVG(Q.*) <= 4", "not a thing"),
+        ("DEFINE Q AS SUM(Q.value) <= 4 AND MIN(Q.value) > 0",
+         "one aggregate term"),
+    ]
+    head = """PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(*) AS n PATTERN (Q+ P) """
+    for tail, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            parse_match_recognize(head + tail)
+    # the variable must appear exactly once
+    with pytest.raises(ValueError, match="exactly once"):
+        parse_match_recognize("""PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(*) AS n PATTERN (Q P Q)
+            DEFINE Q AS SUM(Q.value) <= 4""")
+    # literal containing an aggregate spelling is inert
+    spec = parse_match_recognize("""PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(*) AS n PATTERN (Q P)
+        DEFINE Q AS Q.event_type = 'SUM(Q.value)'""")
+    assert not spec.agg_defines
+
+
+def test_mr_stream_agg_define_matches_batch(spark, tmp_path):
+    """The aggregate constraint rides the shared scan core: the
+    streaming twin chunks a sum-capped run across micro-batches to
+    exactly the batch result (the aggregate column is carried in
+    state automatically — it is a needed column)."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    vals = [10.0, 15.0, 20.0, 5.0, 30.0]
+    evs = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "c", v)
+        for j, v in enumerate(vals)
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q,
+                 SUM(Q.value) AS s_q
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (Q+)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE Q AS SUM(Q.value) <= 40"""
+    batch = match_recognize(frame(spark, evs), clause).toPandas()
+    sent = [
+        (9, "2024-01-01 12:00:00", 90, "s", 0.0),
+        (9, "2024-01-01 13:00:00", 91, "s", 0.0),
+    ]
+    src = tmp_path / "src"
+    for b in (evs[:2], evs[2:], [sent[0]], [sent[1]]):
+        frame(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(spark, evs).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause),
+        query_name="t_mr_aggdef",
+        output_mode="update",
+    )
+    stream = out.filter(F.col("user_id") == 1).toPandas()
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    # 10+15 | 20+5 | 30 -> three capped chunks
+    assert a == b and len(a) == 3
+
+
+def test_agg_define_vs_bruteforce(spark):
+    """16-seed fuzz: random sum/count/avg-capped runs vs an
+    independent per-prefix enumeration (the brute force re-checks
+    every prefix of every count split, a different algorithm from
+    the scan's incremental state)."""
+    import random as _random
+    from datetime import datetime, timezone
+
+    for seed in range(16):
+        rng = _random.Random(5200 + seed)
+        rows = []
+        t = 0.0
+        for eid in range(rng.randint(8, 20)):
+            t += 60.0
+            val = None if rng.random() < 0.15 else float(
+                rng.randint(1, 12)
+            )
+            rows.append((1, t, eid + 1, rng.choice(["c", "d"]), val))
+        func, op, lit = rng.choice(
+            [
+                ("SUM", "<=", rng.randint(8, 30)),
+                ("COUNT", "<", rng.randint(2, 5)),
+                ("AVG", ">=", rng.randint(2, 8)),
+                ("MAX", "<=", rng.randint(4, 10)),
+            ]
+        )
+        suffix = rng.random() < 0.5
+        lazy = "?" if rng.random() < 0.3 else ""
+        pat = f"Q+{lazy} P" if suffix else f"Q+{lazy}"
+        clause = (
+            "PARTITION BY user_id ORDER BY ts "
+            "MEASURES FIRST(Q.event_id) AS fq, COUNT(Q.*) AS n_q "
+            "ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW "
+            f"PATTERN ({pat}) "
+            f"DEFINE Q AS Q.event_type = 'c' AND "
+            f"{func}(Q.value) {op} {lit}"
+            + (", P AS P.event_type = 'd'" if suffix else "")
+        )
+        df = spark.createDataFrame(
+            [
+                (u, datetime.fromtimestamp(tt, tz=timezone.utc)
+                 .replace(tzinfo=None), e, ty, v)
+                for u, tt, e, ty, v in rows
+            ],
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double",
+        )
+        got = sorted(
+            (r.fq, r.n_q) for r in match_recognize(df, clause).collect()
+        )
+
+        # brute force: per anchor, enumerate feasible Q counts by
+        # re-checking EVERY prefix from scratch
+        def q_ok(i):
+            return rows[i][3] == "c"
+
+        def prefix_ok(lo, c):
+            vals = [rows[lo + t][4] for t in range(c)]
+            nn = [v for v in vals if v is not None]
+            if func == "COUNT":
+                cur = len(nn)
+            elif not nn:
+                return False
+            elif func == "SUM":
+                cur = sum(nn)
+            elif func == "AVG":
+                cur = sum(nn) / len(nn)
+            else:
+                cur = max(nn)
+            import operator as _o
+
+            return {"<": _o.lt, "<=": _o.le, ">": _o.gt,
+                    ">=": _o.ge}[op](cur, lit)
+
+        expect, i, nrows = [], 0, len(rows)
+        while i < nrows:
+            feas = []
+            c = 0
+            while (
+                i + c < nrows
+                and q_ok(i + c)
+                and all(prefix_ok(i, k) for k in range(1, c + 2))
+            ):
+                c += 1
+                if not suffix:
+                    feas.append(c)
+                elif (
+                    i + c < nrows and rows[i + c][3] == "d"
+                ):
+                    feas.append(c)
+            if not feas:
+                i += 1
+                continue
+            pick = min(feas) if lazy else max(feas)
+            expect.append((i + 1, pick))
+            i = i + pick + (1 if suffix else 0)
+        assert got == sorted(expect), f"seed {seed}: {clause}"
+
+
 # ------------------------------------- FIRST/LAST logical offsets
 
 
@@ -1744,9 +1984,9 @@ def test_multi_unbounded_quantifiers_polynomial():
     out, resume, _ = scan_rows(
         pdf,
         1,
-        elements=[("A", 0, None, False), ("B", 0, None, False),
-                  ("C", 0, None, False), ("D", 0, None, False),
-                  ("E", 1, 1, False)],
+        elements=[("A", 0, None, False, None), ("B", 0, None, False, None),
+                  ("C", 0, None, False, None), ("D", 0, None, False, None),
+                  ("E", 1, 1, False, None)],
         measures=[("mno", "MATCH_NUMBER", None, None, False, 0)],
         skip="past_last",
         within_s=None,
@@ -1765,7 +2005,7 @@ def test_stream_anchor_final_only_strictly_inside_watermark():
 
     pdf = _mk_flag_pdf({"A": [True], "B": [False]}, ts=[0.0])
     kw = dict(
-        elements=[("A", 1, 1, False), ("B", 1, 1, False)],
+        elements=[("A", 1, 1, False, None), ("B", 1, 1, False, None)],
         measures=[("n", "COUNT_STAR", None, None, False, 0)],
         skip="past_last",
         within_s=60.0,
