@@ -258,10 +258,48 @@ class _Parser:
 
 
 _AGG_CMP_RE = re.compile(
+    # the sign may be spaced from the digits: DEFINE bodies are
+    # re-joined from tokens, which renders '-3.5' as '- 3.5'
     r"(?i)\b(SUM|AVG|COUNT|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
-    r"([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|=|<|>)\s*(-?\d+(?:\.\d+)?)"
+    r"([A-Za-z_]\w*|\*)\s*\)\s*(<=|>=|<>|=|<|>)\s*(-?\s*\d+(?:\.\d+)?)"
 )
 _AGG_CALL_RE = re.compile(r"(?i)\b(SUM|AVG|COUNT|MIN|MAX)\s*\(")
+
+
+def _has_top_level_or(text: str) -> bool:
+    """True when a bare OR sits at parenthesis depth 0 outside string
+    literals — the one spelling that would make the aggregate term
+    NOT a top-level conjunct (SQL precedence: AND binds tighter).
+    Parenthesized ORs inside the row-level residual are fine."""
+    depth, i, n = 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 2].upper() == "OR":
+            before_ok = i == 0 or not (
+                text[i - 1].isalnum() or text[i - 1] == "_"
+            )
+            after_ok = i + 2 >= n or not (
+                text[i + 2].isalnum() or text[i + 2] == "_"
+            )
+            if before_ok and after_ok:
+                return True
+        i += 1
+    return False
 
 
 def _extract_agg_define(var: str, expr: str):
@@ -276,7 +314,14 @@ def _extract_agg_define(var: str, expr: str):
     segs = _STR_LIT_RE.split(expr)
     if not any(_AGG_CALL_RE.search(seg) for seg in segs):
         return None, expr
-    m = _AGG_CMP_RE.search(expr)
+    # locate the aggregate comparison OUTSIDE string literals (a
+    # quoted string containing 'SUM(x) <= 9' is inert)
+    lit_spans = [mm.span() for mm in _STR_LIT_RE.finditer(expr)]
+    m = None
+    for cand in _AGG_CMP_RE.finditer(expr):
+        if not any(lo <= cand.start() < hi for lo, hi in lit_spans):
+            m = cand
+            break
     supported = (
         "running aggregates in DEFINE support exactly "
         "'AGG(V.col) cmp <number>' (AGG in SUM/AVG/COUNT/MIN/MAX, "
@@ -293,10 +338,10 @@ def _extract_agg_define(var: str, expr: str):
             f"variable being defined, got {m.group(2)!r} ({supported})"
         )
     func = m.group(1).upper()
-    col = m.group(3) if m.group(3) == "*" else m.group(3)
+    col = m.group(3)
     if col == "*" and func != "COUNT":
         raise ValueError(f"DEFINE {var}: {func}(V.*) is not a thing")
-    agg = (func, col, m.group(4), float(m.group(5)))
+    agg = (func, col, m.group(4), float(m.group(5).replace(" ", "")))
     before = expr[: m.start()].strip()
     after = expr[m.end():].strip()
     residual = None
@@ -325,10 +370,14 @@ def _extract_agg_define(var: str, expr: str):
                 f"DEFINE {var}: one aggregate term per DEFINE "
                 f"({supported})"
             )
-        if any(re.search(r"(?i)\bOR\b", sg) for sg in res_segs):
+        if _has_top_level_or(residual):
+            # an unparenthesized OR would out-precede the AND and the
+            # aggregate would no longer be a top-level conjunct;
+            # parenthesized ORs inside the residual are fine
             raise ValueError(
-                f"DEFINE {var}: OR around an aggregate term is out of "
-                f"scope — the aggregate must be a top-level conjunct "
+                f"DEFINE {var}: a top-level OR around an aggregate "
+                f"term is out of scope — the aggregate must be a "
+                f"top-level conjunct; parenthesize the OR "
                 f"({supported})"
             )
     return agg, residual

@@ -21,7 +21,7 @@ total orders) — so one driver row attests several §2 IDs:
 - ``q_datetime_cond``   H3 (date/time) + H5 (coalesce/nullif/greatest/least)
 - ``q_dedup_suite``     K2: ngram + embed + minhash + simhash near-dedup
 - ``q_curation_suite``  split/stratified/PII/domain-mix/packing/repetition
-- ``q_cep_suite``       I8: funnel + twelve CEP shapes, tagged melt
+- ``q_cep_suite``       I8: funnel + eighteen CEP shapes, tagged melt
 """
 
 from __future__ import annotations

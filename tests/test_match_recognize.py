@@ -606,6 +606,22 @@ def test_agg_define_rejections(spark):
         MEASURES COUNT(*) AS n PATTERN (Q P)
         DEFINE Q AS Q.event_type = 'SUM(Q.value)'""")
     assert not spec.agg_defines
+    # ...also when a REAL aggregate follows the literal
+    spec = parse_match_recognize("""PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(*) AS n PATTERN (Q P)
+        DEFINE Q AS Q.props <> 'SUM(Q.v) <= 9' AND SUM(Q.value) <= 40""")
+    assert spec.agg_defines == {"Q": ("SUM", "value", "<=", 40.0)}
+    # negative bounds parse (the tokenizer spaces the sign)
+    spec = parse_match_recognize("""PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(*) AS n PATTERN (Q P)
+        DEFINE Q AS SUM(Q.value) <= -3.5""")
+    assert spec.agg_defines == {"Q": ("SUM", "value", "<=", -3.5)}
+    # a PARENTHESIZED OR in the residual is a fine top-level conjunct
+    spec = parse_match_recognize("""PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(*) AS n PATTERN (Q P)
+        DEFINE Q AS (Q.event_type = 'a' OR Q.event_type = 'b')
+                    AND SUM(Q.value) <= 40""")
+    assert spec.agg_defines and "OR" in spec.defines["Q"]
 
 
 def test_mr_stream_agg_define_matches_batch(spark, tmp_path):
