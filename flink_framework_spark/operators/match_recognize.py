@@ -782,6 +782,7 @@ def _rewrite_define(
     expr: str,
     variables: list[str],
     navs: dict[str, tuple[str, str, int]] | None = None,
+    defining: str | None = None,
 ) -> str:
     """Rewrite ``VAR.col`` → ``col`` (single-row semantics: any
     pattern-variable prefix denotes the candidate row itself) and
@@ -815,6 +816,27 @@ def _rewrite_define(
                 raise ValueError(
                     f"{d}()'s qualifier must be a pattern variable, "
                     f"got {m.group(2)!r}"
+                )
+            if (
+                m.group(2) is not None
+                and defining is not None
+                and m.group(2).upper() != defining.upper()
+            ):
+                # In the SQL standard / Flink, a cross-variable
+                # PREV(B.col) inside DEFINE A navigates from the last
+                # row MAPPED to B (match-relative), not from the
+                # candidate row — this engine's lag/lead compilation
+                # would silently return a different value, so reject
+                # loudly (the codebase's loud-errors contract). Only
+                # the self-qualified and unqualified forms (both =
+                # candidate-row physical navigation) are in scope.
+                raise ValueError(
+                    f"{d}({m.group(2)}.{m.group(3)}) inside DEFINE "
+                    f"{defining}: cross-variable navigation is "
+                    "match-relative in the SQL standard and is out of "
+                    "scope — qualify with the variable being defined "
+                    "(or leave unqualified) for candidate-row "
+                    "physical navigation"
                 )
             col = m.group(3)
             n = int(m.group(4) or 1)
@@ -925,7 +947,7 @@ def prepare_flags(
         v: (
             None
             if spec.defines.get(v) is None
-            else _rewrite_define(spec.defines[v], variables, navs)
+            else _rewrite_define(spec.defines[v], variables, navs, v)
         )
         for v in variables
     }
@@ -1769,7 +1791,12 @@ def _compile_relational_run(
 
     # ---- band join + greedy (longest consumption first) --------------
     cond = (
-        (F.col("__ak") == F.col("__ek"))
+        # null-safe: a NULL partition key is a real partition on the
+        # NFA path (groupBy) and the singleton window path — plain ==
+        # would silently drop its matches here, making engine='auto'
+        # output depend on pattern shape for NULL-key data. <=> is
+        # still an equi-join key for Catalyst (hash/sort-merge join).
+        (F.col("__ak").eqNullSafe(F.col("__ek")))
         & (F.col("__ern") >= F.col("__arn") + F.lit(a + c_lo))
         & (F.col("__ern") <= F.col("__arn") + F.lit(a) + F.col("__chi"))
     )
@@ -2017,7 +2044,9 @@ def _emit_all_rows_run(
     matches = sel.drop(*order_by, *[c for c in sel.columns if c == "__ats"])
     joined = rows.join(
         matches,
-        (F.col("__rk") == F.col("__ak"))
+        # null-safe for the same reason as the band join above: the
+        # NULL-key partition's rows must join back to their match
+        (F.col("__rk").eqNullSafe(F.col("__ak")))
         & (F.col("__rrn") >= F.col("__arn"))
         & (F.col("__rrn") <= F.col("__lrn")),
     )

@@ -1549,8 +1549,46 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # four parts (times + the three skip strategies) read this match
     # frame — persist it so the window+stack+semi-join pipeline runs
-    # once, not four times (match frames are burst-bounded, tiny)
+    # once, not four times (match frames are burst-bounded, tiny).
+    # The four dependent aggregates are materialized EAGERLY (a
+    # handful of grouped rows) and re-inlined as a local relation so
+    # the cache can be released before this function returns:
+    # persisting into a lazily-returned union would otherwise hold
+    # the match frame cached for the rest of the session (only
+    # bench.py's clearCache was reclaiming it). Inlined as a pure-SQL
+    # VALUES relation (LocalRelation) — createDataFrame/localCheckpoint
+    # would parallelize to an RDD scan and break the plan sweep's
+    # no-RDD-scan guard (same bounded-collect pattern as the KLL
+    # summary in queries/aggregates.py).
     times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
+    times_parts_lazy = (
+        part(times_m, "times", "n_reps")
+        .unionByName(part(skip_past_last(times_m), "skip_past", "n_reps"))
+        .unionByName(part(skip_to_next(times_m), "skip_next", "n_reps"))
+        .unionByName(part(skip_to_last(times_m), "skip_last", "n_reps"))
+    )
+    times_rows = times_parts_lazy.collect()
+    times_m.unpersist()
+
+    def _slit(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    if times_rows:
+        vals = ", ".join(
+            f"({_slit(r['part'])}, {_slit(r['grp'])}, "
+            f"{int(r['n_matches'])}L, {int(r['n_users'])}L)"
+            for r in times_rows
+        )
+        times_parts = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(part, grp, n_matches, n_users)"
+        )
+    else:  # no times-family matches at this SF: typed empty relation
+        times_parts = spark.range(0).select(
+            F.lit("").alias("part"),
+            F.lit("").alias("grp"),
+            F.lit(0).cast("bigint").alias("n_matches"),
+            F.lit(0).cast("bigint").alias("n_users"),
+        )
     opt_m = match_optional(ev, ["view", "click", "purchase"], 1, "12 HOURS")
     pat_m = (
         Pattern.begin("view")
@@ -1575,10 +1613,6 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (strict_m, "strict", None),
         (match_sequence_first(ev, ["view", "click", "purchase"], "12 HOURS"),
          "first", None),
-        (times_m, "times", "n_reps"),
-        (skip_past_last(times_m), "skip_past", "n_reps"),
-        (skip_to_next(times_m), "skip_next", "n_reps"),
-        (skip_to_last(times_m), "skip_last", "n_reps"),
         (opt_m.withColumn("with_click", F.col("ts_1").isNotNull()),
          "optional", "with_click"),
         (pat_m.withColumn("with_click", F.col("ts_1").isNotNull()),
@@ -1598,4 +1632,6 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mr_skip_to_frame(ev), "mr_skip_to", None),
     ]:
         out = out.unionByName(part(df, name, grp))
-    return out
+    # the times-family aggregates were materialized eagerly above so
+    # the shared match frame's cache could be released
+    return out.unionByName(times_parts)

@@ -183,6 +183,67 @@ def test_define_unqualified_prev(spark):
         assert got == [(2, 2)], engine
 
 
+def test_define_cross_variable_prev_rejected(spark):
+    """PREV(B.col) inside DEFINE A is match-relative in the SQL
+    standard (navigates from the last row mapped to B) — this
+    engine's candidate-row lag compilation would silently return a
+    different value, so the spelling rejects loudly. Self-qualified
+    and unqualified forms stay supported."""
+    df = frame(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
+    with pytest.raises(ValueError, match="cross-variable"):
+        match_recognize(df, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            DEFINE A AS A.value > PREV(B.value)""")
+    with pytest.raises(ValueError, match="cross-variable"):
+        match_recognize(df, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B)
+            DEFINE B AS NEXT(A.value) > 0""")
+
+
+def test_null_partition_key_engines_agree(spark):
+    """A NULL partition key is a real partition (groupBy and window
+    partitionBy both keep it) — the relational run path's band join
+    and ALL ROWS span join must be null-safe on the key or
+    engine='auto' output silently depends on pattern shape for
+    NULL-key data."""
+    rows = []
+    for uid in (None, 1, 2):
+        for j, (et, v) in enumerate(
+            [("view", 1.0), ("click", 2.0), ("click", 3.0),
+             ("purchase", 4.0), ("view", 5.0), ("click", 6.0),
+             ("purchase", 7.0)]
+        ):
+            rows.append(
+                (uid, "2024-01-01 10:0%d:00" % j,
+                 (0 if uid is None else uid) * 100 + j, et, v)
+            )
+    df = frame(spark, rows)
+    one_row = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b,
+                 C.event_id AS c_id
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+ C)
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'"""
+    all_rows = one_row.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    for clause in (one_row, all_rows):
+        rel = [
+            tuple(r)
+            for r in match_recognize(df, clause, engine="relational")
+            .collect()
+        ]
+        nfa = [
+            tuple(r)
+            for r in match_recognize(df, clause, engine="nfa").collect()
+        ]
+        # None sorts below nothing — compare via repr keys
+        assert sorted(rel, key=repr) == sorted(nfa, key=repr), clause
+        # and the NULL-key partition actually matched on both paths
+        assert any(r[0] is None for r in rel), clause
+
+
 def test_mr_stream_rejects_prev_next(spark, sf_dir):
     from flink_framework_spark.io import table
     from flink_framework_spark.streaming.mr import match_recognize_stream
