@@ -137,6 +137,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     return_centroids: bool = False,
+    vectorized_assign: bool | None = None,
 ) -> DataFrame | tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Distributed Lloyd's k-means over a vector column — the classic
     dataset-iteration example, in Spark's model: per round one narrow
@@ -163,14 +164,30 @@ def kmeans_lloyd(
 
     Returns (id, cluster, d2) — final assignment and its squared L2
     distance, rounded.
+
+    ``vectorized_assign``: assignment via the Arrow/numpy argmin
+    kernel (``similarity._cell_assign_vec``) instead of the
+    literal-centroid expression. The expression form is interpreted
+    per (row, centroid, dim) — fine at the default k=8, measured
+    unusable past a few hundred centroids (the same wall
+    ``ivf_topk`` documents), and the nested-array literal itself
+    grows with k*dim toward expression-size limits. Default None =
+    auto: the numpy kernel kicks in at k > 64. The two paths agree
+    up to the documented 1-ulp pairwise-vs-sequential summation
+    caveat (agreement-tested at k=256 in tests/test_iterative.py);
+    the frozen q_kmeans golden pins the expression form at k=8, which
+    auto never reroutes.
     """
     from flink_framework_spark.operators.similarity import (
+        _cell_assign_vec,
+        _cell_assign_vec_d,
         _cell_dists,
         to_double_array,
     )
 
     import numpy as np
 
+    use_vec = vectorized_assign if vectorized_assign is not None else k > 64
     init_cap = 4096
     staged = df.select(
         F.col(id_col), to_double_array(vec_col).alias("__v")
@@ -190,12 +207,17 @@ def kmeans_lloyd(
     ]
 
     for _ in range(n_iter):
-        assigned = staged.withColumn(
-            "__c",
-            F.array_min(_cell_dists(F.col("__v"), centroids)).getField(
-                "cell"
-            ),
-        )
+        if use_vec:
+            assigned = staged.withColumn(
+                "__c", _cell_assign_vec(centroids)(F.col("__v"))
+            )
+        else:
+            assigned = staged.withColumn(
+                "__c",
+                F.array_min(
+                    _cell_dists(F.col("__v"), centroids)
+                ).getField("cell"),
+            )
         stats = (
             assigned.select(
                 "__c", F.posexplode("__v").alias("__pos", "__val")
@@ -222,13 +244,19 @@ def kmeans_lloyd(
             for c, old in centroids
         ]
 
-    from flink_framework_spark.operators.similarity import _cell_dists
-
     # two-step select so the distance array is evaluated once per row
-    best = staged.select(
-        F.col(id_col),
-        F.array_min(_cell_dists(F.col("__v"), centroids)).alias("__best"),
-    )
+    if use_vec:
+        best = staged.select(
+            F.col(id_col),
+            _cell_assign_vec_d(centroids)(F.col("__v")).alias("__best"),
+        )
+    else:
+        best = staged.select(
+            F.col(id_col),
+            F.array_min(
+                _cell_dists(F.col("__v"), centroids)
+            ).alias("__best"),
+        )
     result = best.select(
         F.col(id_col),
         F.col("__best.cell").cast("long").alias("cluster"),

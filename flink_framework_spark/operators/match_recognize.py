@@ -104,9 +104,22 @@ where the match anchored, so these patterns run on the NFA — the
 per-element state is O(1) and incremental, and the prefix property
 (every admitted prefix passed its own check) keeps greedy and
 reluctant counts sharing one feasibility scan.
-``FIRST``/``LAST`` match-relative navigation in DEFINE and
-alternation/grouping are documented out of scope. Variables
-without a DEFINE match any row (SQL default).
+``FIRST/LAST(V.col [, n])`` match-relative navigation is ALSO
+supported inside DEFINE (the Flink-docs V-pattern ``DOWN AS
+DOWN.price < LAST(DOWN.price, 1)``): such conditions compile to a
+Python-evaluable boolean over a bounded SQL subset
+(:func:`_compile_nav_define`) and are evaluated per candidate row
+DURING the NFA scan — self-navigation walks the element's own run
+(candidate included, SQL RUNNING semantics; an offset past the rows
+consumed so far is NULL), cross-variable navigation is limited to
+variables bound at fixed anchor-relative positions (leading
+unquantified elements), which keeps the scan's failure memo sound.
+Anchor-stateful like the aggregates, so NFA-only; also on the
+streaming twin (navigation never reaches before the anchor, so the
+state buffer always holds the navigated rows) unless the condition
+mixes in physical PREV/NEXT. Alternation/grouping stay documented
+out of scope. Variables without a DEFINE match any row (SQL
+default).
 
 Empty matches (every element minimum 0) are skipped rather than
 emitted, matching Flink's behaviour of not producing zero-width
@@ -118,6 +131,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import numpy as _np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -194,6 +208,15 @@ class MRSpec:
     agg_defines: dict[str, tuple[str, str, str, float]] = field(
         default_factory=dict
     )
+    # FIRST/LAST match-relative navigation in DEFINE (Flink parity —
+    # its docs spell the V-pattern ``DOWN AS price < LAST(DOWN.price,
+    # 1)``): var -> the raw DEFINE body, compiled by
+    # :func:`_compile_nav_define` into a Python-evaluable boolean over
+    # a bounded SQL subset and evaluated per candidate row DURING the
+    # NFA scan (the navigated value depends on where the match
+    # anchored and how far the run has grown, so no per-row flag can
+    # precompute it — the same anchor-stateful class as agg_defines).
+    nav_defines: dict[str, str] = field(default_factory=dict)
 
     @property
     def variables(self) -> list[str]:
@@ -622,6 +645,32 @@ def parse_match_recognize(sql: str) -> MRSpec:
     for v in defines:
         if v not in var_set:
             raise ValueError(f"DEFINE references {v!r}, not in PATTERN")
+    # FIRST/LAST navigation defines split off BEFORE aggregate
+    # extraction: a body containing both classes rejects here rather
+    # than half-parsing as an aggregate with a navigating residual
+    nav_defines: dict[str, str] = {}
+    for v in list(defines):
+        expr0 = defines[v]
+        if expr0 is None or not _has_nav_define(expr0):
+            continue
+        if sum(1 for e in elements if e.var == v) != 1:
+            raise ValueError(
+                f"DEFINE {v}: FIRST/LAST navigation requires the "
+                "variable to appear exactly once in PATTERN (the "
+                "navigation would otherwise span non-contiguous "
+                "segments)"
+            )
+        if any(
+            _AGG_CALL_RE.search(sg) for sg in _STR_LIT_RE.split(expr0)
+        ):
+            raise ValueError(
+                f"DEFINE {v}: combining a running aggregate with "
+                "FIRST/LAST navigation in one DEFINE is out of scope"
+            )
+        # parse-time validation (syntax, qualifier scoping, offsets)
+        _compile_nav_define(v, expr0, elements)
+        nav_defines[v] = expr0
+        del defines[v]
     agg_defines: dict[str, tuple[str, str, str, float]] = {}
     for v in list(defines):
         agg, residual = _extract_agg_define(v, defines[v])
@@ -662,6 +711,7 @@ def parse_match_recognize(sql: str) -> MRSpec:
         skip_var=skip_var,
         partition_cols=partition_cols,
         agg_defines=agg_defines,
+        nav_defines=nav_defines,
     )
 
 
@@ -872,6 +922,383 @@ def _rewrite_define(
     return rewritten
 
 
+# ------------------------- FIRST/LAST match-relative navigation in DEFINE
+
+_MR_NAV_DEF_RE = re.compile(r"(?i)\b(FIRST|LAST)\s*\(")
+
+
+def _has_nav_define(expr: str) -> bool:
+    """True when a FIRST/LAST call sits outside string literals."""
+    return any(
+        _MR_NAV_DEF_RE.search(seg) for seg in _STR_LIT_RE.split(expr)
+    )
+
+
+def _bool3(v, var: str):
+    """Coerce an eval result into SQL three-valued logic (True/False/
+    None); anything non-boolean in a boolean position raises loudly."""
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, _np.bool_):
+        return bool(v)
+    raise ValueError(
+        f"DEFINE {var}: non-boolean value in a boolean position "
+        f"(got {type(v).__name__})"
+    )
+
+
+_NAV_CMPS = {
+    "=": lambda x, y: x == y,
+    "<>": lambda x, y: x != y,
+    "!=": lambda x, y: x != y,
+    "<": lambda x, y: x < y,
+    "<=": lambda x, y: x <= y,
+    ">": lambda x, y: x > y,
+    ">=": lambda x, y: x >= y,
+}
+
+
+def _compile_nav_define(
+    var: str, expr: str, elements: list[_Element]
+) -> tuple:
+    """Compile a DEFINE body containing FIRST/LAST match-relative
+    navigation into ``(evalfn, referenced_cols, uses_physical_nav)``.
+
+    ``evalfn(val, start, pos, run, cand)`` evaluates the condition for
+    the candidate row at index ``cand`` while element ``var`` (which
+    must occur exactly once in PATTERN) has already consumed ``run``
+    rows starting at ``pos`` in the match anchored at ``start``;
+    ``val(col, idx)`` resolves a column value at a row index of the
+    ordered partition (None past its edges and for SQL NULLs). The
+    result is True/False/None under SQL three-valued logic — a row is
+    admitted iff True.
+
+    Supported subset (loud errors otherwise): comparisons
+    ``= <> != < <= > >=``, ``IS [NOT] NULL``, ``AND/OR/NOT``
+    (Kleene), arithmetic ``+ - * / %`` (NULL on division by zero,
+    SQL-style), numeric/string literals, ``TRUE/FALSE/NULL``, bare or
+    variable-qualified column refs (the candidate row — the engine's
+    single-row DEFINE semantics), ``PREV/NEXT(col [, n])`` physical
+    navigation (self/unqualified only, NULL past the partition edge),
+    and the feature itself:
+
+    - ``FIRST/LAST(V.col [, n])`` with ``V`` the variable being
+      defined: logical navigation over the element's own run
+      INCLUDING the candidate (SQL RUNNING semantics) — ``LAST(V.x)``
+      is the candidate's ``x``, ``LAST(V.x, 1)`` the previously
+      admitted row's, ``FIRST(V.x)`` the run's first row's; an offset
+      past the rows consumed so far is NULL (Flink's V-pattern guards
+      exactly this with ``LAST(DOWN.price, 1) IS NULL OR ...``).
+    - ``FIRST/LAST(X.col [, n])`` with ``X`` another variable: allowed
+      only when X binds fixed prefix rows (every element of X is an
+      unquantified singleton before the first quantified element and
+      before the defined variable) — those positions are
+      anchor-relative constants, which keeps the scan's failure memo
+      sound. For the SQL standard's cross-variable read of Flink's
+      V-pattern (``DOWN.price < STRT.price``), spell it
+      ``LAST(STRT.price, 0)`` — a bare ``STRT.price`` stays the
+      candidate row, like everywhere else in this engine's DEFINE.
+    """
+    variables: list[str] = []
+    for e in elements:
+        if e.var not in variables:
+            variables.append(e.var)
+    var_up = {v.upper(): v for v in variables}
+    var_elems: dict[str, list[int]] = {}
+    for j, e in enumerate(elements):
+        var_elems.setdefault(e.var, []).append(j)
+    di = var_elems[var][0]
+    fixed_prefix = 0
+    for e in elements:
+        if e.n_min == 1 and e.n_max == 1:
+            fixed_prefix += 1
+        else:
+            break
+    cols: set[str] = set()
+    physical = [False]
+    p = _Parser(_tokenize(expr))
+
+    def _call(name: str):
+        up = name.upper()
+        if up not in ("FIRST", "LAST", "PREV", "NEXT"):
+            raise ValueError(
+                f"DEFINE {var}: function {name}() is out of scope in a "
+                "navigation DEFINE — the evaluable subset is "
+                "comparisons/AND/OR/NOT/IS NULL/arithmetic over "
+                "columns and literals, FIRST/LAST(V.col [, n]) "
+                "match-relative navigation, and PREV/NEXT(col [, n]) "
+                "physical navigation"
+            )
+        p.pop()  # "("
+        q = p.pop()
+        qual = None
+        if p.peek() == ".":
+            p.pop()
+            qual, colname = q, p.pop()
+        else:
+            colname = q
+        off = 1 if up in ("PREV", "NEXT") else 0
+        if p.peek() == ",":
+            p.pop()
+            off_t = p.pop()
+            if not re.fullmatch(r"\d+", off_t):
+                raise ValueError(
+                    f"DEFINE {var}: {up}() offset must be a "
+                    "nonnegative integer literal"
+                )
+            off = int(off_t)
+        if p.pop() != ")":
+            raise ValueError(f"DEFINE {var}: unterminated {up}() call")
+        cols.add(colname)
+        if up in ("PREV", "NEXT"):
+            if qual is not None and qual.upper() != var.upper():
+                if qual.upper() not in var_up:
+                    raise ValueError(
+                        f"{up}()'s qualifier must be a pattern "
+                        f"variable, got {qual!r}"
+                    )
+                raise ValueError(
+                    f"{up}({qual}.{colname}) inside DEFINE {var}: "
+                    "cross-variable navigation is match-relative in "
+                    "the SQL standard and is out of scope — qualify "
+                    "with the variable being defined (or leave "
+                    "unqualified) for candidate-row physical "
+                    "navigation"
+                )
+            if off == 0:
+                return lambda val, s, po, r, c, col=colname: val(col, c)
+            physical[0] = True
+            d = -off if up == "PREV" else off
+            return lambda val, s, po, r, c, col=colname, d=d: val(
+                col, c + d
+            )
+        if qual is None:
+            raise ValueError(
+                f"DEFINE {var}: {up}() needs a variable qualifier — "
+                f"{up}(V.col [, n])"
+            )
+        uq = qual.upper()
+        if uq not in var_up:
+            raise ValueError(
+                f"DEFINE {var}: {up}()'s qualifier must be a pattern "
+                f"variable, got {qual!r}"
+            )
+        if uq == var.upper():
+            if up == "LAST":
+                return lambda val, s, po, r, c, col=colname, n=off: (
+                    val(col, c - n) if n <= r else None
+                )
+            return lambda val, s, po, r, c, col=colname, n=off: (
+                val(col, po + n) if n <= r else None
+            )
+        tgt = var_up[uq]
+        idxs = var_elems[tgt]
+        if not all(j < fixed_prefix and j < di for j in idxs):
+            raise ValueError(
+                f"DEFINE {var}: {up}({qual}.{colname}) — "
+                "cross-variable navigation is supported only to "
+                "variables bound at fixed positions before the "
+                "defined variable (leading unquantified elements); "
+                "quantified or later variables have no stable value "
+                "during the scan"
+            )
+        if up == "LAST":
+            j = idxs[-1 - off] if off < len(idxs) else None
+        else:
+            j = idxs[off] if off < len(idxs) else None
+        if j is None:
+            return lambda *a: None  # offset past the variable's rows
+        return lambda val, s, po, r, c, col=colname, j=j: val(col, s + j)
+
+    def _atom():
+        t = p.peek()
+        if t is None:
+            raise ValueError(
+                f"DEFINE {var}: unexpected end of expression"
+            )
+        if t == "(":
+            p.pop()
+            f = _or_expr()
+            if p.pop() != ")":
+                raise ValueError(
+                    f"DEFINE {var}: unbalanced parentheses"
+                )
+            return f
+        if t == "-":
+            p.pop()
+            f = _atom()
+            return lambda val, s, po, r, c, f=f: (
+                None
+                if (x := f(val, s, po, r, c)) is None
+                else -x
+            )
+        if t.startswith("'"):
+            p.pop()
+            lit = t[1:-1].replace("''", "'")
+            return lambda *a, lit=lit: lit
+        if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+            p.pop()
+            n = float(t)
+            return lambda *a, n=n: n
+        if not re.fullmatch(r"[A-Za-z_]\w*", t):
+            raise ValueError(f"DEFINE {var}: unexpected token {t!r}")
+        p.pop()
+        up = t.upper()
+        if up == "NULL":
+            return lambda *a: None
+        if up == "TRUE":
+            return lambda *a: True
+        if up == "FALSE":
+            return lambda *a: False
+        if p.peek() == "(":
+            return _call(t)
+        if p.peek() == ".":
+            if up not in var_up:
+                raise ValueError(
+                    f"DEFINE {var}: {t!r}.col — only pattern "
+                    "variables can qualify columns"
+                )
+            p.pop()
+            col = p.pop()
+            cols.add(col)
+            return lambda val, s, po, r, c, col=col: val(col, c)
+        cols.add(t)
+        return lambda val, s, po, r, c, col=t: val(col, c)
+
+    def _mul_expr():
+        f = _atom()
+        while p.peek() in ("*", "/", "%"):
+            op = p.pop()
+            g = _atom()
+
+            def mk(f=f, g=g, op=op):
+                def h(val, s, po, r, c):
+                    x = f(val, s, po, r, c)
+                    y = g(val, s, po, r, c)
+                    if x is None or y is None:
+                        return None
+                    if op == "*":
+                        return x * y
+                    if y == 0:
+                        return None  # SQL: NULL on /0 and %0
+                    return x / y if op == "/" else x % y
+
+                return h
+
+            f = mk()
+        return f
+
+    def _add_expr():
+        f = _mul_expr()
+        while p.peek() in ("+", "-"):
+            op = p.pop()
+            g = _mul_expr()
+
+            def mk(f=f, g=g, op=op):
+                def h(val, s, po, r, c):
+                    x = f(val, s, po, r, c)
+                    y = g(val, s, po, r, c)
+                    if x is None or y is None:
+                        return None
+                    return x + y if op == "+" else x - y
+
+                return h
+
+            f = mk()
+        return f
+
+    def _cmp_expr():
+        f = _add_expr()
+        if p.peek_kw() == "IS":
+            p.pop()
+            neg = p.peek_kw() == "NOT"
+            if neg:
+                p.pop()
+            p.expect_kw("NULL")
+            return lambda val, s, po, r, c, f=f, neg=neg: (
+                (f(val, s, po, r, c) is None) != neg
+            )
+        t = p.peek()
+        if t in _NAV_CMPS:
+            p.pop()
+            opf = _NAV_CMPS[t]
+            g = _add_expr()
+
+            def h(val, s, po, r, c, f=f, g=g, opf=opf):
+                x = f(val, s, po, r, c)
+                y = g(val, s, po, r, c)
+                if x is None or y is None:
+                    return None
+                return bool(opf(x, y))
+
+            return h
+        return f
+
+    def _not_expr():
+        if p.peek_kw() == "NOT":
+            p.pop()
+            f = _not_expr()
+            return lambda val, s, po, r, c, f=f: (
+                None
+                if (x := _bool3(f(val, s, po, r, c), var)) is None
+                else (not x)
+            )
+        return _cmp_expr()
+
+    def _and_expr():
+        f = _not_expr()
+        while p.peek_kw() == "AND":
+            p.pop()
+            g = _not_expr()
+
+            def mk(f=f, g=g):
+                def h(val, s, po, r, c):
+                    x = _bool3(f(val, s, po, r, c), var)
+                    if x is False:
+                        return False
+                    y = _bool3(g(val, s, po, r, c), var)
+                    if y is False:
+                        return False
+                    return None if (x is None or y is None) else True
+
+                return h
+
+            f = mk()
+        return f
+
+    def _or_expr():
+        f = _and_expr()
+        while p.peek_kw() == "OR":
+            p.pop()
+            g = _and_expr()
+
+            def mk(f=f, g=g):
+                def h(val, s, po, r, c):
+                    x = _bool3(f(val, s, po, r, c), var)
+                    if x is True:
+                        return True
+                    y = _bool3(g(val, s, po, r, c), var)
+                    if y is True:
+                        return True
+                    return None if (x is None or y is None) else False
+
+                return h
+
+            f = mk()
+        return f
+
+    root = _or_expr()
+    if p.peek() is not None:
+        raise ValueError(
+            f"DEFINE {var}: trailing tokens from {p.peek()!r}"
+        )
+
+    def top(val, s, po, r, c, root=root):
+        return _bool3(root(val, s, po, r, c), var)
+
+    return top, cols, physical[0]
+
+
 def _measure_out_type(ms: _Measure, events: DataFrame) -> str:
     if ms.func in ("MATCH_NUMBER", "COUNT", "COUNT_STAR"):
         return "bigint"
@@ -941,6 +1368,17 @@ def prepare_flags(
                 f"got {src_types0[acol]}"
             )
         need_cols.add(acol)
+    for v, nexpr in spec.nav_defines.items():
+        # nav-DEFINE conditions evaluate Python-side during the scan:
+        # their referenced columns must cross the Arrow boundary (the
+        # flag column for these variables is a plain True)
+        _nfn, ncols, _phys = _compile_nav_define(v, nexpr, spec.elements)
+        for nc in ncols:
+            if nc not in cols:
+                raise ValueError(
+                    f"DEFINE {v}: column {nc!r} not in input"
+                )
+            need_cols.add(nc)
 
     navs: dict[str, tuple[str, str, int]] = {}
     rewritten = {
@@ -1066,7 +1504,8 @@ def _dispatch(
             "engine='relational' needs a singleton pattern or a "
             "single-variable run (exactly one quantified element, no "
             "repeated variables, no MIN/MAX over the quantified "
-            "variable) — multi-variable backtracking keeps the NFA"
+            "variable, no anchor-stateful DEFINEs — aggregates or "
+            "FIRST/LAST navigation) — those classes keep the NFA"
         )
     if engine != "nfa":
         if singleton:
@@ -1175,7 +1614,13 @@ def route_info(clause: str, events: DataFrame | None = None) -> dict:
         e for e in spec.elements if not (e.n_min == 1 and e.n_max == 1)
     ]
     names = [e.var for e in spec.elements]
-    if spec.agg_defines:
+    if spec.nav_defines:
+        reason = (
+            "FIRST/LAST navigation in DEFINE — the navigated value "
+            "depends on where the match anchored and how far the run "
+            "has grown, so no per-row flag can precompute it; NFA only"
+        )
+    elif spec.agg_defines:
         reason = (
             "running-aggregate DEFINE — the running value depends on "
             "where the match anchored, so no per-row flag can "
@@ -1233,6 +1678,7 @@ def _relational_eligible(spec: MRSpec) -> bool:
     return (
         spec.rows == "one"
         and not spec.agg_defines
+        and not spec.nav_defines
         and all(e.n_min == 1 and e.n_max == 1 for e in spec.elements)
     )
 
@@ -1539,8 +1985,9 @@ def _run_pattern_info(spec: MRSpec) -> int | None:
     MIN/MAX over the quantified variable (a range-min over a
     variable-length span has no prefix-sum spelling; SUM/AVG/COUNT
     do)."""
-    if spec.agg_defines:
-        # running aggregates are anchor-dependent — NFA only
+    if spec.agg_defines or spec.nav_defines:
+        # running aggregates and FIRST/LAST navigation in DEFINE are
+        # anchor-dependent — NFA only
         return None
     qs = [
         j
@@ -2168,6 +2615,7 @@ def scan_rows(
     row_cols: tuple = (),
     subsets: dict[str, list[str]] | None = None,
     skip_var: str | None = None,
+    nav_defines: dict | None = None,
 ) -> tuple[list[list], int, int]:
     """Shared scan core for the batch matcher and the streaming twin.
 
@@ -2244,6 +2692,36 @@ def scan_rows(
         if e[4] is not None
     }
     _AGG_ZERO = (0.0, 0, float("inf"), float("-inf"), 0)
+
+    # FIRST/LAST navigation DEFINEs (compiled by _compile_nav_define):
+    # evaluated per candidate row against the element's own run and
+    # the match's fixed-prefix rows — the anchor-stateful class, like
+    # the running aggregates above. The value accessor resolves a
+    # column at a row index of the sorted partition, mapping the
+    # pandas null family (None/NaT/NaN) to SQL NULL.
+    nav_checkers: dict[int, object] = {}
+    if nav_defines:
+        _nav_series: dict[str, pd.Series] = {}
+
+        def _nav_val(col, idx):
+            if idx < 0 or idx >= n:
+                return None
+            s = _nav_series.get(col)
+            if s is None:
+                s = pdf[col]
+                _nav_series[col] = s
+            v = s.iat[idx]
+            if v is None or v is pd.NaT:
+                return None
+            if isinstance(v, float) and v != v:
+                return None
+            return v
+
+        nav_checkers = {
+            ei: nav_defines[e[0]]
+            for ei, e in enumerate(elements)
+            if e[0] in nav_defines
+        }
     if within_s is not None:
         # exact integer nanoseconds (normalized regardless of the
         # Arrow-side unit, us/ns) — float-seconds comparisons can
@@ -2296,12 +2774,17 @@ def scan_rows(
             fv = flags[var]
             cap = n - pos if n_max is None else min(n_max, n - pos)
             adder = agg_adders.get(ei)
+            navf = nav_checkers.get(ei)
             ast = _AGG_ZERO
             run = 0
             while run < cap and fv[pos + run]:
                 if ts_ns is not None:
                     if ts_ns[pos + run] - ts_ns[start] > within_ns:
                         break
+                if navf is not None and navf(
+                    _nav_val, start, pos, run, pos + run
+                ) is not True:
+                    break
                 if adder is not None:
                     ast = adder(ast, pos + run)
                     if ast is None:
@@ -2486,6 +2969,10 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
          spec.agg_defines.get(e.var))
         for e in spec.elements
     ]
+    nav_defines = {
+        v: _compile_nav_define(v, nexpr, spec.elements)[0]
+        for v, nexpr in spec.nav_defines.items()
+    } or None
     measures = [
         (m.name, m.func, m.var, m.col, m.final, m.offset)
         for m in spec.measures
@@ -2519,6 +3006,7 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
             row_cols=row_cols,
             subsets=subsets,
             skip_var=skip_var,
+            nav_defines=nav_defines,
         )
         return rows_to_frame(out_rows, names)
 

@@ -582,6 +582,30 @@ def _cell_assign_vec(centroids):
     return assign
 
 
+def _cell_assign_vec_d(centroids):
+    """Like :func:`_cell_assign_vec` but returning the assignment AND
+    its squared distance (``struct<cell int, d double>``) — the shape
+    ``kmeans_lloyd``'s final pass needs. Same argmin/tie discipline
+    and the same 1-ulp summation caveat as the cell-only kernel."""
+    mat = np.array([c for _, c in centroids], dtype=np.float64)
+    cell_ids = np.array([int(i) for i, _ in centroids], dtype=np.int32)
+
+    @F.pandas_udf("cell int, d double")
+    def assign(vs: pd.Series) -> pd.DataFrame:
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "d": pd.Series([], dtype="float64")})
+        d2 = _pairwise_d2(X, mat)
+        best = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "cell": cell_ids[best],
+            "d": d2[np.arange(len(X)), best],
+        })
+
+    return assign
+
+
 def cell_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -1340,6 +1340,48 @@ mr_skipto AS (
            AS off,
          count(*) OVER (PARTITION BY user_id, isl) AS len
   FROM mr_isl),
+mr_agg_e AS (
+  SELECT *, COALESCE(min(CASE WHEN event_type = 'error' THEN rn END)
+         OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+         2147483647) AS nxt_err
+  FROM (SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER w AS rn,
+               sum(COALESCE(value, 0))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+mr_agg_best AS (
+  SELECT user_id, arn, prn,
+         row_number() OVER (PARTITION BY user_id, arn
+                            ORDER BY prn DESC) AS rk
+  FROM (
+    SELECT a.user_id, a.rn AS arn, p.rn AS prn,
+           (SELECT cum FROM mr_agg_e x WHERE x.user_id = a.user_id
+              AND x.rn = p.rn - 1) - (a.cum - COALESCE(a.value, 0))
+             AS q_sum
+    FROM mr_agg_e a JOIN mr_agg_e p ON p.user_id = a.user_id
+     AND p.rn > a.rn AND p.event_type = 'purchase'
+     AND p.ts <= a.ts + INTERVAL 1 DAY AND a.nxt_err >= p.rn
+    WHERE a.event_type <> 'error')
+  WHERE q_sum <= 60.005),
+mr_nav_g AS (
+  SELECT user_id, isl, COUNT(*) AS n FROM (
+    SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn)
+             AS isl
+    FROM (SELECT user_id, rn,
+                 CASE WHEN rn = 1 THEN 1
+                      WHEN pv IS NULL THEN 0
+                      WHEN value IS NULL THEN 1
+                      WHEN value < pv THEN 0
+                      ELSE 1 END AS brk
+          FROM (SELECT user_id, value, row_number() OVER w AS rn,
+                       lag(value) OVER w AS pv
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))))
+  GROUP BY 1, 2),
 first_m AS (
   SELECT user_id FROM (
     SELECT f1.user_id,
@@ -1488,23 +1530,37 @@ SELECT 'mr_skip_to', '', CAST(COUNT(*) AS BIGINT),
        COUNT(DISTINCT user_id)
 FROM mr_skipto WHERE off % 2 = 0 AND off + 2 <= len - 1
 GROUP BY 1, 2
+UNION ALL
+SELECT 'mr_agg_define', CAST(prn - arn AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), COUNT(DISTINCT user_id)
+FROM mr_agg_best WHERE rk = 1
+GROUP BY prn - arn
+UNION ALL
+SELECT 'mr_define_nav', CAST(n AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+       COUNT(DISTINCT user_id)
+FROM mr_nav_g
+GROUP BY n
 """,
 )
 def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CEP family (I8) tagged into ONE driver slot — nineteen
-    pattern shapes, each reduced to the uniform
+    """The full CEP family (I8) tagged into ONE driver slot —
+    twenty-one pattern shapes, each reduced to the uniform
     (part, grp, n_matches, n_users) aggregate: funnel (2-step),
     sequence (3-step followedByAny), negation (notFollowedBy), strict
     contiguity (next()), first-occurrence selection (followedBy),
     times(2,3) quantifier, the three after-match skip strategies over
     the times match stream (SKIP_PAST_LAST / SKIP_TO_NEXT /
     SKIP_TO_LAST), optional() both-branches, the optional+negation
-    Pattern-builder combo, greedy oneOrMore, oneOrMore until(), and
-    the six MATCH_RECOGNIZE clauses (SQL strict pair, greedy-filler
-    funnel, {2,}-quantified runs, ALL ROWS PER MATCH, the reluctant
-    ``N+?`` lazy funnel, and SKIP TO LAST chained click-triples — all
-    compiled relationally with zero Python stages, reading this
-    melt's ONE shared events frame; operators/match_recognize.py).
+    Pattern-builder combo, greedy oneOrMore, oneOrMore until(), the
+    six relationally-compiled MATCH_RECOGNIZE clauses (SQL strict
+    pair, greedy-filler funnel, {2,}-quantified runs, ALL ROWS PER
+    MATCH, the reluctant ``N+?`` lazy funnel, and SKIP TO LAST
+    chained click-triples — zero Python stages, reading this melt's
+    ONE shared events frame; operators/match_recognize.py), plus the
+    two anchor-stateful NFA classes the driver now attests directly:
+    running aggregates in DEFINE (sum-capped ``Q+ P`` run) and
+    FIRST/LAST match-relative navigation in DEFINE (falling-run
+    segmentation), both keyed by their run-length distributions.
     The granular q_cep_* / q_mr_* queries stay registered (slots
     51+) for the bench and local hash checks; this melt gives the
     family one externally-attested driver row."""
@@ -1522,7 +1578,9 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_framework_spark.operators.pattern import Pattern
     from flink_framework_spark.queries.match_recognize_q import (
+        mr_agg_define_frame,
         mr_all_rows_frame,
+        mr_define_nav_frame,
         mr_funnel_frame,
         mr_reluctant_frame,
         mr_runs_frame,
@@ -1630,6 +1688,11 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mr_all_rows_frame(ev), "mr_all_rows", "cls"),
         (mr_reluctant_frame(ev), "mr_reluctant", "n_n"),
         (mr_skip_to_frame(ev), "mr_skip_to", None),
+        # the two anchor-stateful NFA classes (running aggregates and
+        # FIRST/LAST navigation in DEFINE), driver-attested here by
+        # their run-length distributions
+        (mr_agg_define_frame(ev), "mr_agg_define", "n_q"),
+        (mr_define_nav_frame(ev), "mr_define_nav", "n"),
     ]:
         out = out.unionByName(part(df, name, grp))
     # the times-family aggregates were materialized eagerly above so

@@ -127,6 +127,37 @@ def mr_all_rows_frame(ev: DataFrame) -> DataFrame:
     return match_recognize(ev, _ALL_ROWS_CLAUSE)
 
 
+_AGG_DEFINE_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES FIRST(Q.event_id) AS q1_id, COUNT(Q.*) AS n_q,
+             SUM(Q.value) AS q_sum, P.event_id AS p_id
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN (Q+ P)
+    WITHIN INTERVAL '1' DAY
+    DEFINE Q AS Q.event_type <> 'error' AND SUM(Q.value) <= 60.005,
+           P AS P.event_type = 'purchase'"""
+
+_DEFINE_NAV_CLAUSE = """
+    PARTITION BY user_id ORDER BY ts
+    MEASURES FIRST(DOWN.value) AS top_v, LAST(DOWN.value) AS bot_v,
+             COUNT(DOWN.*) AS n, FIRST(DOWN.event_id) AS a_id,
+             MATCH_NUMBER() AS mno
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (DOWN+)
+    DEFINE DOWN AS LAST(DOWN.value, 1) IS NULL
+                   OR DOWN.value < LAST(DOWN.value, 1)"""
+
+
+def mr_agg_define_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _AGG_DEFINE_CLAUSE)
+
+
+def mr_define_nav_frame(ev: DataFrame) -> DataFrame:
+    return match_recognize(ev, _DEFINE_NAV_CLAUSE)
+
+
 @register(
     "q_mr_strict_pair",
     family="I",
@@ -644,17 +675,63 @@ def q_mr_agg_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     (60.005) so float summation order cannot flip the boundary
     between the engine's incremental sum and the oracle's
     cumsum difference."""
-    out = match_recognize(table(spark, sf_dir, "events"), """
-        PARTITION BY user_id ORDER BY ts
-        MEASURES FIRST(Q.event_id) AS q1_id, COUNT(Q.*) AS n_q,
-                 SUM(Q.value) AS q_sum, P.event_id AS p_id
-        ONE ROW PER MATCH
-        AFTER MATCH SKIP TO NEXT ROW
-        PATTERN (Q+ P)
-        WITHIN INTERVAL '1' DAY
-        DEFINE Q AS Q.event_type <> 'error' AND SUM(Q.value) <= 60.005,
-               P AS P.event_type = 'purchase'""")
+    out = mr_agg_define_frame(table(spark, sf_dir, "events"))
     return out.select(
         "user_id", "q1_id", "n_q",
         round_duck(F.col("q_sum"), 2).alias("q_sum"), "p_id"
     )
+
+
+@register(
+    "q_mr_define_nav",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+b AS (
+  SELECT *,
+         CASE WHEN rn = 1 THEN 1
+              WHEN pv IS NULL THEN 0
+              WHEN value IS NULL THEN 1
+              WHEN value < pv THEN 0
+              ELSE 1 END AS brk
+  FROM o),
+i AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS isl
+  FROM b),
+g AS (
+  SELECT user_id, isl, min(rn) AS srn, max(rn) AS ern,
+         COUNT(*) AS n
+  FROM i GROUP BY 1, 2)
+SELECT g.user_id, f.value AS top_v, l.value AS bot_v,
+       CAST(g.n AS BIGINT) AS n, f.event_id AS a_id,
+       CAST(row_number() OVER (PARTITION BY g.user_id ORDER BY g.srn)
+            AS BIGINT) AS mno
+FROM g
+JOIN o f ON f.user_id = g.user_id AND f.rn = g.srn
+JOIN o l ON l.user_id = g.user_id AND l.rn = g.ern
+""",
+)
+def q_mr_define_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LAST()`` match-relative navigation in DEFINE — the Flink-docs
+    V-pattern spelling (``DOWN AS price < LAST(DOWN.price, 1)`` with
+    the ``IS NULL`` first-row guard), here as the pure falling-run
+    segmentation: ``PATTERN (DOWN+)`` with
+    ``DOWN AS LAST(DOWN.value, 1) IS NULL OR DOWN.value <
+    LAST(DOWN.value, 1)`` under SKIP PAST LAST ROW partitions every
+    key's rows into maximal strictly-decreasing runs. The navigated
+    value depends on where the match anchored and how far the run
+    has grown, so this is the anchor-stateful NFA class (like
+    aggregates in DEFINE): the condition compiles to a
+    Python-evaluable boolean (operators/match_recognize.py
+    ``_compile_nav_define``) evaluated per candidate during the scan
+    with O(1) state. The oracle is the equivalent gaps-and-islands:
+    an island breaks exactly where the three-valued DEFINE stops
+    admitting (non-first row with a non-NULL previous value that the
+    current value is not strictly below)."""
+    out = mr_define_nav_frame(table(spark, sf_dir, "events"))
+    return out.select("user_id", "top_v", "bot_v", "n", "a_id", "mno")

@@ -83,6 +83,7 @@ def match_recognize_stream(
             "state and finalization latency"
         )
     from flink_framework_spark.operators.match_recognize import (
+        _compile_nav_define,
         _rewrite_define,
     )
 
@@ -93,7 +94,7 @@ def match_recognize_stream(
     navs: dict[str, tuple[str, str, int]] = {}
     for v, expr in spec.defines.items():
         if expr is not None:
-            _rewrite_define(expr, spec.variables, navs)
+            _rewrite_define(expr, spec.variables, navs, v)
     if navs:
         raise ValueError(
             "PREV()/NEXT() in DEFINE is batch-only here: flags are "
@@ -101,6 +102,25 @@ def match_recognize_stream(
             "across batch boundaries under late data would read the "
             "wrong neighbor — run the clause on the batch engine"
         )
+    # FIRST/LAST navigation DEFINEs are buffer-safe on streams: every
+    # navigated position is at or after the match anchor, and the
+    # state buffer keeps everything from the first open anchor on.
+    # A PREV/NEXT call INSIDE one of these conditions is not (it can
+    # reach before the anchor, into rows already dropped) — reject it
+    # with the same batch-only message.
+    nav_defines = {}
+    for v, nexpr in spec.nav_defines.items():
+        fn, _ncols, physical = _compile_nav_define(
+            v, nexpr, spec.elements
+        )
+        if physical:
+            raise ValueError(
+                "PREV()/NEXT() in DEFINE is batch-only here: physical "
+                "navigation can reach before the match anchor, into "
+                "rows the stream state has already dropped — run the "
+                "clause on the batch engine"
+            )
+        nav_defines[v] = fn
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )
@@ -178,6 +198,7 @@ def match_recognize_stream(
             match_no_start=mno,
             subsets=subsets,
             skip_var=skip_var,
+            nav_defines=nav_defines or None,
         )
         rest = buf.iloc[resume:]
         if len(rest):

@@ -72,3 +72,43 @@ def test_kmeans_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=2, n_iter=1)
+
+
+def test_kmeans_vectorized_assign_agrees_at_large_k(spark, sf_dir):
+    """Large-k safety (the literal-centroid expression is interpreted
+    per (row, centroid, dim) and its nested-array literal grows with
+    k*dim): the Arrow/numpy assignment kernel must produce the same
+    clustering as the expression form. k=256 over the 500-vector
+    embeddings fixture — more centroids than the expression form is
+    meant for, small enough that forcing it through stays fast. Auto
+    mode (vectorized_assign=None) must route k=256 through the numpy
+    kernel and k=8 through the expression (the golden-pinned form)."""
+    from flink_framework_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = (
+        kmeans_lloyd(emb, k=256, n_iter=2, vectorized_assign=False)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        kmeans_lloyd(emb, k=256, n_iter=2, vectorized_assign=True)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+    # d2 is rounded to 4 decimals on both paths; the 1-ulp summation
+    # caveat sits far below that
+    assert a["d2"].tolist() == b["d2"].tolist()
+    # auto threshold: k=256 -> numpy kernel plan (BatchEvalPython is
+    # forbidden; the kernel is an ArrowEvalPython stage)
+    auto_plan = kmeans_lloyd(
+        emb, k=256, n_iter=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in auto_plan
+    small_plan = kmeans_lloyd(
+        emb, k=8, n_iter=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in small_plan

@@ -96,20 +96,134 @@ def test_parser_rejects(clause, msg):
         parse_match_recognize(clause)
 
 
-def test_define_match_relative_navigation_rejected(spark):
-    """FIRST/LAST inside DEFINE (match-relative navigation) stay out
-    of scope; physical PREV/NEXT is supported (see the V-pattern
-    tests below)."""
+def test_define_match_relative_navigation_rejections(spark):
+    """FIRST/LAST in DEFINE is supported (match-relative, NFA-only)
+    but bounded loudly: offsets must be literal nonnegative ints, the
+    qualifier must be a pattern variable, cross-variable targets must
+    bind fixed prefix rows, functions outside the evaluable subset
+    reject, and mixing with a running aggregate rejects."""
     df = frame(spark, [(1, "2024-01-01 00:00:00", 1, "view", 1.0)])
-    with pytest.raises(ValueError, match="LAST"):
+
+    def mr(define):
+        return match_recognize(df, f"""PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B+ C)
+            DEFINE {define}""")
+
+    # cross-variable navigation to a quantified / later variable
+    with pytest.raises(ValueError, match="fixed positions"):
+        mr("C AS C.value > LAST(B.value, 1)")
+    with pytest.raises(ValueError, match="fixed positions"):
+        mr("A AS A.value > LAST(C.value, 0)")
+    # qualifier must be a pattern variable
+    with pytest.raises(ValueError, match="pattern\n?\\s*variable"):
+        mr("B AS B.value > LAST(tbl.value, 1)")
+    # FIRST/LAST need a qualifier (unlike physical PREV/NEXT)
+    with pytest.raises(ValueError, match="variable qualifier"):
+        mr("B AS B.value > LAST(value, 1)")
+    # functions outside the subset reject loudly
+    with pytest.raises(ValueError, match="out of scope"):
+        mr("B AS abs(B.value) > LAST(B.value, 1)")
+    # offset must be a literal nonnegative integer (an arithmetic
+    # offset leaves the call unterminated at the '+')
+    with pytest.raises(ValueError, match="integer|unterminated"):
+        mr("B AS B.value > LAST(B.value, 1 + 1)")
+    with pytest.raises(ValueError, match="integer"):
+        mr("B AS B.value > LAST(B.value, x)")
+    # mixing a running aggregate with navigation in one DEFINE
+    with pytest.raises(ValueError, match="out of scope"):
+        mr("B AS SUM(B.value) < 10 AND B.value < LAST(B.value, 1)")
+    # nav-defined variable must appear exactly once in PATTERN
+    with pytest.raises(ValueError, match="exactly once"):
         match_recognize(df, """PARTITION BY user_id ORDER BY ts
-            MEASURES A.ts AS t PATTERN (A B)
-            DEFINE B AS B.value > LAST(B.value, 1)""")
+            MEASURES A.ts AS t PATTERN (B A B)
+            DEFINE B AS B.value < LAST(B.value, 1)""")
     # PREV's argument must be VAR.col with a pattern variable
     with pytest.raises(ValueError, match="pattern\n?\\s*variable"):
         match_recognize(df, """PARTITION BY user_id ORDER BY ts
             MEASURES A.ts AS t PATTERN (A B)
             DEFINE B AS B.value > PREV(tbl.value)""")
+    # engine='relational' names the anchor-stateful class
+    with pytest.raises(ValueError, match="relational"):
+        match_recognize(df, """PARTITION BY user_id ORDER BY ts
+            MEASURES A.ts AS t PATTERN (A B+ C)
+            DEFINE B AS B.value < LAST(B.value, 1)""",
+            engine="relational")
+
+
+def test_define_nav_v_pattern(spark):
+    """Flink's docs V-pattern spelled with LAST in DEFINE (their
+    flagship example): equals the physical-PREV twin row for row,
+    including the cross-variable LAST(STRT.value, 0) read of the
+    anchor row."""
+    vals = [10.0, 8.0, 5.0, 3.0, 7.0, 9.0, 4.0, 4.0]
+    df = frame(spark, [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate(vals)
+    ])
+    nav = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.value AS strt_v, LAST(DOWN.value) AS bottom_v,
+                 UP.value AS up_v, COUNT(DOWN.*) AS n_down
+        ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS (LAST(DOWN.value, 1) IS NULL
+                        AND DOWN.value < LAST(STRT.value, 0))
+                       OR DOWN.value < LAST(DOWN.value, 1),
+               UP AS LAST(UP.value, 1) IS NULL
+                     OR UP.value >= LAST(UP.value, 1)"""
+    prev = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.value AS strt_v, LAST(DOWN.value) AS bottom_v,
+                 UP.value AS up_v, COUNT(DOWN.*) AS n_down
+        ONE ROW PER MATCH AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+               UP AS UP.value >= PREV(UP.value)"""
+    got_nav = sorted(tuple(r) for r in match_recognize(df, nav).collect())
+    got_prev = sorted(
+        tuple(r) for r in match_recognize(df, prev).collect()
+    )
+    assert got_nav == got_prev
+    assert got_nav == sorted([
+        (1, 10.0, 3.0, 7.0, 3),
+        (1, 8.0, 3.0, 7.0, 2),
+        (1, 5.0, 3.0, 7.0, 1),
+        (1, 9.0, 4.0, 4.0, 1),
+    ])
+
+
+def test_define_nav_first_and_islands(spark):
+    """FIRST self-navigation (run-start anchored band) and the pure
+    falling-run segmentation (gaps-and-islands shape)."""
+    vals = [10.0, 8.0, 5.0, 3.0, 7.0, 9.0, 4.0, 4.0]
+    df = frame(spark, [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate(vals)
+    ])
+    falling = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(DOWN.value) AS top_v, LAST(DOWN.value) AS bot_v,
+                 COUNT(DOWN.*) AS n
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (DOWN+)
+        DEFINE DOWN AS LAST(DOWN.value, 1) IS NULL
+                       OR DOWN.value < LAST(DOWN.value, 1)"""
+    got = [tuple(r) for r in match_recognize(df, falling).collect()]
+    assert got == [
+        (1, 10.0, 3.0, 4), (1, 7.0, 7.0, 1),
+        (1, 9.0, 4.0, 2), (1, 4.0, 4.0, 1),
+    ]
+    band = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(A.value) AS f_v, COUNT(A.*) AS n
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+)
+        DEFINE A AS FIRST(A.value, 0) - A.value <= 3
+                    AND A.value - FIRST(A.value, 0) <= 3"""
+    got2 = [tuple(r) for r in match_recognize(df, band).collect()]
+    assert got2 == [
+        (1, 10.0, 2), (1, 5.0, 3), (1, 9.0, 1), (1, 4.0, 2),
+    ]
 
 
 def test_define_prev_next_navigation(spark):
@@ -733,6 +847,64 @@ def test_mr_stream_agg_define_matches_batch(spark, tmp_path):
     assert a == b and len(a) == 3
 
 
+def test_mr_stream_nav_define_matches_batch(spark, tmp_path):
+    """FIRST/LAST navigation in DEFINE on the streaming twin: the
+    falling-run segmentation chunks across micro-batches to exactly
+    the batch result (navigation never reaches before the anchor, so
+    the state buffer always holds the navigated rows)."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    vals = [10.0, 8.0, 5.0, 3.0, 7.0, 9.0, 4.0, 4.0]
+    evs = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "c", v)
+        for j, v in enumerate(vals)
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(DOWN.value) AS top_v, LAST(DOWN.value) AS bot_v,
+                 COUNT(DOWN.*) AS n
+        ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (DOWN+)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE DOWN AS LAST(DOWN.value, 1) IS NULL
+                       OR DOWN.value < LAST(DOWN.value, 1)"""
+    batch = match_recognize(frame(spark, evs), clause).toPandas()
+    sent = [
+        (9, "2024-01-01 12:00:00", 90, "s", 0.0),
+        (9, "2024-01-01 13:00:00", 91, "s", 0.0),
+    ]
+    src = tmp_path / "src"
+    for b in (evs[:3], evs[3:], [sent[0]], [sent[1]]):
+        frame(spark, b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(spark, evs).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause),
+        query_name="t_mr_navdef",
+        output_mode="update",
+    )
+    stream = out.filter(F.col("user_id") == 1).toPandas()
+    cols = sorted(batch.columns)
+    a = sorted(map(repr, stream[cols].itertuples(index=False, name=None)))
+    b = sorted(map(repr, batch[cols].itertuples(index=False, name=None)))
+    # [10,8,5,3] | [7] | [9,4] | [4] -> four falling runs
+    assert a == b and len(a) == 4
+    # physical PREV inside a nav-DEFINE stays batch-only on streams
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_stream(sdf, """
+            PARTITION BY user_id ORDER BY ts
+            MEASURES COUNT(DOWN.*) AS n
+            ONE ROW PER MATCH PATTERN (DOWN+)
+            WITHIN INTERVAL '10' MINUTE
+            DEFINE DOWN AS DOWN.value < PREV(DOWN.value)
+                           OR LAST(DOWN.value, 1) IS NULL""")
+
+
 def test_agg_define_vs_bruteforce(spark):
     """16-seed fuzz: random sum/count/avg-capped runs vs an
     independent per-prefix enumeration (the brute force re-checks
@@ -1259,7 +1431,8 @@ def test_mr_stream_skip_to_last_matches_batch(spark, tmp_path):
 # ------------------------------------------------- brute-force fuzz
 
 
-def _ref_matches(rows, elements, defines, skip, within_s, skip_var=None):
+def _ref_matches(rows, elements, defines, skip, within_s, skip_var=None,
+                 nav_defines=None):
     """Independent reference: enumerate ALL feasible contiguous count
     vectors per anchor and pick the preference-lexicographic maximum
     (greedy elements prefer MORE repetitions, reluctant elements
@@ -1268,7 +1441,12 @@ def _ref_matches(rows, elements, defines, skip, within_s, skip_var=None):
     match that is EMPTY is omitted and the scan advances one row
     (the engine's documented empty-match rule). Then apply the
     after-match skip. rows: list of (ts_epoch, event_id, type,
-    value), pre-sorted. elements: (var, n_min, n_max, reluctant)."""
+    value), pre-sorted. elements: (var, n_min, n_max, reluctant).
+    nav_defines: var -> callable(rows, anchor, pos, run, cand) -> the
+    three-valued DEFINE result for a candidate row with ``run`` rows
+    already consumed by this element from ``pos`` in the match
+    anchored at ``anchor`` — the independent Python spelling of a
+    FIRST/LAST-navigation DEFINE (a row is admitted iff True)."""
     n = len(rows)
 
     def flag(var, i):
@@ -1290,9 +1468,15 @@ def _ref_matches(rows, elements, defines, skip, within_s, skip_var=None):
                 vecs.append(tuple(vec))
                 return
             var, mn, mx, _rel = elements[ei]
+            navf = (nav_defines or {}).get(var)
             cap = (n - pos) if mx is None else min(mx, n - pos)
             for c in range(mn, cap + 1):
                 ok = all(flag(var, pos + t) for t in range(c))
+                if ok and navf is not None:
+                    ok = all(
+                        navf(rows, i, pos, t, pos + t) is True
+                        for t in range(c)
+                    )
                 if ok and within_s is not None and pos + c - 1 >= i and c:
                     ok = rows[pos + c - 1][0] - rows[i][0] <= within_s
                 if ok:
@@ -1449,6 +1633,143 @@ def test_fuzz_vs_bruteforce(spark, seed):
             for r in match_recognize(df, clause, engine="nfa").collect()
         )
         assert sorted(repr(tuple(r)) for r in rel.collect()) == nfa
+
+
+@pytest.mark.parametrize("seed", range(14))
+def test_fuzz_nav_define_vs_bruteforce(spark, seed):
+    """FIRST/LAST navigation in DEFINE vs the independent brute force:
+    three shapes (falling runs via LAST(V,1), run-start band via
+    FIRST(V,0), cross-variable anchor comparison via LAST(S,0)), with
+    NULL values mixed in to exercise three-valued logic, greedy and
+    reluctant quantifiers, both row-based skips, and optional WITHIN.
+    The brute-force twin spells each navigation directly in Python
+    (full enumeration + preference-lexicographic max — a different
+    algorithm from the NFA's backtracking scan)."""
+    rng = random.Random(11500 + seed)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        t = 0.0
+        for _ in range(rng.randint(10, 24)):
+            t += rng.choice([60.0, 300.0, 1800.0])
+            eid += 1
+            v = (
+                None
+                if rng.random() < 0.12
+                else float(rng.randint(0, 12))
+            )
+            rows.append((uid, t, eid, rng.choice(["a", "b"]), v))
+
+    shape = seed % 3
+    rel = rng.random() < 0.35
+    lazy = "?" if rel else ""
+    if shape == 0:
+        # falling runs: previous-run-row comparison; a NULL previous
+        # value makes LAST(V,1) IS NULL true (row admitted)
+        pat = f"A+{lazy}"
+        define = ("A AS LAST(A.value, 1) IS NULL "
+                  "OR A.value < LAST(A.value, 1)")
+        elements = [("A", 1, None, rel)]
+
+        def nav_a(rows_, anchor, pos, run, cand):
+            if run == 0:
+                return True
+            prev = rows_[cand - 1][3]
+            if prev is None:
+                return True
+            v = rows_[cand][3]
+            return v is not None and v < prev
+
+        navs = {"A": nav_a}
+        defines_py = {}
+    elif shape == 1:
+        # run-start band: every run row within the first run row's
+        # value (NULL first or current value -> not admitted)
+        pat = f"A{{1,3}}{lazy}"
+        define = "A AS FIRST(A.value, 0) >= A.value"
+        elements = [("A", 1, 3, rel)]
+
+        def nav_a(rows_, anchor, pos, run, cand):
+            f, v = rows_[pos][3], rows_[cand][3]
+            return f is not None and v is not None and f >= v
+
+        navs = {"A": nav_a}
+        defines_py = {}
+    else:
+        # cross-variable: run rows below the anchor row's value
+        pat = f"S A+{lazy} E"
+        define = ("S AS S.event_type = 'a', "
+                  "A AS A.value < LAST(S.value, 0), "
+                  "E AS E.event_type = 'b'")
+        elements = [("S", 1, 1, False), ("A", 1, None, rel),
+                    ("E", 1, 1, False)]
+
+        def nav_a(rows_, anchor, pos, run, cand):
+            sv, v = rows_[anchor][3], rows_[cand][3]
+            return sv is not None and v is not None and v < sv
+
+        navs = {"A": nav_a}
+        defines_py = {
+            "S": lambda r: r[2] == "a",
+            "E": lambda r: r[2] == "b",
+        }
+
+    skip = rng.choice(["past_last", "to_next"])
+    within = rng.choice([None, 3600.0])
+    skip_sql = ("PAST LAST ROW" if skip == "past_last"
+                else "TO NEXT ROW")
+    measures = ", ".join(
+        [f"FIRST({v}.event_id) AS first_{v.lower()}"
+         for v, _, _, _ in elements]
+        + [f"COUNT({v}.*) AS n_{v.lower()}" for v, _, _, _ in elements]
+        + ["MATCH_NUMBER() AS mno", "COUNT(*) AS n_rows"]
+    )
+    clause = (
+        f"PARTITION BY user_id ORDER BY ts MEASURES {measures} "
+        f"AFTER MATCH SKIP {skip_sql} PATTERN ({pat}) "
+        + (f"WITHIN INTERVAL '{int(within)}' SECOND " if within else "")
+        + f"DEFINE {define}"
+    )
+
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime.fromtimestamp(t, tz=timezone.utc)
+             .replace(tzinfo=None), e, ty, v)
+            for u, t, e, ty, v in rows
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double",
+    )
+    got = sorted(
+        repr(tuple(r)) for r in match_recognize(df, clause).collect()
+    )
+
+    expect = []
+    for uid in (1, 2):
+        urows = sorted(
+            [(t, e, ty, v) for u, t, e, ty, v in rows if u == uid],
+            key=lambda r: (r[0], r[1]),
+        )
+        for mno, (s, e, assign) in enumerate(
+            _ref_matches(
+                urows, elements, defines_py, skip, within,
+                nav_defines=navs,
+            ),
+            1,
+        ):
+            by = {var: (lo, hi) for var, lo, hi in assign}
+            rec = [uid]
+            for v, _, _, _ in elements:
+                lo, hi = by[v]
+                rec.append(urows[lo][1] if hi > lo else None)
+            for v, _, _, _ in elements:
+                lo, hi = by[v]
+                rec.append(hi - lo)
+            rec.extend([mno, e - s])
+            expect.append(repr(tuple(rec)))
+    assert got == sorted(expect), f"seed {seed}: {clause}"
 
 
 @pytest.mark.parametrize("seed", range(16))
