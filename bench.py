@@ -435,7 +435,7 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         .otherwise("purchase")
         .alias("event_type"),
     ).withWatermark("ts", "2 seconds")
-    mr = match_recognize_stream(mr_src, """
+    mr_clause = """
         PARTITION BY user_id ORDER BY ts
         MEASURES A.event_id AS a_id, B.event_id AS b_id
         ONE ROW PER MATCH
@@ -443,12 +443,44 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         PATTERN (A B)
         WITHIN INTERVAL '2' SECOND
         DEFINE A AS A.event_type = 'view',
-               B AS B.event_type = 'purchase'""")
+               B AS B.event_type = 'purchase'"""
+    # engine='nfa' pins the Arrow state-machine floor — this clause is
+    # join-eligible, so auto would silently reroute it (next scenario)
+    mr = match_recognize_stream(mr_src, mr_clause, engine="nfa")
     out["match_recognize"] = _run_stream_scenario(mr, "update", seconds * 2)
     out["match_recognize"]["pipeline"] = (
         "rate-micro-batch (100k rows/batch, 25k keys)->JVM DEFINE "
         "flags->per-key Arrow NFA, watermark-gated finalization"
         "->noop(update)"
+    )
+
+    # the SAME clause through engine='auto': the eligible PATTERN
+    # (A B) class lowers to the JVM join machine (candidate interval
+    # join + LEFT OUTER adjacency join, zero Python) — match-set
+    # equality vs the NFA pinned in tests/test_match_recognize.py.
+    # Sized like funnel_join (1M rows/batch: the three stateful
+    # operators' per-batch fixed cost amortizes; at the NFA
+    # scenario's 100k rows/batch the fixed cost dominates and the
+    # two paths look deceptively close — the ~12 s batch latency at
+    # this size is reported honestly below).
+    jr3, jk3 = 1_000_000, 250_000
+    mrj_src = rate_mb(jr3).select(
+        (F.col("value") % jk3).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        F.when((F.col("value") / jk3).cast("long") % 2 == 0, "view")
+        .otherwise("purchase")
+        .alias("event_type"),
+    ).withWatermark("ts", "2 seconds")
+    mr_j = match_recognize_stream(mrj_src, mr_clause)
+    out["match_recognize_join"] = _run_stream_scenario(
+        mr_j, "append", seconds * 2
+    )
+    out["match_recognize_join"]["pipeline"] = (
+        "rate-micro-batch (1M rows/batch, 250k keys)->candidate "
+        "stream-stream interval join + LEFT OUTER adjacency join"
+        "->noop(append); engine='auto' JVM lowering of the same MR "
+        "clause (the NFA floor is the scenario above)"
     )
     return out
 

@@ -58,11 +58,26 @@ def match_recognize_stream(
     events: DataFrame,
     clause: str,
     id_col: str = "event_id",
+    engine: str = "auto",
+    join_watermark: str = "10 minutes",
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE clause on a watermarked stream. Output is
     append-final per row (emitted in ``update`` mode): each match row
     is emitted exactly once, when the watermark closes its anchor's
-    WITHIN window."""
+    WITHIN window.
+
+    ``engine``: ``"auto"`` lowers ELIGIBLE two-element singleton
+    patterns onto the JVM stream-stream join machine
+    (:func:`_mr_stream_pair_join` — append mode, measured an order of
+    magnitude above the Arrow NFA in bench.py) and keeps the per-key
+    Arrow NFA for everything else; ``"join"`` forces the join
+    lowering (raises with the blocking reason when ineligible);
+    ``"nfa"`` forces the NFA (the equivalence tests route both
+    ways). ``join_watermark`` is the join path's watermark delay on
+    its re-derived per-side event-time columns (the NFA path uses
+    the source stream's own watermark)."""
+    if engine not in ("auto", "join", "nfa"):
+        raise ValueError(f"engine must be auto|join|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
     if len(spec.partition_cols) > 1:
         raise ValueError(
@@ -121,6 +136,17 @@ def match_recognize_stream(
                 "clause on the batch engine"
             )
         nav_defines[v] = fn
+    if engine != "nfa":
+        blocker = _mr_join_blocker(spec, events)
+        if blocker is None:
+            return _mr_stream_pair_join(
+                events, spec, id_col, join_watermark
+            )
+        if engine == "join":
+            raise ValueError(
+                f"engine='join': no join lowering for this clause — "
+                f"{blocker}"
+            )
     flagged, order_by, ts_col, out_schema = prepare_flags(
         events, spec, id_col
     )
@@ -236,4 +262,206 @@ def match_recognize_stream(
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def _mr_join_blocker(spec, events: DataFrame) -> str | None:
+    """Why this clause cannot lower to the JVM stream-stream join
+    machine — or None when it can. Eligible class: a two-element
+    all-singleton PATTERN (A B) whose matches are exactly the
+    adjacent (A-row, B-row) pairs inside WITHIN — candidate pairs are
+    one watermarked interval join, strict contiguity ("no row
+    between") is one watermarked LEFT OUTER interval join against the
+    unfiltered stream filtered to the null (no-intruder) rows, and
+    every consuming skip strategy degenerates to keep-all-candidates
+    when the two DEFINEs are provably disjoint (the batch
+    disjoint-anchor proof: a B-row can never anchor, so matches
+    cannot overlap). Measures must be plain last-row bindings
+    (VAR.col / offset-0 FIRST/LAST) — values that ride the join
+    sides; MATCH_NUMBER() and aggregates need the sequential scan."""
+    from flink_framework_spark.operators.match_recognize import (
+        _anchor_disjoint,
+    )
+
+    if len(spec.elements) != 2 or any(
+        not (e.n_min == 1 and e.n_max == 1) for e in spec.elements
+    ):
+        return (
+            "join lowering needs exactly two unquantified elements "
+            "(PATTERN (A B))"
+        )
+    if spec.agg_defines or spec.nav_defines:
+        return (
+            "anchor-stateful DEFINEs (aggregates / FIRST/LAST "
+            "navigation) keep the NFA"
+        )
+    if spec.elements[0].var == spec.elements[1].var:
+        return "repeated variable names keep the NFA"
+    va, vb = spec.elements[0].var, spec.elements[1].var
+    for ms in spec.measures:
+        if (
+            ms.func in ("VAR_COL", "FIRST", "LAST")
+            and ms.offset == 0
+            and ms.var in (va, vb)
+        ):
+            continue
+        return (
+            f"measure {ms.name!r} ({ms.func}) has no join spelling — "
+            "only VAR.col / offset-0 FIRST/LAST bindings ride the "
+            "join sides"
+        )
+    if spec.skip == "to_next":
+        return None
+    if not _anchor_disjoint(spec, events):
+        return (
+            f"AFTER MATCH SKIP {spec.skip} consumes rows — join-safe "
+            "only when the two DEFINEs are provably disjoint literal "
+            "equalities (candidates then cannot overlap)"
+        )
+    return None
+
+
+def _mr_stream_pair_join(
+    events: DataFrame, spec, id_col: str, watermark: str
+) -> DataFrame:
+    """The JVM lowering of an eligible PATTERN (A B) clause (see
+    :func:`_mr_join_blocker`): candidate pairs by watermarked
+    stream-stream interval join, strict contiguity by a LEFT OUTER
+    interval join against the unfiltered stream (a pair survives iff
+    NO row sits lexicographically between its two rows in the
+    per-key (ts, id) total order — the exact adjacency the NFA
+    scans for), append mode, zero Python. Same output columns as the
+    NFA path: partition key + one column per measure.
+
+    Join-state mechanics (the sequence_matches_join discipline):
+    each side re-derives its own watermarked event-time column; the
+    candidate join carries two-sided range bounds (``b_ts >= a_ts``
+    and ``b_ts <= a_ts + WITHIN``) so both sides' state evicts; after
+    it, the A timestamp is DEMOTED to a plain value and only ``b_ts``
+    stays watermarked to drive the adjacency join, whose bounds
+    (``m_ts <= b_ts`` / ``m_ts >= b_ts - WITHIN``) both finalize the
+    outer null rows and evict the intruder side's state; the strict
+    lexicographic between-ness rides as residual predicates."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.operators.match_recognize import (
+        _rewrite_define,
+    )
+
+    # the event-time tag follows the attribute through aliases, so a
+    # source that is ALREADY watermarked (the normal case — the NFA
+    # path requires it) must not be re-watermarked per side: Spark
+    # rejects watermark redefinition under multiple stateful
+    # operators. Only an unwatermarked source gets join_watermark.
+    has_wm = "EventTimeWatermark" in (
+        events._jdf.queryExecution().analyzed().toString()
+    )
+
+    def wm(df, c):
+        return df if has_wm else df.withWatermark(c, watermark)
+
+    key = spec.partition_by
+    ts_col = spec.order_by[0]
+    ea, eb = spec.elements
+    va, vb = ea.var, eb.var
+    ts_type = {f.name: f.dataType.simpleString() for f in events.schema}[
+        ts_col
+    ]
+
+    def flag(var):
+        raw = spec.defines.get(var)
+        if raw is None:
+            return F.lit(True)
+        navs: dict = {}
+        cond = F.expr(_rewrite_define(raw, spec.variables, navs, var))
+        return F.coalesce(cond, F.lit(False))
+
+    def demote(c: str):
+        # value-identical copy without the event-time/watermark tag;
+        # NTZ has no micros round-trip builtin, so string round-trip
+        # (micros-exact both ways)
+        if ts_type == "timestamp":
+            return F.timestamp_micros(F.unix_micros(F.col(c)))
+        return F.col(c).cast("string").cast(ts_type)
+
+    a_meas = [
+        (mi, ms) for mi, ms in enumerate(spec.measures) if ms.var == va
+    ]
+    b_meas = [
+        (mi, ms) for mi, ms in enumerate(spec.measures) if ms.var == vb
+    ]
+    within_us = round(spec.within_s * 1e6)
+    horizon = F.expr(f"INTERVAL {within_us} MICROSECOND")
+
+    a = (
+        events.filter(flag(va))
+        .select(
+            F.col(key).alias("__ak"),
+            F.col(ts_col).alias("__a_ts"),
+            F.col(id_col).alias("__a_id"),
+            *[F.col(ms.col).alias(f"__mv{mi}") for mi, ms in a_meas],
+        )
+    )
+    a = wm(a, "__a_ts")
+    b = (
+        events.filter(flag(vb))
+        .select(
+            F.col(key).alias("__bk"),
+            F.col(ts_col).alias("__b_ts"),
+            F.col(id_col).alias("__b_id"),
+            *[F.col(ms.col).alias(f"__mv{mi}") for mi, ms in b_meas],
+        )
+    )
+    b = wm(b, "__b_ts")
+    pairs = (
+        a.join(
+            b,
+            (F.col("__ak") == F.col("__bk"))
+            # two-sided range on the event-time pair -> state evicts
+            & (F.col("__b_ts") >= F.col("__a_ts"))
+            & (F.col("__b_ts") <= F.col("__a_ts") + horizon)
+            # strictly-after in the (ts, id) total order (residual)
+            & (
+                (F.col("__b_ts") > F.col("__a_ts"))
+                | (F.col("__b_id") > F.col("__a_id"))
+            ),
+        )
+        .drop("__bk")
+        .withColumn("__a_ts", demote("__a_ts"))
+    )
+    mid = (
+        events.select(
+            F.col(key).alias("__mk"),
+            F.col(ts_col).alias("__m_ts"),
+            F.col(id_col).alias("__m_id"),
+        )
+    )
+    mid = wm(mid, "__m_ts")
+    between = (
+        (F.col("__mk") == F.col("__ak"))
+        # two-sided range vs the surviving event-time column
+        & (F.col("__m_ts") <= F.col("__b_ts"))
+        & (F.col("__m_ts") >= F.col("__b_ts") - horizon)
+        # strictly between a and b in the (ts, id) total order
+        & (
+            (F.col("__m_ts") > F.col("__a_ts"))
+            | (
+                (F.col("__m_ts") == F.col("__a_ts"))
+                & (F.col("__m_id") > F.col("__a_id"))
+            )
+        )
+        & (
+            (F.col("__m_ts") < F.col("__b_ts"))
+            | (F.col("__m_id") < F.col("__b_id"))
+        )
+    )
+    adj = pairs.join(mid, between, "left_outer").where(
+        F.col("__m_id").isNull()
+    )
+    return adj.select(
+        F.col("__ak").alias(key),
+        *[
+            F.col(f"__mv{mi}").alias(ms.name)
+            for mi, ms in enumerate(spec.measures)
+        ],
     )

@@ -2290,6 +2290,133 @@ def test_mr_stream_greedy_waits_for_window_close(spark, tmp_path):
     assert rows == [(1, 3, 1)]
 
 
+def test_mr_stream_join_lowering_matches_nfa_and_batch(spark, tmp_path):
+    """The eligible PATTERN (A B) class lowers to the JVM
+    stream-stream join machine (candidate interval join + LEFT OUTER
+    adjacency join): match set == the forced-NFA twin == batch,
+    including same-timestamp tie rows resolved by the (ts, id) total
+    order."""
+    import random as _random
+
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    rng = _random.Random(42)
+    rows, eid = [], 0
+    for uid in range(1, 6):
+        t0 = 0
+        for _ in range(30):
+            t0 += rng.choice([30, 120, 600])
+            eid += 1
+            hh, rem = divmod(t0, 3600)
+            mm, ss = divmod(rem, 60)
+            rows.append((
+                uid, f"2024-01-01 {10 + hh:02d}:{mm:02d}:{ss:02d}", eid,
+                rng.choice(["view", "click", "purchase"]),
+                float(rng.randint(0, 9)),
+            ))
+    # same-ts ties: adjacency must follow the (ts, id) order
+    rows += [
+        (1, "2024-01-01 10:00:30", 9001, "view", 1.0),
+        (1, "2024-01-01 10:00:30", 9002, "purchase", 2.0),
+        (1, "2024-01-01 10:00:30", 9003, "view", 3.0),
+    ]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id, B.value AS b_v
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'"""
+    batch = sorted(map(repr, (
+        (r.a_id, r.b_id, r.b_v)
+        for r in match_recognize(frame(spark, rows), clause).collect()
+    )))
+    assert len(batch) > 0
+
+    src = tmp_path / "src"
+    sent = [(99, "2024-01-02 00:00:00", 99990, "s", 0.0),
+            (99, "2024-01-03 00:00:00", 99991, "s", 0.0)]
+    for ch in (rows[:60], rows[60:], [sent[0]], [sent[1]]):
+        frame(spark, ch).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(engine, mode):
+        sdf = (
+            spark.readStream.schema(frame(spark, rows).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 minute")
+        )
+        out = run_to_memory(
+            match_recognize_stream(sdf, clause, engine=engine),
+            query_name=f"t_mrj_{engine}",
+            output_mode=mode,
+        )
+        return sorted(map(repr, (
+            (r.a_id, r.b_id, r.b_v) for r in out.collect()
+        )))
+
+    joined = drain("join", "append")
+    nfa = drain("nfa", "update")
+    assert joined == batch
+    assert nfa == batch
+    # the join path is a pure JVM plan — no Python stages anywhere
+    sdf = (
+        spark.readStream.schema(frame(spark, rows).schema)
+        .parquet(str(src)).withWatermark("ts", "1 minute")
+    )
+    auto = match_recognize_stream(sdf, clause)  # auto routes to join
+    plan = auto._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_mr_stream_join_blockers(spark, sf_dir):
+    """engine='join' names the blocking reason for every ineligible
+    shape; auto falls back to the NFA silently."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+
+    ev = table(spark, sf_dir, "events")
+
+    def join_raises(clause, msg):
+        with pytest.raises(ValueError, match=msg):
+            match_recognize_stream(ev, clause, engine="join")
+
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id PATTERN (S F* P)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               P AS P.event_type = 'purchase'""",
+        "two unquantified elements")
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, MATCH_NUMBER() AS mno
+        PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""",
+        "no join spelling")
+    # consuming skip without a disjointness proof (non-equality
+    # defines): candidates may overlap -> NFA
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.value > 3, B AS B.value <= 3""",
+        "provably disjoint")
+    # ...but TO NEXT ROW needs no proof (anchors are independent)
+    q = match_recognize_stream(
+        ev.withWatermark("ts", "1 minute"),
+        """PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.value > 3, B AS B.value <= 3""",
+        engine="join",
+    )
+    assert q is not None
+
+
 def test_mr_stream_requires_within(spark, sf_dir):
     from flink_framework_spark.io import table
     from flink_framework_spark.streaming.mr import match_recognize_stream
