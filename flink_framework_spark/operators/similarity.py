@@ -562,22 +562,34 @@ def semantic_dedup_incremental(
     )
 
 
-def _cell_assign_vec(centroids):
-    """Arrow-vectorized twin of ``_cell_assign`` (same discipline as
-    ``pq.pq_codes_vec``): one numpy distance-matrix argmin per batch,
-    float64, ties to the lowest cell id — matching the (d, cell)
-    struct-min of the expression form up to the documented 1-ulp
-    pairwise-vs-sequential summation caveat."""
+def _argmin_cells(vs: pd.Series, centroids):
+    """Shared numpy core of the vectorized assignment kernels: one
+    distance-matrix argmin per Arrow batch, float64, ties to the
+    lowest cell id — matching the (d, cell) struct-min of the
+    expression form up to the documented 1-ulp pairwise-vs-sequential
+    summation caveat. Returns (cell_ids[n], d2[n]) or (None, None)
+    for an empty batch. ONE place owns the tie/NaN discipline so the
+    cell-only and cell+distance kernels cannot drift apart."""
     mat = np.array([c for _, c in centroids], dtype=np.float64)
     cell_ids = np.array([int(i) for i, _ in centroids], dtype=np.int32)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+    if len(X) == 0:
+        return None, None
+    d2 = _pairwise_d2(X, mat)
+    best = d2.argmin(axis=1)
+    return cell_ids[best], d2[np.arange(len(X)), best]
+
+
+def _cell_assign_vec(centroids):
+    """Arrow-vectorized twin of ``_cell_assign`` (same discipline as
+    ``pq.pq_codes_vec``) — see :func:`_argmin_cells` for the kernel."""
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(X) == 0:
+        cells, _d2 = _argmin_cells(vs, centroids)
+        if cells is None:
             return pd.Series([], dtype="int32")
-        d2 = _pairwise_d2(X, mat)
-        return pd.Series(cell_ids[d2.argmin(axis=1)])
+        return pd.Series(cells)
 
     return assign
 
@@ -585,23 +597,15 @@ def _cell_assign_vec(centroids):
 def _cell_assign_vec_d(centroids):
     """Like :func:`_cell_assign_vec` but returning the assignment AND
     its squared distance (``struct<cell int, d double>``) — the shape
-    ``kmeans_lloyd``'s final pass needs. Same argmin/tie discipline
-    and the same 1-ulp summation caveat as the cell-only kernel."""
-    mat = np.array([c for _, c in centroids], dtype=np.float64)
-    cell_ids = np.array([int(i) for i, _ in centroids], dtype=np.int32)
+    ``kmeans_lloyd``'s final pass needs."""
 
     @F.pandas_udf("cell int, d double")
     def assign(vs: pd.Series) -> pd.DataFrame:
-        X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        if len(X) == 0:
+        cells, d2 = _argmin_cells(vs, centroids)
+        if cells is None:
             return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
                                  "d": pd.Series([], dtype="float64")})
-        d2 = _pairwise_d2(X, mat)
-        best = d2.argmin(axis=1)
-        return pd.DataFrame({
-            "cell": cell_ids[best],
-            "d": d2[np.arange(len(X)), best],
-        })
+        return pd.DataFrame({"cell": cells, "d": d2})
 
     return assign
 

@@ -68,14 +68,18 @@ def match_recognize_stream(
 
     ``engine``: ``"auto"`` lowers ELIGIBLE two-element singleton
     patterns onto the JVM stream-stream join machine
-    (:func:`_mr_stream_pair_join` — append mode, measured an order of
-    magnitude above the Arrow NFA in bench.py) and keeps the per-key
-    Arrow NFA for everything else; ``"join"`` forces the join
-    lowering (raises with the blocking reason when ineligible);
-    ``"nfa"`` forces the NFA (the equivalence tests route both
-    ways). ``join_watermark`` is the join path's watermark delay on
-    its re-derived per-side event-time columns (the NFA path uses
-    the source stream's own watermark)."""
+    (:func:`_mr_stream_pair_join` — measured an order of magnitude
+    above the Arrow NFA in bench.py) and keeps the per-key Arrow NFA
+    for everything else; ``"join"`` forces the join lowering (raises
+    with the blocking reason when ineligible); ``"nfa"`` forces the
+    NFA (the equivalence tests route both ways). OUTPUT MODE follows
+    the machine (the :meth:`Pattern.match_stream` convention): the
+    join lowering is a stream-stream join and runs in ``append``
+    mode, the NFA emits in ``update`` — a sink pinned to one mode
+    should pin the engine too. ``join_watermark`` is the join path's
+    watermark delay on its re-derived per-side event-time columns,
+    used only when the source is not already watermarked (the normal
+    watermarked source is inherited as-is on both paths)."""
     if engine not in ("auto", "join", "nfa"):
         raise ValueError(f"engine must be auto|join|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
@@ -290,6 +294,12 @@ def _mr_join_blocker(spec, events: DataFrame) -> str | None:
             "join lowering needs exactly two unquantified elements "
             "(PATTERN (A B))"
         )
+    if len(spec.order_by) > 1:
+        return (
+            "multi-column ORDER BY keeps the NFA — the join "
+            "lowering's adjacency predicates know only the "
+            "(order_by[0], id) total order"
+        )
     if spec.agg_defines or spec.nav_defines:
         return (
             "anchor-stateful DEFINEs (aggregates / FIRST/LAST "
@@ -384,6 +394,12 @@ def _mr_stream_pair_join(
             return F.timestamp_micros(F.unix_micros(F.col(c)))
         return F.col(c).cast("string").cast(ts_type)
 
+    def mval(ms):
+        # a measure over the ORDER BY column would copy the
+        # watermark-tagged attribute — demote the copy so exactly one
+        # event-time column per side enters the stateful joins
+        return demote(ts_col) if ms.col == ts_col else F.col(ms.col)
+
     a_meas = [
         (mi, ms) for mi, ms in enumerate(spec.measures) if ms.var == va
     ]
@@ -399,7 +415,7 @@ def _mr_stream_pair_join(
             F.col(key).alias("__ak"),
             F.col(ts_col).alias("__a_ts"),
             F.col(id_col).alias("__a_id"),
-            *[F.col(ms.col).alias(f"__mv{mi}") for mi, ms in a_meas],
+            *[mval(ms).alias(f"__mv{mi}") for mi, ms in a_meas],
         )
     )
     a = wm(a, "__a_ts")
@@ -409,14 +425,18 @@ def _mr_stream_pair_join(
             F.col(key).alias("__bk"),
             F.col(ts_col).alias("__b_ts"),
             F.col(id_col).alias("__b_id"),
-            *[F.col(ms.col).alias(f"__mv{mi}") for mi, ms in b_meas],
+            *[mval(ms).alias(f"__mv{mi}") for mi, ms in b_meas],
         )
     )
     b = wm(b, "__b_ts")
     pairs = (
         a.join(
             b,
-            (F.col("__ak") == F.col("__bk"))
+            # null-safe: a NULL partition key is a real partition
+            # on the NFA/batch paths (groupBy) — plain == would
+            # silently drop its matches here (the batch relational
+            # path fixed the same bug with eqNullSafe)
+            (F.col("__ak").eqNullSafe(F.col("__bk")))
             # two-sided range on the event-time pair -> state evicts
             & (F.col("__b_ts") >= F.col("__a_ts"))
             & (F.col("__b_ts") <= F.col("__a_ts") + horizon)
@@ -434,11 +454,15 @@ def _mr_stream_pair_join(
             F.col(key).alias("__mk"),
             F.col(ts_col).alias("__m_ts"),
             F.col(id_col).alias("__m_id"),
+            # literal hit marker: the null-intruder filter below must
+            # not key on a DATA column (a NULL id_col intruder would
+            # be indistinguishable from "no intruder")
+            F.lit(True).alias("__m_hit"),
         )
     )
     mid = wm(mid, "__m_ts")
     between = (
-        (F.col("__mk") == F.col("__ak"))
+        (F.col("__mk").eqNullSafe(F.col("__ak")))
         # two-sided range vs the surviving event-time column
         & (F.col("__m_ts") <= F.col("__b_ts"))
         & (F.col("__m_ts") >= F.col("__b_ts") - horizon)
@@ -456,7 +480,7 @@ def _mr_stream_pair_join(
         )
     )
     adj = pairs.join(mid, between, "left_outer").where(
-        F.col("__m_id").isNull()
+        F.col("__m_hit").isNull()
     )
     return adj.select(
         F.col("__ak").alias(key),

@@ -2321,6 +2321,19 @@ def test_mr_stream_join_lowering_matches_nfa_and_batch(spark, tmp_path):
         (1, "2024-01-01 10:00:30", 9002, "purchase", 2.0),
         (1, "2024-01-01 10:00:30", 9003, "view", 3.0),
     ]
+    # a NULL partition key is a real partition on every engine (the
+    # join lowering must use null-safe key equality)
+    rows += [
+        (None, "2024-01-01 10:00:00", 9101, "view", 1.0),
+        (None, "2024-01-01 10:01:00", 9102, "purchase", 2.0),
+    ]
+    # a NULL-id intruder still breaks adjacency (the null-intruder
+    # filter must key on a literal marker, not the data id column)
+    rows += [
+        (7, "2024-01-01 10:00:00", 9201, "view", 1.0),
+        (7, "2024-01-01 10:01:00", None, "click", 0.0),
+        (7, "2024-01-01 10:02:00", 9203, "purchase", 2.0),
+    ]
     clause = """
         PARTITION BY user_id ORDER BY ts
         MEASURES A.event_id AS a_id, B.event_id AS b_id, B.value AS b_v
@@ -2362,6 +2375,10 @@ def test_mr_stream_join_lowering_matches_nfa_and_batch(spark, tmp_path):
     nfa = drain("nfa", "update")
     assert joined == batch
     assert nfa == batch
+    # the NULL-key partition's match survived on every path...
+    assert repr((9101, 9102, 2.0)) in joined
+    # ...and the NULL-id intruder's pair was rejected on every path
+    assert not any("9201" in m for m in joined)
     # the join path is a pure JVM plan — no Python stages anywhere
     sdf = (
         spark.readStream.schema(frame(spark, rows).schema)
@@ -2396,6 +2413,14 @@ def test_mr_stream_join_blockers(spark, sf_dir):
         DEFINE A AS A.event_type = 'view',
                B AS B.event_type = 'purchase'""",
         "no join spelling")
+    # multi-column ORDER BY: the join's adjacency predicates know
+    # only the (order_by[0], id) total order
+    join_raises("""PARTITION BY user_id ORDER BY ts, value
+        MEASURES A.event_id AS a_id
+        PATTERN (A B) WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'""",
+        "multi-column ORDER BY")
     # consuming skip without a disjointness proof (non-equality
     # defines): candidates may overlap -> NFA
     join_raises("""PARTITION BY user_id ORDER BY ts
