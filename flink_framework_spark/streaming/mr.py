@@ -489,3 +489,37 @@ def _mr_stream_pair_join(
             for mi, ms in enumerate(spec.measures)
         ],
     )
+
+
+def stream_route_info(clause: str, events: DataFrame | None = None) -> dict:
+    """Explain how :func:`match_recognize_stream` would execute
+    ``clause`` under ``engine='auto'`` — the streaming twin of the
+    batch :func:`operators.match_recognize.route_info` diagnostic:
+    ``{"engine": "join" | "nfa", "reason": ..., "output_mode": ...}``.
+
+    The disjoint-anchor proof behind consuming skips needs the input
+    schema; without ``events`` those clauses report the NFA with a
+    ``"schema-dependent (pass events)"`` note rather than guessing."""
+    spec = parse_match_recognize(clause)
+    if events is None and spec.skip != "to_next":
+        probe = None
+    else:
+        probe = events
+    if probe is None and spec.skip != "to_next":
+        return {
+            "engine": "nfa",
+            "reason": "schema-dependent (pass events): consuming "
+            "skips lower to joins only under the disjoint-anchor "
+            "proof, which needs the input schema",
+            "output_mode": "update",
+        }
+    blocker = _mr_join_blocker(spec, probe)
+    if blocker is None:
+        return {
+            "engine": "join",
+            "reason": "two-singleton PATTERN with last-row-binding "
+            "measures — candidate interval join + LEFT OUTER "
+            "adjacency join, zero Python",
+            "output_mode": "append",
+        }
+    return {"engine": "nfa", "reason": blocker, "output_mode": "update"}

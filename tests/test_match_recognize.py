@@ -2969,3 +2969,31 @@ def test_fuzz_subset_singleton_vs_nfa(spark, seed):
     a = sorted(repr(tuple(r)) for r in rel.collect())
     b = sorted(repr(tuple(r)) for r in nfa.collect())
     assert a == b, f"seed {seed}: {clause}"
+
+
+def test_stream_route_info(spark, sf_dir):
+    """The streaming routing diagnostic mirrors the batch route_info:
+    eligible pairs report the join machine (+ its append mode),
+    ineligible shapes name the blocker, and consuming skips without a
+    schema report the schema dependence instead of guessing."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.mr import stream_route_info
+
+    pair = """PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'"""
+    info = stream_route_info(pair)
+    assert info["engine"] == "join" and info["output_mode"] == "append"
+    info = stream_route_info(pair.replace("PATTERN (A B)",
+                                          "PATTERN (A F* B)"))
+    assert info["engine"] == "nfa" and "two unquantified" in info["reason"]
+    consuming = pair.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
+    info = stream_route_info(consuming)
+    assert info["engine"] == "nfa" and "schema-dependent" in info["reason"]
+    ev = table(spark, sf_dir, "events")
+    info = stream_route_info(consuming, ev)
+    assert info["engine"] == "join"  # disjoint-anchor proof resolves
