@@ -735,3 +735,69 @@ def q_mr_define_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     current value is not strictly below)."""
     out = mr_define_nav_frame(table(spark, sf_dir, "events"))
     return out.select("user_id", "top_v", "bot_v", "n", "a_id", "mno")
+
+
+@register(
+    "q_mr_define_nav_v",
+    family="I",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER w AS rn,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT *, COALESCE(value < pv, FALSE) AS dn FROM o),
+d AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn)
+            AS isl
+  FROM f WHERE dn),
+g AS (SELECT user_id, isl, max(rn) AS end_rn FROM d GROUP BY 1, 2),
+m AS (
+  SELECT d.user_id, d.rn, g.end_rn,
+         (g.end_rn - d.rn + 1) AS n_down
+  FROM d JOIN g ON g.user_id = d.user_id AND g.isl = d.isl)
+SELECT m.user_id, a.value AS strt_v, b.value AS bottom_v,
+       u.value AS up_v, CAST(n_down AS BIGINT) AS n_down,
+       CAST(row_number() OVER (PARTITION BY m.user_id ORDER BY m.rn)
+            AS BIGINT) AS mno
+FROM m
+JOIN o a ON a.user_id = m.user_id AND a.rn = m.rn - 1
+JOIN o b ON b.user_id = m.user_id AND b.rn = m.end_rn
+JOIN o u ON u.user_id = m.user_id AND u.rn = m.end_rn + 1
+WHERE u.value >= b.value
+""",
+)
+def q_mr_define_nav_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Flink-docs V-pattern in its MATCH-RELATIVE spelling —
+    ``DOWN AS (LAST(DOWN.value, 1) IS NULL AND DOWN.value <
+    LAST(STRT.value, 0)) OR DOWN.value < LAST(DOWN.value, 1)`` —
+    exercising the whole navigation surface in one clause: the
+    ``IS NULL`` first-row guard, self-navigation over the run, and
+    the cross-variable ``LAST(STRT.value, 0)`` read of the fixed
+    anchor row (the SQL standard's spelling of the anchor
+    comparison, which a bare ``STRT.value`` would NOT give under
+    this engine's candidate-row DEFINE semantics). Within a
+    contiguous run this is value-for-value the physical-PREV
+    spelling (q_mr_prev — LAST(DOWN,1) at run position r IS the
+    physical previous row, and the first DOWN row's anchor
+    comparison IS its physical PREV), so the two queries share one
+    declarative gaps-and-islands oracle while compiling to the two
+    different engine classes (q_mr_prev: relational run plan with a
+    lag pass; this query: the anchor-stateful NFA, route_info names
+    the nav-DEFINE reason)."""
+    out = match_recognize(table(spark, sf_dir, "events"), """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES STRT.value AS strt_v, LAST(DOWN.value) AS bottom_v,
+                 UP.value AS up_v, COUNT(DOWN.*) AS n_down,
+                 MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS (LAST(DOWN.value, 1) IS NULL
+                        AND DOWN.value < LAST(STRT.value, 0))
+                       OR DOWN.value < LAST(DOWN.value, 1),
+               UP AS UP.value >= PREV(UP.value)""")
+    return out.select(
+        "user_id", "strt_v", "bottom_v", "up_v", "n_down", "mno"
+    )
