@@ -66,9 +66,9 @@ def match_recognize_stream(
     is emitted exactly once, when the watermark closes its anchor's
     WITHIN window.
 
-    ``engine``: ``"auto"`` lowers ELIGIBLE two-element singleton
-    patterns onto the JVM stream-stream join machine
-    (:func:`_mr_stream_pair_join` — measured an order of magnitude
+    ``engine``: ``"auto"`` lowers ELIGIBLE all-singleton fixed
+    chains onto the JVM stream-stream join machine
+    (:func:`_mr_stream_chain_join` — measured an order of magnitude
     above the Arrow NFA in bench.py) and keeps the per-key Arrow NFA
     for everything else; ``"join"`` forces the join lowering (raises
     with the blocking reason when ineligible); ``"nfa"`` forces the
@@ -143,7 +143,7 @@ def match_recognize_stream(
     if engine != "nfa":
         blocker = _mr_join_blocker(spec, events)
         if blocker is None:
-            return _mr_stream_pair_join(
+            return _mr_stream_chain_join(
                 events, spec, id_col, join_watermark
             )
         if engine == "join":
@@ -271,28 +271,31 @@ def match_recognize_stream(
 
 def _mr_join_blocker(spec, events: DataFrame) -> str | None:
     """Why this clause cannot lower to the JVM stream-stream join
-    machine — or None when it can. Eligible class: a two-element
-    all-singleton PATTERN (A B) whose matches are exactly the
-    adjacent (A-row, B-row) pairs inside WITHIN — candidate pairs are
-    one watermarked interval join, strict contiguity ("no row
-    between") is one watermarked LEFT OUTER interval join against the
-    unfiltered stream filtered to the null (no-intruder) rows, and
-    every consuming skip strategy degenerates to keep-all-candidates
-    when the two DEFINEs are provably disjoint (the batch
-    disjoint-anchor proof: a B-row can never anchor, so matches
-    cannot overlap). Measures must be plain last-row bindings
-    (VAR.col / offset-0 FIRST/LAST) — values that ride the join
-    sides; MATCH_NUMBER() and aggregates need the sequential scan."""
+    machine — or None when it can. Eligible class: an all-singleton
+    fixed chain PATTERN (E0 E1 .. Ek-1) whose matches are exactly the
+    k-tuples of CONSECUTIVE rows whose flags line up inside WITHIN —
+    candidate chains are k-1 cascaded watermarked interval joins,
+    strict contiguity ("no row between" each adjacent pair) is k-1
+    watermarked LEFT OUTER interval joins against the unfiltered
+    stream filtered to the null (no-intruder) rows, and every
+    consuming skip strategy degenerates to keep-all-candidates when
+    the anchor DEFINE is provably disjoint from every later element's
+    (the batch disjoint-anchor proof: no row inside a match can
+    anchor another, so candidates cannot overlap). Measures must be
+    plain last-row bindings (VAR.col / offset-0 FIRST/LAST) — values
+    that ride the join sides; MATCH_NUMBER() and aggregates need the
+    sequential scan. Cost: 2(k-1) stateful operators — the per-batch
+    fixed cost grows with chain length, the per-row cost does not."""
     from flink_framework_spark.operators.match_recognize import (
         _anchor_disjoint,
     )
 
-    if len(spec.elements) != 2 or any(
+    if len(spec.elements) < 2 or any(
         not (e.n_min == 1 and e.n_max == 1) for e in spec.elements
     ):
         return (
-            "join lowering needs exactly two unquantified elements "
-            "(PATTERN (A B))"
+            "join lowering needs an all-singleton chain of at least "
+            "two elements (PATTERN (A B ...), no quantifiers)"
         )
     if len(spec.order_by) > 1:
         return (
@@ -305,14 +308,14 @@ def _mr_join_blocker(spec, events: DataFrame) -> str | None:
             "anchor-stateful DEFINEs (aggregates / FIRST/LAST "
             "navigation) keep the NFA"
         )
-    if spec.elements[0].var == spec.elements[1].var:
+    names = [e.var for e in spec.elements]
+    if len(set(names)) != len(names):
         return "repeated variable names keep the NFA"
-    va, vb = spec.elements[0].var, spec.elements[1].var
     for ms in spec.measures:
         if (
             ms.func in ("VAR_COL", "FIRST", "LAST")
             and ms.offset == 0
-            and ms.var in (va, vb)
+            and ms.var in names
         ):
             continue
         return (
@@ -325,33 +328,39 @@ def _mr_join_blocker(spec, events: DataFrame) -> str | None:
     if not _anchor_disjoint(spec, events):
         return (
             f"AFTER MATCH SKIP {spec.skip} consumes rows — join-safe "
-            "only when the two DEFINEs are provably disjoint literal "
-            "equalities (candidates then cannot overlap)"
+            "only when the anchor DEFINE is provably disjoint from "
+            "every later element's literal equality (candidates then "
+            "cannot overlap)"
         )
     return None
 
 
-def _mr_stream_pair_join(
+def _mr_stream_chain_join(
     events: DataFrame, spec, id_col: str, watermark: str
 ) -> DataFrame:
-    """The JVM lowering of an eligible PATTERN (A B) clause (see
-    :func:`_mr_join_blocker`): candidate pairs by watermarked
-    stream-stream interval join, strict contiguity by a LEFT OUTER
-    interval join against the unfiltered stream (a pair survives iff
-    NO row sits lexicographically between its two rows in the
-    per-key (ts, id) total order — the exact adjacency the NFA
-    scans for), append mode, zero Python. Same output columns as the
-    NFA path: partition key + one column per measure.
+    """The JVM lowering of an eligible all-singleton chain
+    PATTERN (E0 .. Ek-1) (see :func:`_mr_join_blocker`): candidate
+    chains by k-1 cascaded watermarked stream-stream interval joins,
+    strict contiguity by k-1 LEFT OUTER interval joins against the
+    unfiltered stream (a chain survives iff NO row sits
+    lexicographically between any adjacent pair in the per-key
+    (ts, id) total order — exactly the adjacency the NFA scans for),
+    append mode, zero Python. Same output columns as the NFA path:
+    partition key + one column per measure.
 
     Join-state mechanics (the sequence_matches_join discipline):
-    each side re-derives its own watermarked event-time column; the
-    candidate join carries two-sided range bounds (``b_ts >= a_ts``
-    and ``b_ts <= a_ts + WITHIN``) so both sides' state evicts; after
-    it, the A timestamp is DEMOTED to a plain value and only ``b_ts``
-    stays watermarked to drive the adjacency join, whose bounds
-    (``m_ts <= b_ts`` / ``m_ts >= b_ts - WITHIN``) both finalize the
-    outer null rows and evict the intruder side's state; the strict
-    lexicographic between-ness rides as residual predicates."""
+    each side re-derives its own watermarked event-time column; every
+    candidate edge carries two-sided range bounds (``t_i >= t_{i-1}``
+    and ``t_i <= t_{i-1} + WITHIN``) so both sides' state evicts,
+    plus the anchor-span residual ``t_i <= t_0 + WITHIN`` from the
+    third element on (the WITHIN contract is first-to-last); after
+    each edge the superseded timestamp is DEMOTED to a plain value so
+    exactly one event-time column (the newest) drives the next
+    stateful operator. Each adjacency join bounds the intruder via
+    the surviving watermarked column (``m_ts <= t_{k-1}`` /
+    ``m_ts >= t_{k-1} - WITHIN``) — both finalizing the outer null
+    rows and evicting intruder state — with the strict lexicographic
+    between-ness as residual predicates on the demoted pair."""
     from pyspark.sql import functions as F
 
     from flink_framework_spark.operators.match_recognize import (
@@ -372,8 +381,7 @@ def _mr_stream_pair_join(
 
     key = spec.partition_by
     ts_col = spec.order_by[0]
-    ea, eb = spec.elements
-    va, vb = ea.var, eb.var
+    k = len(spec.elements)
     ts_type = {f.name: f.dataType.simpleString() for f in events.schema}[
         ts_col
     ]
@@ -387,9 +395,13 @@ def _mr_stream_pair_join(
         return F.coalesce(cond, F.lit(False))
 
     def demote(c: str):
-        # value-identical copy without the event-time/watermark tag;
-        # NTZ has no micros round-trip builtin, so string round-trip
-        # (micros-exact both ways)
+        # value-identical copy without the event-time/watermark tag.
+        # The non-TIMESTAMP branch is defensive only: Spark rejects
+        # watermarks on TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE], verified on 4.1.2), so a real stream
+        # reaching here always carries a plain TIMESTAMP — the string
+        # round-trip (micros-exact both ways) only runs for dry
+        # construction against batch frames
         if ts_type == "timestamp":
             return F.timestamp_micros(F.unix_micros(F.col(c)))
         return F.col(c).cast("string").cast(ts_type)
@@ -400,90 +412,96 @@ def _mr_stream_pair_join(
         # event-time column per side enters the stateful joins
         return demote(ts_col) if ms.col == ts_col else F.col(ms.col)
 
-    a_meas = [
-        (mi, ms) for mi, ms in enumerate(spec.measures) if ms.var == va
-    ]
-    b_meas = [
-        (mi, ms) for mi, ms in enumerate(spec.measures) if ms.var == vb
-    ]
+    side_meas = {
+        i: [
+            (mi, ms)
+            for mi, ms in enumerate(spec.measures)
+            if ms.var == spec.elements[i].var
+        ]
+        for i in range(k)
+    }
     within_us = round(spec.within_s * 1e6)
     horizon = F.expr(f"INTERVAL {within_us} MICROSECOND")
 
-    a = (
-        events.filter(flag(va))
-        .select(
-            F.col(key).alias("__ak"),
-            F.col(ts_col).alias("__a_ts"),
-            F.col(id_col).alias("__a_id"),
-            *[mval(ms).alias(f"__mv{mi}") for mi, ms in a_meas],
+    def step(i: int) -> DataFrame:
+        df = events.filter(flag(spec.elements[i].var)).select(
+            F.col(key).alias(f"__k{i}"),
+            F.col(ts_col).alias(f"__t{i}"),
+            F.col(id_col).alias(f"__i{i}"),
+            *[mval(ms).alias(f"__mv{mi}") for mi, ms in side_meas[i]],
         )
-    )
-    a = wm(a, "__a_ts")
-    b = (
-        events.filter(flag(vb))
-        .select(
-            F.col(key).alias("__bk"),
-            F.col(ts_col).alias("__b_ts"),
-            F.col(id_col).alias("__b_id"),
-            *[mval(ms).alias(f"__mv{mi}") for mi, ms in b_meas],
-        )
-    )
-    b = wm(b, "__b_ts")
-    pairs = (
-        a.join(
-            b,
-            # null-safe: a NULL partition key is a real partition
-            # on the NFA/batch paths (groupBy) — plain == would
-            # silently drop its matches here (the batch relational
-            # path fixed the same bug with eqNullSafe)
-            (F.col("__ak").eqNullSafe(F.col("__bk")))
+        return wm(df, f"__t{i}")
+
+    cur = step(0)
+    for i in range(1, k):
+        cond = (
+            # null-safe: a NULL partition key is a real partition on
+            # the NFA/batch paths (groupBy) — plain == would silently
+            # drop its matches here (the batch relational path fixed
+            # the same bug with eqNullSafe)
+            F.col("__k0").eqNullSafe(F.col(f"__k{i}"))
             # two-sided range on the event-time pair -> state evicts
-            & (F.col("__b_ts") >= F.col("__a_ts"))
-            & (F.col("__b_ts") <= F.col("__a_ts") + horizon)
+            & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
+            & (F.col(f"__t{i}") <= F.col(f"__t{i-1}") + horizon)
             # strictly-after in the (ts, id) total order (residual)
             & (
-                (F.col("__b_ts") > F.col("__a_ts"))
-                | (F.col("__b_id") > F.col("__a_id"))
-            ),
-        )
-        .drop("__bk")
-        .withColumn("__a_ts", demote("__a_ts"))
-    )
-    mid = (
-        events.select(
-            F.col(key).alias("__mk"),
-            F.col(ts_col).alias("__m_ts"),
-            F.col(id_col).alias("__m_id"),
-            # literal hit marker: the null-intruder filter below must
-            # not key on a DATA column (a NULL id_col intruder would
-            # be indistinguishable from "no intruder")
-            F.lit(True).alias("__m_hit"),
-        )
-    )
-    mid = wm(mid, "__m_ts")
-    between = (
-        (F.col("__mk").eqNullSafe(F.col("__ak")))
-        # two-sided range vs the surviving event-time column
-        & (F.col("__m_ts") <= F.col("__b_ts"))
-        & (F.col("__m_ts") >= F.col("__b_ts") - horizon)
-        # strictly between a and b in the (ts, id) total order
-        & (
-            (F.col("__m_ts") > F.col("__a_ts"))
-            | (
-                (F.col("__m_ts") == F.col("__a_ts"))
-                & (F.col("__m_id") > F.col("__a_id"))
+                (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+                | (F.col(f"__i{i}") > F.col(f"__i{i-1}"))
             )
         )
-        & (
-            (F.col("__m_ts") < F.col("__b_ts"))
-            | (F.col("__m_id") < F.col("__b_id"))
+        if i >= 2:
+            # the WITHIN contract is first-to-last: anchor-span bound
+            # as a residual on the (demoted) anchor timestamp
+            cond = cond & (F.col(f"__t{i}") <= F.col("__t0") + horizon)
+        cur = (
+            cur.join(step(i), cond)
+            .drop(f"__k{i}")
+            .withColumn(f"__t{i-1}", demote(f"__t{i-1}"))
         )
-    )
-    adj = pairs.join(mid, between, "left_outer").where(
-        F.col("__m_hit").isNull()
-    )
-    return adj.select(
-        F.col("__ak").alias(key),
+
+    last_t = f"__t{k-1}"  # the one surviving watermarked column
+    for i in range(1, k):
+        mid = wm(
+            events.select(
+                F.col(key).alias("__mk"),
+                F.col(ts_col).alias("__m_ts"),
+                F.col(id_col).alias("__m_id"),
+                # literal hit marker: the null-intruder filter below
+                # must not key on a DATA column (a NULL id_col
+                # intruder would be indistinguishable from "no
+                # intruder")
+                F.lit(True).alias("__m_hit"),
+            ),
+            "__m_ts",
+        )
+        between = (
+            (F.col("__mk").eqNullSafe(F.col("__k0")))
+            # two-sided range vs the surviving event-time column
+            & (F.col("__m_ts") <= F.col(last_t))
+            & (F.col("__m_ts") >= F.col(last_t) - horizon)
+            # strictly between rows i-1 and i in the (ts, id) order
+            & (
+                (F.col("__m_ts") > F.col(f"__t{i-1}"))
+                | (
+                    (F.col("__m_ts") == F.col(f"__t{i-1}"))
+                    & (F.col("__m_id") > F.col(f"__i{i-1}"))
+                )
+            )
+            & (
+                (F.col("__m_ts") < F.col(f"__t{i}"))
+                | (
+                    (F.col("__m_ts") == F.col(f"__t{i}"))
+                    & (F.col("__m_id") < F.col(f"__i{i}"))
+                )
+            )
+        )
+        cur = (
+            cur.join(mid, between, "left_outer")
+            .where(F.col("__m_hit").isNull())
+            .drop("__mk", "__m_ts", "__m_id", "__m_hit")
+        )
+    return cur.select(
+        F.col("__k0").alias(key),
         *[
             F.col(f"__mv{mi}").alias(ms.name)
             for mi, ms in enumerate(spec.measures)
@@ -517,9 +535,9 @@ def stream_route_info(clause: str, events: DataFrame | None = None) -> dict:
     if blocker is None:
         return {
             "engine": "join",
-            "reason": "two-singleton PATTERN with last-row-binding "
-            "measures — candidate interval join + LEFT OUTER "
-            "adjacency join, zero Python",
+            "reason": "all-singleton chain with last-row-binding "
+            "measures — cascaded candidate interval joins + LEFT "
+            "OUTER adjacency joins, zero Python",
             "output_mode": "append",
         }
     return {"engine": "nfa", "reason": blocker, "output_mode": "update"}

@@ -2389,6 +2389,73 @@ def test_mr_stream_join_lowering_matches_nfa_and_batch(spark, tmp_path):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_mr_stream_chain_join_matches_nfa_and_batch(spark, tmp_path):
+    """The k-chain generalization: an all-singleton PATTERN (A B C)
+    lowers to 2 cascaded candidate joins + 2 adjacency outers (zero
+    Python) with the same match set as the forced NFA and batch —
+    three CONSECUTIVE rows whose flags line up inside WITHIN."""
+    import random as _random
+
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    rng = _random.Random(77)
+    rows, eid = [], 0
+    for uid in range(1, 6):
+        t0 = 0
+        for _ in range(40):
+            t0 += rng.choice([30, 120, 600])
+            eid += 1
+            hh, rem = divmod(t0, 3600)
+            mm, ss = divmod(rem, 60)
+            rows.append((
+                uid, f"2024-01-01 {10 + hh:02d}:{mm:02d}:{ss:02d}", eid,
+                rng.choice(["view", "click", "purchase"]),
+                float(rng.randint(0, 9)),
+            ))
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, B.event_id AS b_id,
+                 C.event_id AS c_id, C.value AS c_v
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B C)
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'"""
+    batch = sorted(map(repr, (
+        (r.a_id, r.b_id, r.c_id, r.c_v)
+        for r in match_recognize(frame(spark, rows), clause).collect()
+    )))
+    assert len(batch) > 0
+
+    src = tmp_path / "src"
+    sent = [(99, "2024-01-02 00:00:00", 99990, "s", 0.0),
+            (99, "2024-01-03 00:00:00", 99991, "s", 0.0)]
+    for ch in (rows[:100], rows[100:], [sent[0]], [sent[1]]):
+        frame(spark, ch).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(engine, mode):
+        sdf = (
+            spark.readStream.schema(frame(spark, rows).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 minute")
+        )
+        out = run_to_memory(
+            match_recognize_stream(sdf, clause, engine=engine),
+            query_name=f"t_mrc_{engine}",
+            output_mode=mode,
+        )
+        return sorted(map(repr, (
+            (r.a_id, r.b_id, r.c_id, r.c_v) for r in out.collect()
+        )))
+
+    assert drain("join", "append") == batch
+    assert drain("nfa", "update") == batch
+
+
 def test_mr_stream_join_blockers(spark, sf_dir):
     """engine='join' names the blocking reason for every ineligible
     shape; auto falls back to the NFA silently."""
@@ -2406,7 +2473,7 @@ def test_mr_stream_join_blockers(spark, sf_dir):
         WITHIN INTERVAL '1' HOUR
         DEFINE S AS S.event_type = 'signup',
                P AS P.event_type = 'purchase'""",
-        "two unquantified elements")
+        "all-singleton chain")
     join_raises("""PARTITION BY user_id ORDER BY ts
         MEASURES A.event_id AS a_id, MATCH_NUMBER() AS mno
         PATTERN (A B) WITHIN INTERVAL '1' HOUR
@@ -2990,7 +3057,7 @@ def test_stream_route_info(spark, sf_dir):
     assert info["engine"] == "join" and info["output_mode"] == "append"
     info = stream_route_info(pair.replace("PATTERN (A B)",
                                           "PATTERN (A F* B)"))
-    assert info["engine"] == "nfa" and "two unquantified" in info["reason"]
+    assert info["engine"] == "nfa" and "all-singleton" in info["reason"]
     consuming = pair.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
     info = stream_route_info(consuming)
     assert info["engine"] == "nfa" and "schema-dependent" in info["reason"]
