@@ -83,63 +83,9 @@ def match_recognize_stream(
     if engine not in ("auto", "join", "nfa"):
         raise ValueError(f"engine must be auto|join|nfa, not {engine!r}")
     spec = parse_match_recognize(clause)
-    if len(spec.partition_cols) > 1:
-        raise ValueError(
-            "streaming MATCH_RECOGNIZE keys state on ONE partition "
-            "column — pre-combine the keys into a single column "
-            "(e.g. a struct or concat) or run the clause on the batch "
-            "engine, which supports multi-column PARTITION BY directly"
-        )
-    if spec.rows == "all":
-        raise ValueError(
-            "ALL ROWS PER MATCH is batch-only here (per-row streaming "
-            "emission with running measures has no bounded-state "
-            "finalization story); use ONE ROW PER MATCH on streams"
-        )
-    if spec.within_s is None:
-        raise ValueError(
-            "streaming MATCH_RECOGNIZE requires WITHIN — it bounds both "
-            "state and finalization latency"
-        )
-    from flink_framework_spark.operators.match_recognize import (
-        _compile_nav_define,
-        _rewrite_define,
-    )
-
-    # same detector the batch rewrite uses: literals are split out
-    # (navigation text inside a quoted string is not navigation) and
-    # PREV(x, 0) folds to the plain column (no cross-batch hazard) —
-    # only a REAL lag/lead requirement rejects
-    navs: dict[str, tuple[str, str, int]] = {}
-    for v, expr in spec.defines.items():
-        if expr is not None:
-            _rewrite_define(expr, spec.variables, navs, v)
-    if navs:
-        raise ValueError(
-            "PREV()/NEXT() in DEFINE is batch-only here: flags are "
-            "precomputed per micro-batch, and physical navigation "
-            "across batch boundaries under late data would read the "
-            "wrong neighbor — run the clause on the batch engine"
-        )
-    # FIRST/LAST navigation DEFINEs are buffer-safe on streams: every
-    # navigated position is at or after the match anchor, and the
-    # state buffer keeps everything from the first open anchor on.
-    # A PREV/NEXT call INSIDE one of these conditions is not (it can
-    # reach before the anchor, into rows already dropped) — reject it
-    # with the same batch-only message.
-    nav_defines = {}
-    for v, nexpr in spec.nav_defines.items():
-        fn, _ncols, physical = _compile_nav_define(
-            v, nexpr, spec.elements
-        )
-        if physical:
-            raise ValueError(
-                "PREV()/NEXT() in DEFINE is batch-only here: physical "
-                "navigation can reach before the match anchor, into "
-                "rows the stream state has already dropped — run the "
-                "clause on the batch engine"
-            )
-        nav_defines[v] = fn
+    reject, nav_defines = _stream_reject_reason(spec)
+    if reject is not None:
+        raise ValueError(reject)
     if engine != "nfa":
         blocker = _mr_join_blocker(spec, events)
         if blocker is None:
@@ -269,7 +215,77 @@ def match_recognize_stream(
     )
 
 
-def _mr_join_blocker(spec, events: DataFrame) -> str | None:
+def _stream_reject_reason(spec) -> tuple:
+    """The stream entry point's preconditions, shared by
+    :func:`match_recognize_stream` (which raises) and
+    :func:`stream_route_info` (which reports): returns
+    ``(reason_or_None, compiled_nav_defines)``."""
+    from flink_framework_spark.operators.match_recognize import (
+        _compile_nav_define,
+        _rewrite_define,
+    )
+
+    if len(spec.partition_cols) > 1:
+        return (
+            "streaming MATCH_RECOGNIZE keys state on ONE partition "
+            "column — pre-combine the keys into a single column "
+            "(e.g. a struct or concat) or run the clause on the batch "
+            "engine, which supports multi-column PARTITION BY directly",
+            {},
+        )
+    if spec.rows == "all":
+        return (
+            "ALL ROWS PER MATCH is batch-only here (per-row streaming "
+            "emission with running measures has no bounded-state "
+            "finalization story); use ONE ROW PER MATCH on streams",
+            {},
+        )
+    if spec.within_s is None:
+        return (
+            "streaming MATCH_RECOGNIZE requires WITHIN — it bounds "
+            "both state and finalization latency",
+            {},
+        )
+    # same detector the batch rewrite uses: literals are split out
+    # (navigation text inside a quoted string is not navigation) and
+    # PREV(x, 0) folds to the plain column (no cross-batch hazard) —
+    # only a REAL lag/lead requirement rejects
+    navs: dict[str, tuple[str, str, int]] = {}
+    for v, expr in spec.defines.items():
+        if expr is not None:
+            _rewrite_define(expr, spec.variables, navs, v)
+    if navs:
+        return (
+            "PREV()/NEXT() in DEFINE is batch-only here: flags are "
+            "precomputed per micro-batch, and physical navigation "
+            "across batch boundaries under late data would read the "
+            "wrong neighbor — run the clause on the batch engine",
+            {},
+        )
+    # FIRST/LAST navigation DEFINEs are buffer-safe on streams: every
+    # navigated position is at or after the match anchor, and the
+    # state buffer keeps everything from the first open anchor on.
+    # A PREV/NEXT call INSIDE one of these conditions is not (it can
+    # reach before the anchor, into rows already dropped) — reject it
+    # with the same batch-only message.
+    nav_defines = {}
+    for v, nexpr in spec.nav_defines.items():
+        fn, _ncols, physical = _compile_nav_define(
+            v, nexpr, spec.elements
+        )
+        if physical:
+            return (
+                "PREV()/NEXT() in DEFINE is batch-only here: physical "
+                "navigation can reach before the match anchor, into "
+                "rows the stream state has already dropped — run the "
+                "clause on the batch engine",
+                {},
+            )
+        nav_defines[v] = fn
+    return None, nav_defines
+
+
+def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
     """Why this clause cannot lower to the JVM stream-stream join
     machine — or None when it can. Eligible class: an all-singleton
     fixed chain PATTERN (E0 E1 .. Ek-1) whose matches are exactly the
@@ -325,6 +341,15 @@ def _mr_join_blocker(spec, events: DataFrame) -> str | None:
         )
     if spec.skip == "to_next":
         return None
+    if events is None:
+        # the one schema-dependent decision: consuming skips need the
+        # disjoint-anchor proof, which canonicalizes the DEFINE
+        # literals against the input column types
+        return (
+            "schema-dependent (pass events): consuming skips lower "
+            "to joins only under the disjoint-anchor proof, which "
+            "needs the input schema"
+        )
     if not _anchor_disjoint(spec, events):
         return (
             f"AFTER MATCH SKIP {spec.skip} consumes rows — join-safe "
@@ -460,20 +485,21 @@ def _mr_stream_chain_join(
         )
 
     last_t = f"__t{k-1}"  # the one surviving watermarked column
+    # the intruder side is loop-invariant: each adjacency join still
+    # instantiates its own state (Spark re-aliases the reused plan)
+    mid = wm(
+        events.select(
+            F.col(key).alias("__mk"),
+            F.col(ts_col).alias("__m_ts"),
+            F.col(id_col).alias("__m_id"),
+            # literal hit marker: the null-intruder filter below must
+            # not key on a DATA column (a NULL id_col intruder would
+            # be indistinguishable from "no intruder")
+            F.lit(True).alias("__m_hit"),
+        ),
+        "__m_ts",
+    )
     for i in range(1, k):
-        mid = wm(
-            events.select(
-                F.col(key).alias("__mk"),
-                F.col(ts_col).alias("__m_ts"),
-                F.col(id_col).alias("__m_id"),
-                # literal hit marker: the null-intruder filter below
-                # must not key on a DATA column (a NULL id_col
-                # intruder would be indistinguishable from "no
-                # intruder")
-                F.lit(True).alias("__m_hit"),
-            ),
-            "__m_ts",
-        )
         between = (
             (F.col("__mk").eqNullSafe(F.col("__k0")))
             # two-sided range vs the surviving event-time column
@@ -513,25 +539,22 @@ def stream_route_info(clause: str, events: DataFrame | None = None) -> dict:
     """Explain how :func:`match_recognize_stream` would execute
     ``clause`` under ``engine='auto'`` — the streaming twin of the
     batch :func:`operators.match_recognize.route_info` diagnostic:
-    ``{"engine": "join" | "nfa", "reason": ..., "output_mode": ...}``.
+    ``{"engine": "join" | "nfa" | "rejected", "reason": ...,
+    "output_mode": ...}``. ``"rejected"`` means the stream entry
+    point itself refuses the clause (no WITHIN, ALL ROWS, physical
+    PREV/NEXT, multi-column PARTITION BY) — the stream would never
+    start on either machine.
 
-    The disjoint-anchor proof behind consuming skips needs the input
-    schema; without ``events`` those clauses report the NFA with a
-    ``"schema-dependent (pass events)"`` note rather than guessing."""
+    The disjoint-anchor proof behind consuming skips is the one
+    schema-dependent decision; without ``events`` those clauses
+    report the NFA with a ``"schema-dependent (pass events)"`` note
+    only AFTER every schema-independent shape check has passed."""
     spec = parse_match_recognize(clause)
-    if events is None and spec.skip != "to_next":
-        probe = None
-    else:
-        probe = events
-    if probe is None and spec.skip != "to_next":
-        return {
-            "engine": "nfa",
-            "reason": "schema-dependent (pass events): consuming "
-            "skips lower to joins only under the disjoint-anchor "
-            "proof, which needs the input schema",
-            "output_mode": "update",
-        }
-    blocker = _mr_join_blocker(spec, probe)
+    reject, _navs = _stream_reject_reason(spec)
+    if reject is not None:
+        return {"engine": "rejected", "reason": reject,
+                "output_mode": None}
+    blocker = _mr_join_blocker(spec, events)
     if blocker is None:
         return {
             "engine": "join",

@@ -3064,3 +3064,17 @@ def test_stream_route_info(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     info = stream_route_info(consuming, ev)
     assert info["engine"] == "join"  # disjoint-anchor proof resolves
+    # schema-independent blockers resolve WITHOUT events even under a
+    # consuming skip (no pointless "pass events" errand)
+    info = stream_route_info(consuming.replace("PATTERN (A B)",
+                                               "PATTERN (A B+)"))
+    assert info["engine"] == "nfa" and "all-singleton" in info["reason"]
+    # clauses the stream entry point itself refuses report 'rejected',
+    # not a machine the stream would never start on
+    info = stream_route_info(pair.replace(
+        "WITHIN INTERVAL '1' HOUR\n", ""))
+    assert info["engine"] == "rejected" and "WITHIN" in info["reason"]
+    info = stream_route_info(pair.replace(
+        "DEFINE A AS A.event_type = 'view'",
+        "DEFINE A AS A.value > PREV(A.value)"))
+    assert info["engine"] == "rejected" and "batch-only" in info["reason"]
