@@ -2456,6 +2456,84 @@ def test_mr_stream_chain_join_matches_nfa_and_batch(spark, tmp_path):
     assert drain("nfa", "update") == batch
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mr_stream_join_vs_nfa(spark, tmp_path, seed):
+    """Randomized join-lowering fuzz: random chain length (2-3),
+    skip (TO NEXT / PAST LAST over disjoint equality defines), WITHIN,
+    and data with same-ts ties — the join drain, the NFA drain, and
+    the batch engine must produce one match set."""
+    import random as _random
+
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    rng = _random.Random(13100 + seed)
+    types = ["view", "click", "purchase"]
+    rows, eid = [], 0
+    for uid in range(1, 5):
+        t0 = 0
+        for _ in range(rng.randint(20, 35)):
+            # 25% chance of repeating the previous timestamp (ties)
+            t0 += 0 if (rng.random() < 0.25 and t0) else rng.choice(
+                [30, 120, 600]
+            )
+            eid += 1
+            hh, rem = divmod(t0, 3600)
+            mm, ss = divmod(rem, 60)
+            rows.append((
+                uid, f"2024-01-01 {10 + hh:02d}:{mm:02d}:{ss:02d}", eid,
+                rng.choice(types), float(rng.randint(0, 9)),
+            ))
+    k = rng.choice([2, 3])
+    chain_types = rng.sample(types, k)  # distinct -> disjoint defines
+    vars_ = [f"E{j}" for j in range(k)]
+    skip = rng.choice(["TO NEXT ROW", "PAST LAST ROW"])
+    within = rng.choice([10, 30])
+    measures = ", ".join(
+        f"{v}.event_id AS id_{j}" for j, v in enumerate(vars_)
+    )
+    defines = ", ".join(
+        f"{v} AS {v}.event_type = '{t}'"
+        for v, t in zip(vars_, chain_types)
+    )
+    clause = f"""
+        PARTITION BY user_id ORDER BY ts
+        MEASURES {measures}
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP {skip}
+        PATTERN ({' '.join(vars_)})
+        WITHIN INTERVAL '{within}' MINUTE
+        DEFINE {defines}"""
+    batch = sorted(map(repr, (
+        tuple(r)[1:]
+        for r in match_recognize(frame(spark, rows), clause).collect()
+    )))
+
+    src = tmp_path / "src"
+    sent = [(99, "2024-01-02 00:00:00", 99990, "s", 0.0),
+            (99, "2024-01-03 00:00:00", 99991, "s", 0.0)]
+    half = len(rows) // 2
+    for ch in (rows[:half], rows[half:], [sent[0]], [sent[1]]):
+        frame(spark, ch).coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain(engine, mode):
+        sdf = (
+            spark.readStream.schema(frame(spark, rows).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 minute")
+        )
+        out = run_to_memory(
+            match_recognize_stream(sdf, clause, engine=engine),
+            query_name=f"t_mrf_{engine}_{seed}",
+            output_mode=mode,
+        )
+        return sorted(map(repr, (tuple(r)[1:] for r in out.collect())))
+
+    assert drain("join", "append") == batch, f"seed {seed}: {clause}"
+    assert drain("nfa", "update") == batch, f"seed {seed}: {clause}"
+
+
 def test_mr_stream_join_blockers(spark, sf_dir):
     """engine='join' names the blocking reason for every ineligible
     shape; auto falls back to the NFA silently."""
