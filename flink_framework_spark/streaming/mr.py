@@ -334,10 +334,17 @@ def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
             and ms.var in names
         ):
             continue
+        if ms.func == "CLASSIFIER" or (
+            ms.func in ("COUNT", "COUNT_STAR")
+            and (ms.var is None or ms.var in names)
+        ):
+            # constants on an all-singleton chain: COUNT(V.*) = 1,
+            # COUNT(*) = k, CLASSIFIER() = the last element's name
+            continue
         return (
             f"measure {ms.name!r} ({ms.func}) has no join spelling — "
-            "only VAR.col / offset-0 FIRST/LAST bindings ride the "
-            "join sides"
+            "only VAR.col / offset-0 FIRST/LAST bindings (which ride "
+            "the join sides) and the chain constants COUNT/CLASSIFIER"
         )
     if spec.skip == "to_next":
         return None
@@ -442,6 +449,7 @@ def _mr_stream_chain_join(
             (mi, ms)
             for mi, ms in enumerate(spec.measures)
             if ms.var == spec.elements[i].var
+            and ms.func in ("VAR_COL", "FIRST", "LAST")
         ]
         for i in range(k)
     }
@@ -526,10 +534,21 @@ def _mr_stream_chain_join(
             .where(F.col("__m_hit").isNull())
             .drop("__mk", "__m_ts", "__m_id", "__m_hit")
         )
+    def out_expr(mi, ms):
+        if ms.func == "CLASSIFIER":
+            # ONE ROW PER MATCH: the LAST matched row's variable —
+            # constant on a fixed chain
+            return F.lit(spec.elements[-1].var)
+        if ms.func == "COUNT_STAR":
+            return F.lit(k).cast("bigint")
+        if ms.func == "COUNT":
+            return F.lit(1).cast("bigint")  # singleton variables
+        return F.col(f"__mv{mi}")
+
     return cur.select(
         F.col("__k0").alias(key),
         *[
-            F.col(f"__mv{mi}").alias(ms.name)
+            out_expr(mi, ms).alias(ms.name)
             for mi, ms in enumerate(spec.measures)
         ],
     )

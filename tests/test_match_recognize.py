@@ -2456,6 +2456,58 @@ def test_mr_stream_chain_join_matches_nfa_and_batch(spark, tmp_path):
     assert drain("nfa", "update") == batch
 
 
+def test_mr_stream_join_constant_measures(spark, tmp_path):
+    """COUNT(V.*), COUNT(*), and CLASSIFIER() are constants on an
+    all-singleton chain — the join lowering emits the literals and
+    must equal the NFA twin."""
+    from flink_framework_spark.streaming.mr import match_recognize_stream
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    evs = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+        (1, "2024-01-01 10:01:00", 2, "purchase", 2.0),
+        (1, "2024-01-01 10:05:00", 3, "view", 3.0),
+        (1, "2024-01-01 10:06:00", 4, "purchase", 4.0),
+    ]
+    sent = [(9, "2024-01-02 00:00:00", 90, "s", 0.0),
+            (9, "2024-01-03 00:00:00", 91, "s", 0.0)]
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, COUNT(B.*) AS n_b,
+                 COUNT(*) AS n_rows, CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B)
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'purchase'"""
+    batch = sorted(map(repr, (
+        tuple(r)
+        for r in match_recognize(frame(spark, evs), clause).collect()
+    )))
+    assert batch == sorted(map(repr, [
+        (1, 1, 1, 2, "B"), (1, 3, 1, 2, "B"),
+    ]))
+    src = tmp_path / "src"
+    for ch in (evs[:2], evs[2:], [sent[0]], [sent[1]]):
+        frame(spark, ch).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(spark, evs).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_memory(
+        match_recognize_stream(sdf, clause, engine="join"),
+        query_name="t_mrj_const",
+        output_mode="append",
+    )
+    got = sorted(map(repr, (
+        tuple(r) for r in out.filter(F.col("user_id") == 1).collect()
+    )))
+    assert got == batch
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_mr_stream_join_vs_nfa(spark, tmp_path, seed):
     """Randomized join-lowering fuzz: random chain length (2-3),
