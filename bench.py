@@ -197,7 +197,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, eight scenarios covering the
+    """Structured Streaming throughput, nine scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
