@@ -2456,6 +2456,36 @@ def test_mr_stream_chain_join_matches_nfa_and_batch(spark, tmp_path):
     assert drain("nfa", "update") == batch
 
 
+def test_define_nav_all_rows(spark):
+    """nav-DEFINE composes with ALL ROWS PER MATCH: per-row emission
+    with RUNNING vs FINAL counts over falling-run islands."""
+    vals = [10.0, 8.0, 5.0, 7.0, 4.0]
+    df = frame(spark, [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate(vals)
+    ])
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES CLASSIFIER() AS cls, COUNT(DOWN.*) AS n,
+                 FINAL COUNT(DOWN.*) AS n_f, MATCH_NUMBER() AS mno
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (DOWN+)
+        DEFINE DOWN AS LAST(DOWN.value, 1) IS NULL
+                       OR DOWN.value < LAST(DOWN.value, 1)"""
+    got = [
+        (r.event_id, r.cls, r.n, r.n_f, r.mno)
+        for r in match_recognize(df, clause).collect()
+    ]
+    # islands [10,8,5] and [7,4]: running n grows per row, FINAL is
+    # the whole-match count on every member row
+    assert got == [
+        (1, "DOWN", 1, 3, 1), (2, "DOWN", 2, 3, 1),
+        (3, "DOWN", 3, 3, 1),
+        (4, "DOWN", 1, 2, 2), (5, "DOWN", 2, 2, 2),
+    ]
+
+
 def test_mr_stream_join_constant_measures(spark, tmp_path):
     """COUNT(V.*), COUNT(*), and CLASSIFIER() are constants on an
     all-singleton chain — the join lowering emits the literals and
