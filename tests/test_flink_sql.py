@@ -113,6 +113,29 @@ def test_match_recognize_embedded_with_outer_filter(spark):
     assert [(r.a_id, r.b_id) for r in out] == [(2, 3)]
 
 
+def test_match_recognize_embedded_nav_define(spark):
+    """Round-7 addition rides through the statement dialect:
+    FIRST/LAST match-relative navigation inside DEFINE in a
+    FROM-embedded MATCH_RECOGNIZE (falling-run segmentation)."""
+    rows = [
+        (1, "2024-01-01 10:0%d:00" % j, j + 1, "t", v)
+        for j, v in enumerate([10.0, 8.0, 5.0, 7.0, 4.0])
+    ]
+    out = flink_sql(spark, """
+        SELECT user_id, top_v, n
+        FROM evm MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES FIRST(DOWN.value) AS top_v, COUNT(DOWN.*) AS n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+)
+          DEFINE DOWN AS LAST(DOWN.value, 1) IS NULL
+                         OR DOWN.value < LAST(DOWN.value, 1)
+        )
+    """, tables={"evm": frame(spark, rows)}).collect()
+    assert sorted((r.top_v, r.n) for r in out) == [(7.0, 2), (10.0, 3)]
+
+
 def test_match_recognize_embedded_reluctant_and_skip_to(spark):
     """Round-6 additions ride through the statement dialect: a
     reluctant quantifier and a variable-targeted skip inside a
