@@ -141,19 +141,29 @@ def main() -> None:
         for k, v in streaming.items()
         if isinstance(v, dict) and "rows_per_sec" in v
     }
-    summary = json.dumps(
-        {
-            "metric": "total_seconds_all_queries",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-            "queries": top5,
-            "queries_note": "top5 slowest; full per-query record in BENCH.json",
-            "streaming_rows_per_sec": stream_rates,
-        }
-    )
-    assert len(summary) <= 1500, f"summary line too long: {len(summary)}"
+    def render(top, rates):
+        return json.dumps(
+            {
+                "metric": "total_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": top,
+                "queries_note": "top5 slowest; full per-query record in BENCH.json",
+                "streaming_rows_per_sec": rates,
+            }
+        )
+
+    summary = render(top5, stream_rates)
+    # the driver's tail capture keeps ~2,000 chars — the final line
+    # must ALWAYS print, so shrink (never assert) if detail outgrows
+    # the cap: drop streaming rates first, then the top-5 detail
+    if len(summary) > 1500:
+        summary = render(top5, {"note": "truncated; see BENCH.json"})
+    if len(summary) > 1500:
+        summary = render({"note": "truncated; see BENCH.json"},
+                         {"note": "truncated; see BENCH.json"})
     print(summary, flush=True)
 
 
@@ -481,6 +491,40 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "stream-stream interval join + LEFT OUTER adjacency join"
         "->noop(append); engine='auto' JVM lowering of the same MR "
         "clause (the NFA floor is the scenario above)"
+    )
+
+    # changelog-build-side temporal join (Flink's temporal table
+    # FUNCTION join): dims update every key once per batch, facts
+    # probe 8x per key; emission lags the 2 s watermark so versioned
+    # state stays ~2 batches deep — insert + as-of probe + prune per
+    # trigger on the Arrow keyed-state path
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    tk = 25_000
+    tf = rate_mb(200_000).select(
+        (F.col("value") % tk).alias("k"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+    )
+    td = rate_mb(tk).select(
+        (F.col("value") % tk).alias("k"),
+        F.col("timestamp").alias("dim_ts"),
+        (F.col("value") % 100).alias("tier"),
+    )
+    tj = temporal_join_changelog_stream(
+        tf, td, on="k", fact_ts="ts", dim_ts="dim_ts",
+        watermark="2 seconds",
+    )
+    out["temporal_changelog_join"] = _run_stream_scenario(
+        tj, "update", seconds * 2
+    )
+    out["temporal_changelog_join"]["pipeline"] = (
+        "rate-micro-batch x2 (200k facts + 25k dim updates/batch, "
+        "25k keys)->watermark 2s->versioned keyed state (as-of pick, "
+        "watermark-gated emit)->noop(update); rows/s counts both "
+        "inputs"
     )
     return out
 

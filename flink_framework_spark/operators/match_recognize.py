@@ -1138,7 +1138,10 @@ def _compile_nav_define(
             return lambda *a, lit=lit: lit
         if re.fullmatch(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
             p.pop()
-            n = float(t)
+            # integer literals stay Python int: float() would round
+            # values above 2^53, silently breaking equality against
+            # int64 columns such as event_id
+            n = float(t) if ("." in t or "e" in t or "E" in t) else int(t)
             return lambda *a, n=n: n
         if not re.fullmatch(r"[A-Za-z_]\w*", t):
             raise ValueError(f"DEFINE {var}: unexpected token {t!r}")

@@ -449,7 +449,16 @@ def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
             return stmt
         dim, probe_ts, alias = m.group(1), m.group(2), m.group(3)
         q = alias or dim
-        cols = set(spark.table(dim).columns)
+        dim_df = spark.table(dim)
+        if dim_df.isStreaming:
+            # the build side is a LIVE changelog stream — lower onto
+            # the versioned-keyed-state operator instead of a
+            # containment rewrite (which only works for static SCD2)
+            stmt = _lower_stream_temporal(
+                spark, stmt, m, dim, dim_df, probe_ts, alias
+            )
+            continue
+        cols = set(dim_df.columns)
         if not {"valid_from", "valid_to"} <= cols:
             raise ValueError(
                 f"FOR SYSTEM_TIME AS OF: {dim!r} is not a versioned "
@@ -471,6 +480,116 @@ def _rewrite_temporal_joins(spark: SparkSession, stmt: str) -> str:
             f"{stmt[: m.start()]}{head} ON {pred} AND ({cond}) "
             f"{stmt[cond_end:]}"
         )
+
+
+_PROBE_RE = re.compile(
+    r"(?is)([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?((?!LEFT\b|INNER\b|JOIN\b)[A-Za-z_]\w*))?"
+    r"\s+(LEFT\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s*$"
+)
+_EQ_RE = re.compile(
+    r"\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*"
+)
+_SQL_WM_KEY = "spark.watermarkDelayMs"
+
+
+def _lower_stream_temporal(
+    spark: SparkSession,
+    stmt: str,
+    m: re.Match,
+    dim: str,
+    dim_df: DataFrame,
+    probe_ts: str,
+    alias: str | None,
+) -> str:
+    """``probe JOIN dim FOR SYSTEM_TIME AS OF probe.ts ON k = k``
+    where ``dim`` is a STREAM: Flink's temporal table-function join.
+    Lowers onto
+    :func:`streaming.temporal.temporal_join_changelog_stream`
+    (versioned keyed state; facts gated on the global watermark) and
+    splices the result in as a view under the probe's alias. The dim
+    stream declares its event time by being watermarked on it (the
+    Flink versioned-table contract); the ON clause must be a
+    conjunction of key equalities with matching column names."""
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    pm = _PROBE_RE.search(stmt[: m.start()])
+    if pm is None:
+        raise ValueError(
+            "FOR SYSTEM_TIME AS OF (stream dim): cannot find the "
+            "probe relation before JOIN — subqueries are not "
+            "supported here, name a registered stream"
+        )
+    probe, p_alias, how_kw = pm.group(1), pm.group(2), pm.group(3) or ""
+    how = "left" if how_kw.strip().upper().startswith("LEFT") else "inner"
+    fq = p_alias or probe
+    dq = alias or dim
+    ts_alias, _, ts_col = probe_ts.partition(".")
+    if ts_alias != fq:
+        raise ValueError(
+            f"FOR SYSTEM_TIME AS OF {probe_ts}: the AS OF time must "
+            f"come from the probe side {fq!r}"
+        )
+    cond_end = _on_clause_end(stmt, m.end())
+    cond = stmt[m.end() : cond_end].strip()
+    keys: list[str] = []
+    for part in re.split(r"(?i)\s+AND\s+", cond):
+        em = _EQ_RE.fullmatch(part)
+        if em is None:
+            raise ValueError(
+                "FOR SYSTEM_TIME AS OF (stream dim): ON must be a "
+                f"conjunction of alias.col = alias.col equalities, "
+                f"got {part!r}"
+            )
+        a1, c1, a2, c2 = em.groups()
+        if {a1, a2} != {fq, dq}:
+            raise ValueError(
+                f"ON term {part!r} must join {fq!r} to {dq!r}"
+            )
+        fc, dc = (c1, c2) if a1 == fq else (c2, c1)
+        if fc != dc:
+            raise ValueError(
+                f"ON term {part!r}: the stream temporal join needs "
+                "identically-named key columns — alias one side first"
+            )
+        keys.append(fc)
+    facts_df = spark.table(probe)
+    if not facts_df.isStreaming:
+        raise ValueError(
+            f"FOR SYSTEM_TIME AS OF: dim {dim!r} is a stream but "
+            f"probe {probe!r} is batch — a changelog build side "
+            "needs a streaming probe (use scd2_build + a batch "
+            "temporal join for batch probes)"
+        )
+    dim_wm = [
+        f.name for f in dim_df.schema if _SQL_WM_KEY in (f.metadata or {})
+    ]
+    if len(dim_wm) != 1:
+        raise ValueError(
+            f"stream dim {dim!r} must be watermarked on exactly its "
+            f"event-time column (found watermark on {dim_wm or 'no'} "
+            "column) — that is how the versioned table declares its "
+            "version time"
+        )
+    out = temporal_join_changelog_stream(
+        facts_df,
+        dim_df,
+        on=keys,
+        fact_ts=ts_col,
+        dim_ts=dim_wm[0],
+        how=how,
+    )
+    view = "__flink_tj_" + hashlib.md5(
+        stmt[pm.start(1) : cond_end].encode()
+    ).hexdigest()[:10]
+    out.createOrReplaceTempView(view)
+    # splice under the probe's alias: the enriched view carries the
+    # probe payload AND the dim attributes, so downstream references
+    # go through the probe alias (or unqualified)
+    return f"{stmt[: pm.start(1)]}{view} AS {fq} {stmt[cond_end:]}"
 
 
 def _rewrite_match_recognize(

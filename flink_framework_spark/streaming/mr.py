@@ -76,7 +76,14 @@ def match_recognize_stream(
     the machine (the :meth:`Pattern.match_stream` convention): the
     join lowering is a stream-stream join and runs in ``append``
     mode, the NFA emits in ``update`` — a sink pinned to one mode
-    should pin the engine too. ``join_watermark`` is the join path's
+    should pin the engine too. **Breaking change (since the join
+    lowering landed): under the default ``"auto"``, a clause that is
+    join-eligible now runs in ``append`` mode where it previously ran
+    the NFA in ``update`` — an existing caller whose sink is pinned to
+    ``outputMode('update')`` will hit Spark's mode error on upgrade;
+    pin ``engine='nfa'`` to keep the old behavior, or switch the sink
+    to append (the emitted match rows are identical either way).**
+    ``join_watermark`` is the join path's
     watermark delay on its re-derived per-side event-time columns,
     used only when the source is not already watermarked (the normal
     watermarked source is inherited as-is on both paths)."""
@@ -399,20 +406,38 @@ def _mr_stream_chain_join(
         _rewrite_define,
     )
 
+    key = spec.partition_by
+    ts_col = spec.order_by[0]
     # the event-time tag follows the attribute through aliases, so a
-    # source that is ALREADY watermarked (the normal case — the NFA
-    # path requires it) must not be re-watermarked per side: Spark
-    # rejects watermark redefinition under multiple stateful
-    # operators. Only an unwatermarked source gets join_watermark.
-    has_wm = "EventTimeWatermark" in (
-        events._jdf.queryExecution().analyzed().toString()
-    )
+    # source that is ALREADY watermarked ON THE ORDER BY COLUMN (the
+    # normal case — the NFA path requires it) must not be
+    # re-watermarked per side: Spark rejects watermark redefinition
+    # under multiple stateful operators. Detect per COLUMN via the
+    # spark.watermarkDelayMs field metadata (not a plan-string
+    # substring): a watermark on some OTHER column would make the
+    # inherit path fail at runtime with an opaque Spark error, so
+    # that spelling is refused loudly here instead. Only a fully
+    # unwatermarked source gets join_watermark on its re-derived
+    # per-side columns.
+    _WM_KEY = "spark.watermarkDelayMs"
+    has_wm = _WM_KEY in (events.schema[ts_col].metadata or {})
+    if not has_wm:
+        tagged = [
+            f.name
+            for f in events.schema
+            if _WM_KEY in (f.metadata or {})
+        ]
+        if tagged:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE join lowering: the source "
+                f"watermark is on {tagged[0]!r} but ORDER BY is "
+                f"{ts_col!r} — watermark the ORDER BY column (the "
+                "event-time the pattern windows over), e.g. "
+                f".withWatermark({ts_col!r}, ...)"
+            )
 
     def wm(df, c):
         return df if has_wm else df.withWatermark(c, watermark)
-
-    key = spec.partition_by
-    ts_col = spec.order_by[0]
     k = len(spec.elements)
     ts_type = {f.name: f.dataType.simpleString() for f in events.schema}[
         ts_col

@@ -26,10 +26,19 @@ Scale/semantics notes:
 
 from __future__ import annotations
 
-from typing import Sequence
+from bisect import bisect_left, bisect_right
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_framework_spark.streaming.epoch import (
+    epoch_s_to_timestamps,
+    ts_series_to_epoch_s,
+)
 
 
 def temporal_join_stream(
@@ -57,3 +66,287 @@ def temporal_join_stream(
     for k in on:
         joined = joined.drop(d[k])
     return joined.drop(d["valid_from"]).drop(d["valid_to"])
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream temporal join: CHANGELOG build side (Flink's temporal
+# TABLE FUNCTION join — the versioned dimension arrives as a live
+# stream of updates, not a pre-built SCD2 table).
+# ---------------------------------------------------------------------------
+
+_STATE_ARRAY = {
+    "boolean": "array<boolean>",
+    "bigint": "array<bigint>",
+    "int": "array<int>",
+    "double": "array<double>",
+    "float": "array<float>",
+    "string": "array<string>",
+    # timestamps ride as epoch seconds (micros-exact at current epochs)
+    "timestamp": "array<double>",
+}
+
+_WM_KEY = "spark.watermarkDelayMs"
+
+
+def _cell(v, typ):
+    """Pandas cell -> state-schema-faithful Python value. A column
+    that is int64 on the wire arrives as float64 in pandas whenever
+    the OTHER side's null padding touches the batch, so integral
+    state slots must re-int their values."""
+    if v is None or (
+        not isinstance(v, (str, bytes)) and pd.isna(v)
+    ):
+        return None
+    if typ in ("bigint", "int"):
+        return int(v)
+    if typ in ("double", "float"):
+        return float(v)
+    if typ == "boolean":
+        return bool(v)
+    if typ == "timestamp":
+        # carried as epoch seconds in state (micros-exact)
+        return v.to_datetime64().astype("int64").item() / 1e9
+    return v
+
+
+def _out_series(values: list, typ: str):
+    """State values -> a pandas column of the declared Spark type
+    (nullable int dtypes keep NULL-bearing int columns integral)."""
+    if typ == "bigint":
+        return pd.array(values, dtype="Int64")
+    if typ == "int":
+        return pd.array(values, dtype="Int32")
+    if typ == "boolean":
+        return pd.array(values, dtype="boolean")
+    if typ == "timestamp":
+        return [None if s is None else pd.Timestamp(round(s * 1e6) * 1000)
+                for s in values]
+    return values
+
+
+def temporal_join_changelog_stream(
+    facts: DataFrame,
+    dim_updates: DataFrame,
+    on: Sequence[str] | str,
+    fact_ts: str,
+    dim_ts: str,
+    how: str = "inner",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Flink's event-time temporal join with a STREAMING build side
+    (`probe JOIN dim FOR SYSTEM_TIME AS OF probe.ts` where ``dim`` is
+    itself a changelog stream): each dim update at ``dim_ts`` opens a
+    new version of its key, valid until the key's next update; each
+    fact is enriched with the version valid AT its event time (the
+    as-of pick ``max dim_ts <= fact_ts``) and emitted exactly once —
+    when the GLOBAL watermark (the min over both inputs, Spark's
+    two-input rule, same as Flink's) passes the fact's timestamp, so
+    no dim update that could still arrive can change the pick.
+
+    Mechanics: both streams are tagged and unioned (the union's
+    watermark is the min of the sides'), then keyed state per join
+    key holds (a) the version history as parallel arrays, pruned to
+    the watermark (everything strictly below the watermark except the
+    single latest such version — the only one a future fact can still
+    select), and (b) the pending facts, drained by watermark advance
+    with an event-time timer so quiet keys flush without new input.
+    A late dim update (above the watermark) arriving after a pending
+    fact CORRECTS the enrichment before emission — the Flink
+    semantics the stream-static form cannot give.
+
+    ``how='inner'`` drops facts before their key's first version
+    (Flink default); ``'left'`` keeps them with null attributes.
+    Output mode: update (each enriched fact appears exactly once).
+    State per key is O(versions-within-watermark + pending facts) —
+    bounded by rate × watermark delay, the same bound Flink's state
+    TTL gives this join. Emitted rows: join key columns + ``fact_ts``
+    + fact payload + dim attribute columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    f_types = {f.name: f.dataType.simpleString() for f in facts.schema}
+    d_types = {f.name: f.dataType.simpleString()
+               for f in dim_updates.schema}
+    payload = [c for c in facts.columns if c not in (*keys, fact_ts)]
+    attrs = [c for c in dim_updates.columns if c not in (*keys, dim_ts)]
+    clash = sorted(set(payload) & set(attrs))
+    if clash:
+        raise ValueError(
+            f"fact/dim column collision {clash} — rename one side"
+        )
+    for k in keys:
+        if f_types.get(k) != d_types.get(k):
+            raise ValueError(
+                f"join key {k!r}: fact type {f_types.get(k)} != dim "
+                f"type {d_types.get(k)}"
+            )
+    for side, cols, types, ts in (
+        ("fact", payload, f_types, fact_ts),
+        ("dim", attrs, d_types, dim_ts),
+    ):
+        if types.get(ts) != "timestamp":
+            raise ValueError(
+                f"{side} time column {ts!r} must be TIMESTAMP "
+                f"(got {types.get(ts)}) — streaming event time is "
+                "always a plain instant"
+            )
+        for c in cols:
+            if types[c] not in _STATE_ARRAY:
+                raise ValueError(
+                    f"{side} column {c!r} of type {types[c]} is not "
+                    "supported in temporal-join state"
+                )
+
+    def wm_side(df: DataFrame, ts: str) -> DataFrame:
+        # inherit an existing watermark on the time column; refuse a
+        # watermark on any other column (it would survive the select
+        # and the union would gate on the wrong clock)
+        if _WM_KEY in (df.schema[ts].metadata or {}):
+            return df
+        tagged = [f.name for f in df.schema if _WM_KEY in (f.metadata or {})]
+        if tagged:
+            raise ValueError(
+                f"temporal join: watermark is on {tagged[0]!r} but the "
+                f"side's event time is {ts!r} — watermark the event-"
+                "time column"
+            )
+        return df.withWatermark(ts, watermark)
+
+    fan = wm_side(facts, fact_ts).select(
+        *keys,
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *payload,
+        *[F.lit(None).cast(d_types[a]).alias(a) for a in attrs],
+    )
+    dan = wm_side(dim_updates, dim_ts).select(
+        *keys,
+        F.col(dim_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(f_types[p]).alias(p) for p in payload],
+        *attrs,
+    )
+    unioned = fan.unionByName(dan)
+
+    state_schema = ", ".join(
+        ["d_ts array<double>"]
+        + [f"d_{i} {_STATE_ARRAY[d_types[a]]}" for i, a in enumerate(attrs)]
+        + ["f_ts array<double>"]
+        + [f"f_{i} {_STATE_ARRAY[f_types[p]]}" for i, p in enumerate(payload)]
+    )
+    out_schema = ", ".join(
+        [f"{k} {f_types[k]}" for k in keys]
+        + [f"{fact_ts} timestamp"]
+        + [f"{p} {f_types[p]}" for p in payload]
+        + [f"{a} {d_types[a]}" for a in attrs]
+    )
+    na, np_ = len(attrs), len(payload)
+    p_typ = [f_types[p] for p in payload]
+    a_typ = [d_types[a] for a in attrs]
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = state.get
+            d_us = [round(s * 1e6) for s in st[0]]
+            d_at = [list(st[1 + i]) for i in range(na)]
+            f_us = [round(s * 1e6) for s in st[1 + na]]
+            f_pl = [list(st[2 + na + i]) for i in range(np_)]
+        else:
+            d_us, f_us = [], []
+            d_at = [[] for _ in range(na)]
+            f_pl = [[] for _ in range(np_)]
+        new_dim: list[tuple] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = [round(s * 1e6) for s in ts_series_to_epoch_s(pdf["__ts"])]
+            sides = pdf["__side"].tolist()
+            a_cols = [pdf[a] for a in attrs]
+            p_cols = [pdf[p] for p in payload]
+            for r in range(len(pdf)):
+                if sides[r] == 0:
+                    new_dim.append(
+                        (ts_us[r],
+                         tuple(_cell(c.iloc[r], t)
+                               for c, t in zip(a_cols, a_typ)))
+                    )
+                else:
+                    f_us.append(ts_us[r])
+                    for i, (c, t) in enumerate(zip(p_cols, p_typ)):
+                        f_pl[i].append(_cell(c.iloc[r], t))
+        if new_dim:
+            # merge updates into the version history; an exact-ts
+            # re-update overwrites (last writer wins, arrival order)
+            for us, vals in new_dim:
+                j = bisect_left(d_us, us)
+                if j < len(d_us) and d_us[j] == us:
+                    for i in range(na):
+                        d_at[i][j] = vals[i]
+                else:
+                    d_us.insert(j, us)
+                    for i in range(na):
+                        d_at[i].insert(j, vals[i])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emit_idx = [r for r, us in enumerate(f_us) if us < wm_us]
+        out_rows: list[tuple] = []  # (f_us, payload.., attrs..)
+        for r in emit_idx:
+            j = bisect_right(d_us, f_us[r]) - 1
+            if j < 0:
+                if how == "inner":
+                    continue
+                vals = (None,) * na
+            else:
+                vals = tuple(d_at[i][j] for i in range(na))
+            out_rows.append(
+                (f_us[r], *(f_pl[i][r] for i in range(np_)), *vals)
+            )
+        if emit_idx:
+            keep = [r for r in range(len(f_us)) if f_us[r] >= wm_us]
+            f_us = [f_us[r] for r in keep]
+            f_pl = [[col[r] for r in keep] for col in f_pl]
+        # prune versions below the watermark except the latest such
+        cut = max(0, bisect_left(d_us, wm_us) - 1)
+        if cut:
+            d_us = d_us[cut:]
+            d_at = [col[cut:] for col in d_at]
+        state.update(
+            (
+                [us / 1e6 for us in d_us],
+                *d_at,
+                [us / 1e6 for us in f_us],
+                *f_pl,
+            )
+        )
+        if f_us:
+            # re-fire when the watermark moves so pending facts drain
+            # without new per-key input (fires the batch AFTER wm
+            # advances; must be strictly above the current wm)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if out_rows:
+            data = {k: [key[i]] * len(out_rows)
+                    for i, k in enumerate(keys)}
+            data[fact_ts] = epoch_s_to_timestamps(
+                [row[0] / 1e6 for row in out_rows]
+            )
+            for i, p in enumerate(payload):
+                data[p] = _out_series(
+                    [row[1 + i] for row in out_rows], p_typ[i]
+                )
+            for i, a in enumerate(attrs):
+                data[a] = _out_series(
+                    [row[1 + np_ + i] for row in out_rows], a_typ[i]
+                )
+            yield pd.DataFrame(data)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -505,3 +505,132 @@ def test_fractional_offset_rejected_on_all_tvfs(spark):
             SELECT * FROM TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts),
                 INTERVAL '15' MINUTE, INTERVAL '1' HOUR,
                 INTERVAL '0.5' SECOND))""", tables={"ev": df})
+
+
+def test_for_system_time_as_of_stream_dim(spark, tmp_path):
+    """FOR SYSTEM_TIME AS OF against a STREAMING dim relation routes
+    to the changelog temporal join (versioned keyed state), not the
+    static containment rewrite — the dim's watermarked column is its
+    version time; a late dim update corrects the pick before the
+    watermark releases the fact. LEFT JOIN keeps version-less facts."""
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    def dimf(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {h:02d}:{m:02d}:00", t) for u, h, m, t in rows],
+            "user_id long, dim_ts string, tier long",
+        ).selectExpr(
+            "user_id", "CAST(dim_ts AS timestamp) AS dim_ts", "tier"
+        )
+
+    def factf(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
+            "user_id long, ts string, event_id long",
+        ).selectExpr("user_id", "CAST(ts AS timestamp) AS ts", "event_id")
+
+    d_lake, f_lake = tmp_path / "dim", tmp_path / "facts"
+    dimf([(1, 9, 0, 1)]).coalesce(1).write.mode("append").parquet(str(d_lake))
+    factf([(1, 10, 5, 100), (2, 9, 30, 200)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(f_lake))
+    dimf([(1, 10, 0, 2)]).coalesce(1).write.mode("append").parquet(str(d_lake))
+    factf([(1, 10, 6, 300)]).coalesce(1).write.mode("append").parquet(
+        str(f_lake)
+    )
+    for k in (3, 4):
+        dimf([(9, 11, 30 + k, 9)]).coalesce(1).write.mode("append").parquet(
+            str(d_lake)
+        )
+        factf([(9, 11, 30 + k, 900 + k)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(f_lake))
+
+    def tables():
+        d = (
+            spark.readStream.schema(dimf([]).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d_lake))
+            .withWatermark("dim_ts", "10 minutes")
+        )
+        f = (
+            spark.readStream.schema(factf([]).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(f_lake))
+            .withWatermark("ts", "10 minutes")
+        )
+        return {"fact_s": f, "dim_s": d}
+
+    got = run_to_memory(
+        flink_sql(spark, """
+            SELECT f.event_id, f.tier
+            FROM fact_s f
+            JOIN dim_s FOR SYSTEM_TIME AS OF f.ts AS d
+              ON f.user_id = d.user_id
+        """, tables=tables()),
+        query_name="t_sql_stream_tj",
+        output_mode="update",
+    ).toPandas()
+    # key 9's own drain rows are trigger-timing-dependent (file
+    # mtime ties can merge batches and advance the watermark past
+    # them) — the pinned semantics are keys 1 and 2
+    by = {int(r.event_id): r.tier
+          for r in got.itertuples(index=False) if r.event_id < 900}
+    assert by == {100: 2, 300: 2}
+
+    left = run_to_memory(
+        flink_sql(spark, """
+            SELECT event_id, tier
+            FROM fact_s f
+            LEFT JOIN dim_s FOR SYSTEM_TIME AS OF f.ts AS d
+              ON f.user_id = d.user_id
+        """, tables=tables()),
+        query_name="t_sql_stream_tj_left",
+        output_mode="update",
+    ).toPandas()
+    import pandas as pd
+
+    lby = {int(r.event_id): r.tier
+           for r in left.itertuples(index=False) if r.event_id < 900}
+    assert lby[100] == 2 and lby[300] == 2 and pd.isna(lby[200])
+    assert set(lby) == {100, 200, 300}
+
+
+def test_for_system_time_stream_dim_contract_errors(spark, tmp_path):
+    """Loud-contract checks on the streaming temporal-join lowering:
+    unwatermarked dim, batch probe, and non-equality ON all raise
+    framework errors (not opaque Spark ones)."""
+
+    def mk(schema_sql, path):
+        df = spark.createDataFrame([], schema_sql)
+        df.write.mode("overwrite").parquet(str(path))
+        return (
+            spark.readStream.schema(df.schema).parquet(str(path)),
+            spark.read.parquet(str(path)),
+        )
+
+    f_s, f_b = mk("user_id long, ts timestamp, event_id long",
+                  tmp_path / "f")
+    d_s, d_b = mk("user_id long, dim_ts timestamp, tier long",
+                  tmp_path / "d")
+    q = """SELECT * FROM fact_s f JOIN dim_s
+           FOR SYSTEM_TIME AS OF f.ts AS d ON f.user_id = d.user_id"""
+    with pytest.raises(ValueError, match="watermarked"):
+        flink_sql(spark, q, tables={
+            "fact_s": f_s.withWatermark("ts", "1 minute"), "dim_s": d_s,
+        })
+    with pytest.raises(ValueError, match="streaming probe"):
+        flink_sql(spark, q, tables={
+            "fact_s": f_b,
+            "dim_s": d_s.withWatermark("dim_ts", "1 minute"),
+        })
+    with pytest.raises(ValueError, match="conjunction"):
+        flink_sql(
+            spark,
+            """SELECT * FROM fact_s f JOIN dim_s
+               FOR SYSTEM_TIME AS OF f.ts AS d ON f.user_id < d.user_id""",
+            tables={
+                "fact_s": f_s.withWatermark("ts", "1 minute"),
+                "dim_s": d_s.withWatermark("dim_ts", "1 minute"),
+            },
+        )

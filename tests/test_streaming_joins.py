@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -339,3 +340,187 @@ def test_sequence_join_chain_equals_batch_and_state_machine(spark, sf_dir):
 
     assert len(got) == len(exp) > 0
     assert key(got) == key(exp)
+
+
+def test_changelog_temporal_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream temporal join with a CHANGELOG build side
+    (streaming.temporal.temporal_join_changelog_stream): dim updates
+    and facts interleave across micro-batches, and the drained result
+    must equal the batch pipeline — scd2_build over the FINAL
+    changelog, then the as-of temporal_join. This is Flink's temporal
+    table-FUNCTION join (versioned keyed state, probe gated on the
+    global watermark), not the stream-static re-read."""
+    from flink_framework_spark.io import _normalize_events_ts
+    from flink_framework_spark.operators.scd import scd2_build, temporal_join
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    ev = _normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), as_instant=True
+    )
+    # dim changelog: each purchase opens a new "tier" version; dedupe
+    # exact (user_id, ts) so version identity is arrival-order-free
+    chg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value"), 0)).alias("tier"))
+    )
+    facts = ev.select("user_id", F.col("ts"), "event_id")
+
+    dim = scd2_build(chg, key_cols=["user_id"], ts_col="ts",
+                     attr_cols=["tier"], seq_col=None)
+    want = (
+        temporal_join(facts, dim, on=["user_id"], fact_ts="ts")
+        .select("event_id", "tier")
+        .toPandas()
+    )
+
+    # two file lakes, each side split into ts-ordered chunks so the
+    # union's micro-batches interleave dim updates and facts
+    import datetime
+
+    d_lake, f_lake = tmp_path / "dim", tmp_path / "facts"
+    n_chunks = 4
+    chg_p = chg.orderBy("ts", "user_id").toPandas()
+    f_p = facts.orderBy("ts", "event_id").toPandas()
+    for i in range(n_chunks):
+        spark.createDataFrame(
+            chg_p.iloc[
+                i * len(chg_p) // n_chunks:(i + 1) * len(chg_p) // n_chunks
+            ],
+            schema=chg.schema,
+        ).coalesce(1).write.mode("append").parquet(str(d_lake))
+        spark.createDataFrame(
+            f_p.iloc[
+                i * len(f_p) // n_chunks:(i + 1) * len(f_p) // n_chunks
+            ],
+            schema=facts.schema,
+        ).coalesce(1).write.mode("append").parquet(str(f_lake))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    far = mx + datetime.timedelta(hours=2)
+    for k in (1, 2):  # wm-advancing batch + timer-evaluation batch
+        spark.createDataFrame(
+            [(-1, far + datetime.timedelta(minutes=k), float(k))],
+            schema=chg.schema,
+        ).coalesce(1).write.mode("append").parquet(str(d_lake))
+        spark.createDataFrame(
+            [(-1, far + datetime.timedelta(minutes=k), -10**9 - k)],
+            schema=facts.schema,
+        ).coalesce(1).write.mode("append").parquet(str(f_lake))
+
+    d_stream = (
+        spark.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d_lake))
+        .withColumnRenamed("ts", "dim_ts")
+        .withWatermark("dim_ts", "30 minutes")
+    )
+    f_stream = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(f_lake))
+        .withWatermark("ts", "30 minutes")
+    )
+    got = run_to_memory(
+        temporal_join_changelog_stream(
+            f_stream, d_stream, on="user_id", fact_ts="ts",
+            dim_ts="dim_ts",
+        ),
+        query_name="t_cl_temporal",
+        output_mode="update",
+    ).toPandas()
+    got = got[got.user_id >= 0][["event_id", "tier"]]
+    a = sorted(map(tuple, got.itertuples(index=False)))
+    b = sorted(map(tuple, want.itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+def test_changelog_temporal_join_late_dim_corrects(spark, tmp_path):
+    """A dim update that ARRIVES after a pending fact (but is still
+    above the watermark) must correct the enrichment before the fact
+    is emitted — the property the stream-static form cannot give.
+    Also pins LEFT semantics: a fact before its key's first version
+    survives with a null attribute, and inner drops it."""
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    def dimf(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {h:02d}:{m:02d}:00", t) for u, h, m, t in rows],
+            "user_id long, dim_ts string, tier long",
+        ).selectExpr(
+            "user_id", "CAST(dim_ts AS timestamp) AS dim_ts", "tier"
+        )
+
+    def factf(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
+            "user_id long, ts string, event_id long",
+        ).selectExpr(
+            "user_id", "CAST(ts AS timestamp) AS ts", "event_id"
+        )
+
+    d_lake, f_lake = tmp_path / "dim", tmp_path / "facts"
+    # batch 1: key 1's fact at 10:05 + early version 9:00/tier 1; key
+    # 2's fact at 09:30 with NO version ever (left-vs-inner probe)
+    dimf([(1, 9, 0, 1)]).coalesce(1).write.mode("append").parquet(str(d_lake))
+    factf([(1, 10, 5, 100), (2, 9, 30, 200)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(f_lake))
+    # batch 2: the LATE dim update at 10:00/tier 2 — arrives after the
+    # fact, still above the watermark; it must win the as-of pick
+    dimf([(1, 10, 0, 2)]).coalesce(1).write.mode("append").parquet(str(d_lake))
+    factf([(1, 10, 6, 300)]).coalesce(1).write.mode("append").parquet(
+        str(f_lake)
+    )
+    # batch 3: push the watermark past every pending fact; batch 4
+    # evaluates the timers against it
+    for k in (3, 4):
+        dimf([(9, 11, 30 + k, 9)]).coalesce(1).write.mode("append").parquet(
+            str(d_lake)
+        )
+        factf([(9, 11, 30 + k, 900 + k)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(f_lake))
+
+    def src():
+        d = (
+            spark.readStream.schema(dimf([]).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d_lake))
+            .withWatermark("dim_ts", "10 minutes")
+        )
+        f = (
+            spark.readStream.schema(factf([]).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(f_lake))
+            .withWatermark("ts", "10 minutes")
+        )
+        return f, d
+
+    f, d = src()
+    inner = run_to_memory(
+        temporal_join_changelog_stream(
+            f, d, on="user_id", fact_ts="ts", dim_ts="dim_ts"
+        ),
+        query_name="t_cl_late_inner",
+        output_mode="update",
+    ).toPandas()
+    by_eid = {int(r.event_id): r for r in inner.itertuples(index=False)}
+    assert by_eid[100].tier == 2  # late 10:00 update corrected the pick
+    assert 200 not in by_eid  # inner drops the version-less fact
+    assert by_eid[300].tier == 2
+
+    f, d = src()
+    left = run_to_memory(
+        temporal_join_changelog_stream(
+            f, d, on="user_id", fact_ts="ts", dim_ts="dim_ts", how="left"
+        ),
+        query_name="t_cl_late_left",
+        output_mode="update",
+    ).toPandas()
+    lby = {int(r.event_id): r for r in left.itertuples(index=False)}
+    assert lby[100].tier == 2
+    assert 200 in lby and pd.isna(lby[200].tier)
