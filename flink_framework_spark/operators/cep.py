@@ -22,6 +22,34 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# A "step type" anywhere in this module is either one concrete tag
+# (str) or a SET of tags (tuple/list of str) — the Pattern builder's
+# subtype()/hierarchy desugaring (Flink `Pattern.subtype(Class)`,
+# where an abstract event class stands for the set of its concrete
+# subclasses' type tags) expands abstract names to tag sets before
+# calling down here.
+
+StepType = "str | Sequence[str]"
+
+
+def _type_pred(type_col: str, t):
+    """``event_type = t`` for a concrete tag, ``event_type IN t`` for
+    an expanded subtype set."""
+    if isinstance(t, str):
+        return F.col(type_col) == t
+    tags = list(t)
+    if not tags:
+        raise ValueError("a step's type set cannot be empty")
+    return F.col(type_col).isin(*tags)
+
+
+def _type_overlap(a, b) -> bool:
+    """Do two step types share any concrete tag? (Loud-error guard
+    where semantics require disjoint roles, e.g. one_or_more.until.)"""
+    sa = {a} if isinstance(a, str) else set(a)
+    sb = {b} if isinstance(b, str) else set(b)
+    return bool(sa & sb)
+
 
 def _chain(
     events: DataFrame,
@@ -42,8 +70,8 @@ def _chain(
     if len(steps) < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
 
-    def step_df(i: int, step: str) -> DataFrame:
-        return events.filter(F.col(type_col) == step).select(
+    def step_df(i: int, step) -> DataFrame:
+        return events.filter(_type_pred(type_col, step)).select(
             F.col(key_col).alias(f"__k{i}"),
             F.col(ts_col).alias(f"ts_{i}"),
             F.col(id_col).alias(f"id_{i}"),
@@ -138,7 +166,7 @@ def anti_join_between(
     src = (
         events
         if event_type is None
-        else events.filter(F.col(type_col) == event_type)
+        else events.filter(_type_pred(type_col, event_type))
     )
     neg = src.select(
         F.col(key_col).alias("__nk"), F.col(ts_col).alias("__nts")
@@ -274,7 +302,7 @@ def match_times(
     horizon = F.expr(f"INTERVAL {within}")
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     ns = range(n_min, n_max + 1)
-    lags = events.filter(F.col(type_col) == step).select(
+    lags = events.filter(_type_pred(type_col, step)).select(
         key_col,
         F.col(ts_col).alias("ts_last"),
         F.col(id_col).alias("id_last"),
@@ -294,7 +322,7 @@ def match_times(
         F.col("ts_first").isNotNull()
         & (F.col("ts_last") <= F.col("ts_first") + horizon)
     )
-    followers = events.filter(F.col(type_col) == then_step).select(
+    followers = events.filter(_type_pred(type_col, then_step)).select(
         F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
     )
     return stacked.join(
@@ -419,13 +447,14 @@ def match_one_or_more(
     gap = F.expr(f"INTERVAL {max_gap}")
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
-    if until == step:
+    if until is not None and _type_overlap(until, step):
         raise ValueError(
-            f"until type {until!r} equals the looping step type — every "
-            "repetition would be classified as a stop condition"
+            f"until type {until!r} overlaps the looping step type "
+            f"{step!r} — a repetition would be classified as a stop "
+            "condition"
         )
     if until is None:
-        base = events.filter(F.col(type_col) == step).select(
+        base = events.filter(_type_pred(type_col, step)).select(
             key_col, ts_col, id_col
         )
         until_break = F.lit(False)
@@ -434,10 +463,10 @@ def match_one_or_more(
         # tells each step event the latest until before it (ties at
         # the same instant are not "between" — strict bounds below)
         mixed = events.filter(
-            F.col(type_col).isin(step, until)
+            _type_pred(type_col, step) | _type_pred(type_col, until)
         ).select(
             key_col, ts_col, id_col,
-            (F.col(type_col) == until).alias("__is_until"),
+            _type_pred(type_col, until).alias("__is_until"),
         )
         wu = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
@@ -488,7 +517,7 @@ def match_one_or_more(
         )
         .filter(F.col("ts_last") <= F.col("ts_first") + horizon)
     )
-    followers = events.filter(F.col(type_col) == then_step).select(
+    followers = events.filter(_type_pred(type_col, then_step)).select(
         F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
     )
     return runs.join(

@@ -95,10 +95,69 @@ class Pattern:
     horizon: str | None = None
     skip_strategy: str = "no_skip"
     select: str = "any"  # "any" = followedByAny, "first" = followedBy
+    hierarchy: dict[str, list[str]] | None = None
 
     @classmethod
     def begin(cls, event_type: str) -> "Pattern":
         return cls(steps=[_Step(event_type)])
+
+    # -- type hierarchy (Flink subtype()) ------------------------------
+    def with_hierarchy(self, hierarchy: dict[str, list[str]]) -> "Pattern":
+        """Declare a type-tag hierarchy: each key is an ABSTRACT event
+        type standing for the set of its members (concrete tags or
+        other abstract names — resolution is recursive). Any step,
+        negation, or ``until`` type naming a key desugars to
+        ``type_col IN (concrete members)`` — the relational spelling
+        of Flink's class-hierarchy ``Pattern.subtype(SubEvent.class)``
+        (the reference's subjects are case classes, so an abstract
+        parent type IS a set of concrete record types; a type-tag
+        column + this map is the flat-schema equivalent)."""
+        for k, v in hierarchy.items():
+            if isinstance(v, str) or not v:
+                raise ValueError(
+                    f"hierarchy[{k!r}] must be a non-empty list of "
+                    "member type names"
+                )
+        self.hierarchy = dict(hierarchy)
+        return self
+
+    def subtype(self, event_type: str) -> "Pattern":
+        """Flink ``.subtype(SubEvent.class)``: NARROW the last added
+        step to ``event_type``, which must resolve to a subset of the
+        step's current type set under the declared hierarchy."""
+        if not self.steps:
+            raise ValueError("subtype() needs a step to narrow")
+
+        def as_set(t):
+            e = self._expand(t)
+            return {e} if isinstance(e, str) else set(e)
+
+        cur = as_set(self.steps[-1].event_type)
+        sub = as_set(event_type)
+        if not sub <= cur:
+            raise ValueError(
+                f"subtype {event_type!r} resolves to {sorted(sub)}, "
+                f"not a subset of the step's {sorted(cur)} — a "
+                "subtype narrows, it cannot widen"
+            )
+        self.steps[-1].event_type = event_type
+        return self
+
+    def _expand(self, event_type: str, _seen: frozenset = frozenset()):
+        """Abstract name → sorted tuple of concrete tags (identity for
+        a tag not in the hierarchy)."""
+        if self.hierarchy is None or event_type not in self.hierarchy:
+            return event_type
+        if event_type in _seen:
+            raise ValueError(
+                f"hierarchy cycle through {event_type!r}"
+            )
+        seen = _seen | {event_type}
+        tags: set[str] = set()
+        for m in self.hierarchy[event_type]:
+            e = self._expand(m, seen)
+            tags.update((e,) if isinstance(e, str) else e)
+        return tuple(sorted(tags))
 
     # -- fluent chain -------------------------------------------------
     def followed_by(self, event_type: str) -> "Pattern":
@@ -283,6 +342,7 @@ class Pattern:
         src = events.select(
             *[F.col(c).alias(a) for c, a in renames.items()]
         )
+        src = self._remap_stream_types(src)
 
         quant = [s for s in self.steps if s.times or s.one_or_more_gap]
         if quant:
@@ -378,6 +438,45 @@ class Pattern:
             )
         return out.withColumnRenamed("user_id", key_col)
 
+    def _remap_stream_types(self, src: DataFrame) -> DataFrame:
+        """Subtype desugaring for the STREAMING machines, which key
+        their state transitions on concrete ``event_type`` equality:
+        rewrite each tag inside a used abstract type's expansion to
+        the abstract name itself. Sound only when the used types'
+        expansions are pairwise disjoint (an overlapping tag would
+        have to become two names at once) — overlap raises, pointing
+        at the batch engine, whose per-step IN-filters support it."""
+        used = [s.event_type for s in self.steps]
+        used += [t for t, _i, _j in self.negations]
+        used += [s.until for s in self.steps if s.until is not None]
+        expansions = {
+            t: self._expand(t)
+            for t in dict.fromkeys(used)  # unique, order kept
+        }
+        abstract = {
+            t: e for t, e in expansions.items() if not isinstance(e, str)
+        }
+        if not abstract:
+            return src
+        flat: dict[str, str] = {}
+        for t, e in expansions.items():
+            for tag in (e,) if isinstance(e, str) else e:
+                if tag in flat and flat[tag] != t:
+                    raise ValueError(
+                        f"streaming subtype desugaring needs disjoint "
+                        f"type sets: tag {tag!r} belongs to both "
+                        f"{flat[tag]!r} and {t!r} — run match() on "
+                        "the batch engine, whose per-step IN-filters "
+                        "allow overlap"
+                    )
+                flat[tag] = t
+        mapped = F.col("event_type")
+        for t, e in abstract.items():
+            mapped = F.when(
+                F.col("event_type").isin(*e), F.lit(t)
+            ).otherwise(mapped)
+        return src.withColumn("event_type", mapped)
+
     def _match_quantified(self, events, key_col, ts_col, type_col, id_col):
         if (
             len(self.steps) != 2
@@ -398,16 +497,23 @@ class Pattern:
         head, follower = self.steps
         if head.times:
             m = match_times(
-                events, head.event_type, follower.event_type,
+                events,
+                self._expand(head.event_type),
+                self._expand(follower.event_type),
                 head.times[0], head.times[1], self.horizon,
                 key_col, ts_col, type_col, id_col,
             )
         else:
             m = match_one_or_more(
-                events, head.event_type, follower.event_type,
+                events,
+                self._expand(head.event_type),
+                self._expand(follower.event_type),
                 head.one_or_more_gap, self.horizon,
                 key_col, ts_col, type_col, id_col,
-                until=head.until,
+                until=(
+                    None if head.until is None
+                    else self._expand(head.until)
+                ),
             )
         if self.skip_strategy == "skip_to_next":
             return skip_to_next(m, key_col)
@@ -465,14 +571,14 @@ class Pattern:
                 )
             out = match_sequence_first(
                 events,
-                [s.event_type for s in self.steps],
+                [self._expand(s.event_type) for s in self.steps],
                 self.horizon,
                 key_col, ts_col, type_col, id_col,
             )
             for abs_type, i, j in neg_spans:
                 out = anti_join_between(
                     out, events, f"ts_{i}", f"ts_{j}",
-                    key_col, ts_col, type_col, abs_type,
+                    key_col, ts_col, type_col, self._expand(abs_type),
                 )
             return out
         # one chain per optional subset — 2^k branches, unioned
@@ -483,7 +589,7 @@ class Pattern:
         ]
         out = union_skip_branches(
             events,
-            [s.event_type for s in self.steps],
+            [self._expand(s.event_type) for s in self.steps],
             subsets,
             self.horizon,
             key_col, ts_col, type_col, id_col,
@@ -495,6 +601,6 @@ class Pattern:
         for abs_type, i, j in neg_spans:
             out = anti_join_between(
                 out, events, f"ts_{i}", f"ts_{j}",
-                key_col, ts_col, type_col, abs_type,
+                key_col, ts_col, type_col, self._expand(abs_type),
             )
         return out

@@ -866,6 +866,52 @@ def q_cep_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_subtype",
+    family="I",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT i.user_id) AS n_users
+FROM events i
+JOIN events c ON c.user_id = i.user_id
+             AND c.event_type IN ('purchase', 'signup')
+             AND c.ts > i.ts AND c.ts <= i.ts + INTERVAL '30 minutes'
+WHERE i.event_type IN ('click', 'view')
+""",
+)
+def q_cep_subtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP type hierarchy (Flink ``Pattern.subtype(SubEvent.class)``):
+    any INTERACTION (view | click) followed by any CONVERSION
+    (purchase | signup) within 30 minutes. The Pattern builder's
+    ``with_hierarchy`` + ``subtype`` desugar abstract event types to
+    ``event_type IN (...)`` per step — the flat-schema spelling of
+    Flink's class-hierarchy narrowing (the reference's subjects are
+    case classes, so a parent type IS the set of its concrete record
+    types). The hierarchy is nested ('activity' -> 'interaction' |
+    'conversion') and the first step is built by NARROWING 'activity'
+    with subtype('interaction'), exercising the resolution path."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("activity")
+        .with_hierarchy(
+            {
+                "interaction": ["view", "click"],
+                "conversion": ["purchase", "signup"],
+                "activity": ["interaction", "conversion"],
+            }
+        )
+        .subtype("interaction")
+        .followed_by("conversion")
+        .within("30 MINUTES")
+    )
+    return p.match(ev).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_skip_next",
     family="I",
     oracle="""

@@ -478,7 +478,7 @@ def test_one_or_more_until_breaks_runs(spark):
     assert sorted(
         (r["user_id"], r["n_reps"]) for r in tied.collect()
     ) == [(3, 2)]
-    with pytest.raises(ValueError, match="equals the looping step"):
+    with pytest.raises(ValueError, match="overlaps the looping step"):
         match_one_or_more(
             ev, "click", "purchase", "5 MINUTES", "60 MINUTES",
             until="click",

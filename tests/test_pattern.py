@@ -550,3 +550,147 @@ def test_match_stream_one_or_more_rejects_disorder(spark):
     )
     with pytest.raises(ValueError, match="disorder"):
         p.match_stream(_sstream(spark), disorder_s=60.0)
+
+
+# -- subtype() / type hierarchies (Flink Pattern.subtype) -------------
+
+_H = {
+    "interaction": ["view", "click"],
+    "conversion": ["purchase", "signup"],
+    "activity": ["interaction", "conversion"],  # nested resolution
+}
+
+
+def test_subtype_chain_equals_in_set_expansion(events):
+    """An abstract-typed chain equals the hand-expanded IN-set chain —
+    the hierarchy is pure desugaring, never semantics."""
+    p = (
+        Pattern.begin("interaction")
+        .followed_by("conversion")
+        .within("30 minutes")
+        .with_hierarchy(_H)
+    )
+    direct = match_sequence(
+        events,
+        [("click", "view"), ("purchase", "signup")],
+        "30 MINUTES",
+    )
+    got = p.match(events)
+    assert _canon(got) == _canon(direct.select(got.columns))
+
+
+def test_subtype_narrows_and_validates(events):
+    """subtype() narrows the step to a hierarchy descendant; widening
+    or narrowing to a non-subset raises."""
+    p = (
+        Pattern.begin("activity")
+        .with_hierarchy(_H)
+        .subtype("interaction")
+        .followed_by("conversion")
+        .within("30 minutes")
+    )
+    q = (
+        Pattern.begin("interaction")
+        .followed_by("conversion")
+        .within("30 minutes")
+        .with_hierarchy(_H)
+    )
+    assert _canon(p.match(events)) == _canon(q.match(events))
+    with pytest.raises(ValueError, match="narrows"):
+        Pattern.begin("interaction").with_hierarchy(_H).subtype(
+            "conversion"
+        )
+    # concrete member is a valid subtype of its parent
+    n = (
+        Pattern.begin("interaction")
+        .with_hierarchy(_H)
+        .subtype("view")
+        .followed_by("purchase")
+        .within("30 minutes")
+    )
+    direct = match_sequence(events, ["view", "purchase"], "30 MINUTES")
+    got = n.match(events)
+    assert _canon(got) == _canon(direct.select(got.columns))
+
+
+def test_subtype_hierarchy_validation():
+    with pytest.raises(ValueError, match="non-empty list"):
+        Pattern.begin("a").with_hierarchy({"x": "view"})
+    with pytest.raises(ValueError, match="non-empty list"):
+        Pattern.begin("a").with_hierarchy({"x": []})
+    cyc = Pattern.begin("x").with_hierarchy({"x": ["y"], "y": ["x"]})
+    with pytest.raises(ValueError, match="cycle"):
+        cyc._expand("x")
+
+
+def test_subtype_negation_and_quantifier(events):
+    """Abstract types work as negation absent-types and quantified
+    loop/follower/until types."""
+    pn = (
+        Pattern.begin("view")
+        .followed_by("purchase")
+        .not_followed_by("interaction")
+        .within("30 minutes")
+        .with_hierarchy(_H)
+    )
+    direct = match_sequence_negated(
+        events, ["view", "purchase"], ("click", "view"), "30 MINUTES"
+    )
+    got = pn.match(events)
+    assert _canon(got) == _canon(direct.select(got.columns))
+    pq = (
+        Pattern.begin("interaction")
+        .times(2, 3)
+        .followed_by("conversion")
+        .within("12 hours")
+        .with_hierarchy(_H)
+    )
+    dq = match_times(
+        events, ("click", "view"), ("purchase", "signup"), 2, 3, "12 HOURS"
+    )
+    assert _canon(pq.match(events)) == _canon(dq)
+    # until overlap with the looping step set raises
+    with pytest.raises(ValueError, match="overlap"):
+        (
+            Pattern.begin("interaction")
+            .one_or_more("1 hour")
+            .until("click")
+            .followed_by("purchase")
+            .within("12 hours")
+            .with_hierarchy(_H)
+        ).match(events)
+
+
+def test_subtype_stream_remap_and_overlap_guard(spark):
+    """Streaming desugaring rewrites tags to the abstract name
+    (machines key transitions on equality); overlapping expansions
+    have no single rewrite and are refused loudly."""
+    p = (
+        Pattern.begin("interaction")
+        .followed_by("conversion")
+        .within("30 minutes")
+        .with_hierarchy(_H)
+    )
+    src = _planted(
+        spark,
+        [(1, 1, 0, "view"), (1, 2, 1, "signup"), (1, 3, 2, "error")],
+    )
+    remapped = p._remap_stream_types(src)
+    got = {
+        (r["event_id"], r["event_type"]) for r in remapped.collect()
+    }
+    assert got == {
+        (1, "interaction"), (2, "conversion"), (3, "error")
+    }
+    # streaming plan compiles on the remapped stream (join path)
+    out = p.match_stream(_sstream(spark))
+    assert out.isStreaming
+    # overlap: a concrete step inside another step's expansion
+    bad = (
+        Pattern.begin("interaction")
+        .followed_by("click")
+        .within("30 minutes")
+        .with_hierarchy(_H)
+    )
+    with pytest.raises(ValueError, match="disjoint"):
+        bad.match_stream(_sstream(spark))
