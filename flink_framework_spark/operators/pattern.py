@@ -32,7 +32,21 @@ Supported shapes (validated, loud errors otherwise):
 - ``select_strategy("any" | "first")`` on plain chains (+ negation):
   "any" is Flink ``followedByAny`` (every combination, the default
   here), "first" is Flink's ``followedBy`` (each step binds to the
-  earliest qualifying event per prefix).
+  earliest qualifying event per prefix);
+- **GroupPattern** (Flink ``Pattern.begin(subPattern)`` /
+  ``followedBy(subPattern)``): a plain-chain sub-pattern embedded as
+  one step. Unquantified groups splice inline (pure grouping
+  syntax); ``times(m, n)`` ON THE GROUP repeats its step sequence
+  m..n times with relaxed contiguity, lowered by unrolling to a
+  bounded union of join chains (``n_reps`` + NULL-padded repetition
+  columns). ``one_or_more()`` on a group is refused loudly —
+  unbounded group repetition under all-combinations semantics is
+  combinatorial with no bounded relational lowering;
+- **type hierarchies** (Flink ``subtype(SubEvent.class)``):
+  ``with_hierarchy({abstract: [members...]})`` lets any step,
+  negation, or until type name an abstract type (recursive
+  resolution to ``event_type IN (...)``), and ``subtype(t)`` narrows
+  the last step to a hierarchy descendant.
 """
 
 from __future__ import annotations
@@ -81,6 +95,9 @@ class _Step:
     times: tuple[int, int] | None = None
     one_or_more_gap: str | None = None
     until: str | None = None
+    # GroupPattern (Flink Pattern.begin(subPattern)): the member type
+    # sequence of an embedded group; event_type is a display name only
+    group: list[str] | None = None
 
 
 @dataclass
@@ -98,8 +115,39 @@ class Pattern:
     hierarchy: dict[str, list[str]] | None = None
 
     @classmethod
-    def begin(cls, event_type: str) -> "Pattern":
+    def begin(cls, event_type: "str | Pattern") -> "Pattern":
+        if isinstance(event_type, Pattern):
+            return cls(steps=[event_type._as_group_step()])
         return cls(steps=[_Step(event_type)])
+
+    def _as_group_step(self) -> _Step:
+        """Validate this pattern as an embeddable GROUP (Flink
+        ``Pattern.begin(subPattern)``): a plain chain of typed steps —
+        no quantifiers, optionals, strict steps, negations, select
+        'first', horizon, or skip strategy of its own (those belong to
+        the OUTER pattern)."""
+        if (
+            self.negations
+            or self.horizon is not None
+            or self.skip_strategy != "no_skip"
+            or self.select != "any"
+            or self.hierarchy is not None
+            or any(
+                s.optional or s.strict or s.times or s.one_or_more_gap
+                or s.group
+                for s in self.steps
+            )
+        ):
+            raise ValueError(
+                "a pattern GROUP must be a plain chain of typed steps "
+                "— quantifiers, optionals, next_step, negations, "
+                "select/skip strategies, within, and hierarchies "
+                "belong on the OUTER pattern (and groups do not nest)"
+            )
+        if not self.steps:
+            raise ValueError("an empty pattern cannot be a group")
+        types = [s.event_type for s in self.steps]
+        return _Step("(" + " ".join(types) + ")", group=types)
 
     # -- type hierarchy (Flink subtype()) ------------------------------
     def with_hierarchy(self, hierarchy: dict[str, list[str]]) -> "Pattern":
@@ -127,6 +175,11 @@ class Pattern:
         step's current type set under the declared hierarchy."""
         if not self.steps:
             raise ValueError("subtype() needs a step to narrow")
+        if self.steps[-1].group:
+            raise ValueError(
+                "subtype() applies to a typed step, not a group — "
+                "narrow the member step inside the group pattern"
+            )
 
         def as_set(t):
             e = self._expand(t)
@@ -160,8 +213,11 @@ class Pattern:
         return tuple(sorted(tags))
 
     # -- fluent chain -------------------------------------------------
-    def followed_by(self, event_type: str) -> "Pattern":
-        self.steps.append(_Step(event_type))
+    def followed_by(self, event_type: "str | Pattern") -> "Pattern":
+        if isinstance(event_type, Pattern):
+            self.steps.append(event_type._as_group_step())
+        else:
+            self.steps.append(_Step(event_type))
         return self
 
     def next_step(self, event_type: str) -> "Pattern":
@@ -176,6 +232,12 @@ class Pattern:
         if len(self.steps) < 2:
             raise ValueError(
                 "the first step anchors the match and cannot be optional"
+            )
+        if self.steps[-1].group:
+            raise ValueError(
+                "optional() on a GROUP is not supported — spell it as "
+                "times(0, 1)-style branches by hand (union of the "
+                "chain with and without the group's steps)"
             )
         self.steps[-1].optional = True
         return self
@@ -193,14 +255,25 @@ class Pattern:
         return self
 
     def times(self, n_min: int, n_max: int) -> "Pattern":
-        """Quantify the LAST added step (must be the first step;
-        requires exactly one ``followed_by`` after it)."""
+        """Quantify the LAST added step. On a TYPED step: must be the
+        first step with exactly one ``followed_by`` after it (the
+        consecutive-run window operators). On a GROUP step (Flink
+        ``Pattern.begin(subPattern).times(m, n)``): the group repeats
+        m..n times with relaxed contiguity, anywhere in the chain —
+        lowered by unrolling to a bounded union of plain chains."""
         self.steps[-1].times = (n_min, n_max)
         return self
 
     def one_or_more(self, max_gap: str) -> "Pattern":
         """Greedy unbounded looping on the LAST added step (maximal
         runs with successive events within ``max_gap``)."""
+        if self.steps[-1].group:
+            raise ValueError(
+                "one_or_more() on a GROUP has no bounded relational "
+                "lowering (unbounded group repetition with relaxed "
+                "contiguity is combinatorial) — use times(m, n) on "
+                "the group, which unrolls to a bounded chain union"
+            )
         self.steps[-1].one_or_more_gap = max_gap
         return self
 
@@ -251,12 +324,124 @@ class Pattern:
         quantified patterns: ``ts_first``/``ts_last``/``n_reps``)."""
         if self.horizon is None:
             raise ValueError("pattern needs .within(horizon)")
+        if any(s.group and s.times for s in self.steps):
+            return self._match_group_times(
+                events, key_col, ts_col, type_col, id_col
+            )
+        if any(s.group for s in self.steps):
+            return self._splice_groups().match(
+                events, key_col, ts_col, type_col, id_col
+            )
         quant = [s for s in self.steps if s.times or s.one_or_more_gap]
         if quant:
             return self._match_quantified(
                 events, key_col, ts_col, type_col, id_col
             )
         return self._match_chain(events, key_col, ts_col, type_col, id_col)
+
+    def _splice_groups(self) -> "Pattern":
+        """Inline every UNQUANTIFIED group's member steps into the
+        chain (an unrepeated group is pure grouping syntax). Negation
+        ``between=`` indices and optional positions refer to the
+        SPLICED layout — the one the output columns use."""
+        flat: list[_Step] = []
+        for s in self.steps:
+            if s.group:
+                flat.extend(_Step(t) for t in s.group)
+            else:
+                flat.append(s)
+        return Pattern(
+            steps=flat,
+            negations=list(self.negations),
+            horizon=self.horizon,
+            skip_strategy=self.skip_strategy,
+            select=self.select,
+            hierarchy=self.hierarchy,
+        )
+
+    def _match_group_times(self, events, key_col, ts_col, type_col, id_col):
+        """Flink GroupPattern repetition —
+        ``begin(sub).times(m, n)`` (or a group anywhere in the chain):
+        the group's step sequence repeats m..n times, relaxed
+        contiguity between and inside repetitions, all combinations
+        (``followedByAny``), every event within the horizon of the
+        first. Lowered by UNROLLING: one plain join chain per
+        repetition count r (prefix + members x r + suffix), each a
+        :func:`match_sequence` over keyed interval joins, unioned with
+        the r-branch's absent repetitions as typed NULLs — the same
+        branch machinery as ``optional()``, so Catalyst sees only
+        joins it can reorder.
+
+        Output layout: ``n_reps`` plus ``ts_i``/``id_i`` for the
+        MAXIMAL unroll — prefix steps first, then ``n_max`` x group
+        positions, then suffix steps; a 2-rep match of a 3-rep-max
+        group NULLs positions ``p + 2g .. p + 3g - 1``.
+
+        Scale shape: (n - m + 1) chain branches, each <= 10 steps
+        (loud cap — join count is the unroll length), unioned; no new
+        join strategy, no cross joins."""
+        from functools import reduce
+
+        gq = [i for i, s in enumerate(self.steps) if s.group and s.times]
+        if len(gq) > 1:
+            raise ValueError(
+                "one quantified group per pattern (two would union a "
+                "product of unrollings)"
+            )
+        if any(
+            s.optional or s.strict or s.one_or_more_gap
+            or (s.times and not s.group)
+            for s in self.steps
+        ):
+            raise ValueError(
+                "a quantified group composes with PLAIN chain steps "
+                "only (no optional/next_step/other quantifiers)"
+            )
+        if self.negations:
+            raise ValueError(
+                "not_followed_by with a quantified group is ambiguous "
+                "(step indices shift per repetition branch) — negate "
+                "on a drained match frame instead"
+            )
+        if self.select != "any":
+            raise ValueError(
+                "quantified groups support select 'any' (followedByAny)"
+            )
+        if self.skip_strategy != "no_skip":
+            raise ValueError(
+                "after-match skip applies to single-step quantified "
+                "patterns (group matches have no run frame to skip)"
+            )
+        gi = gq[0]
+        gstep = self.steps[gi]
+        m, n = gstep.times
+        g = len(gstep.group)
+        if not (1 <= m <= n):
+            raise ValueError("group times(m, n) needs 1 <= m <= n")
+        prefix = [s.event_type for s in self.steps[:gi]]
+        suffix = [s.event_type for s in self.steps[gi + 1:]]
+        total = len(prefix) + n * g + len(suffix)
+        if total > 10:
+            raise ValueError(
+                f"the maximal unroll is {total} chained steps; keep "
+                "prefix + n_max * group + suffix <= 10"
+            )
+        if len(prefix) + m * g + len(suffix) < 2:
+            raise ValueError("the shortest branch needs >= 2 steps")
+        full = [
+            self._expand(t)
+            for t in (prefix + gstep.group * n + suffix)
+        ]
+        p = len(prefix)
+        branches = []
+        for r in range(m, n + 1):
+            skipped = list(range(p + r * g, p + n * g))
+            b = union_skip_branches(
+                events, full, [skipped], self.horizon,
+                key_col, ts_col, type_col, id_col,
+            ).withColumn("n_reps", F.lit(r))
+            branches.append(b)
+        return reduce(lambda a, b: a.unionByName(b), branches)
 
     def match_stream(
         self,
@@ -318,6 +503,20 @@ class Pattern:
             )
         if self.horizon is None:
             raise ValueError("pattern needs .within(horizon)")
+        if any(s.group and s.times for s in self.steps):
+            raise ValueError(
+                "quantified groups have no streaming twin yet — run "
+                "match() on the lake (bounded unroll), or hand-build "
+                "the per-repetition chains and union their streams"
+            )
+        if any(s.group for s in self.steps):
+            # unquantified groups are grouping syntax — splice and
+            # re-dispatch (a group of singletons keeps the chain
+            # join-lowering eligible)
+            return self._splice_groups().match_stream(
+                events, engine, watermark, disorder_s,
+                key_col, ts_col, type_col, id_col,
+            )
         if self.skip_strategy != "no_skip":
             raise ValueError(
                 "after-match skip strategies are batch-only (selection "

@@ -866,6 +866,66 @@ def q_cep_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_group",
+    family="I",
+    oracle="""
+WITH c0 AS (
+  SELECT user_id, ts AS ts0, ts AS prev FROM events
+  WHERE event_type = 'view'),
+c1 AS (
+  SELECT c0.user_id, c0.ts0, e.ts AS prev FROM c0
+  JOIN events e ON e.user_id = c0.user_id AND e.event_type = 'click'
+    AND e.ts > c0.prev AND e.ts <= c0.ts0 + INTERVAL '48 hours'),
+c2 AS (
+  SELECT c1.user_id, c1.ts0, e.ts AS prev FROM c1
+  JOIN events e ON e.user_id = c1.user_id AND e.event_type = 'view'
+    AND e.ts > c1.prev AND e.ts <= c1.ts0 + INTERVAL '48 hours'),
+c3 AS (
+  SELECT c2.user_id, c2.ts0, e.ts AS prev FROM c2
+  JOIN events e ON e.user_id = c2.user_id AND e.event_type = 'click'
+    AND e.ts > c2.prev AND e.ts <= c2.ts0 + INTERVAL '48 hours'),
+m AS (
+  SELECT 1 AS n_reps, c1.user_id FROM c1
+  JOIN events e ON e.user_id = c1.user_id AND e.event_type = 'purchase'
+    AND e.ts > c1.prev AND e.ts <= c1.ts0 + INTERVAL '48 hours'
+  UNION ALL
+  SELECT 2, c3.user_id FROM c3
+  JOIN events e ON e.user_id = c3.user_id AND e.event_type = 'purchase'
+    AND e.ts > c3.prev AND e.ts <= c3.ts0 + INTERVAL '48 hours')
+SELECT CAST(n_reps AS INT) AS n_reps,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM m GROUP BY n_reps
+""",
+)
+def q_cep_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP GroupPattern (Flink ``Pattern.begin(subPattern)
+    .times(m, n)``): the GROUP (view -> click) repeated 1..2 times,
+    then a purchase, everything within 48 hours of the first view —
+    "one or two browse cycles ending in a purchase". The Pattern
+    builder lowers the quantified group by UNROLLING to a bounded
+    union of plain join chains (r=1: view click purchase; r=2: view
+    click view click purchase), each a chain of keyed interval joins,
+    with ``n_reps`` tagging the branch — no NFA, no cross joins. The
+    oracle spells the same unroll as chained CTEs (DuckDB's
+    optimizer mis-orders the flat 5-way self-join spelling)."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    g = Pattern.begin("view").followed_by("click")
+    p = (
+        Pattern.begin(g)
+        .times(1, 2)
+        .followed_by("purchase")
+        .within("48 HOURS")
+    )
+    return p.match(ev).groupBy("n_reps").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_subtype",
     family="I",
     oracle="""

@@ -819,3 +819,89 @@ def test_fuzz_cep_optional_matches_oracle(spark, sf_dir, seed):
         F.countDistinct("user_id").alias("n_users"),
     )
     assert_matches_oracle(got, sql, sf_dir)
+
+
+def gen_cep_group_query(seed: int):
+    """Random GroupPattern unroll: optional one-step prefix, a 1-2
+    step group repeated times(m, n) with m in {1,2} and n in
+    {m, m+1}, one follower step — rendered to the Pattern builder on
+    the Spark side and to a UNION ALL of chained-CTE join chains (one
+    per repetition count) on the DuckDB side. CTE chaining forces the
+    linear join order (DuckDB mis-plans the flat 5-way self-join)."""
+    rng = random.Random(110_000 + seed)
+    g = rng.choice([1, 2])
+    group = rng.sample(_EVENT_TYPES, g)
+    m = rng.choice([1, 2])
+    n = m + rng.choice([0, 1])
+    prefix = (
+        rng.sample([t for t in _EVENT_TYPES if t not in group], 1)
+        if rng.random() < 0.5
+        else []
+    )
+    follower = rng.choice(_EVENT_TYPES)
+    minutes = rng.choice([120, 720, 2880])
+    while len(prefix) + n * g + 1 > 10:
+        n -= 1
+
+    def chain_cte(steps, tag):
+        ctes = [
+            f"{tag}0 AS (SELECT user_id, ts AS ts0, ts AS prev,"
+            f" event_id AS pid FROM events"
+            f" WHERE event_type = '{steps[0]}')"
+        ]
+        for i in range(1, len(steps)):
+            ctes.append(
+                f"{tag}{i} AS (SELECT {tag}{i-1}.user_id,"
+                f" {tag}{i-1}.ts0, e.ts AS prev, e.event_id AS pid"
+                f" FROM {tag}{i-1} JOIN events e"
+                f" ON e.user_id = {tag}{i-1}.user_id"
+                f" AND e.event_type = '{steps[i]}'"
+                f" AND e.ts > {tag}{i-1}.prev"
+                f" AND e.ts <= {tag}{i-1}.ts0"
+                f" + INTERVAL '{minutes} minutes')"
+            )
+        return ctes, f"{tag}{len(steps) - 1}"
+
+    parts, finals = [], []
+    for r in range(m, n + 1):
+        steps_r = prefix + group * r + [follower]
+        ctes, last = chain_cte(steps_r, f"r{r}_")
+        parts.extend(ctes)
+        finals.append(f"SELECT {r} AS n_reps, user_id FROM {last}")
+    sql = (
+        "WITH "
+        + ",\n".join(parts)
+        + ",\nu AS (\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\n)\nSELECT CAST(n_reps AS INT) AS n_reps,"
+        " CAST(COUNT(*) AS BIGINT) AS n_matches,"
+        " COUNT(DISTINCT user_id) AS n_users FROM u GROUP BY n_reps"
+    )
+    return prefix, group, (m, n), follower, f"{minutes} MINUTES", sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_cep_group_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.operators.pattern import Pattern
+
+    prefix, group, (m, n), follower, within, sql = gen_cep_group_query(
+        seed
+    )
+    ev = table(spark, sf_dir, "events")
+    sub = Pattern.begin(group[0])
+    for t in group[1:]:
+        sub = sub.followed_by(t)
+    p = Pattern.begin(prefix[0]) if prefix else None
+    p = p.followed_by(sub) if p else Pattern.begin(sub)
+    got = (
+        p.times(m, n)
+        .followed_by(follower)
+        .within(within)
+        .match(ev)
+        .groupBy("n_reps")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    assert_matches_oracle(got, sql, sf_dir)

@@ -694,3 +694,151 @@ def test_subtype_stream_remap_and_overlap_guard(spark):
     )
     with pytest.raises(ValueError, match="disjoint"):
         bad.match_stream(_sstream(spark))
+
+
+# -- GroupPattern (Flink Pattern.begin(subPattern)) -------------------
+
+
+def test_group_splice_equals_flat_chain(events):
+    """An unquantified group is pure grouping syntax: the spliced
+    chain equals the flat spelling, batch and streaming."""
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).followed_by("purchase").within("12 HOURS")
+    flat = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    assert _canon(p.match(events)) == _canon(flat.match(events))
+
+
+def test_group_times_equals_handbuilt_union(spark):
+    """begin((A B)).times(1, 2).followed_by(C): the unroll equals the
+    union of the hand-built r=1 and r=2 chains, with the r=1 branch's
+    second-repetition columns NULL."""
+    ev = _planted(
+        spark,
+        [
+            # user 1: A B A B C — one 2-rep match and (all-combinations)
+            # four 1-rep matches (A at 0 or 2 x B at 1 or 3, B after A)
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "view"),
+            (1, 4, 3, "click"),
+            (1, 5, 4, "purchase"),
+            # user 2: A B C only — one 1-rep match
+            (2, 6, 0, "view"),
+            (2, 7, 1, "click"),
+            (2, 8, 2, "purchase"),
+        ],
+    )
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).times(1, 2).followed_by("purchase").within(
+        "30 MINUTES"
+    )
+    got = p.match(ev)
+    counts = {
+        r["n_reps"]: r["count"]
+        for r in got.groupBy("n_reps").count().collect()
+    }
+    # user 1 1-rep: A∈{0,2} x B∈{1,3} with B>A → (0,1),(0,3),(2,3) = 3
+    assert counts == {1: 3 + 1, 2: 1}
+    # the r=1 branch NULLs the second repetition's positions (2, 3)
+    one = got.filter("n_reps = 1")
+    assert one.filter("ts_2 IS NULL AND id_3 IS NULL").count() == 4
+    # hand-built equality (modulo the NULL padding + n_reps)
+    direct1 = match_sequence(ev, ["view", "click", "purchase"], "30 MINUTES")
+    direct2 = match_sequence(
+        ev, ["view", "click", "view", "click", "purchase"], "30 MINUTES"
+    )
+    assert one.count() == direct1.count()
+    assert got.filter("n_reps = 2").count() == direct2.count()
+    got1 = {
+        (r["user_id"], r["ts_0"], r["ts_1"], r["ts_4"])
+        for r in one.collect()
+    }
+    want1 = {
+        (r["user_id"], r["ts_0"], r["ts_1"], r["ts_2"])
+        for r in direct1.collect()
+    }
+    assert got1 == want1
+
+
+def test_group_times_mid_chain_and_hierarchy(spark):
+    """A quantified group NOT at the head (prefix step before it) and
+    abstract member types resolve correctly."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "signup"),
+            (1, 2, 1, "view"),   # interaction
+            (1, 3, 2, "click"),  # interaction
+            (1, 4, 3, "purchase"),
+        ],
+    )
+    g = Pattern.begin("interaction").followed_by("interaction")
+    p = (
+        Pattern.begin("signup")
+        .followed_by(g)
+        .times(1, 1)
+        .followed_by("purchase")
+        .within("30 MINUTES")
+        .with_hierarchy({"interaction": ["view", "click"]})
+    )
+    got = p.match(ev)
+    # interactions pairs in order: (view,click) = 1 combination... plus
+    # (view,view)? no second view; (click,click)? no. exactly 1 match
+    assert got.count() == 1
+    row = got.collect()[0]
+    assert row["n_reps"] == 1 and row["ts_0"].minute == 0
+
+
+def test_group_validation_errors(spark):
+    g = Pattern.begin("view").followed_by("click")
+    with pytest.raises(ValueError, match="one_or_more\\(\\) on a GROUP"):
+        Pattern.begin(g).one_or_more("1 hour")
+    with pytest.raises(ValueError, match="optional"):
+        Pattern.begin("signup").followed_by(g).optional()
+    with pytest.raises(ValueError, match="subtype"):
+        Pattern.begin(g).subtype("view")
+    # a group must be a plain chain
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin(Pattern.begin("view").followed_by("click").optional())
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin(Pattern.begin("view").within("1 hour"))
+    # nested groups are refused
+    with pytest.raises(ValueError, match="nest"):
+        Pattern.begin(Pattern.begin(g))
+    ev = _planted(spark, [(1, 1, 0, "view")])
+    # unroll cap
+    big = Pattern.begin(g).times(1, 5).followed_by("purchase").within(
+        "1 hour"
+    )
+    with pytest.raises(ValueError, match="<= 10"):
+        big.match(ev)
+    # one quantified group only
+    two = Pattern.begin(g).times(1, 2).followed_by(g).times(1, 2).within(
+        "1 hour"
+    )
+    with pytest.raises(ValueError, match="one quantified group"):
+        two.match(ev)
+    # negation with a quantified group is ambiguous
+    neg = (
+        Pattern.begin(g)
+        .times(1, 2)
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        neg.match(ev)
+
+
+def test_group_times_stream_guard(spark):
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).times(1, 2).followed_by("purchase").within(
+        "1 hour"
+    )
+    with pytest.raises(ValueError, match="no streaming twin"):
+        p.match_stream(_sstream(spark))
