@@ -529,6 +529,147 @@ def match_one_or_more(
     ).select(key_col, "ts_first", "ts_last", "n_reps", "id_first", "id_last")
 
 
+def match_combinations(
+    events: DataFrame,
+    step,
+    then_step,
+    within: str,
+    n_min: int = 1,
+    n_max: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    level_cap: int = 12,
+) -> DataFrame:
+    """Flink CEP ``allowCombinations()`` — NON-DETERMINISTIC relaxed
+    contiguity on a looping step: the loop binds to EVERY ordered
+    subsequence (not just consecutive runs) of the key's ``step``
+    events, each combination a distinct match, every bound event
+    within ``within`` of the combination's first, followed by a
+    ``then_step`` event after the last and within the horizon.
+    ``n_max`` bounds the repetition count (Flink
+    ``times(m, n).allowCombinations()``); ``n_max=None`` is unbounded
+    (``oneOrMore().allowCombinations()``).
+
+    Output: ``(key_col, ts_first, ts_last, n_reps, id_first, id_last,
+    ids)`` — ``ids`` is the full ordered event-id list, because
+    distinct combinations can share boundaries (b1 b3 b4 vs b1 b2 b4)
+    and each is its own match, exactly Flink's emission.
+
+    Scale shape: LEVEL-SYNCHRONOUS relational expansion — level 1 is
+    the step events, level k+1 extends level k by one strictly-later
+    (in the per-key (ts, id) total order) step event inside the
+    anchor's horizon via a keyed equi-join with range residuals; the
+    follower check is one LEFT SEMI join on the union. All JVM joins
+    Catalyst can plan — no per-key Python enumeration — and the work
+    is linear in the OUTPUT, which is the irreducible cost of
+    combination semantics (the match count itself is
+    ``sum over bursts of 2^burst``; that is why Flink tells users to
+    bound looping patterns — ``within`` is the lever here). Bounded
+    ``n_max`` builds exactly ``n_max`` lazy levels (no driver
+    actions); unbounded iterates with a persist + emptiness probe per
+    level and REFUSES at ``level_cap`` levels (a key with 2^cap
+    combinations in one horizon is a data problem; tighten ``within``
+    or bound with ``times``)."""
+    if n_min < 1:
+        raise ValueError("n_min must be >= 1 (the loop is oneOrMore)")
+    if n_max is not None and not (n_min <= n_max <= n_min + 7):
+        raise ValueError("need n_min <= n_max <= n_min + 7 (bounded)")
+    horizon = F.expr(f"INTERVAL {within}")
+    steps = events.filter(_type_pred(type_col, step)).select(
+        F.col(key_col).alias("__sk"),
+        F.col(ts_col).alias("__sts"),
+        F.col(id_col).alias("__sid"),
+    )
+    level = events.filter(_type_pred(type_col, step)).select(
+        F.col(key_col),
+        F.col(ts_col).alias("ts_first"),
+        F.col(id_col).alias("id_first"),
+        F.col(ts_col).alias("ts_last"),
+        F.col(id_col).alias("id_last"),
+        F.lit(1).alias("n_reps"),
+        F.array(F.col(id_col)).alias("ids"),
+    )
+
+    def extend(lv: DataFrame) -> DataFrame:
+        return (
+            lv.join(
+                steps,
+                (F.col(key_col) == F.col("__sk"))
+                & (
+                    (F.col("__sts") > F.col("ts_last"))
+                    | (
+                        (F.col("__sts") == F.col("ts_last"))
+                        & (F.col("__sid") > F.col("id_last"))
+                    )
+                )
+                & (F.col("__sts") <= F.col("ts_first") + horizon),
+            )
+            .select(
+                F.col(key_col),
+                "ts_first",
+                "id_first",
+                F.col("__sts").alias("ts_last"),
+                F.col("__sid").alias("id_last"),
+                (F.col("n_reps") + 1).alias("n_reps"),
+                F.array_append("ids", F.col("__sid")).alias("ids"),
+            )
+        )
+
+    levels = [level]
+    if n_max is not None:
+        for _ in range(1, n_max):
+            level = extend(level)
+            levels.append(level)
+    else:
+        # unbounded: probe emptiness per level (persist so the probe
+        # and the union share the work; lineage stays shallow because
+        # each level persists before the next extends it)
+        persisted = []
+        level = level.persist()
+        persisted.append(level)
+        depth = 1
+        while True:
+            nxt = extend(level).persist()
+            if nxt.isEmpty():
+                nxt.unpersist()
+                break
+            depth += 1
+            if depth > level_cap:
+                for p in persisted:
+                    p.unpersist()
+                nxt.unpersist()
+                raise ValueError(
+                    f"combination expansion exceeded {level_cap} "
+                    "repetitions — a burst of b step events inside "
+                    "one horizon yields 2^b matches; tighten within "
+                    "or bound with times(m, n)"
+                )
+            persisted.append(nxt)
+            levels.append(nxt)
+            level = nxt
+        # leave persisted levels cached for the final plan; Spark
+        # evicts LRU, and callers drain the frame promptly
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    out = out.filter(F.col("n_reps") >= n_min)
+    followers = events.filter(_type_pred(type_col, then_step)).select(
+        F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
+    )
+    return out.join(
+        followers,
+        (F.col(key_col) == F.col("__bk"))
+        & (F.col("__bts") > F.col("ts_last"))
+        & (F.col("__bts") <= F.col("ts_first") + horizon),
+        "left_semi",
+    ).select(
+        key_col, "ts_first", "ts_last", "n_reps",
+        "id_first", "id_last", "ids",
+    )
+
+
 def skip_to_next(
     matches: DataFrame,
     key_col: str = "user_id",

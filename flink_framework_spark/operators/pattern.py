@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from flink_framework_spark.operators.cep import (
     anti_join_between,
     enforce_strict_contiguity,
+    match_combinations,
     match_one_or_more,
     match_sequence_first,
     match_times,
@@ -93,8 +94,10 @@ class _Step:
     optional: bool = False
     strict: bool = False  # next() — no event between this and previous
     times: tuple[int, int] | None = None
+    looping: bool = False  # one_or_more()
     one_or_more_gap: str | None = None
     until: str | None = None
+    combinations: bool = False  # allowCombinations()
     # GroupPattern (Flink Pattern.begin(subPattern)): the member type
     # sequence of an embedded group; event_type is a display name only
     group: list[str] | None = None
@@ -264,9 +267,12 @@ class Pattern:
         self.steps[-1].times = (n_min, n_max)
         return self
 
-    def one_or_more(self, max_gap: str) -> "Pattern":
-        """Greedy unbounded looping on the LAST added step (maximal
-        runs with successive events within ``max_gap``)."""
+    def one_or_more(self, max_gap: str | None = None) -> "Pattern":
+        """Unbounded looping on the LAST added step. With ``max_gap``:
+        GREEDY maximal runs (successive repetitions within ``max_gap``
+        of each other). Without it, the step must be followed by
+        :meth:`allow_combinations` — the non-deterministic
+        all-subsequences semantics, which has no gap notion."""
         if self.steps[-1].group:
             raise ValueError(
                 "one_or_more() on a GROUP has no bounded relational "
@@ -274,7 +280,42 @@ class Pattern:
                 "contiguity is combinatorial) — use times(m, n) on "
                 "the group, which unrolls to a bounded chain union"
             )
+        self.steps[-1].looping = True
         self.steps[-1].one_or_more_gap = max_gap
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Flink ``allowCombinations()`` — non-deterministic relaxed
+        contiguity on the LAST step, which must be quantified
+        (``times(m, n)`` or ``one_or_more()``): the loop binds to
+        EVERY ordered subsequence of the step's events inside the
+        horizon, each combination a distinct match (output carries
+        the full ``ids`` list — combinations can share boundaries).
+        Greedy ``one_or_more(max_gap)`` and combinations are
+        different semantics — declare one_or_more() WITHOUT a gap
+        for the combination form."""
+        s = self.steps[-1]
+        if s.group:
+            raise ValueError(
+                "allow_combinations() applies to a quantified typed "
+                "step, not a group"
+            )
+        if not (s.times or s.looping):
+            raise ValueError(
+                "allow_combinations() needs the step quantified with "
+                "times(m, n) or one_or_more() first"
+            )
+        if s.one_or_more_gap is not None:
+            raise ValueError(
+                "one_or_more(max_gap) is the GREEDY-runs form; "
+                "combinations have no gap notion — declare "
+                "one_or_more() without a gap"
+            )
+        if s.until is not None:
+            raise ValueError(
+                "until() composes with greedy one_or_more only"
+            )
+        s.combinations = True
         return self
 
     def until(self, event_type: str) -> "Pattern":
@@ -282,8 +323,13 @@ class Pattern:
         event stops the loop — runs cannot span one. Applies to the
         LAST added step, which must be quantified with
         :meth:`one_or_more`."""
-        if self.steps[-1].one_or_more_gap is None:
-            raise ValueError("until() applies to a one_or_more() step")
+        if (
+            self.steps[-1].one_or_more_gap is None
+            or self.steps[-1].combinations
+        ):
+            raise ValueError(
+                "until() applies to a greedy one_or_more(max_gap) step"
+            )
         self.steps[-1].until = event_type
         return self
 
@@ -332,7 +378,7 @@ class Pattern:
             return self._splice_groups().match(
                 events, key_col, ts_col, type_col, id_col
             )
-        quant = [s for s in self.steps if s.times or s.one_or_more_gap]
+        quant = [s for s in self.steps if s.times or s.looping]
         if quant:
             return self._match_quantified(
                 events, key_col, ts_col, type_col, id_col
@@ -389,7 +435,7 @@ class Pattern:
                 "product of unrollings)"
             )
         if any(
-            s.optional or s.strict or s.one_or_more_gap
+            s.optional or s.strict or s.looping
             or (s.times and not s.group)
             for s in self.steps
         ):
@@ -543,8 +589,15 @@ class Pattern:
         )
         src = self._remap_stream_types(src)
 
-        quant = [s for s in self.steps if s.times or s.one_or_more_gap]
+        quant = [s for s in self.steps if s.times or s.looping]
         if quant:
+            if any(s.combinations for s in self.steps):
+                raise ValueError(
+                    "allowCombinations has no streaming twin (the "
+                    "match set is exponential in burst size — no "
+                    "bounded-state finalization story); run match() "
+                    "on the lake"
+                )
             if engine == "join":
                 raise ValueError(
                     "quantified patterns need per-run state — no join "
@@ -559,7 +612,7 @@ class Pattern:
             if (
                 len(self.steps) != 2
                 or self.steps[1].times
-                or self.steps[1].one_or_more_gap
+                or self.steps[1].looping
             ):
                 raise ValueError(
                     "streaming quantified patterns support exactly "
@@ -589,6 +642,12 @@ class Pattern:
                         "batch disorder allowance (greedy closure is "
                         "decided by in-order arrival) — disorder_s "
                         "must be 0 on this path"
+                    )
+                if head.one_or_more_gap is None:
+                    raise ValueError(
+                        "greedy one_or_more needs max_gap (or add "
+                        "allow_combinations() for the batch-only "
+                        "all-subsequences form)"
                     )
                 out = greedy_matches(
                     src,
@@ -680,7 +739,7 @@ class Pattern:
         if (
             len(self.steps) != 2
             or self.steps[1].times
-            or self.steps[1].one_or_more_gap
+            or self.steps[1].looping
             or self.steps[0].optional
             or self.steps[1].optional
             or any(s.strict for s in self.steps)
@@ -694,6 +753,34 @@ class Pattern:
                 "(optionally + after_match_skip)"
             )
         head, follower = self.steps
+        if head.combinations:
+            if self.skip_strategy != "no_skip":
+                raise ValueError(
+                    "after-match skip on combination matches is not "
+                    "wired — combinations share boundary events by "
+                    "construction, so the boundary-keyed skip "
+                    "operators would prune distinct matches; apply "
+                    "skip_* to a drained frame explicitly if that is "
+                    "what you mean"
+                )
+            n_min, n_max = head.times if head.times else (1, None)
+            return match_combinations(
+                events,
+                self._expand(head.event_type),
+                self._expand(follower.event_type),
+                self.horizon,
+                n_min=n_min,
+                n_max=n_max,
+                key_col=key_col,
+                ts_col=ts_col,
+                type_col=type_col,
+                id_col=id_col,
+            )
+        if head.looping and head.one_or_more_gap is None:
+            raise ValueError(
+                "greedy one_or_more needs max_gap (or add "
+                "allow_combinations() for the all-subsequences form)"
+            )
         if head.times:
             m = match_times(
                 events,

@@ -926,6 +926,62 @@ def q_cep_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_combinations",
+    family="I",
+    oracle="""
+WITH RECURSIVE steps AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+combos AS (
+  SELECT user_id, ts AS ts_first, event_id AS id_first,
+         ts AS ts_last, event_id AS id_last, 1 AS n
+  FROM steps
+  UNION ALL
+  SELECT c.user_id, c.ts_first, c.id_first, s.ts, s.event_id, c.n + 1
+  FROM combos c JOIN steps s ON s.user_id = c.user_id
+    AND (s.ts > c.ts_last
+         OR (s.ts = c.ts_last AND s.event_id > c.id_last))
+    AND s.ts <= c.ts_first + INTERVAL '24 hours')
+SELECT CAST(n AS INT) AS n_reps,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT user_id) AS n_users
+FROM combos c
+WHERE EXISTS (
+  SELECT 1 FROM events p
+  WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+    AND p.ts > c.ts_last AND p.ts <= c.ts_first + INTERVAL '24 hours')
+GROUP BY n
+""",
+)
+def q_cep_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP ``allowCombinations()`` (Flink non-deterministic relaxed
+    contiguity): click subsequences — EVERY ordered subset of a
+    user's clicks inside the 24-hour anchor window, not just
+    consecutive runs — followed by a purchase, counted per
+    repetition depth. Built by the Pattern builder's
+    ``one_or_more().allow_combinations()``, which lowers to
+    :func:`operators.cep.match_combinations`: level-synchronous
+    keyed-join expansion (level k+1 = level k extended by one
+    strictly-later click), all JVM, linear in the (intrinsically
+    exponential-in-burst) match count. The oracle enumerates the
+    same combinations with a recursive CTE — live independent truth,
+    not a golden pin."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("click")
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("24 HOURS")
+    )
+    return p.match(ev).groupBy("n_reps").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_cep_subtype",
     family="I",
     oracle="""

@@ -490,3 +490,112 @@ def test_one_or_more_until_breaks_runs(spark):
     assert sorted(
         (r["user_id"], r["n_reps"]) for r in base.collect()
     ) == [(1, 2), (2, 2)]
+
+
+# -- allowCombinations (non-deterministic relaxed contiguity) ---------
+
+
+def _brute_combinations(rows, horizon_min, n_min=1, n_max=None):
+    """Independent enumerator: every ordered subset of each user's
+    step events inside the anchor horizon, follower-checked — the
+    oracle for match_combinations on planted frames."""
+    from itertools import combinations as icombs
+
+    out = []
+    users = {u for (u, _e, _m, _t) in rows}
+    for u in users:
+        clicks = sorted(
+            (m, e) for (uu, e, m, t) in rows if uu == u and t == "click"
+        )
+        purchases = [
+            m for (uu, _e, m, t) in rows if uu == u and t == "purchase"
+        ]
+        top = len(clicks) if n_max is None else min(n_max, len(clicks))
+        for k in range(n_min, top + 1):
+            for comb in icombs(clicks, k):
+                first, last = comb[0][0], comb[-1][0]
+                if last - first > horizon_min:
+                    continue
+                if any(
+                    last < pm <= first + horizon_min for pm in purchases
+                ):
+                    out.append((u, tuple(e for (_m, e) in comb)))
+    return sorted(out)
+
+
+def test_combinations_equals_brute_force_seeded(spark):
+    """Seeded random timelines: match_combinations == the itertools
+    enumerator, including duplicate timestamps (the (ts, id) total
+    order decides subsequence order) and bounded times(m, n) form."""
+    import random
+
+    from flink_framework_spark.operators.cep import match_combinations
+
+    for seed in range(6):
+        rng = random.Random(1234 + seed)
+        rows, eid = [], 0
+        for u in range(1, 5):
+            for _ in range(rng.randint(2, 7)):
+                eid += 1
+                rows.append(
+                    (
+                        u,
+                        eid,
+                        rng.randint(0, 50),
+                        rng.choice(["click", "click", "purchase", "view"]),
+                    )
+                )
+        ev = _events(spark, rows)
+        got = sorted(
+            (r["user_id"], tuple(r["ids"]))
+            for r in match_combinations(
+                ev, "click", "purchase", "20 MINUTES"
+            ).collect()
+        )
+        assert got == _brute_combinations(rows, 20), f"seed {seed}"
+        got_b = sorted(
+            (r["user_id"], tuple(r["ids"]))
+            for r in match_combinations(
+                ev, "click", "purchase", "20 MINUTES", n_min=2, n_max=3
+            ).collect()
+        )
+        assert got_b == _brute_combinations(rows, 20, 2, 3), f"seed {seed}"
+
+
+def test_combinations_duplicate_timestamps(spark):
+    """Two clicks at the same instant: both singletons, and the
+    id-ordered pair, are distinct combinations."""
+    from flink_framework_spark.operators.cep import match_combinations
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 5, "click"),
+            (1, 2, 5, "click"),
+            (1, 3, 10, "purchase"),
+        ],
+    )
+    got = sorted(
+        tuple(r["ids"])
+        for r in match_combinations(
+            ev, "click", "purchase", "30 MINUTES"
+        ).collect()
+    )
+    assert got == [(1,), (1, 2), (2,)]
+
+
+def test_combinations_level_cap_refuses(spark):
+    from flink_framework_spark.operators.cep import match_combinations
+
+    rows = [(1, i, 0, "click") for i in range(1, 8)] + [
+        (1, 99, 10, "purchase")
+    ]
+    ev = _events(spark, rows)
+    with pytest.raises(ValueError, match="exceeded 4 repetitions"):
+        match_combinations(
+            ev, "click", "purchase", "30 MINUTES", level_cap=4
+        )
+    with pytest.raises(ValueError, match="bounded"):
+        match_combinations(ev, "click", "purchase", "30 MINUTES", 1, 99)
+    with pytest.raises(ValueError, match="n_min"):
+        match_combinations(ev, "click", "purchase", "30 MINUTES", 0, 3)

@@ -842,3 +842,74 @@ def test_group_times_stream_guard(spark):
     )
     with pytest.raises(ValueError, match="no streaming twin"):
         p.match_stream(_sstream(spark))
+
+
+# -- allowCombinations on the Pattern builder -------------------------
+
+
+def test_allow_combinations_api_and_lowering(spark):
+    from flink_framework_spark.operators.cep import match_combinations
+
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "click"),
+            (1, 2, 1, "click"),
+            (1, 3, 2, "click"),
+            (1, 4, 5, "purchase"),
+        ],
+    )
+    p = (
+        Pattern.begin("click")
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    direct = match_combinations(ev, "click", "purchase", "30 MINUTES")
+    assert _canon(p.match(ev)) == _canon(direct)
+    # 3 clicks -> 2^3 - 1 = 7 combinations
+    assert p.match(ev).count() == 7
+    # bounded form rides times(m, n)
+    pb = (
+        Pattern.begin("click")
+        .times(2, 3)
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    assert pb.match(ev).count() == 3 + 1  # C(3,2) + C(3,3)
+
+
+def test_allow_combinations_validation(spark):
+    with pytest.raises(ValueError, match="quantified"):
+        Pattern.begin("click").allow_combinations()
+    with pytest.raises(ValueError, match="GREEDY-runs"):
+        Pattern.begin("click").one_or_more("1 hour").allow_combinations()
+    with pytest.raises(ValueError, match="greedy one_or_more"):
+        (
+            Pattern.begin("click")
+            .one_or_more()
+            .followed_by("purchase")
+            .within("1 hour")
+            .match(_planted(spark, [(1, 1, 0, "click")]))
+        )
+    with pytest.raises(ValueError, match="greedy one_or_more"):
+        (
+            Pattern.begin("click")
+            .one_or_more()
+            .allow_combinations()
+            .until("error")
+        )
+    p = (
+        Pattern.begin("click")
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="no streaming twin"):
+        p.match_stream(_sstream(spark))
+    p.skip_strategy = "skip_past_last"
+    with pytest.raises(ValueError, match="share boundary"):
+        p.match(_planted(spark, [(1, 1, 0, "click")]))
