@@ -207,7 +207,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, nine scenarios covering the
+    """Structured Streaming throughput, twelve scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
@@ -230,9 +230,11 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
       applyInPandasWithState CEP funnel, the JVM join-form funnel
       (the same 2-step pattern as chained stream-stream interval
       joins — the relational fast path the decision rule prefers for
-      fixed chains), and streaming MATCH_RECOGNIZE (the two
-      Arrow/Python keyed-state paths, measured apart from the JVM
-      scenarios).
+      fixed chains), streaming MATCH_RECOGNIZE (the two Arrow/Python
+      keyed-state paths, measured apart from the JVM scenarios), the
+      bounded-quantifier MR pair (PATTERN (A B{1,2} C): the Arrow NFA
+      floor vs the engine='auto' chain-unroll join lowering), and the
+      changelog-build-side temporal join.
 
     Measured, not inferred from batch twins."""
     from pyspark.sql import functions as F
@@ -491,6 +493,78 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "stream-stream interval join + LEFT OUTER adjacency join"
         "->noop(append); engine='auto' JVM lowering of the same MR "
         "clause (the NFA floor is the scenario above)"
+    )
+
+    # quantified MR clause — PATTERN (A B{1,2} C), the round-8 unroll
+    # class: engine='auto' unions two fixed chains (A B C / A B B C),
+    # join-safe because the click/purchase DEFINEs are literal-
+    # disjoint. Data cycles view click click purchase per key, so the
+    # r=2 branch carries every match and the r=1 branch prunes
+    # against it (the realistic union cost). The NFA floor for the
+    # SAME clause runs first at the floor scenario's 100k size.
+    mrq_clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, FIRST(B.event_id) AS b_first,
+                 COUNT(B.*) AS n_b, C.event_id AS c_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B{1,2} C)
+        WITHIN INTERVAL '2' SECOND
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'"""
+
+    def mrq_src(rows_per_batch, keys):
+        return rate_mb(rows_per_batch).select(
+            (F.col("value") % keys).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.element_at(
+                F.lit(["view", "click", "click", "purchase"]),
+                ((F.col("value") / keys).cast("long") % 4 + 1).cast(
+                    "int"
+                ),
+            ).alias("event_type"),
+        ).withWatermark("ts", "2 seconds")
+
+    mrq_n = match_recognize_stream(
+        mrq_src(cr, ck), mrq_clause, engine="nfa"
+    )
+    out["match_recognize_quant"] = _run_stream_scenario(
+        mrq_n, "update", seconds * 2
+    )
+    out["match_recognize_quant"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys, "
+        "view-click-click-purchase cycle)->per-key Arrow NFA on "
+        "PATTERN (A B{1,2} C)->noop(update); the quantified floor"
+    )
+    # the unroll runs ~10 stateful operators (4 + 6 across the two
+    # branches); with the session's 32 shuffle partitions that is
+    # ~320 HDFS-state-store commits per batch — pure fixed cost that
+    # dwarfs the 400k-row data path. 8 partitions is the honest
+    # sizing for this state-op count at this batch size (a real
+    # deployment sizes state partitions to state volume, not to the
+    # scan parallelism default), measured 163k vs ~0 completed
+    # batches at 32.
+    shuf = "spark.sql.shuffle.partitions"
+    prev_shuf = spark.conf.get(shuf)
+    spark.conf.set(shuf, "8")
+    try:
+        mrq_j = match_recognize_stream(
+            mrq_src(400_000, 100_000), mrq_clause
+        )
+        out["match_recognize_quant_join"] = _run_stream_scenario(
+            mrq_j, "append", seconds * 2
+        )
+    finally:
+        spark.conf.set(shuf, prev_shuf)
+    out["match_recognize_quant_join"]["pipeline"] = (
+        "rate-micro-batch (400k rows/batch, 100k keys)->bounded-"
+        "quantifier unroll: two fixed chains (A B C / A B B C) of "
+        "candidate + adjacency stream-stream joins, unioned, zero "
+        "Python->noop(append); engine='auto' on the same clause "
+        "(floor above); 8 state partitions — ~10 stateful operators "
+        "make per-batch state-store commits the fixed cost"
     )
 
     # changelog-build-side temporal join (Flink's temporal table

@@ -66,11 +66,13 @@ def match_recognize_stream(
     is emitted exactly once, when the watermark closes its anchor's
     WITHIN window.
 
-    ``engine``: ``"auto"`` lowers ELIGIBLE all-singleton fixed
-    chains onto the JVM stream-stream join machine
-    (:func:`_mr_stream_chain_join` — measured an order of magnitude
-    above the Arrow NFA in bench.py) and keeps the per-key Arrow NFA
-    for everything else; ``"join"`` forces the join lowering (raises
+    ``engine``: ``"auto"`` lowers ELIGIBLE fixed chains — all
+    singletons, or with ONE bounded-quantified element whose
+    repetition count is disjointness-forced (see
+    :func:`_mr_join_blocker`) — onto the JVM stream-stream join
+    machine (:func:`_mr_stream_chain_join` — measured an order of
+    magnitude above the Arrow NFA in bench.py, for the quantified
+    class too) and keeps the per-key Arrow NFA for everything else; ``"join"`` forces the join lowering (raises
     with the blocking reason when ineligible); ``"nfa"`` forces the
     NFA (the equivalence tests route both ways). OUTPUT MODE follows
     the machine (the :meth:`Pattern.match_stream` convention): the
@@ -311,14 +313,70 @@ def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
     fixed cost grows with chain length, the per-row cost does not."""
     from flink_framework_spark.operators.match_recognize import (
         _anchor_disjoint,
+        _vars_disjoint,
     )
 
-    if len(spec.elements) < 2 or any(
-        not (e.n_min == 1 and e.n_max == 1) for e in spec.elements
-    ):
+    quant = [
+        i
+        for i, e in enumerate(spec.elements)
+        if not (e.n_min == 1 and e.n_max == 1)
+    ]
+    if len(quant) > 1:
         return (
-            "join lowering needs an all-singleton chain of at least "
-            "two elements (PATTERN (A B ...), no quantifiers)"
+            "join lowering unrolls at most ONE bounded-quantified "
+            "element (two would union a product of chain branches)"
+        )
+    qi = quant[0] if quant else None
+    fixed = len(spec.elements) - (1 if qi is not None else 0)
+    if qi is not None:
+        e = spec.elements[qi]
+        if e.n_max is None:
+            return (
+                "unbounded quantifiers (+ * {m,}) keep the NFA — the "
+                "join unroll must be finite"
+            )
+        if e.n_max - e.n_min > 3:
+            return (
+                "quantifier spread > 3 would union too many chain "
+                "branches — keep n_max - n_min <= 3 for the join "
+                "lowering"
+            )
+        if fixed + e.n_max > 8:
+            return (
+                "the maximal unrolled chain exceeds 8 elements "
+                "(2(k-1) stateful operators per branch) — keep the "
+                "NFA"
+            )
+        if qi == len(spec.elements) - 1 and e.n_min != e.n_max:
+            return (
+                "a TRAILING quantifier with n_min < n_max keeps the "
+                "NFA: greedy maximality has no follower element to "
+                "force the repetition count, so the shorter unrolled "
+                "branches would emit prefixes the NFA never emits"
+            )
+        if qi < len(spec.elements) - 1 and e.n_min != e.n_max:
+            nxt = spec.elements[qi + 1].var
+            if events is None:
+                return (
+                    "schema-dependent (pass events): the quantified "
+                    "unroll needs the repetition/successor DEFINE "
+                    "disjointness proof, which needs the input schema"
+                )
+            if not _vars_disjoint(spec, events, e.var, nxt):
+                return (
+                    f"the unroll is join-safe only when {e.var!r}'s "
+                    f"DEFINE is provably disjoint from its successor "
+                    f"{nxt!r}'s (literal equality on one shared "
+                    "column): a row satisfying both would make the "
+                    "repetition count ambiguous — greedy prefers "
+                    "consuming it as a repetition, but the shorter "
+                    "unrolled branch would also match"
+                )
+    shortest = fixed + (spec.elements[qi].n_min if qi is not None else 0)
+    if shortest < 2:
+        return (
+            "join lowering needs every unrolled branch to be a chain "
+            "of at least two elements"
         )
     if len(spec.order_by) > 1:
         return (
@@ -345,8 +403,9 @@ def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
             ms.func in ("COUNT", "COUNT_STAR")
             and (ms.var is None or ms.var in names)
         ):
-            # constants on an all-singleton chain: COUNT(V.*) = 1,
-            # COUNT(*) = k, CLASSIFIER() = the last element's name
+            # per-branch constants: COUNT(V.*) = the variable's
+            # repetition count in the branch, COUNT(*) = the branch
+            # length, CLASSIFIER() = the last element's name
             continue
         return (
             f"measure {ms.name!r} ({ms.func}) has no join spelling — "
@@ -355,6 +414,14 @@ def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
         )
     if spec.skip == "to_next":
         return None
+    if qi is not None and (qi == 0 or spec.elements[qi].n_min == 0):
+        return (
+            f"AFTER MATCH SKIP {spec.skip} needs a FIXED singleton "
+            "anchor: a quantified anchor's repetitions satisfy the "
+            "anchor DEFINE themselves (candidates overlap by "
+            "construction), and an n_min=0 quantifier can shift which "
+            "element anchors a branch — only SKIP TO NEXT ROW lowers"
+        )
     if events is None:
         # the one schema-dependent decision: consuming skips need the
         # disjoint-anchor proof, which canonicalizes the DEFINE
@@ -377,15 +444,25 @@ def _mr_join_blocker(spec, events: DataFrame | None) -> str | None:
 def _mr_stream_chain_join(
     events: DataFrame, spec, id_col: str, watermark: str
 ) -> DataFrame:
-    """The JVM lowering of an eligible all-singleton chain
-    PATTERN (E0 .. Ek-1) (see :func:`_mr_join_blocker`): candidate
-    chains by k-1 cascaded watermarked stream-stream interval joins,
-    strict contiguity by k-1 LEFT OUTER interval joins against the
-    unfiltered stream (a chain survives iff NO row sits
-    lexicographically between any adjacent pair in the per-key
+    """The JVM lowering of an eligible chain PATTERN (E0 .. Ek-1),
+    optionally with ONE bounded-quantified element (see
+    :func:`_mr_join_blocker`): each repetition count r in
+    [n_min, n_max] UNROLLS to a fixed chain (prefix + var x r +
+    suffix) — join-equivalent to the NFA because the
+    repetition/successor DEFINE disjointness proof forces the
+    repetition count per anchor, and the adjacency (no-intruder)
+    joins kill every shorter branch whose next position lands on a
+    repetition row — and the branch outputs union. Per branch:
+    candidate chains by k-1 cascaded watermarked stream-stream
+    interval joins, strict contiguity by k-1 LEFT OUTER interval
+    joins against the unfiltered stream (a chain survives iff NO row
+    sits lexicographically between any adjacent pair in the per-key
     (ts, id) total order — exactly the adjacency the NFA scans for),
     append mode, zero Python. Same output columns as the NFA path:
-    partition key + one column per measure.
+    partition key + one column per measure (FIRST/LAST on the
+    quantified variable bind its first/last repetition; VAR.col binds
+    the last, the SQL final semantics; COUNT(V.*) is the branch's
+    repetition count).
 
     Join-state mechanics (the sequence_matches_join discipline):
     each side re-derives its own watermarked event-time column; every
@@ -438,10 +515,8 @@ def _mr_stream_chain_join(
 
     def wm(df, c):
         return df if has_wm else df.withWatermark(c, watermark)
-    k = len(spec.elements)
-    ts_type = {f.name: f.dataType.simpleString() for f in events.schema}[
-        ts_col
-    ]
+    types = {f.name: f.dataType for f in events.schema}
+    ts_type = types[ts_col].simpleString()
 
     def flag(var):
         raw = spec.defines.get(var)
@@ -469,114 +544,163 @@ def _mr_stream_chain_join(
         # event-time column per side enters the stateful joins
         return demote(ts_col) if ms.col == ts_col else F.col(ms.col)
 
-    side_meas = {
-        i: [
-            (mi, ms)
-            for mi, ms in enumerate(spec.measures)
-            if ms.var == spec.elements[i].var
-            and ms.func in ("VAR_COL", "FIRST", "LAST")
-        ]
-        for i in range(k)
-    }
     within_us = round(spec.within_s * 1e6)
     horizon = F.expr(f"INTERVAL {within_us} MICROSECOND")
 
-    def step(i: int) -> DataFrame:
-        df = events.filter(flag(spec.elements[i].var)).select(
-            F.col(key).alias(f"__k{i}"),
-            F.col(ts_col).alias(f"__t{i}"),
-            F.col(id_col).alias(f"__i{i}"),
-            *[mval(ms).alias(f"__mv{mi}") for mi, ms in side_meas[i]],
-        )
-        return wm(df, f"__t{i}")
+    def build_branch(vars_r: list) -> DataFrame:
+        """One unrolled fixed chain (positions = vars_r) through the
+        candidate cascade + adjacency joins."""
+        k = len(vars_r)
+        pos_of: dict = {}
+        for i, v in enumerate(vars_r):
+            pos_of.setdefault(v, []).append(i)
+        # measure -> source position in THIS branch (None = the
+        # variable matched no rows here, the n_min=0 branch)
+        src_pos = {}
+        for mi, ms in enumerate(spec.measures):
+            if ms.func in ("VAR_COL", "FIRST", "LAST"):
+                ps = pos_of.get(ms.var)
+                if ps is None:
+                    src_pos[mi] = None
+                else:
+                    src_pos[mi] = ps[0] if ms.func == "FIRST" else ps[-1]
+        side_meas = {
+            i: [
+                (mi, ms)
+                for mi, ms in enumerate(spec.measures)
+                if src_pos.get(mi, -1) == i
+            ]
+            for i in range(k)
+        }
 
-    cur = step(0)
-    for i in range(1, k):
-        cond = (
-            # null-safe: a NULL partition key is a real partition on
-            # the NFA/batch paths (groupBy) — plain == would silently
-            # drop its matches here (the batch relational path fixed
-            # the same bug with eqNullSafe)
-            F.col("__k0").eqNullSafe(F.col(f"__k{i}"))
-            # two-sided range on the event-time pair -> state evicts
-            & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
-            & (F.col(f"__t{i}") <= F.col(f"__t{i-1}") + horizon)
-            # strictly-after in the (ts, id) total order (residual)
-            & (
-                (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
-                | (F.col(f"__i{i}") > F.col(f"__i{i-1}"))
+        def step(i: int) -> DataFrame:
+            df = events.filter(flag(vars_r[i])).select(
+                F.col(key).alias(f"__k{i}"),
+                F.col(ts_col).alias(f"__t{i}"),
+                F.col(id_col).alias(f"__i{i}"),
+                *[
+                    mval(ms).alias(f"__mv{mi}")
+                    for mi, ms in side_meas[i]
+                ],
             )
-        )
-        if i >= 2:
-            # the WITHIN contract is first-to-last: anchor-span bound
-            # as a residual on the (demoted) anchor timestamp
-            cond = cond & (F.col(f"__t{i}") <= F.col("__t0") + horizon)
-        cur = (
-            cur.join(step(i), cond)
-            .drop(f"__k{i}")
-            .withColumn(f"__t{i-1}", demote(f"__t{i-1}"))
-        )
+            return wm(df, f"__t{i}")
 
-    last_t = f"__t{k-1}"  # the one surviving watermarked column
-    # the intruder side is loop-invariant: each adjacency join still
-    # instantiates its own state (Spark re-aliases the reused plan)
-    mid = wm(
-        events.select(
-            F.col(key).alias("__mk"),
-            F.col(ts_col).alias("__m_ts"),
-            F.col(id_col).alias("__m_id"),
-            # literal hit marker: the null-intruder filter below must
-            # not key on a DATA column (a NULL id_col intruder would
-            # be indistinguishable from "no intruder")
-            F.lit(True).alias("__m_hit"),
-        ),
-        "__m_ts",
-    )
-    for i in range(1, k):
-        between = (
-            (F.col("__mk").eqNullSafe(F.col("__k0")))
-            # two-sided range vs the surviving event-time column
-            & (F.col("__m_ts") <= F.col(last_t))
-            & (F.col("__m_ts") >= F.col(last_t) - horizon)
-            # strictly between rows i-1 and i in the (ts, id) order
-            & (
-                (F.col("__m_ts") > F.col(f"__t{i-1}"))
-                | (
-                    (F.col("__m_ts") == F.col(f"__t{i-1}"))
-                    & (F.col("__m_id") > F.col(f"__i{i-1}"))
+        cur = step(0)
+        for i in range(1, k):
+            cond = (
+                # null-safe: a NULL partition key is a real partition
+                # on the NFA/batch paths (groupBy) — plain == would
+                # silently drop its matches here (the batch relational
+                # path fixed the same bug with eqNullSafe)
+                F.col("__k0").eqNullSafe(F.col(f"__k{i}"))
+                # two-sided range on the event-time pair -> state
+                # evicts
+                & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
+                & (F.col(f"__t{i}") <= F.col(f"__t{i-1}") + horizon)
+                # strictly-after in the (ts, id) total order (residual)
+                & (
+                    (F.col(f"__t{i}") > F.col(f"__t{i-1}"))
+                    | (F.col(f"__i{i}") > F.col(f"__i{i-1}"))
                 )
             )
-            & (
-                (F.col("__m_ts") < F.col(f"__t{i}"))
-                | (
-                    (F.col("__m_ts") == F.col(f"__t{i}"))
-                    & (F.col("__m_id") < F.col(f"__i{i}"))
+            if i >= 2:
+                # the WITHIN contract is first-to-last: anchor-span
+                # bound as a residual on the (demoted) anchor ts
+                cond = cond & (
+                    F.col(f"__t{i}") <= F.col("__t0") + horizon
+                )
+            cur = (
+                cur.join(step(i), cond)
+                .drop(f"__k{i}")
+                .withColumn(f"__t{i-1}", demote(f"__t{i-1}"))
+            )
+
+        last_t = f"__t{k-1}"  # the one surviving watermarked column
+        # the intruder side is loop-invariant: each adjacency join
+        # still instantiates its own state (Spark re-aliases the
+        # reused plan)
+        mid = wm(
+            events.select(
+                F.col(key).alias("__mk"),
+                F.col(ts_col).alias("__m_ts"),
+                F.col(id_col).alias("__m_id"),
+                # literal hit marker: the null-intruder filter below
+                # must not key on a DATA column (a NULL id_col
+                # intruder would be indistinguishable from "no
+                # intruder")
+                F.lit(True).alias("__m_hit"),
+            ),
+            "__m_ts",
+        )
+        for i in range(1, k):
+            between = (
+                (F.col("__mk").eqNullSafe(F.col("__k0")))
+                # two-sided range vs the surviving event-time column
+                & (F.col("__m_ts") <= F.col(last_t))
+                & (F.col("__m_ts") >= F.col(last_t) - horizon)
+                # strictly between rows i-1 and i in the (ts, id)
+                # order
+                & (
+                    (F.col("__m_ts") > F.col(f"__t{i-1}"))
+                    | (
+                        (F.col("__m_ts") == F.col(f"__t{i-1}"))
+                        & (F.col("__m_id") > F.col(f"__i{i-1}"))
+                    )
+                )
+                & (
+                    (F.col("__m_ts") < F.col(f"__t{i}"))
+                    | (
+                        (F.col("__m_ts") == F.col(f"__t{i}"))
+                        & (F.col("__m_id") < F.col(f"__i{i}"))
+                    )
                 )
             )
-        )
-        cur = (
-            cur.join(mid, between, "left_outer")
-            .where(F.col("__m_hit").isNull())
-            .drop("__mk", "__m_ts", "__m_id", "__m_hit")
-        )
-    def out_expr(mi, ms):
-        if ms.func == "CLASSIFIER":
-            # ONE ROW PER MATCH: the LAST matched row's variable —
-            # constant on a fixed chain
-            return F.lit(spec.elements[-1].var)
-        if ms.func == "COUNT_STAR":
-            return F.lit(k).cast("bigint")
-        if ms.func == "COUNT":
-            return F.lit(1).cast("bigint")  # singleton variables
-        return F.col(f"__mv{mi}")
+            cur = (
+                cur.join(mid, between, "left_outer")
+                .where(F.col("__m_hit").isNull())
+                .drop("__mk", "__m_ts", "__m_id", "__m_hit")
+            )
 
-    return cur.select(
-        F.col("__k0").alias(key),
-        *[
-            out_expr(mi, ms).alias(ms.name)
-            for mi, ms in enumerate(spec.measures)
-        ],
-    )
+        def out_expr(mi, ms):
+            if ms.func == "CLASSIFIER":
+                # ONE ROW PER MATCH: the LAST matched row's variable —
+                # constant on a fixed chain
+                return F.lit(vars_r[-1])
+            if ms.func == "COUNT_STAR":
+                return F.lit(k).cast("bigint")
+            if ms.func == "COUNT":
+                # the variable's repetition count in THIS branch
+                return F.lit(len(pos_of.get(ms.var, []))).cast("bigint")
+            if src_pos.get(mi) is None:
+                # the variable matched no rows in this branch — the
+                # SQL NULL the NFA emits for an empty variable
+                return F.lit(None).cast(types[ms.col])
+            return F.col(f"__mv{mi}")
+
+        return cur.select(
+            F.col("__k0").alias(key),
+            *[
+                out_expr(mi, ms).alias(ms.name)
+                for mi, ms in enumerate(spec.measures)
+            ],
+        )
+
+    quant = [
+        i
+        for i, e in enumerate(spec.elements)
+        if not (e.n_min == 1 and e.n_max == 1)
+    ]
+    if not quant:
+        return build_branch([e.var for e in spec.elements])
+    qi = quant[0]
+    e = spec.elements[qi]
+    prefix = [el.var for el in spec.elements[:qi]]
+    suffix = [el.var for el in spec.elements[qi + 1:]]
+    out = None
+    for r in range(e.n_min, e.n_max + 1):
+        b = build_branch(prefix + [e.var] * r + suffix)
+        out = b if out is None else out.unionByName(b)
+    return out
 
 
 def stream_route_info(clause: str, events: DataFrame | None = None) -> dict:
@@ -600,11 +724,21 @@ def stream_route_info(clause: str, events: DataFrame | None = None) -> dict:
                 "output_mode": None}
     blocker = _mr_join_blocker(spec, events)
     if blocker is None:
+        quant = any(
+            not (e.n_min == 1 and e.n_max == 1) for e in spec.elements
+        )
         return {
             "engine": "join",
-            "reason": "all-singleton chain with last-row-binding "
-            "measures — cascaded candidate interval joins + LEFT "
-            "OUTER adjacency joins, zero Python",
+            "reason": (
+                "bounded-quantifier unroll — one fixed chain per "
+                "repetition count (disjointness-forced), each "
+                "cascaded candidate interval joins + LEFT OUTER "
+                "adjacency joins, unioned, zero Python"
+                if quant
+                else "all-singleton chain with last-row-binding "
+                "measures — cascaded candidate interval joins + LEFT "
+                "OUTER adjacency joins, zero Python"
+            ),
             "output_mode": "append",
         }
     return {"engine": "nfa", "reason": blocker, "output_mode": "update"}

@@ -2538,12 +2538,15 @@ def test_mr_stream_join_constant_measures(spark, tmp_path):
     assert got == batch
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(8))
 def test_fuzz_mr_stream_join_vs_nfa(spark, tmp_path, seed):
     """Randomized join-lowering fuzz: random chain length (2-3),
     skip (TO NEXT / PAST LAST over disjoint equality defines), WITHIN,
     and data with same-ts ties — the join drain, the NFA drain, and
-    the batch engine must produce one match set."""
+    the batch engine must produce one match set. Seeds 4-7 quantify a
+    random NON-TRAILING element with a random bounded {m, n}
+    (n_min 1-2, spread 0-2, sometimes reluctant) and measure
+    FIRST/LAST/COUNT over it — the unroll path."""
     import random as _random
 
     from flink_framework_spark.streaming.mr import match_recognize_stream
@@ -2574,6 +2577,22 @@ def test_fuzz_mr_stream_join_vs_nfa(spark, tmp_path, seed):
     measures = ", ".join(
         f"{v}.event_id AS id_{j}" for j, v in enumerate(vars_)
     )
+    pattern_vars = list(vars_)
+    if seed >= 4:
+        # quantify a random non-trailing element (unroll path); a
+        # consuming skip over a quantified/zero-min element does not
+        # lower, so those seeds pin TO NEXT
+        qj = rng.randrange(k - 1)
+        n_min = rng.choice([1, 2])
+        n_max = n_min + rng.choice([0, 1, 2])
+        lazy = "?" if (n_min < n_max and rng.random() < 0.3) else ""
+        pattern_vars[qj] = f"{vars_[qj]}{{{n_min},{n_max}}}{lazy}"
+        skip = "TO NEXT ROW"
+        measures += (
+            f", FIRST({vars_[qj]}.event_id) AS q_first"
+            f", LAST({vars_[qj]}.event_id) AS q_last"
+            f", COUNT({vars_[qj]}.*) AS q_n"
+        )
     defines = ", ".join(
         f"{v} AS {v}.event_type = '{t}'"
         for v, t in zip(vars_, chain_types)
@@ -2583,7 +2602,7 @@ def test_fuzz_mr_stream_join_vs_nfa(spark, tmp_path, seed):
         MEASURES {measures}
         ONE ROW PER MATCH
         AFTER MATCH SKIP {skip}
-        PATTERN ({' '.join(vars_)})
+        PATTERN ({' '.join(pattern_vars)})
         WITHIN INTERVAL '{within}' MINUTE
         DEFINE {defines}"""
     batch = sorted(map(repr, (
@@ -2633,7 +2652,38 @@ def test_mr_stream_join_blockers(spark, sf_dir):
         WITHIN INTERVAL '1' HOUR
         DEFINE S AS S.event_type = 'signup',
                P AS P.event_type = 'purchase'""",
-        "all-singleton chain")
+        "unbounded quantifiers")
+    # two quantified elements: only one unrolls
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id PATTERN (S{1,2} F{1,2} P)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               F AS F.event_type = 'view',
+               P AS P.event_type = 'purchase'""",
+        "at most ONE bounded-quantified")
+    # trailing open-count quantifier: no follower forces the count
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id PATTERN (S F{1,2})
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               F AS F.event_type = 'view'""",
+        "TRAILING quantifier")
+    # repetition/successor overlap: count would be ambiguous
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES S.event_id AS s_id PATTERN (S F{1,2} P)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE S AS S.event_type = 'signup',
+               F AS F.value > 3, P AS P.value > 1""",
+        "provably disjoint")
+    # consuming skip with a quantified ANCHOR: reps satisfy the
+    # anchor DEFINE, candidates overlap by construction
+    join_raises("""PARTITION BY user_id ORDER BY ts
+        MEASURES F.event_id AS f_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (F{2,2} P) WITHIN INTERVAL '1' HOUR
+        DEFINE F AS F.event_type = 'view',
+               P AS P.event_type = 'purchase'""",
+        "FIXED singleton anchor")
     join_raises("""PARTITION BY user_id ORDER BY ts
         MEASURES A.event_id AS a_id, MATCH_NUMBER() AS mno
         PATTERN (A B) WITHIN INTERVAL '1' HOUR
@@ -3217,18 +3267,42 @@ def test_stream_route_info(spark, sf_dir):
     assert info["engine"] == "join" and info["output_mode"] == "append"
     info = stream_route_info(pair.replace("PATTERN (A B)",
                                           "PATTERN (A F* B)"))
-    assert info["engine"] == "nfa" and "all-singleton" in info["reason"]
+    assert info["engine"] == "nfa" and "unbounded" in info["reason"]
     consuming = pair.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
     info = stream_route_info(consuming)
     assert info["engine"] == "nfa" and "schema-dependent" in info["reason"]
     ev = table(spark, sf_dir, "events")
     info = stream_route_info(consuming, ev)
     assert info["engine"] == "join"  # disjoint-anchor proof resolves
+    # a BOUNDED quantifier with distinct-literal defines unrolls; the
+    # repetition/successor disjointness proof is schema-dependent
+    quant = pair.replace("PATTERN (A B)", "PATTERN (A F{1,2} B)").replace(
+        "DEFINE A AS", "DEFINE F AS F.event_type = 'click', A AS"
+    )
+    info = stream_route_info(quant)
+    assert (
+        info["engine"] == "nfa"
+        and "schema-dependent" in info["reason"]
+    )
+    info = stream_route_info(quant, ev)
+    assert info["engine"] == "join" and "unroll" in info["reason"]
+    # overlapping repetition/successor defines keep the NFA
+    overlap = pair.replace("PATTERN (A B)", "PATTERN (A F{1,2} B)").replace(
+        "DEFINE A AS", "DEFINE F AS F.event_type = 'purchase', A AS"
+    )
+    info = stream_route_info(overlap, ev)
+    assert info["engine"] == "nfa" and "disjoint" in info["reason"]
+    # an EXACT count needs no proof (the repetition count is fixed)
+    exact = pair.replace("PATTERN (A B)", "PATTERN (A F{2,2} B)").replace(
+        "DEFINE A AS", "DEFINE F AS F.event_type = 'purchase', A AS"
+    )
+    info = stream_route_info(exact)
+    assert info["engine"] == "join" and "unroll" in info["reason"]
     # schema-independent blockers resolve WITHOUT events even under a
     # consuming skip (no pointless "pass events" errand)
     info = stream_route_info(consuming.replace("PATTERN (A B)",
                                                "PATTERN (A B+)"))
-    assert info["engine"] == "nfa" and "all-singleton" in info["reason"]
+    assert info["engine"] == "nfa" and "unbounded" in info["reason"]
     # clauses the stream entry point itself refuses report 'rejected',
     # not a machine the stream would never start on
     info = stream_route_info(pair.replace(
@@ -3238,3 +3312,91 @@ def test_stream_route_info(spark, sf_dir):
         "DEFINE A AS A.event_type = 'view'",
         "DEFINE A AS A.value > PREV(A.value)"))
     assert info["engine"] == "rejected" and "batch-only" in info["reason"]
+
+
+def test_mr_stream_quantified_unroll_matches_nfa_and_batch(
+    spark, tmp_path
+):
+    """Bounded-quantifier join lowering: PATTERN (A B{1,3} C) with
+    disjoint type DEFINEs unrolls to three fixed chains (A B C /
+    A B B C / A B B B C) whose union equals the forced NFA and the
+    batch engine — the disjointness proof forces the repetition count
+    per anchor, and the adjacency joins kill every shorter branch
+    whose next position lands on a repetition row. Measures exercise
+    FIRST/LAST on the quantified variable and COUNT(B.*)."""
+    import random as _random
+
+    from flink_framework_spark.streaming.mr import (
+        match_recognize_stream,
+        stream_route_info,
+    )
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    rng = _random.Random(4242)
+    rows, eid = [], 0
+    for uid in range(1, 6):
+        t0 = 0
+        for _ in range(45):
+            # bias toward click bursts so B-runs of length 1-4 occur
+            t0 += 0 if (rng.random() < 0.2 and t0) else rng.choice(
+                [30, 120, 600]
+            )
+            eid += 1
+            hh, rem = divmod(t0, 3600)
+            mm, ss = divmod(rem, 60)
+            rows.append((
+                uid, f"2024-01-01 {10 + hh:02d}:{mm:02d}:{ss:02d}", eid,
+                rng.choice(
+                    ["view", "click", "click", "click", "purchase"]
+                ),
+                float(rng.randint(0, 9)),
+            ))
+    clause = """
+        PARTITION BY user_id ORDER BY ts
+        MEASURES A.event_id AS a_id, FIRST(B.event_id) AS b_first,
+                 LAST(B.event_id) AS b_last, COUNT(B.*) AS n_b,
+                 C.event_id AS c_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B{1,3} C)
+        WITHIN INTERVAL '30' MINUTE
+        DEFINE A AS A.event_type = 'view',
+               B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'"""
+    df = frame(spark, rows)
+    assert stream_route_info(clause, df)["engine"] == "join"
+    batch = sorted(map(repr, (
+        tuple(r) for r in match_recognize(df, clause).collect()
+    )))
+    assert batch, "fixture must produce matches"
+    # the fixture must exercise more than one repetition depth
+    depths = {
+        r["n_b"] for r in match_recognize(df, clause).collect()
+    }
+    assert len(depths) >= 2, depths
+
+    src = tmp_path / "src_q"
+    sent = [(99, "2024-01-02 00:00:00", 99990, "s", 0.0),
+            (99, "2024-01-03 00:00:00", 99991, "s", 0.0)]
+    half = len(rows) // 2
+    for ch in (rows[:half], rows[half:], [sent[0]], [sent[1]]):
+        frame(spark, ch).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain(engine, mode):
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 minute")
+        )
+        out = run_to_memory(
+            match_recognize_stream(sdf, clause, engine=engine),
+            query_name=f"t_mrq_{engine}",
+            output_mode=mode,
+        )
+        return sorted(map(repr, (tuple(r) for r in out.collect())))
+
+    assert drain("join", "append") == batch
+    assert drain("nfa", "update") == batch
