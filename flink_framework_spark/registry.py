@@ -103,6 +103,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                               #     reluctant lazy funnel and SKIP TO LAST
                               #     chained triples), tagged melt; granular
                               #     q_funnel/q_cep_*/q_mr_* in slots 51+
+    "q_cep_group",            # I8 GroupPattern (round 8): bounded group
+                              #     repetition unrolled to chain unions,
+                              #     live chained-CTE oracle — rotated in
+                              #     for q_dedup_clusters (golden-pinned;
+                              #     now slots 51+, still hash-checked
+                              #     locally + components independently
+                              #     recomputed in DuckDB)
     # J. UDF surface
     "q_udf_python",           # J1
     "q_udf_pandas",           # J2
@@ -112,7 +119,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_exact",          # K1 (+ D12 global agg)
     "q_dedup_suite",          # K2: ngram + embed (live SQL) + minhash +
                               #     simhash (golden @ sf0.01), tagged union
-    "q_dedup_clusters",       # K2 manifest: pairs -> components -> survivor
+                              #     (the K2 manifest q_dedup_clusters is
+                              #     slots 51+ since round 8's rotation)
     "q_curation_pipeline",    # five-stage funnel (dedup -> quality ->
                               #     langid -> decontam -> split) as ONE
                               #     oracle-checked composition; decontam's
