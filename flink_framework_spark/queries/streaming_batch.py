@@ -1115,6 +1115,152 @@ def q_stream_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_trigger_count",
+    family="I",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '1 day', ts) AS w_start, ts, event_id,
+         value,
+         ROW_NUMBER() OVER ord AS rn,
+         COUNT(*) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS n_all,
+         ROUND(SUM(value) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 2) AS s_all,
+         COUNT(*) OVER (ord ROWS BETWEEN 4 PRECEDING
+                        AND CURRENT ROW) AS n_last5,
+         ROUND(SUM(value) OVER (ord ROWS BETWEEN 4 PRECEDING
+                                AND CURRENT ROW), 2) AS s_last5
+  FROM events
+  WINDOW ord AS (PARTITION BY event_type,
+                              time_bucket(INTERVAL '1 day', ts)
+                 ORDER BY ts, event_id))
+SELECT 'all' AS part, event_type,
+       strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       CAST(rn / 10 AS INT) AS firing_seq,
+       CAST(n_all AS BIGINT) AS n_elems, s_all AS sum_v
+FROM w WHERE rn % 10 = 0
+UNION ALL
+SELECT 'last5', event_type, strftime(w_start, '%Y-%m-%d %H:%M:%S'),
+       CAST(rn / 10 AS INT), CAST(n_last5 AS BIGINT), s_last5
+FROM w WHERE rn % 10 = 0
+""",
+)
+def q_trigger_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``CountTrigger(10)`` on 1-day tumbling event-time
+    windows keyed by event type, melted with its ``CountEvictor(5)``
+    variant: a firing at every 10th element (per-key-per-window
+    event-time order — the deterministic realization of Flink's
+    arrival-count trigger), aggregating the whole buffer ('all') or
+    only the last 5 surviving eviction ('last5'). Built by
+    operators.triggers.fire_on_count — one keyed sort + running/frame
+    aggregates in whole-stage codegen, no firing never happens at
+    the watermark (pure CountTrigger, the sub-10 tail is discarded
+    like Flink's window GC)."""
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import fire_on_count
+
+    ev = table(spark, sf_dir, "events")
+
+    def part(tag, kw):
+        return fire_on_count(ev, 10, **kw).select(
+            F.lit(tag).alias("part"),
+            "event_type",
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "w_start"
+            ),
+            "firing_seq",
+            "n_elems",
+            round_duck("sum_v", 2).alias("sum_v"),
+        )
+
+    return part("all", {}).unionByName(part("last5", {"evict_last": 5}))
+
+
+@register(
+    "q_trigger_early",
+    family="I",
+    oracle="""
+WITH e AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS w_start,
+         ts, value
+  FROM events),
+f AS (
+  SELECT event_type, w_start,
+         w_start + INTERVAL 1 DAY AS w_end, MIN(ts) AS first_ts
+  FROM e GROUP BY 1, 2),
+b AS (
+  SELECT event_type, w_start, w_end,
+         UNNEST(generate_series(
+           LEAST(w_start + INTERVAL 6 HOUR *
+             (CAST(FLOOR(epoch(first_ts - w_start) / 21600) AS INT) + 1),
+             w_end),
+           w_end, INTERVAL 6 HOUR)) AS fire_at
+  FROM f),
+bounds AS (
+  SELECT event_type, w_start, fire_at,
+         CASE WHEN fire_at < w_end THEN 'early' ELSE 'final' END
+           AS firing
+  FROM b WHERE fire_at < w_end
+  UNION ALL
+  SELECT event_type, w_start, w_end, 'final' FROM f)
+SELECT 'cum' AS part, b.event_type,
+       strftime(b.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(b.fire_at, '%Y-%m-%d %H:%M:%S') AS fire_at,
+       b.firing, CAST(COUNT(*) AS BIGINT) AS n_elems,
+       ROUND(SUM(e.value), 2) AS sum_v
+FROM bounds b JOIN e ON e.event_type = b.event_type
+ AND e.w_start = b.w_start AND e.ts <= b.fire_at
+GROUP BY 2, 3, 4, 5
+UNION ALL
+SELECT 'keep3h', b.event_type,
+       strftime(b.w_start, '%Y-%m-%d %H:%M:%S'),
+       strftime(b.fire_at, '%Y-%m-%d %H:%M:%S'),
+       b.firing, CAST(COUNT(*) AS BIGINT),
+       ROUND(SUM(e.value), 2)
+FROM bounds b JOIN e ON e.event_type = b.event_type
+ AND e.w_start = b.w_start AND e.ts <= b.fire_at
+ AND e.ts > b.fire_at - INTERVAL 3 HOUR
+GROUP BY 2, 3, 4, 5
+""",
+)
+def q_trigger_early(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``ContinuousEventTimeTrigger(6h)`` on 1-day tumbling
+    windows keyed by event type, melted with its ``TimeEvictor(3h)``
+    variant: early firings at every 6-hour boundary strictly after
+    the window's first element (Flink's ceil-aligned timer chain)
+    plus the final firing at the window end; each firing aggregates
+    elements with ts <= boundary ('cum'), or only the trailing 3
+    hours of buffer under eviction ('keep3h'). Built by
+    operators.triggers.fire_continuous — boundaries via
+    explode(sequence()) per (key, window), one keyed range join back
+    to the elements, timezone-independent naive-epoch arithmetic."""
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import fire_continuous
+
+    ev = table(spark, sf_dir, "events")
+
+    def part(tag, kw):
+        return fire_continuous(ev, "6 HOURS", "1 DAY", **kw).select(
+            F.lit(tag).alias("part"),
+            "event_type",
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "w_start"
+            ),
+            F.date_format("fire_at", "yyyy-MM-dd HH:mm:ss").alias(
+                "fire_at"
+            ),
+            "firing",
+            "n_elems",
+            round_duck("sum_v", 2).alias("sum_v"),
+        )
+
+    return part("cum", {}).unionByName(
+        part("keep3h", {"evict_keep": "3 HOURS"})
+    )
+
+
+@register(
     "q_window_join",
     family="I",
     oracle="""
