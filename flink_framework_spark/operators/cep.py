@@ -22,19 +22,46 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# A "step type" anywhere in this module is either one concrete tag
-# (str) or a SET of tags (tuple/list of str) — the Pattern builder's
+# A "step type" anywhere in this module is one concrete tag (str), a
+# SET of tags (tuple/list of str) — the Pattern builder's
 # subtype()/hierarchy desugaring (Flink `Pattern.subtype(Class)`,
 # where an abstract event class stands for the set of its concrete
-# subclasses' type tags) expands abstract names to tag sets before
-# calling down here.
+# subclasses' type tags) — or a :class:`StepPred` carrying an extra
+# row-level WHERE condition (Flink `Pattern.where(SimpleCondition)`).
+# Every type filter in this module goes through :func:`_type_pred`,
+# so all three forms work in every operator.
 
-StepType = "str | Sequence[str]"
+StepType = "str | Sequence[str] | StepPred"
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class StepPred:
+    """A step's full event predicate: a type tag / expanded tag set
+    (or None for any type) AND-combined with an optional SQL boolean
+    over the event's columns — the relational spelling of Flink's
+    ``Pattern.where(SimpleCondition)``."""
+
+    types: object = None  # str | tuple[str, ...] | None
+    where: str | None = None
 
 
 def _type_pred(type_col: str, t):
     """``event_type = t`` for a concrete tag, ``event_type IN t`` for
-    an expanded subtype set."""
+    an expanded subtype set, and for a :class:`StepPred` the type
+    predicate AND the row-level condition (compiled JVM-side via
+    ``F.expr`` — it participates in pushdown like any filter)."""
+    if isinstance(t, StepPred):
+        p = (
+            F.lit(True)
+            if t.types is None
+            else _type_pred(type_col, t.types)
+        )
+        if t.where:
+            p = p & F.coalesce(F.expr(t.where), F.lit(False))
+        return p
     if isinstance(t, str):
         return F.col(type_col) == t
     tags = list(t)
@@ -44,10 +71,20 @@ def _type_pred(type_col: str, t):
 
 
 def _type_overlap(a, b) -> bool:
-    """Do two step types share any concrete tag? (Loud-error guard
-    where semantics require disjoint roles, e.g. one_or_more.until.)"""
-    sa = {a} if isinstance(a, str) else set(a)
-    sb = {b} if isinstance(b, str) else set(b)
+    """COULD two step types share a row? Conservative: a row-level
+    WHERE cannot prove disjointness, so only the tag sets decide —
+    a ``StepPred`` with no type constraint overlaps everything.
+    (Loud-error guard where semantics require disjoint roles, e.g.
+    one_or_more.until.)"""
+
+    def tags(t):
+        if isinstance(t, StepPred):
+            return None if t.types is None else tags(t.types)
+        return {t} if isinstance(t, str) else set(t)
+
+    sa, sb = tags(a), tags(b)
+    if sa is None or sb is None:
+        return True
     return bool(sa & sb)
 
 

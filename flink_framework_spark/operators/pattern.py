@@ -46,7 +46,20 @@ Supported shapes (validated, loud errors otherwise):
   ``with_hierarchy({abstract: [members...]})`` lets any step,
   negation, or until type name an abstract type (recursive
   resolution to ``event_type IN (...)``), and ``subtype(t)`` narrows
-  the last step to a hierarchy descendant.
+  the last step to a hierarchy descendant;
+- **allowCombinations()** (Flink non-deterministic relaxed
+  contiguity) on ``one_or_more()`` / ``times(m, n)``: every ordered
+  subsequence of the looping step's events is a distinct match
+  (full ``ids`` list in the output), lowered to the
+  level-synchronous join expansion in ``match_combinations`` —
+  batch-only, the match set is exponential in burst size;
+- **where() row-level conditions** (Flink ``Pattern.where(
+  SimpleCondition)``): a SQL boolean over the event's columns ANDed
+  into the LAST step's type filter (repeated calls AND together);
+  conditions restrict step BINDING only — a where-excluded event
+  still breaks ``next_step()`` contiguity, Flink's any-event rule.
+  Batch-only; on streams spell predicates as MATCH_RECOGNIZE
+  DEFINEs, which both streaming engines compile.
 """
 
 from __future__ import annotations
@@ -58,6 +71,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_framework_spark.operators.cep import (
+    StepPred,
     anti_join_between,
     enforce_strict_contiguity,
     match_combinations,
@@ -98,6 +112,7 @@ class _Step:
     one_or_more_gap: str | None = None
     until: str | None = None
     combinations: bool = False  # allowCombinations()
+    where: str | None = None  # Pattern.where(SimpleCondition)
     # GroupPattern (Flink Pattern.begin(subPattern)): the member type
     # sequence of an embedded group; event_type is a display name only
     group: list[str] | None = None
@@ -137,15 +152,16 @@ class Pattern:
             or self.hierarchy is not None
             or any(
                 s.optional or s.strict or s.times or s.one_or_more_gap
-                or s.group
+                or s.group or s.where
                 for s in self.steps
             )
         ):
             raise ValueError(
                 "a pattern GROUP must be a plain chain of typed steps "
                 "— quantifiers, optionals, next_step, negations, "
-                "select/skip strategies, within, and hierarchies "
-                "belong on the OUTER pattern (and groups do not nest)"
+                "where() conditions, select/skip strategies, within, "
+                "and hierarchies belong on the OUTER pattern (and "
+                "groups do not nest)"
             )
         if not self.steps:
             raise ValueError("an empty pattern cannot be a group")
@@ -243,6 +259,27 @@ class Pattern:
                 "chain with and without the group's steps)"
             )
         self.steps[-1].optional = True
+        return self
+
+    def where(self, condition: str) -> "Pattern":
+        """Flink ``Pattern.where(SimpleCondition)``: a row-level SQL
+        boolean over the event's columns, AND-combined with the LAST
+        step's type (repeated ``where`` calls AND together, like
+        Flink). Batch-only composition: the streaming state machines
+        key transitions on the type tag alone — run ``match()`` on
+        the lake, or spell cross-step conditions as MATCH_RECOGNIZE
+        DEFINEs, whose streaming engine compiles predicates."""
+        if not self.steps:
+            raise ValueError("where() needs a step")
+        s = self.steps[-1]
+        if s.group:
+            raise ValueError(
+                "where() on a GROUP is ambiguous — put the condition "
+                "on the member step inside the group pattern"
+            )
+        s.where = (
+            condition if s.where is None else f"({s.where}) AND ({condition})"
+        )
         return self
 
     def not_followed_by(
@@ -464,8 +501,8 @@ class Pattern:
         g = len(gstep.group)
         if not (1 <= m <= n):
             raise ValueError("group times(m, n) needs 1 <= m <= n")
-        prefix = [s.event_type for s in self.steps[:gi]]
-        suffix = [s.event_type for s in self.steps[gi + 1:]]
+        prefix = [self._step_pred(s) for s in self.steps[:gi]]
+        suffix = [self._step_pred(s) for s in self.steps[gi + 1:]]
         total = len(prefix) + n * g + len(suffix)
         if total > 10:
             raise ValueError(
@@ -474,10 +511,11 @@ class Pattern:
             )
         if len(prefix) + m * g + len(suffix) < 2:
             raise ValueError("the shortest branch needs >= 2 steps")
-        full = [
-            self._expand(t)
-            for t in (prefix + gstep.group * n + suffix)
-        ]
+        full = (
+            prefix
+            + [self._expand(t) for t in gstep.group] * n
+            + suffix
+        )
         p = len(prefix)
         branches = []
         for r in range(m, n + 1):
@@ -549,6 +587,15 @@ class Pattern:
             )
         if self.horizon is None:
             raise ValueError("pattern needs .within(horizon)")
+        if any(s.where for s in self.steps):
+            raise ValueError(
+                "where() conditions are batch-only on the Pattern "
+                "API (the streaming state machines key transitions "
+                "on the type tag) — run match() on the lake, or "
+                "spell the predicates as MATCH_RECOGNIZE DEFINEs: "
+                "match_recognize_stream compiles them JVM-side on "
+                "both its engines"
+            )
         if any(s.group and s.times for s in self.steps):
             raise ValueError(
                 "quantified groups have no streaming twin yet — run "
@@ -696,6 +743,13 @@ class Pattern:
             )
         return out.withColumnRenamed("user_id", key_col)
 
+    def _step_pred(self, s: _Step):
+        """A step's full event predicate for the relational
+        operators: the expanded type (tag or tag set), wrapped in a
+        :class:`StepPred` when the step carries a ``where()``."""
+        e = self._expand(s.event_type)
+        return StepPred(types=e, where=s.where) if s.where else e
+
     def _remap_stream_types(self, src: DataFrame) -> DataFrame:
         """Subtype desugaring for the STREAMING machines, which key
         their state transitions on concrete ``event_type`` equality:
@@ -766,8 +820,8 @@ class Pattern:
             n_min, n_max = head.times if head.times else (1, None)
             return match_combinations(
                 events,
-                self._expand(head.event_type),
-                self._expand(follower.event_type),
+                self._step_pred(head),
+                self._step_pred(follower),
                 self.horizon,
                 n_min=n_min,
                 n_max=n_max,
@@ -784,16 +838,16 @@ class Pattern:
         if head.times:
             m = match_times(
                 events,
-                self._expand(head.event_type),
-                self._expand(follower.event_type),
+                self._step_pred(head),
+                self._step_pred(follower),
                 head.times[0], head.times[1], self.horizon,
                 key_col, ts_col, type_col, id_col,
             )
         else:
             m = match_one_or_more(
                 events,
-                self._expand(head.event_type),
-                self._expand(follower.event_type),
+                self._step_pred(head),
+                self._step_pred(follower),
                 head.one_or_more_gap, self.horizon,
                 key_col, ts_col, type_col, id_col,
                 until=(
@@ -857,7 +911,7 @@ class Pattern:
                 )
             out = match_sequence_first(
                 events,
-                [self._expand(s.event_type) for s in self.steps],
+                [self._step_pred(s) for s in self.steps],
                 self.horizon,
                 key_col, ts_col, type_col, id_col,
             )
@@ -875,7 +929,7 @@ class Pattern:
         ]
         out = union_skip_branches(
             events,
-            [self._expand(s.event_type) for s in self.steps],
+            [self._step_pred(s) for s in self.steps],
             subsets,
             self.horizon,
             key_col, ts_col, type_col, id_col,

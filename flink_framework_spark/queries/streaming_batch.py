@@ -926,6 +926,56 @@ def q_cep_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cep_where",
+    family="I",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+       COUNT(DISTINCT v.user_id) AS n_users,
+       ROUND(SUM(p.value), 2) AS sum_purchase
+FROM events v
+JOIN events p ON p.user_id = v.user_id
+             AND p.event_type = 'purchase' AND p.value >= 80
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '12 hours'
+WHERE v.event_type = 'view' AND v.value < 20
+""",
+)
+def q_cep_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP row-level conditions (Flink ``Pattern.where(
+    SimpleCondition)``): a low-engagement view (value < 20) followed
+    within 12 hours by a HIGH-value purchase (value >= 80) — the
+    predicate-carrying pattern every porting Flink user writes. Each
+    ``where()`` ANDs into its step's type filter inside
+    operators.cep's single predicate chokepoint, so the condition is
+    compiled JVM-side and pushed into the step's scan like any
+    filter; conditions restrict step BINDING only (a where-excluded
+    event still breaks next_step contiguity, Flink's any-event
+    rule)."""
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        Pattern.begin("view")
+        .where("value < 20")
+        .followed_by("purchase")
+        .where("value >= 80")
+        .within("12 HOURS")
+    )
+    m = p.match(ev)
+    val = ev.select(
+        F.col("event_id").alias("id_1"), F.col("value").alias("__pv")
+    )
+    return (
+        m.join(val, "id_1")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+            round_duck(F.sum("__pv"), 2).alias("sum_purchase"),
+        )
+    )
+
+
+@register(
     "q_cep_combinations",
     family="I",
     oracle="""

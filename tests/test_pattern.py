@@ -913,3 +913,113 @@ def test_allow_combinations_validation(spark):
     p.skip_strategy = "skip_past_last"
     with pytest.raises(ValueError, match="share boundary"):
         p.match(_planted(spark, [(1, 1, 0, "click")]))
+
+
+# -- where() row-level conditions (Flink SimpleCondition) -------------
+
+
+def test_where_filters_step_binding_only(spark):
+    """where() restricts which events BIND a step; it does not make
+    them invisible — a where-excluded event still breaks next_step()
+    strict contiguity, exactly Flink's any-event rule."""
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "view"),
+            (1, 2, 1, "click"),     # intruder between view and purchase
+            (1, 3, 2, "purchase"),
+            (2, 4, 0, "view"),
+            (2, 5, 1, "purchase"),
+        ],
+    ).withColumn("value", F.col("event_id").cast("double"))
+    strict = (
+        Pattern.begin("view")
+        .next_step("purchase")
+        .within("30 MINUTES")
+    )
+    assert sorted(
+        r["user_id"] for r in strict.match(ev).collect()
+    ) == [2]
+    # user 1's click excluded by a hypothetical filter would wrongly
+    # let user 1 match if where() pre-filtered the events frame; the
+    # builder keeps contiguity against the UNFILTERED stream
+    both = (
+        Pattern.begin("view")
+        .next_step("purchase")
+        .where("value >= 0")
+        .within("30 MINUTES")
+    )
+    assert sorted(
+        r["user_id"] for r in both.match(ev).collect()
+    ) == [2]
+
+
+def test_where_equals_prefiltered_chain(events):
+    from flink_framework_spark.operators.cep import match_sequence
+
+    p = (
+        Pattern.begin("view")
+        .where("value > 50")
+        .followed_by("purchase")
+        .where("value < 50")
+        .within("12 HOURS")
+    )
+    pre = events.filter(
+        "event_type != 'view' OR value > 50"
+    ).filter("event_type != 'purchase' OR value < 50")
+    direct = match_sequence(pre, ["view", "purchase"], "12 HOURS")
+    got = p.match(events)
+    assert _canon(got) == _canon(direct.select(got.columns))
+
+
+def test_where_composes_with_quantifiers_and_hierarchy(events):
+    from flink_framework_spark.operators.cep import match_times
+
+    p = (
+        Pattern.begin("interaction")
+        .where("value > 20")
+        .times(2, 3)
+        .followed_by("conversion")
+        .within("12 HOURS")
+        .with_hierarchy(_H)
+    )
+    pre = events.filter(
+        "event_type NOT IN ('view', 'click') OR value > 20"
+    )
+    direct = match_times(
+        pre, ("click", "view"), ("purchase", "signup"), 2, 3, "12 HOURS"
+    )
+    assert _canon(p.match(events)) == _canon(direct)
+    # repeated where() calls AND together
+    q = (
+        Pattern.begin("view")
+        .where("value > 10")
+        .where("value < 90")
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    r = (
+        Pattern.begin("view")
+        .where("value > 10 AND value < 90")
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    assert _canon(q.match(events)) == _canon(r.match(events))
+
+
+def test_where_validation_and_stream_guard(spark):
+    with pytest.raises(ValueError, match="needs a step"):
+        Pattern().where("value > 1")
+    g = Pattern.begin("view").followed_by("click")
+    with pytest.raises(ValueError, match="member step"):
+        Pattern.begin(g).where("value > 1")
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin(Pattern.begin("view").where("value > 1"))
+    p = (
+        Pattern.begin("view")
+        .where("value > 1")
+        .followed_by("purchase")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        p.match_stream(_sstream(spark))
