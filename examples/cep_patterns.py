@@ -101,6 +101,44 @@ def main() -> None:
         .followed_by("purchase")
         .within("7 DAYS"),
     )
+    # -- round-8 API surface: groups / subtype / where / combinations
+    show(
+        "GroupPattern: (view click).times(1,2) -> purchase (48h)",
+        Pattern.begin(Pattern.begin("view").followed_by("click"))
+        .times(1, 2)
+        .followed_by("purchase")
+        .within("48 HOURS"),
+    )
+    show(
+        "subtype(): activity>interaction -> conversion (30m)",
+        Pattern.begin("activity")
+        .with_hierarchy(
+            {
+                "interaction": ["view", "click"],
+                "conversion": ["purchase", "signup"],
+                "activity": ["interaction", "conversion"],
+            }
+        )
+        .subtype("interaction")
+        .followed_by("conversion")
+        .within("30 MINUTES"),
+    )
+    show(
+        "where(): cheap view -> big purchase (12h)",
+        Pattern.begin("view")
+        .where("value < 20")
+        .followed_by("purchase")
+        .where("value >= 80")
+        .within("12 HOURS"),
+    )
+    show(
+        "allowCombinations(): click subsequences -> purchase (6h)",
+        Pattern.begin("click")
+        .one_or_more()
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("6 HOURS"),
+    )
 
     # -- the same funnel as a streaming state machine ----------------
     from flink_framework_spark.operators.cep import match_sequence
