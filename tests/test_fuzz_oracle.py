@@ -905,3 +905,67 @@ def test_fuzz_cep_group_matches_oracle(spark, sf_dir, seed):
         )
     )
     assert_matches_oracle(got, sql, sf_dir)
+
+
+def gen_trigger_query(seed: int):
+    """Random CountTrigger(n) (+ optional CountEvictor(m)) configs
+    over tumbling windows: random n, window size, eviction, and key
+    column, rendered to fire_on_count on the Spark side and to the
+    equivalent window-function SQL on the DuckDB side."""
+    rng = random.Random(120_000 + seed)
+    n = rng.choice([3, 5, 8])
+    evict = rng.choice([None, 2, 4])
+    hours = rng.choice([12, 24])
+    key = rng.choice(["event_type", "user_id % 7"])
+    key_alias = "k"
+    frame = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if evict is None
+        else f"ROWS BETWEEN {evict - 1} PRECEDING AND CURRENT ROW"
+    )
+    sql = f"""
+WITH w AS (
+  SELECT {key} AS {key_alias},
+         time_bucket(INTERVAL '{hours} hours', ts) AS w_start,
+         ts, event_id, value,
+         ROW_NUMBER() OVER ord AS rn,
+         COUNT(*) OVER (ord {frame}) AS n_elems,
+         ROUND(SUM(value) OVER (ord {frame}), 2) AS sum_v
+  FROM events
+  WINDOW ord AS (PARTITION BY {key},
+                              time_bucket(INTERVAL '{hours} hours', ts)
+                 ORDER BY ts, event_id))
+SELECT CAST({key_alias} AS VARCHAR) AS {key_alias},
+       strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       CAST(rn / {n} AS INT) AS firing_seq,
+       CAST(n_elems AS BIGINT) AS n_elems, sum_v
+FROM w WHERE rn % {n} = 0
+"""
+    return n, evict, hours, key, sql
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_trigger_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import fire_on_count
+
+    n, evict, hours, key, sql = gen_trigger_query(seed)
+    ev = table(spark, sf_dir, "events")
+    if key != "event_type":
+        ev = ev.withColumn("__key", F.expr(key))
+        key_col = "__key"
+    else:
+        key_col = "event_type"
+    got = fire_on_count(
+        ev, n, window=f"{hours} hours", evict_last=evict,
+        key_col=key_col,
+    ).select(
+        F.col(key_col).cast("string").alias("k"),
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "w_start"
+        ),
+        "firing_seq",
+        "n_elems",
+        round_duck("sum_v", 2).alias("sum_v"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
