@@ -58,8 +58,10 @@ Supported shapes (validated, loud errors otherwise):
   into the LAST step's type filter (repeated calls AND together);
   conditions restrict step BINDING only — a where-excluded event
   still breaks ``next_step()`` contiguity, Flink's any-event rule.
-  Batch-only; on streams spell predicates as MATCH_RECOGNIZE
-  DEFINEs, which both streaming engines compile.
+  Fixed chains with conditions STREAM on the join lowering (JVM
+  residuals per step scan); quantified/negated shapes with
+  conditions are batch-only — spell those as MATCH_RECOGNIZE
+  DEFINEs on streams.
 """
 
 from __future__ import annotations
@@ -265,10 +267,13 @@ class Pattern:
         """Flink ``Pattern.where(SimpleCondition)``: a row-level SQL
         boolean over the event's columns, AND-combined with the LAST
         step's type (repeated ``where`` calls AND together, like
-        Flink). Batch-only composition: the streaming state machines
-        key transitions on the type tag alone — run ``match()`` on
-        the lake, or spell cross-step conditions as MATCH_RECOGNIZE
-        DEFINEs, whose streaming engine compiles predicates."""
+        Flink). Streams on the FIXED-CHAIN join lowering (conditions
+        compile into each step's scan as JVM residuals); quantified /
+        negated / forced-NFA shapes are batch-only with conditions —
+        the Arrow state machines key transitions on the type tag —
+        so run ``match()`` on the lake there, or spell predicates as
+        MATCH_RECOGNIZE DEFINEs, which both streaming MR engines
+        compile."""
         if not self.steps:
             raise ValueError("where() needs a step")
         s = self.steps[-1]
@@ -587,14 +592,20 @@ class Pattern:
             )
         if self.horizon is None:
             raise ValueError("pattern needs .within(horizon)")
-        if any(s.where for s in self.steps):
+        has_where = any(s.where for s in self.steps)
+        if has_where and (
+            engine == "nfa"
+            or self.negations
+            or any(s.times or s.looping for s in self.steps)
+        ):
             raise ValueError(
-                "where() conditions are batch-only on the Pattern "
-                "API (the streaming state machines key transitions "
-                "on the type tag) — run match() on the lake, or "
-                "spell the predicates as MATCH_RECOGNIZE DEFINEs: "
-                "match_recognize_stream compiles them JVM-side on "
-                "both its engines"
+                "where() conditions stream only on the FIXED-CHAIN "
+                "join lowering (the Arrow state machines key "
+                "transitions on the type tag) — quantifiers, "
+                "negation, and engine='nfa' with conditions are "
+                "batch-only; run match() on the lake, or spell the "
+                "predicates as MATCH_RECOGNIZE DEFINEs, which both "
+                "streaming MR engines compile"
             )
         if any(s.group and s.times for s in self.steps):
             raise ValueError(
@@ -631,8 +642,16 @@ class Pattern:
             type_col: "event_type",
             id_col: "event_id",
         }
+        # where() conditions reference the event's OTHER columns, so
+        # they must survive the canonical-role projection (conditions
+        # over a renamed role column should use the canonical name)
+        extra = (
+            [c for c in events.columns if c not in renames]
+            if has_where
+            else []
+        )
         src = events.select(
-            *[F.col(c).alias(a) for c, a in renames.items()]
+            *[F.col(c).alias(a) for c, a in renames.items()], *extra
         )
         src = self._remap_stream_types(src)
 
@@ -738,8 +757,19 @@ class Pattern:
                 disorder_s=disorder_s,
             )
         else:
+            # the join lowering takes the full per-step predicates:
+            # post-remap the stream's tags ARE the steps' event_type
+            # names (hierarchy tags rewritten), so the type side is
+            # plain equality, and where() conditions ride along as
+            # JVM residuals on each step's scan
+            join_steps = [
+                StepPred(types=s.event_type, where=s.where)
+                if s.where
+                else s.event_type
+                for s in self.steps
+            ]
             out = sequence_matches_join(
-                src, steps, self.horizon, watermark=watermark
+                src, join_steps, self.horizon, watermark=watermark
             )
         return out.withColumnRenamed("user_id", key_col)
 

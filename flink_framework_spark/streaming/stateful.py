@@ -170,10 +170,14 @@ def sequence_matches_join(
     as a residual predicate on the demoted ``ts_0``."""
     if len(steps) < 2:
         raise ValueError("a sequence pattern needs at least 2 steps")
+    # steps go through the shared cep predicate chokepoint, so a step
+    # may be a tag, an expanded subtype set, or a StepPred carrying a
+    # where() condition — the join machine compiles all three JVM-side
+    from flink_framework_spark.operators.cep import _type_pred
 
-    def step_df(i: int, step: str) -> DataFrame:
+    def step_df(i: int, step) -> DataFrame:
         return (
-            events.filter(F.col(type_col) == step)
+            events.filter(_type_pred(type_col, step))
             .select(
                 F.col(key_col).alias(f"__k{i}"),
                 F.col(ts_col).alias(f"ts_{i}"),

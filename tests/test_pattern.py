@@ -1015,11 +1015,88 @@ def test_where_validation_and_stream_guard(spark):
         Pattern.begin(g).where("value > 1")
     with pytest.raises(ValueError, match="plain chain"):
         Pattern.begin(Pattern.begin("view").where("value > 1"))
+    # a FIXED chain with conditions streams on the join lowering...
     p = (
         Pattern.begin("view")
-        .where("value > 1")
+        .where("user_id >= 0")
         .followed_by("purchase")
         .within("1 hour")
     )
-    with pytest.raises(ValueError, match="batch-only"):
-        p.match_stream(_sstream(spark))
+    out = p.match_stream(_sstream(spark))
+    assert out.isStreaming and not _has_arrow_state(out)
+    # ...but NFA-requiring shapes with conditions are batch-only
+    with pytest.raises(ValueError, match="FIXED-CHAIN"):
+        p.match_stream(_sstream(spark), engine="nfa")
+    with pytest.raises(ValueError, match="FIXED-CHAIN"):
+        (
+            Pattern.begin("view")
+            .where("user_id >= 0")
+            .times(2, 3)
+            .followed_by("purchase")
+            .within("1 hour")
+        ).match_stream(_sstream(spark))
+    with pytest.raises(ValueError, match="FIXED-CHAIN"):
+        (
+            Pattern.begin("view")
+            .where("user_id >= 0")
+            .followed_by("purchase")
+            .not_followed_by("error")
+            .within("1 hour")
+        ).match_stream(_sstream(spark))
+
+
+def test_match_stream_where_join_equals_batch(spark, sf_dir):
+    """A conditioned fixed chain drained through the streaming join
+    lowering equals the batch match() — the where() residuals compile
+    into the stream-stream joins' step scans."""
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+    )
+    from flink_framework_spark.io import table
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    p = (
+        Pattern.begin("view")
+        .where("value < 50")
+        .followed_by("purchase")
+        .where("value >= 50")
+        .within("12 hours")
+    )
+    ev = table(spark, sf_dir, "events")
+    batch = p.match(ev)
+
+    def fmt(df, src):
+        cols = [F.col("user_id")]
+        for i in range(2):
+            cols.append(
+                _fmt_event_time(src, F.col(f"ts_{i}")).alias(f"ts_{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols)
+
+    sdf = read_events_stream(spark, sf_dir)
+    got = run_to_memory(
+        fmt(p.match_stream(sdf), sdf),
+        query_name="t_ms_where",
+        output_mode="append",
+    ).toPandas()
+    a = sorted(
+        map(
+            repr,
+            got[sorted(got.columns)].itertuples(index=False, name=None),
+        )
+    )
+    want = fmt(batch, ev).toPandas()
+    b = sorted(
+        map(
+            repr,
+            want[sorted(want.columns)].itertuples(
+                index=False, name=None
+            ),
+        )
+    )
+    assert len(a) == len(b) > 0
+    assert a == b
