@@ -608,10 +608,9 @@ class Pattern:
                 "streaming MR engines compile"
             )
         if any(s.group and s.times for s in self.steps):
-            raise ValueError(
-                "quantified groups have no streaming twin yet — run "
-                "match() on the lake (bounded unroll), or hand-build "
-                "the per-repetition chains and union their streams"
+            return self._match_stream_group_times(
+                events, engine, watermark, disorder_s,
+                key_col, ts_col, type_col, id_col,
             )
         if any(s.group for s in self.steps):
             # unquantified groups are grouping syntax — splice and
@@ -772,6 +771,110 @@ class Pattern:
                 src, join_steps, self.horizon, watermark=watermark
             )
         return out.withColumnRenamed("user_id", key_col)
+
+    def _match_stream_group_times(
+        self, events, engine, watermark, disorder_s,
+        key_col, ts_col, type_col, id_col,
+    ) -> DataFrame:
+        """Streaming twin of the quantified-group unroll: one
+        per-repetition-count sub-pattern, each a plain FIXED CHAIN
+        streamed through :meth:`match_stream` (join lowering under
+        ``auto``/``join`` — relaxed contiguity needs no adjacency
+        joins and no disjointness proof, every branch's matches are
+        independent under all-combinations semantics), branch outputs
+        aligned to the maximal ``ts_i``/``id_i`` layout with typed
+        NULLs for absent repetitions plus ``n_reps``, unioned. Same
+        columns as the batch unroll."""
+        gq = [
+            i for i, s in enumerate(self.steps) if s.group and s.times
+        ]
+        if len(gq) > 1:
+            raise ValueError(
+                "one quantified group per pattern (two would union a "
+                "product of unrollings)"
+            )
+        if any(
+            s.optional or s.strict or s.looping
+            or (s.times and not s.group)
+            for s in self.steps
+        ):
+            raise ValueError(
+                "a quantified group composes with PLAIN chain steps "
+                "only (no optional/next_step/other quantifiers)"
+            )
+        if self.negations:
+            raise ValueError(
+                "not_followed_by with a quantified group is ambiguous "
+                "(step indices shift per repetition branch) — negate "
+                "on a drained match frame instead"
+            )
+        if self.select != "any" or self.skip_strategy != "no_skip":
+            raise ValueError(
+                "streaming quantified groups support select 'any' "
+                "with no after-match skip"
+            )
+        gi = gq[0]
+        gstep = self.steps[gi]
+        m, n = gstep.times
+        g = len(gstep.group)
+        if not (1 <= m <= n):
+            raise ValueError("group times(m, n) needs 1 <= m <= n")
+        prefix, suffix = self.steps[:gi], self.steps[gi + 1:]
+        p = len(prefix)
+        total = p + n * g + len(suffix)
+        if total > 10:
+            raise ValueError(
+                f"the maximal unroll is {total} chained steps; keep "
+                "prefix + n_max * group + suffix <= 10"
+            )
+        if p + m * g + len(suffix) < 2:
+            raise ValueError("the shortest branch needs >= 2 steps")
+        ts_type = events.schema[ts_col].dataType
+        id_type = events.schema[id_col].dataType
+
+        def clone(s: _Step) -> _Step:
+            return _Step(s.event_type, where=s.where)
+
+        out = None
+        for r in range(m, n + 1):
+            sub = Pattern(
+                steps=(
+                    [clone(s) for s in prefix]
+                    + [_Step(t) for t in gstep.group] * r
+                    + [clone(s) for s in suffix]
+                ),
+                horizon=self.horizon,
+                hierarchy=self.hierarchy,
+            )
+            branch = sub.match_stream(
+                events, engine, watermark, disorder_s,
+                key_col, ts_col, type_col, id_col,
+            )
+            # branch positions: prefix 0..p-1 | reps p..p+r*g-1 |
+            # suffix p+r*g.. — align suffix to p + n*g + i and NULL
+            # the absent repetition positions
+            cols = [F.col(key_col)]
+            for pos in range(p + n * g + len(suffix)):
+                if pos < p + r * g:
+                    src_pos = pos
+                elif pos < p + n * g:
+                    src_pos = None
+                else:
+                    src_pos = pos - (n - r) * g
+                if src_pos is None:
+                    cols += [
+                        F.lit(None).cast(ts_type).alias(f"ts_{pos}"),
+                        F.lit(None).cast(id_type).alias(f"id_{pos}"),
+                    ]
+                else:
+                    cols += [
+                        F.col(f"ts_{src_pos}").alias(f"ts_{pos}"),
+                        F.col(f"id_{src_pos}").alias(f"id_{pos}"),
+                    ]
+            cols.append(F.lit(r).alias("n_reps"))
+            branch = branch.select(*cols)
+            out = branch if out is None else out.unionByName(branch)
+        return out
 
     def _step_pred(self, s: _Step):
         """A step's full event predicate for the relational

@@ -835,13 +835,80 @@ def test_group_validation_errors(spark):
         neg.match(ev)
 
 
-def test_group_times_stream_guard(spark):
+def test_group_times_stream_equals_batch(spark, sf_dir):
+    """The quantified-group streaming unroll (union of join-lowered
+    fixed chains, NULL-padded to the maximal layout + n_reps) drains
+    equal to the batch unroll."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+    )
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
     g = Pattern.begin("view").followed_by("click")
-    p = Pattern.begin(g).times(1, 2).followed_by("purchase").within(
+    p = (
+        Pattern.begin(g)
+        .times(1, 2)
+        .followed_by("purchase")
+        .within("12 hours")
+    )
+    ev = table(spark, sf_dir, "events")
+    batch = p.match(ev)
+
+    def fmt(df, src):
+        cols = [F.col("user_id"), F.col("n_reps")]
+        for i in range(5):
+            cols.append(
+                _fmt_event_time(src, F.col(f"ts_{i}")).alias(f"ts_{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols)
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = p.match_stream(sdf)
+    assert out.isStreaming and not _has_arrow_state(out)
+    got = run_to_memory(
+        fmt(out, sdf), query_name="t_ms_group", output_mode="append"
+    ).toPandas()
+    a = sorted(
+        map(
+            repr,
+            got[sorted(got.columns)].itertuples(index=False, name=None),
+        )
+    )
+    want = fmt(batch, ev).toPandas()
+    b = sorted(
+        map(
+            repr,
+            want[sorted(want.columns)].itertuples(
+                index=False, name=None
+            ),
+        )
+    )
+    assert len(a) == len(b) > 0
+    assert {r["n_reps"] for _, r in got.iterrows()} >= {1}
+    assert a == b
+
+
+def test_group_times_stream_validation(spark):
+    g = Pattern.begin("view").followed_by("click")
+    neg = (
+        Pattern.begin(g)
+        .times(1, 2)
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        neg.match_stream(_sstream(spark))
+    big = Pattern.begin(g).times(1, 5).followed_by("purchase").within(
         "1 hour"
     )
-    with pytest.raises(ValueError, match="no streaming twin"):
-        p.match_stream(_sstream(spark))
+    with pytest.raises(ValueError, match="<= 10"):
+        big.match_stream(_sstream(spark))
 
 
 # -- allowCombinations on the Pattern builder -------------------------
