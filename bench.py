@@ -207,7 +207,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, twelve scenarios covering the
+    """Structured Streaming throughput, thirteen scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
@@ -234,7 +234,8 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
       keyed-state paths, measured apart from the JVM scenarios), the
       bounded-quantifier MR pair (PATTERN (A B{1,2} C): the Arrow NFA
       floor vs the engine='auto' chain-unroll join lowering), and the
-      changelog-build-side temporal join.
+      changelog-build-side temporal join, and the CountTrigger
+      custom-trigger keyed-state twin.
 
     Measured, not inferred from batch twins."""
     from pyspark.sql import functions as F
@@ -493,6 +494,32 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "stream-stream interval join + LEFT OUTER adjacency join"
         "->noop(append); engine='auto' JVM lowering of the same MR "
         "clause (the NFA floor is the scenario above)"
+    )
+
+    # CountTrigger streaming twin (round 8): per-key tumbling windows
+    # firing every 10th element in event-time order, watermark-driven
+    # finalization — the custom-trigger Arrow keyed-state path,
+    # measured in the same family as cep_funnel
+    from flink_framework_spark.streaming.triggers import (
+        count_trigger_stream,
+    )
+
+    trig_src = rate_mb(cr).select(
+        (F.col("value") % ck).cast("string").alias("event_type"),
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    ).withWatermark("ts", "2 seconds")
+    out["count_trigger"] = _run_stream_scenario(
+        count_trigger_stream(trig_src, 10, window_s=60.0),
+        "update",
+        seconds * 2,
+    )
+    out["count_trigger"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys)->"
+        "count_trigger_stream(n=10, 1-minute windows): per-key "
+        "buffers finalized in event-time order as the watermark "
+        "passes, firing every 10th element->noop(update)"
     )
 
     # quantified MR clause — PATTERN (A B{1,2} C), the round-8 unroll
