@@ -813,6 +813,14 @@ class Pattern:
                 "streaming quantified groups support select 'any' "
                 "with no after-match skip"
             )
+        if engine == "nfa":
+            raise ValueError(
+                "the streaming group unroll unions its branches, and "
+                "Spark refuses a union of update-mode Arrow state "
+                "machines (multiple stateful operators) — use "
+                "engine='auto'/'join' (append-mode join branches "
+                "union fine)"
+            )
         gi = gq[0]
         gstep = self.steps[gi]
         m, n = gstep.times

@@ -1167,3 +1167,12 @@ def test_match_stream_where_join_equals_batch(spark, sf_dir):
     )
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_group_times_stream_rejects_nfa_union(spark):
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).times(1, 2).followed_by("purchase").within(
+        "1 hour"
+    )
+    with pytest.raises(ValueError, match="union of update-mode"):
+        p.match_stream(_sstream(spark), engine="nfa")
