@@ -772,6 +772,107 @@ class Pattern:
             )
         return out.withColumnRenamed("user_id", key_col)
 
+    def stream_route_info(self) -> dict:
+        """Explain how :meth:`match_stream` would execute this
+        pattern under ``engine='auto'`` — the Pattern-API twin of
+        :func:`streaming.mr.stream_route_info`:
+        ``{"engine": "join" | "nfa" | "join-union" | "rejected",
+        "reason": ..., "output_mode": ...}``. ``"join-union"`` is the
+        quantified-group unroll (a union of join-lowered chains);
+        ``"rejected"`` means the stream entry point refuses the
+        shape. Agreement with the actual routing is test-pinned."""
+        def rejected(reason):
+            return {
+                "engine": "rejected", "reason": reason,
+                "output_mode": None,
+            }
+
+        if self.horizon is None:
+            return rejected("pattern needs .within(horizon)")
+        has_where = any(s.where for s in self.steps)
+        quant_single = any(
+            (s.times or s.looping) and not s.group for s in self.steps
+        )
+        if has_where and (self.negations or quant_single):
+            return rejected(
+                "where() streams only on the fixed-chain join "
+                "lowering — quantifiers/negation with conditions are "
+                "batch-only"
+            )
+        if any(s.group and s.times for s in self.steps):
+            if self.negations:
+                return rejected(
+                    "not_followed_by with a quantified group is "
+                    "ambiguous"
+                )
+            return {
+                "engine": "join-union",
+                "reason": "quantified-group unroll — one join-"
+                "lowered fixed chain per repetition count, unioned",
+                "output_mode": "append",
+            }
+        if self.skip_strategy != "no_skip":
+            return rejected("after-match skip strategies are batch-only")
+        if any(s.optional or s.strict for s in self.steps) or (
+            self.select != "any"
+        ):
+            return rejected(
+                "optional()/next_step()/select 'first' have no "
+                "streaming twin"
+            )
+        if quant_single:
+            head = self.steps[0]
+            if any(s.combinations for s in self.steps):
+                return rejected("allowCombinations has no streaming twin")
+            if self.negations:
+                return rejected(
+                    "not_followed_by on a quantified pattern has no "
+                    "streaming twin"
+                )
+            if (
+                len(self.steps) != 2
+                or self.steps[1].times
+                or self.steps[1].looping
+            ):
+                return rejected(
+                    "streaming quantified patterns support exactly "
+                    "begin(step).times|one_or_more.followed_by(f)"
+                )
+            if head.looping and head.one_or_more_gap is None:
+                return rejected("greedy one_or_more needs max_gap")
+            if head.until is not None:
+                return rejected("one_or_more().until() has no streaming twin")
+            machine = (
+                "times_matches" if head.times else "greedy_matches"
+            )
+            return {
+                "engine": "nfa",
+                "reason": f"quantified pattern — the {machine} Arrow "
+                "keyed state machine",
+                "output_mode": "update",
+            }
+        if self.negations:
+            if len(self.negations) > 1:
+                return rejected(
+                    "streaming negation supports one not_followed_by "
+                    "span"
+                )
+            return {
+                "engine": "nfa",
+                "reason": "negation — streaming interval ANTI joins "
+                "do not exist; the Arrow state machine carries "
+                "absent-type state",
+                "output_mode": "update",
+            }
+        return {
+            "engine": "join",
+            "reason": "fixed chain — cascaded watermarked "
+            "stream-stream interval joins, zero Python"
+            + (" (where() residuals on the step scans)" if has_where
+               else ""),
+            "output_mode": "append",
+        }
+
     def _match_stream_group_times(
         self, events, engine, watermark, disorder_s,
         key_col, ts_col, type_col, id_col,

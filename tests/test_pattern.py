@@ -1176,3 +1176,52 @@ def test_group_times_stream_rejects_nfa_union(spark):
     )
     with pytest.raises(ValueError, match="union of update-mode"):
         p.match_stream(_sstream(spark), engine="nfa")
+
+
+def test_stream_route_info_agrees_with_actual_routing(spark):
+    """The diagnostic must never drift from match_stream's real
+    decisions: for every classified shape, 'join'/'join-union' means
+    the built plan has no Arrow state and 'nfa' means it does;
+    'rejected' means match_stream raises."""
+    g = Pattern.begin("view").followed_by("click")
+    shapes = [
+        Pattern.begin("view").followed_by("purchase").within("1 hour"),
+        Pattern.begin("view").where("user_id >= 0").followed_by(
+            "purchase"
+        ).within("1 hour"),
+        Pattern.begin("view").followed_by("purchase").not_followed_by(
+            "error"
+        ).within("1 hour"),
+        Pattern.begin("view").times(2, 3).followed_by("purchase").within(
+            "1 hour"
+        ),
+        Pattern.begin("view").one_or_more("1 hour").followed_by(
+            "purchase"
+        ).within("2 hours"),
+        Pattern.begin(g).times(1, 2).followed_by("purchase").within(
+            "1 hour"
+        ),
+        # rejected shapes
+        Pattern.begin("view").followed_by("purchase"),
+        Pattern.begin("view").followed_by("click").optional()
+        .followed_by("purchase").within("1 hour"),
+        Pattern.begin("view").where("user_id >= 0").times(2, 3)
+        .followed_by("purchase").within("1 hour"),
+        Pattern.begin("click").one_or_more().allow_combinations()
+        .followed_by("purchase").within("1 hour"),
+    ]
+    for p in shapes:
+        info = p.stream_route_info()
+        if info["engine"] == "rejected":
+            with pytest.raises(ValueError):
+                p.match_stream(_sstream(spark))
+            continue
+        out = p.match_stream(_sstream(spark))
+        assert out.isStreaming
+        has_arrow = _has_arrow_state(out)
+        if info["engine"] in ("join", "join-union"):
+            assert not has_arrow, info
+            assert info["output_mode"] == "append"
+        else:
+            assert has_arrow, info
+            assert info["output_mode"] == "update"
