@@ -969,3 +969,81 @@ def test_fuzz_trigger_matches_oracle(spark, sf_dir, seed):
         round_duck("sum_v", 2).alias("sum_v"),
     )
     assert_matches_oracle(got, sql, sf_dir)
+
+
+def gen_continuous_trigger_query(seed: int):
+    """Random ContinuousEventTimeTrigger (+ optional TimeEvictor)
+    configs: random interval/window pairs (interval divides window,
+    the epoch-aligned configuration) and eviction spans, rendered to
+    fire_continuous and to the boundary-chain SQL."""
+    rng = random.Random(130_000 + seed)
+    win_h, ivl_h = rng.choice(
+        [(24, 6), (24, 4), (24, 12), (12, 3), (12, 6)]
+    )
+    keep_h = rng.choice([None, ivl_h // 2 or 1, ivl_h])
+    ivl_sec = ivl_h * 3600
+    keep_sql = (
+        ""
+        if keep_h is None
+        else f" AND e.ts > b.fire_at - INTERVAL {keep_h} HOUR"
+    )
+    sql = f"""
+WITH e AS (
+  SELECT event_type, time_bucket(INTERVAL '{win_h} hours', ts)
+           AS w_start, ts, value
+  FROM events),
+f AS (
+  SELECT event_type, w_start,
+         w_start + INTERVAL {win_h} HOUR AS w_end, MIN(ts) AS first_ts
+  FROM e GROUP BY 1, 2),
+b AS (
+  SELECT event_type, w_start, w_end,
+         UNNEST(generate_series(
+           LEAST(w_start + INTERVAL {ivl_h} HOUR *
+             (CAST(FLOOR(epoch(first_ts - w_start) / {ivl_sec})
+                   AS INT) + 1),
+             w_end),
+           w_end, INTERVAL {ivl_h} HOUR)) AS fire_at
+  FROM f),
+bounds AS (
+  SELECT event_type, w_start, fire_at, 'early' AS firing
+  FROM b WHERE fire_at < w_end
+  UNION ALL
+  SELECT event_type, w_start, w_end, 'final' FROM f)
+SELECT b.event_type,
+       strftime(b.w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       strftime(b.fire_at, '%Y-%m-%d %H:%M:%S') AS fire_at,
+       b.firing, CAST(COUNT(*) AS BIGINT) AS n_elems,
+       ROUND(SUM(e.value), 2) AS sum_v
+FROM bounds b JOIN e ON e.event_type = b.event_type
+ AND e.w_start = b.w_start AND e.ts <= b.fire_at{keep_sql}
+GROUP BY 1, 2, 3, 4
+"""
+    return win_h, ivl_h, keep_h, sql
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_continuous_trigger_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import fire_continuous
+
+    win_h, ivl_h, keep_h, sql = gen_continuous_trigger_query(seed)
+    ev = table(spark, sf_dir, "events")
+    got = fire_continuous(
+        ev,
+        f"{ivl_h} hours",
+        f"{win_h} hours",
+        evict_keep=None if keep_h is None else f"{keep_h} hours",
+    ).select(
+        "event_type",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "w_start"
+        ),
+        F.date_format("fire_at", "yyyy-MM-dd HH:mm:ss").alias(
+            "fire_at"
+        ),
+        "firing",
+        "n_elems",
+        round_duck("sum_v", 2).alias("sum_v"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
