@@ -655,6 +655,7 @@ def match_combinations(
         )
 
     levels = [level]
+    persisted: list[DataFrame] = []
     if n_max is not None:
         for _ in range(1, n_max):
             level = extend(level)
@@ -663,7 +664,6 @@ def match_combinations(
         # unbounded: probe emptiness per level (persist so the probe
         # and the union share the work; lineage stays shallow because
         # each level persists before the next extends it)
-        persisted = []
         level = level.persist()
         persisted.append(level)
         depth = 1
@@ -686,8 +686,6 @@ def match_combinations(
             persisted.append(nxt)
             levels.append(nxt)
             level = nxt
-        # leave persisted levels cached for the final plan; Spark
-        # evicts LRU, and callers drain the frame promptly
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -695,7 +693,7 @@ def match_combinations(
     followers = events.filter(_type_pred(type_col, then_step)).select(
         F.col(key_col).alias("__bk"), F.col(ts_col).alias("__bts")
     )
-    return out.join(
+    result = out.join(
         followers,
         (F.col(key_col) == F.col("__bk"))
         & (F.col("__bts") > F.col("ts_last"))
@@ -705,6 +703,16 @@ def match_combinations(
         key_col, "ts_first", "ts_last", "n_reps",
         "id_first", "id_last", "ids",
     )
+    if persisted:
+        # materialize the (output-sized) final frame once, then drop
+        # the per-level caches — repeated calls must not pin up to
+        # level_cap DataFrames each in executor storage. The single
+        # persisted result is the only cache handed to the caller.
+        result = result.persist()
+        result.count()
+        for p in persisted:
+            p.unpersist()
+    return result
 
 
 def skip_to_next(

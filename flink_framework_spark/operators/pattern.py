@@ -153,7 +153,8 @@ class Pattern:
             or self.select != "any"
             or self.hierarchy is not None
             or any(
-                s.optional or s.strict or s.times or s.one_or_more_gap
+                s.optional or s.strict or s.times or s.looping
+                or s.one_or_more_gap or s.combinations or s.until
                 or s.group or s.where
                 for s in self.steps
             )
@@ -596,7 +597,10 @@ class Pattern:
         if has_where and (
             engine == "nfa"
             or self.negations
-            or any(s.times or s.looping for s in self.steps)
+            or any(
+                (s.times or s.looping) and not s.group
+                for s in self.steps
+            )
         ):
             raise ValueError(
                 "where() conditions stream only on the FIXED-CHAIN "
@@ -800,10 +804,30 @@ class Pattern:
                 "batch-only"
             )
         if any(s.group and s.times for s in self.steps):
+            # mirror _match_stream_group_times's refusals so the
+            # diagnostic never claims a route the entry point rejects
+            if (
+                len([s for s in self.steps if s.group and s.times]) > 1
+            ):
+                return rejected("one quantified group per pattern")
+            if any(
+                s.optional or s.strict or s.looping
+                or (s.times and not s.group)
+                for s in self.steps
+            ):
+                return rejected(
+                    "a quantified group composes with plain chain "
+                    "steps only"
+                )
             if self.negations:
                 return rejected(
                     "not_followed_by with a quantified group is "
                     "ambiguous"
+                )
+            if self.select != "any" or self.skip_strategy != "no_skip":
+                return rejected(
+                    "streaming quantified groups support select 'any' "
+                    "with no after-match skip"
                 )
             return {
                 "engine": "join-union",

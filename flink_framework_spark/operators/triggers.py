@@ -144,6 +144,14 @@ def fire_continuous(
         raise ValueError(
             "ContinuousEventTimeTrigger needs 0 < interval < window"
         )
+    if win_s % ivl_s != 0:
+        raise ValueError(
+            f"interval {interval!r} must divide window {window!r}: "
+            "boundaries here align to the window start, which equals "
+            "Flink's epoch alignment only when the tumbling window "
+            "start is itself interval-aligned — a non-dividing "
+            "interval would fire at different instants than Flink"
+        )
     ivl = F.expr(f"INTERVAL {interval}")
     win = F.window(ts_col, window)
     base = events.select(

@@ -188,6 +188,12 @@ def continuous_trigger_stream(
         raise ValueError(
             "ContinuousEventTimeTrigger needs 0 < interval < window"
         )
+    if window_s % interval_s != 0:
+        raise ValueError(
+            "interval must divide window — boundary alignment to the "
+            "window start equals Flink's epoch alignment only then "
+            "(same precondition as the batch operator)"
+        )
 
     def _fn(
         key: tuple,

@@ -473,3 +473,142 @@ def test_nan_literals_are_no_disjointness_proof(spark):
         PATTERN (A B)
         DEFINE A AS A.v = 'nan', B AS B.v = 'nan'""")
     assert not _anchor_disjoint(spec, df)
+
+
+# ------------------------------------------------- round-9 ADVICE fixes
+
+
+def test_group_embed_rejects_quantified_subpattern():
+    """A quantified sub-pattern embedded as a GROUP must raise, not
+    silently drop the quantifier (r8 ADVICE: _as_group_step checked
+    times/one_or_more_gap but missed looping/combinations)."""
+    from flink_framework_spark.operators.pattern import Pattern
+
+    loop = Pattern.begin("click")
+    loop.steps[-1].looping = True  # one_or_more() without gap
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin(loop)
+
+    combo = Pattern.begin("click").one_or_more().allow_combinations()
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin("view").followed_by(combo)
+
+    greedy = Pattern.begin("click").one_or_more("5 minutes")
+    with pytest.raises(ValueError, match="plain chain"):
+        Pattern.begin(greedy)
+
+
+def test_group_times_where_on_suffix_streams_equal_to_batch(
+    spark, sf_dir
+):
+    """where() on a suffix step of a quantified-group pattern: the
+    unroll clones the condition into every join-lowered branch, so
+    match_stream must ACCEPT the shape (r8 ADVICE: the guard counted
+    the group's own times as a quantifier and raised) and drain equal
+    to the batch unroll."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.pattern import Pattern
+    from flink_framework_spark.operators.streaming_ops import (
+        _fmt_event_time,
+    )
+    from flink_framework_spark.streaming.twins import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    g = Pattern.begin("view").followed_by("click")
+    p = (
+        Pattern.begin(g)
+        .times(1, 2)
+        .followed_by("purchase")
+        .where("value >= 20")
+        .within("12 hours")
+    )
+    info = p.stream_route_info()
+    assert info["engine"] == "join-union", info
+
+    ev = table(spark, sf_dir, "events")
+    batch = p.match(ev)
+
+    def fmt(df, src):
+        cols = [F.col("user_id"), F.col("n_reps")]
+        for i in range(5):
+            cols.append(
+                _fmt_event_time(src, F.col(f"ts_{i}")).alias(f"ts_{i}")
+            )
+            cols.append(F.col(f"id_{i}"))
+        return df.select(*cols)
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = p.match_stream(sdf)
+    assert out.isStreaming
+    got = run_to_memory(
+        fmt(out, sdf),
+        query_name="t_adv_gtw",
+        output_mode="append",
+    ).toPandas()
+    want = fmt(batch, ev).toPandas()
+    a = sorted(
+        map(repr, got[sorted(got.columns)].itertuples(index=False))
+    )
+    b = sorted(
+        map(repr, want[sorted(want.columns)].itertuples(index=False))
+    )
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_continuous_trigger_rejects_non_dividing_interval(spark):
+    """The window-start boundary alignment equals Flink's epoch
+    alignment only when interval divides window; that precondition is
+    now loud in both the batch operator and the streaming twin."""
+    from flink_framework_spark.operators.triggers import fire_continuous
+    from flink_framework_spark.streaming.triggers import (
+        continuous_trigger_stream,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", "view", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        fire_continuous(ev, interval="5 hours", window="1 day")
+    with pytest.raises(ValueError, match="divide"):
+        continuous_trigger_stream(None, 18000.0, 86400.0)
+    # dividing configs still fine
+    fire_continuous(ev, interval="6 hours", window="1 day")
+
+
+def test_match_combinations_unbounded_unpersists_levels(spark):
+    """The unbounded expansion must not leave per-level DataFrames
+    pinned in executor storage after the call returns — only the
+    single persisted result may remain cached (r8 ADVICE)."""
+    from flink_framework_spark.operators.cep import match_combinations
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 0, "click", 0.0),
+            (1, "2024-01-01 00:02:00", 1, "click", 0.0),
+            (1, "2024-01-01 00:03:00", 2, "click", 0.0),
+            (1, "2024-01-01 00:04:00", 5, "purchase", 0.0),
+        ],
+        "user_id long, ts string, event_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) ts", "event_id",
+        "event_type", "value",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = match_combinations(
+        ev, step="click", then_step="purchase", within="30 MINUTES"
+    )
+    assert out.count() == 7  # 2^3 - 1 ordered subsequences
+    after = jsc.getPersistentRDDs().size()
+    # at most the single persisted result frame remains
+    assert after - before <= 1, (before, after)
+    out.unpersist()

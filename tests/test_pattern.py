@@ -1201,6 +1201,12 @@ def test_stream_route_info_agrees_with_actual_routing(spark):
         Pattern.begin(g).times(1, 2).followed_by("purchase").within(
             "1 hour"
         ),
+        # where() on a suffix step of a group-times pattern: the
+        # unroll clones the condition into each join-lowered branch,
+        # so this must stream as join-union (r8 ADVICE: the where
+        # guard must not count the GROUP's times as a quantifier)
+        Pattern.begin(g).times(1, 2).followed_by("purchase")
+        .where("user_id >= 0").within("1 hour"),
         # rejected shapes
         Pattern.begin("view").followed_by("purchase"),
         Pattern.begin("view").followed_by("click").optional()
@@ -1209,6 +1215,12 @@ def test_stream_route_info_agrees_with_actual_routing(spark):
         .followed_by("purchase").within("1 hour"),
         Pattern.begin("click").one_or_more().allow_combinations()
         .followed_by("purchase").within("1 hour"),
+        # group-times with select/skip settings the group unroll
+        # refuses — route_info must mirror those refusals too
+        Pattern.begin(g).times(1, 2).followed_by("purchase")
+        .within("1 hour").after_match_skip("skip_past_last"),
+        Pattern.begin(g).times(1, 2).followed_by("purchase")
+        .within("1 hour").select_strategy("first"),
     ]
     for p in shapes:
         info = p.stream_route_info()
