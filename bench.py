@@ -207,7 +207,7 @@ def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
-    """Structured Streaming throughput, thirteen scenarios covering the
+    """Structured Streaming throughput, fourteen scenarios covering the
     reference's streaming identity (median steady-state
     processedRowsPerSecond with the first batch dropped — it pays
     stream initialization — plus end-to-end batch latency p50):
@@ -520,6 +520,38 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "count_trigger_stream(n=10, 1-minute windows): per-key "
         "buffers finalized in event-time order as the watermark "
         "passes, firing every 10th element->noop(update)"
+    )
+
+    # allowedLateness window refinement — on-time firings plus
+    # per-batch late corrections (1% of rows rewound 5s so they land
+    # behind the logical watermark but inside the lateness horizon)
+    from flink_framework_spark.streaming.triggers import (
+        allowed_lateness_stream,
+    )
+
+    late_src = rate_mb(cr).select(
+        (F.col("value") % ck).cast("string").alias("event_type"),
+        F.when(
+            F.col("value") % 100 == 0,
+            F.col("timestamp") - F.expr("INTERVAL 5 SECONDS"),
+        )
+        .otherwise(F.col("timestamp"))
+        .alias("ts"),
+        (F.col("value") % 100).cast("double").alias("value"),
+    )  # un-watermarked: the operator shifts and applies its own
+    out["allowed_lateness"] = _run_stream_scenario(
+        allowed_lateness_stream(
+            late_src, window_s=2.0, delay_s=1.0, lateness_s=10.0
+        ),
+        "update",
+        seconds * 2,
+    )
+    out["allowed_lateness"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys, 1% of rows "
+        "rewound 5s)->allowed_lateness_stream(2s windows, 1s "
+        "watermark, 10s lateness): on-time firing per window plus a "
+        "corrected late firing per batch of admitted late rows->"
+        "noop(update)"
     )
 
     # quantified MR clause — PATTERN (A B{1,2} C), the round-8 unroll

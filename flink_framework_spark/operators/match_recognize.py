@@ -1519,9 +1519,17 @@ def _dispatch(
         events, spec, id_col
     )
     matcher = _make_matcher(spec, order_by, ts_col)
-    return flagged.groupBy(spec.partition_by).applyInPandas(
-        matcher, schema=out_schema
+    # one shuffle on the key, ORDER BY sorted JVM-side (Tungsten sort,
+    # asc_nulls_last == pandas sort_values na_position='last'), then
+    # ONE Arrow stage over whole sorted partitions: the matcher
+    # iterates contiguous key runs per ~10k-row batch. Same shuffle
+    # count as groupBy().applyInPandas, but the per-key Python sort +
+    # per-key Arrow framing (~4 ms/key — the dominant cost for many
+    # small keys) is gone.
+    sorted_parts = flagged.repartition(spec.partition_by).sortWithinPartitions(
+        spec.partition_by, *[F.asc_nulls_last(c) for c in order_by]
     )
+    return sorted_parts.mapInPandas(matcher.batched, schema=out_schema)
 
 
 def route_info(clause: str, events: DataFrame | None = None) -> dict:
@@ -1945,7 +1953,7 @@ def _compile_relational(
         _stride = stride
 
         def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("__rn", kind="mergesort")
+            # pre-sorted by __rn (see _pick_sorted_groups)
             keep, nxt = [], -1
             for i, rn in zip(pdf.index, pdf["__rn"]):
                 if rn >= nxt:
@@ -1953,8 +1961,8 @@ def _compile_relational(
                     nxt = rn + _stride
             return pdf.loc[keep]
 
-        cands = cands.groupBy(spec.partition_by).applyInPandas(
-            pick, keep_schema
+        cands = _pick_sorted_groups(
+            cands, spec.partition_by, "__rn", pick, keep_schema
         )
 
     mno = F.row_number().over(
@@ -2308,7 +2316,7 @@ def _compile_relational_run(
         which = "FIRST" if spec.skip == "to_first" else "LAST"
 
         def pick_to(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("__arn", kind="mergesort")
+            # pre-sorted by __arn (see _pick_sorted_groups)
             keep, nxt = [], -1
             for i, arn, c, res in zip(
                 pdf.index, pdf["__arn"], pdf["__c"], pdf["__resume"]
@@ -2330,11 +2338,9 @@ def _compile_relational_run(
                 nxt = res
             return pdf.loc[keep]
 
-        sel = (
-            cands_r.groupBy("__ak")
-            .applyInPandas(pick_to, keep_schema)
-            .drop("__resume")
-        )
+        sel = _pick_sorted_groups(
+            cands_r, "__ak", "__arn", pick_to, keep_schema
+        ).drop("__resume")
     elif a >= 1 and _anchor_disjoint(spec, events):
         sel = cands
     elif (
@@ -2376,7 +2382,7 @@ def _compile_relational_run(
         keep_schema = cands.schema
 
         def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("__arn", kind="mergesort")
+            # pre-sorted by __arn (see _pick_sorted_groups)
             keep, nxt = [], -1
             for i, rn, lrn in zip(pdf.index, pdf["__arn"], pdf["__lrn"]):
                 if rn >= nxt:
@@ -2384,7 +2390,7 @@ def _compile_relational_run(
                     nxt = lrn + 1
             return pdf.loc[keep]
 
-        sel = cands.groupBy("__ak").applyInPandas(pick, keep_schema)
+        sel = _pick_sorted_groups(cands, "__ak", "__arn", pick, keep_schema)
 
     sel = sel.withColumn(
         "__mno",
@@ -2635,6 +2641,79 @@ def scan_rows(
     n = len(pdf)
     flags = {v: pdf[f"__m_{v}"].to_numpy() for v in var_names}
 
+    # per-column numpy caches — the scan core is pure Python, and
+    # pandas ``.iloc``/``.iat`` per-row access was the dominant cost
+    # (one indexing-machinery call per measure per match); raw
+    # ndarray indexing is ~50x cheaper. ``_raw`` keeps the column's
+    # own dtype (values land in the output rows, Arrow casts to the
+    # declared schema); ``_agg`` is the float64+NaN view the
+    # null-skipping aggregate measures compute over (None = the
+    # column is non-numeric; those fall back to the pandas path).
+    _raw_arrs: dict[str, _np.ndarray] = {}
+    _agg_arrs: dict[str, _np.ndarray | None] = {}
+
+    def col_arr(col: str) -> _np.ndarray:
+        a = _raw_arrs.get(col)
+        if a is None:
+            a = pdf[col].to_numpy()
+            _raw_arrs[col] = a
+        return a
+
+    def out_val(col: str, idx: int):
+        """A single column value for the output row — datetime64
+        unboxes to pd.Timestamp (NaT -> None) so rows_to_frame's
+        object columns convert to Arrow timestamps unambiguously."""
+        a = col_arr(col)
+        v = a[idx]
+        if a.dtype.kind == "M":
+            return None if v != v else pd.Timestamp(v)
+        return v
+
+    def agg_measure(func: str, col: str, rows) -> object:
+        """SUM/MIN/MAX/AVG over a match's bound rows with SQL NULL
+        semantics (NULLs skipped; zero non-null values -> NULL)."""
+        if col not in _agg_arrs:
+            raw = col_arr(col)
+            if raw.dtype.kind in "iu":  # integers: no nulls possible
+                _agg_arrs[col] = raw
+            elif raw.dtype.kind == "f":
+                _agg_arrs[col] = raw
+            else:
+                try:
+                    _agg_arrs[col] = pdf[col].to_numpy(
+                        dtype="float64", na_value=_np.nan
+                    )
+                except (TypeError, ValueError):
+                    _agg_arrs[col] = None  # decimal/object: pandas path
+        fa = _agg_arrs[col]
+        if fa is None:
+            vals = pdf[col].iloc[rows]
+            return {
+                "SUM": lambda: vals.sum(min_count=1),
+                "MIN": vals.min,
+                "MAX": vals.max,
+                "AVG": vals.mean,
+            }[func]()
+        vals = fa[rows]
+        if fa.dtype.kind in "iu":
+            if func == "SUM":
+                return int(vals.sum())
+            if func == "MIN":
+                return int(vals.min())
+            if func == "MAX":
+                return int(vals.max())
+            return float(vals.mean())
+        valid = vals[vals == vals]
+        if valid.size == 0:
+            return None
+        if func == "SUM":
+            return float(valid.sum())
+        if func == "MIN":
+            return float(valid.min())
+        if func == "MAX":
+            return float(valid.max())
+        return float(valid.mean())
+
     # running-aggregate DEFINE constraints (one per element at most):
     # evaluated incrementally while extending that element's run —
     # SQL RUNNING semantics, the candidate row included. The prefix
@@ -2704,16 +2783,17 @@ def scan_rows(
     # pandas null family (None/NaT/NaN) to SQL NULL.
     nav_checkers: dict[int, object] = {}
     if nav_defines:
-        _nav_series: dict[str, pd.Series] = {}
 
         def _nav_val(col, idx):
             if idx < 0 or idx >= n:
                 return None
-            s = _nav_series.get(col)
-            if s is None:
-                s = pdf[col]
-                _nav_series[col] = s
-            v = s.iat[idx]
+            a = col_arr(col)
+            v = a[idx]
+            k = a.dtype.kind
+            if k == "M":  # datetime64: NaT -> NULL, else Timestamp
+                return None if v != v else pd.Timestamp(v)
+            if k == "f":
+                return None if v != v else v
             if v is None or v is pd.NaT:
                 return None
             if isinstance(v, float) and v != v:
@@ -2885,7 +2965,7 @@ def scan_rows(
                 cur_var = elements[ei][0]
                 pref.setdefault(cur_var, []).append(row)
                 rec_out = [key_value] + [
-                    pdf[c].iloc[row] for c in row_cols
+                    out_val(c, row) for c in row_cols
                 ]
                 for _, func, var, col, final, off in measures:
                     rows = rows_of(var, full if final else pref)
@@ -2900,21 +2980,12 @@ def scan_rows(
                     elif not rows or off >= len(rows):
                         rec_out.append(None)  # var/offset not (yet) bound
                     elif func == "FIRST":
-                        rec_out.append(pdf[col].iloc[rows[off]])
+                        rec_out.append(out_val(col, rows[off]))
                     elif func in ("LAST", "VAR_COL"):
-                        rec_out.append(pdf[col].iloc[rows[-1 - off]])
+                        rec_out.append(out_val(col, rows[-1 - off]))
                     else:  # SUM / MIN / MAX / AVG over the row set
-                        # same SQL NULL semantics as the final
-                        # measures (sum min_count=1: all-NULL -> NULL)
-                        vals = pdf[col].iloc[rows]
-                        rec_out.append(
-                            {
-                                "SUM": lambda v=vals: v.sum(min_count=1),
-                                "MIN": vals.min,
-                                "MAX": vals.max,
-                                "AVG": vals.mean,
-                            }[func]()
-                        )
+                        # SQL NULL semantics (all-NULL -> NULL)
+                        rec_out.append(agg_measure(func, col, rows))
                 out_rows.append(rec_out)
             i = next_scan_pos(m, pref)
             continue
@@ -2937,25 +3008,62 @@ def scan_rows(
             elif not rows or off >= len(rows):
                 rec_out.append(None)  # var/offset matched no row
             elif func == "FIRST":
-                rec_out.append(pdf[col].iloc[rows[off]])
+                rec_out.append(out_val(col, rows[off]))
             elif func in ("LAST", "VAR_COL"):
-                rec_out.append(pdf[col].iloc[rows[-1 - off]])
+                rec_out.append(out_val(col, rows[-1 - off]))
             else:  # SUM / MIN / MAX / AVG — SQL NULL semantics:
-                # NULLs skipped, all-NULL -> NULL (sum needs
-                # min_count=1; pandas min/max/mean already skip NaN
-                # and return NaN on all-NaN)
-                vals = pdf[col].iloc[rows]
-                rec_out.append(
-                    {
-                        "SUM": lambda v=vals: v.sum(min_count=1),
-                        "MIN": vals.min,
-                        "MAX": vals.max,
-                        "AVG": vals.mean,
-                    }[func]()
-                )
+                # NULLs skipped, all-NULL -> NULL
+                rec_out.append(agg_measure(func, col, rows))
         out_rows.append(rec_out)
         i = next_scan_pos(m, by_var)
     return out_rows, i, match_no
+
+
+def _pick_sorted_groups(
+    df: DataFrame, key_col: str, sort_col: str, pick_fn, schema
+) -> DataFrame:
+    """``groupBy(key).applyInPandas(pick_fn)`` with the per-key
+    Python overhead amortized (same strategy as the batched NFA
+    dispatch): one JVM repartition + sortWithinPartitions on
+    ``(key, sort_col)``, then a single mapInPandas stage that
+    iterates contiguous key runs per Arrow batch, carrying a
+    possibly-split tail group into the next batch. ``pick_fn``
+    receives each group ALREADY sorted by ``sort_col`` ascending
+    (the call sites' row-number columns are unique per key, so the
+    order is total) and returns the kept rows, columns unchanged."""
+    out_cols = df.columns
+
+    def batched(it):
+        tail: pd.DataFrame | None = None
+        for pdf in it:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if not len(pdf):
+                continue
+            keys = pdf[key_col]
+            prev = keys.shift()
+            change = (
+                (keys != prev) & ~(keys.isna() & prev.isna())
+            ).to_numpy().nonzero()[0]
+            starts = change if len(change) and change[0] == 0 else (
+                _np.concatenate(([0], change))
+            )
+            tail = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            outs = [
+                pick_fn(pdf.iloc[s:e])
+                for s, e in zip(starts[:-1], starts[1:])
+            ]
+            outs = [o for o in outs if len(o)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)[out_cols]
+        if tail is not None and len(tail):
+            o = pick_fn(tail)
+            if len(o):
+                yield o[out_cols]
+
+    srt = df.repartition(key_col).sortWithinPartitions(key_col, sort_col)
+    return srt.mapInPandas(batched, schema=schema)
 
 
 def rows_to_frame(out_rows: list[list], names: list[str]) -> pd.DataFrame:
@@ -2992,13 +3100,10 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
         + [m.name for m in spec.measures]
     )
 
-    def _match_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
-            drop=True
-        )
+    def _scan_group(pdf: pd.DataFrame, key_value) -> list[list]:
         out_rows, _, _ = scan_rows(
             pdf,
-            pdf[partition_by].iloc[0],
+            key_value,
             elements=elements,
             measures=measures,
             skip=skip,
@@ -3011,6 +3116,54 @@ def _make_matcher(spec: MRSpec, order_by: list[str], ts_col: str):
             skip_var=skip_var,
             nav_defines=nav_defines,
         )
-        return rows_to_frame(out_rows, names)
+        return out_rows
 
+    def _match_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(
+            drop=True
+        )
+        return rows_to_frame(
+            _scan_group(pdf, pdf[partition_by].iloc[0]), names
+        )
+
+    def _match_sorted_batches(it):
+        """mapInPandas twin of the grouped matcher: the input is
+        JVM-sorted by (partition key, total order) within each task
+        (``_dispatch`` arranges the repartition + sortWithinPartitions),
+        so groups are contiguous runs — iterate boundaries with numpy
+        and carry a possibly-split tail group into the next Arrow
+        batch. One Python call per ~10k-row batch instead of one per
+        key: the per-group pandas overhead (sort, Arrow framing) that
+        dominated the grouped form disappears."""
+        tail: pd.DataFrame | None = None
+        for pdf in it:
+            if tail is not None:
+                pdf = pd.concat([tail, pdf], ignore_index=True)
+                tail = None
+            if not len(pdf):
+                continue
+            keys = pdf[partition_by]
+            kn = keys.to_numpy()
+            prev = keys.shift()
+            change = (
+                (keys != prev) & ~(keys.isna() & prev.isna())
+            ).to_numpy().nonzero()[0]
+            starts = change if len(change) and change[0] == 0 else (
+                _np.concatenate(([0], change))
+            )
+            # the last run may continue into the next batch: buffer it
+            tail = pdf.iloc[starts[-1]:].reset_index(drop=True)
+            out_rows: list[list] = []
+            # plain positional slices: scan_rows reads columns via
+            # to_numpy()/positional iloc, so the index need not reset
+            for s, e in zip(starts[:-1], starts[1:]):
+                out_rows.extend(_scan_group(pdf.iloc[s:e], kn[s]))
+            if out_rows:
+                yield rows_to_frame(out_rows, names)
+        if tail is not None and len(tail):
+            rows = _scan_group(tail, tail[partition_by].iloc[0])
+            if rows:
+                yield rows_to_frame(rows, names)
+
+    _match_partition.batched = _match_sorted_batches
     return _match_partition

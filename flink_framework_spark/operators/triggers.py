@@ -220,3 +220,136 @@ def fire_continuous(
             F.sum("e.__v").alias("sum_v"),
         )
     )
+
+
+def fire_allowed_lateness(
+    events: DataFrame,
+    window: str = "1 day",
+    delay: str = "10 minutes",
+    lateness: str = "1 hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    arrival_col: str = "arrival",
+    order_cols: tuple[str, ...] = ("arrival", "event_id"),
+) -> DataFrame:
+    """Flink ``allowedLateness(lateness)`` on a tumbling event-time
+    window (batch emulation of the refinement FIRING SEQUENCE).
+
+    The arrival process is made explicit (``arrival_col``; the
+    streaming twin's micro-batch order): the watermark at a row is
+    the running max event time of rows that arrived STRICTLY before
+    it, minus ``delay`` (``BoundedOutOfOrdernessWatermarks``, the
+    same row-granular bound as :mod:`streaming.late`). A window
+    ``[w_start, w_end)`` then fires
+
+    - ``'on_time'`` (``fire_seq`` 0) when the watermark passes
+      ``w_end`` — aggregating the rows that arrived while
+      ``wm < w_end`` (skipped when the window had no on-time rows:
+      no timer was pending, Flink fires nothing);
+    - ``'late'`` (``fire_seq`` 1..k) once PER admitted late row, in
+      arrival order, each with the CORRECTED cumulative aggregate —
+      Flink's per-element late firing under the default
+      EventTimeTrigger. A late row is admitted iff Flink's
+      ``isElementLate`` says so: ``wm < w_end + lateness`` at its
+      arrival (window-based, NOT element-timestamp-based);
+    - nothing past the lateness horizon — those rows are dropped
+      (route them to :mod:`streaming.late`'s side output for
+      observability).
+
+    Windows whose end the watermark never passes fire nothing (their
+    state would still be buffered). Output: ``(key_col, w_start,
+    firing, fire_seq, n_elems, sum_v)``.
+
+    Scale shape: one global ordered window computes the arrival
+    watermark (inherent — a watermark IS one global monotone bound,
+    same note as ``streaming/late.py``), then everything is keyed:
+    one aggregate for the on-time firings and one cumulative window
+    over ADMITTED LATE rows only (late rows are rare by
+    construction). No Python, no joins beyond the final union.
+    """
+    from pyspark.sql import Window
+
+    dly = F.expr(f"INTERVAL {delay}")
+    late_iv = F.expr(f"INTERVAL {lateness}")
+    win = F.window(ts_col, window)
+    aw = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = events.select(
+        F.col(key_col).alias("__k"),
+        win.start.alias("w_start"),
+        win.end.alias("w_end"),
+        F.col(ts_col).alias("__ts"),
+        F.col(val_col).cast("double").alias("__v"),
+        (F.max(ts_col).over(aw) - dly).alias("__wm"),
+        *[F.col(c) for c in order_cols],
+    )
+    # the final watermark decides which windows ever fired at all
+    final_wm = F.max(F.col("__ts")).over(
+        Window.partitionBy(F.lit(1))
+    ) - dly
+    base = base.withColumn("__final_wm", final_wm).withColumn(
+        "__cls",
+        F.when(
+            F.col("__wm").isNull() | (F.col("__wm") < F.col("w_end")),
+            F.lit("on_time"),
+        )
+        .when(F.col("__wm") < F.col("w_end") + late_iv, F.lit("late"))
+        .otherwise(F.lit("dropped")),
+    )
+    on_time = (
+        base.filter(
+            (F.col("__cls") == "on_time")
+            & (F.col("__final_wm") >= F.col("w_end"))
+        )
+        .groupBy("__k", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            F.sum("__v").alias("sum_v"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "w_start",
+            F.lit("on_time").alias("firing"),
+            F.lit(0).cast("bigint").alias("fire_seq"),
+            "n_elems",
+            "sum_v",
+        )
+    )
+    lw = Window.partitionBy("__k", "w_start").orderBy(*order_cols)
+    late_rows = (
+        base.filter(F.col("__cls") == "late")
+        .withColumn("__seq", F.row_number().over(lw))
+        .withColumn("__cn", F.count(F.lit(1)).over(
+            lw.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("__cs", F.sum("__v").over(
+            lw.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    # each late firing corrects the on-time aggregate (0 when the
+    # window had no on-time rows — the late element created it)
+    ot_agg = (
+        base.filter(F.col("__cls") == "on_time")
+        .groupBy("__k", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("__on"),
+            F.sum("__v").alias("__os"),
+        )
+    )
+    late = (
+        late_rows.join(ot_agg, ["__k", "w_start"], "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "w_start",
+            F.lit("late").alias("firing"),
+            F.col("__seq").cast("bigint").alias("fire_seq"),
+            (F.coalesce(F.col("__on"), F.lit(0)) + F.col("__cn"))
+            .alias("n_elems"),
+            (F.coalesce(F.col("__os"), F.lit(0.0)) + F.col("__cs"))
+            .alias("sum_v"),
+        )
+    )
+    return on_time.unionByName(late)

@@ -1655,28 +1655,26 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(skip_to_next(times_m), "skip_next", "n_reps"))
         .unionByName(part(skip_to_last(times_m), "skip_last", "n_reps"))
     )
-    times_rows = times_parts_lazy.collect()
-    times_m.unpersist()
+    # drain the eager block on a worker thread: its ~2 s of cluster
+    # work overlaps the ~2 s of driver-side py4j DAG construction for
+    # the eight MR parts below (the two costs were serial before —
+    # profiled in round 9). Spark supports concurrent actions; the
+    # join below re-raises any failure before the rows are used.
+    import threading
 
-    def _slit(s):
-        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+    _drained: dict = {}
 
-    if times_rows:
-        vals = ", ".join(
-            f"({_slit(r['part'])}, {_slit(r['grp'])}, "
-            f"{int(r['n_matches'])}L, {int(r['n_users'])}L)"
-            for r in times_rows
-        )
-        times_parts = spark.sql(
-            f"SELECT * FROM VALUES {vals} AS t(part, grp, n_matches, n_users)"
-        )
-    else:  # no times-family matches at this SF: typed empty relation
-        times_parts = spark.range(0).select(
-            F.lit("").alias("part"),
-            F.lit("").alias("grp"),
-            F.lit(0).cast("bigint").alias("n_matches"),
-            F.lit(0).cast("bigint").alias("n_users"),
-        )
+    def _drain_times():
+        try:
+            _drained["rows"] = times_parts_lazy.collect()
+        except BaseException as e:  # re-raised on join
+            _drained["err"] = e
+        finally:
+            times_m.unpersist()
+
+    _th = threading.Thread(target=_drain_times, name="cep-times-drain")
+    _th.start()
+
     # the nine non-MR chain/greedy parts: ONE spark.sql statement over
     # the oracle-shared live-SQL text (see the docstring) — a single
     # py4j round-trip instead of nine operator DAG constructions
@@ -1705,6 +1703,33 @@ def q_cep_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mr_define_nav_frame(ev), "mr_define_nav", "n"),
     ]:
         out = out.unionByName(part(df, name, grp))
-    # the times-family aggregates were materialized eagerly above so
-    # the shared match frame's cache could be released
+
+    # the times-family aggregates were materialized eagerly (on the
+    # drain thread, overlapping the constructions above) so the shared
+    # match frame's cache could be released; re-inline them as a
+    # pure-SQL VALUES relation (LocalRelation — see the persist note)
+    _th.join()
+    if "err" in _drained:
+        raise _drained["err"]
+    times_rows = _drained["rows"]
+
+    def _slit(s):
+        return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+    if times_rows:
+        vals = ", ".join(
+            f"({_slit(r['part'])}, {_slit(r['grp'])}, "
+            f"{int(r['n_matches'])}L, {int(r['n_users'])}L)"
+            for r in times_rows
+        )
+        times_parts = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(part, grp, n_matches, n_users)"
+        )
+    else:  # no times-family matches at this SF: typed empty relation
+        times_parts = spark.range(0).select(
+            F.lit("").alias("part"),
+            F.lit("").alias("grp"),
+            F.lit(0).cast("bigint").alias("n_matches"),
+            F.lit(0).cast("bigint").alias("n_users"),
+        )
     return out.unionByName(times_parts)

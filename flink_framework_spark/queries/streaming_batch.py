@@ -1311,6 +1311,93 @@ def q_trigger_early(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_allowed_lateness",
+    family="I",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, ts, value, event_id,
+         ts + to_minutes(3 * CAST(event_id % 10 AS INT)) AS arrival
+  FROM events),
+o AS (
+  SELECT *, time_bucket(INTERVAL '1 hour', ts) AS w_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS w_end,
+         MAX(ts) OVER (ORDER BY arrival, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+           - INTERVAL 5 MINUTE AS wm,
+         (SELECT MAX(ts) FROM ev) - INTERVAL 5 MINUTE AS final_wm
+  FROM ev),
+c AS (
+  SELECT *, CASE
+      WHEN wm IS NULL OR wm < w_end THEN 'on_time'
+      WHEN wm < w_end + INTERVAL 10 MINUTE THEN 'late'
+      ELSE 'dropped' END AS cls
+  FROM o),
+ot AS (
+  SELECT event_type, w_start, CAST(COUNT(*) AS BIGINT) AS n_on,
+         SUM(value) AS s_on, ANY_VALUE(final_wm >= w_end) AS fired
+  FROM c WHERE cls = 'on_time'
+  GROUP BY 1, 2),
+lt AS (
+  SELECT event_type, w_start,
+         ROW_NUMBER() OVER pk AS fire_seq,
+         SUM(value) OVER (pk ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs
+  FROM c WHERE cls = 'late'
+  WINDOW pk AS (PARTITION BY event_type, w_start
+                ORDER BY arrival, event_id))
+SELECT event_type, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       'on_time' AS firing, CAST(0 AS BIGINT) AS fire_seq,
+       n_on AS n_elems, ROUND(s_on, 2) AS sum_v
+FROM ot WHERE fired
+UNION ALL
+SELECT lt.event_type, strftime(lt.w_start, '%Y-%m-%d %H:%M:%S'),
+       'late', fire_seq,
+       COALESCE(ot.n_on, 0) + fire_seq,
+       ROUND(COALESCE(ot.s_on, 0) + cs, 2)
+FROM lt LEFT JOIN ot
+  ON ot.event_type = lt.event_type AND ot.w_start = lt.w_start
+""",
+)
+def q_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``allowedLateness()`` window refinement (I4 tail): 1-hour
+    tumbling windows keyed by event type under a 5-minute watermark
+    and 10 minutes of allowed lateness, over the deterministic
+    jittered arrival process q_stream_late pins. Each window fires
+    'on_time' when the arrival watermark passes its end, then one
+    CORRECTED 'late' firing per admitted late row (Flink's
+    per-element refinement under the default EventTimeTrigger,
+    ``isElementLate`` window-based admission); rows past the horizon
+    are dropped. Built by operators.triggers.fire_allowed_lateness —
+    one global arrival-watermark window (a watermark IS one global
+    monotone bound), then keyed aggregates/cumsums only; streaming
+    twin: streaming.triggers.allowed_lateness_stream (shifted-
+    watermark state machine, drain-equality pinned in
+    tests/test_streaming_triggers.py)."""
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import (
+        fire_allowed_lateness,
+    )
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "arrival",
+        F.col("ts")
+        + F.expr("make_dt_interval(0, 0, CAST(3*(event_id % 10) AS INT), 0)"),
+    )
+    out = fire_allowed_lateness(
+        ev, window="1 hour", delay="5 minutes", lateness="10 minutes"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "firing",
+        "fire_seq",
+        "n_elems",
+        round_duck("sum_v", 2).alias("sum_v"),
+    )
+
+
+@register(
     "q_window_join",
     family="I",
     oracle="""

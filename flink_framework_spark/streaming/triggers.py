@@ -319,3 +319,197 @@ def continuous_trigger_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_LATE_OUT = (
+    "key string, w_start timestamp, firing string, "
+    "fire_seq bigint, n_elems bigint, sum_v double"
+)
+
+
+def allowed_lateness_stream(
+    events: DataFrame,
+    window_s: float = 86400.0,
+    delay_s: float = 600.0,
+    lateness_s: float = 3600.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Flink ``allowedLateness(lateness)`` window refinement — the
+    streaming twin of :func:`operators.triggers.fire_allowed_lateness`
+    (update mode).
+
+    Mechanics: Spark's stateful operators DROP rows behind the
+    watermark before user code sees them, so the one knob Flink has
+    two of (watermark delay vs allowed lateness) is recovered by
+    SHIFTING the declared watermark — this operator watermarks the
+    input itself with ``delay + window + lateness`` (the input must
+    arrive un-watermarked) and reconstructs Flink's logical watermark
+    as ``spark_wm + window + lateness`` inside the state function.
+    Every row Flink's ``isElementLate`` admits then still reaches the
+    operator, and firing/GC decisions use the true Flink bound.
+
+    Firing sequence per (key, window), batch-granular (the micro-
+    batch is the unit of arrival, so one late firing per batch of
+    admitted late rows — Flink's per-element firing is recovered
+    exactly when late elements arrive one per batch, which is what
+    the equality tests plant):
+
+    - ``'on_time'`` (fire_seq 0) in the first batch where the logical
+      watermark passes ``w_end``, aggregating rows that arrived while
+      it was still below (skipped if there were none);
+    - ``'late'`` (fire_seq 1..k) in every later batch that admitted
+      late rows — the CORRECTED cumulative aggregate;
+    - state GC'd once the logical watermark passes
+      ``w_end + lateness``; rows past that horizon are dropped.
+    """
+    if window_s <= 0 or delay_s < 0 or lateness_s < 0:
+        raise ValueError(
+            "need window > 0, delay >= 0, lateness >= 0"
+        )
+    shift_s = window_s + lateness_s
+    wm_delay = delay_s + shift_s
+    # getCurrentWatermarkMs is an INSTANT epoch, but Arrow delivers
+    # the timestamp column as session-timezone WALL-CLOCK naive (the
+    # epoch.py convention all the state twins compute in). The other
+    # twins only TIME their firings off the watermark, so the skew is
+    # harmless there; here the wm CLASSIFIES rows (late vs dropped),
+    # so it must be converted onto the same naive clock.
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", None
+    )
+
+    def _wm_naive_s(wm_ms: int) -> float:
+        t = pd.Timestamp(wm_ms, unit="ms", tz="UTC")
+        if session_tz:
+            t = t.tz_convert(session_tz)
+        return t.tz_localize(None).value / 1e9
+
+    def _naive_to_instant_ms(naive_s: float) -> int:
+        t = pd.Timestamp(round(naive_s * 1e6) * 1000)
+        if session_tz:
+            t = t.tz_localize(
+                session_tz, nonexistent="shift_forward", ambiguous=True
+            )
+        else:
+            t = t.tz_localize("UTC")
+        return round(t.timestamp() * 1000)
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_value,) = key
+        wins: dict = {}
+        if state.exists:
+            (arr,) = state.get
+            for s in arr:
+                d = _json.loads(s)
+                wins[d["w"]] = d
+        flink_wm = (
+            _wm_naive_s(state.getCurrentWatermarkMs()) + shift_s
+        )
+        dirty: set = set()
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                secs = ts_series_to_epoch_s(pdf[ts_col])
+                vals = pdf[val_col].astype(float).tolist()
+                for t, v in zip(secs, vals):
+                    w = (t // window_s) * window_s
+                    w_end = w + window_s
+                    if flink_wm >= w_end + lateness_s:
+                        continue  # past the lateness horizon: drop
+                    d = wins.get(w)
+                    if d is None:
+                        d = wins[w] = {
+                            "w": w, "no": 0, "so": 0.0,
+                            "nl": 0, "sl": 0.0, "lf": 0, "ot": 0,
+                        }
+                    if flink_wm < w_end:
+                        d["no"] += 1
+                        d["so"] += v
+                    else:
+                        d["nl"] += 1
+                        d["sl"] += v
+                        dirty.add(w)
+        out = []
+        next_fire = None
+        for w in sorted(wins):
+            d = wins[w]
+            w_end = w + window_s
+            if not d["ot"] and flink_wm >= w_end and d["no"]:
+                out.append(
+                    (key_value, w, "on_time", 0, d["no"], d["so"])
+                )
+                d["ot"] = 1
+            if w in dirty and flink_wm >= w_end:
+                d["lf"] += 1
+                out.append(
+                    (
+                        key_value, w, "late", d["lf"],
+                        d["no"] + d["nl"], d["so"] + d["sl"],
+                    )
+                )
+            if flink_wm >= w_end + lateness_s:
+                del wins[w]
+            else:
+                t_next = (
+                    w_end
+                    if (not d["ot"] and d["no"])
+                    else w_end + lateness_s
+                )
+                next_fire = (
+                    t_next if next_fire is None
+                    else min(next_fire, t_next)
+                )
+        if wins:
+            state.update(
+                ([_json.dumps(wins[w]) for w in sorted(wins)],)
+            )
+            if next_fire is not None:
+                # timers run on the SPARK watermark clock (instant,
+                # unshifted): convert back from the naive flink clock
+                state.setTimeoutTimestamp(
+                    max(
+                        _naive_to_instant_ms(next_fire - shift_s) + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": [o[0] for o in out],
+                    "w_start": epoch_s_to_timestamps(
+                        [o[1] for o in out]
+                    ),
+                    "firing": [o[2] for o in out],
+                    "fire_seq": [o[3] for o in out],
+                    "n_elems": [o[4] for o in out],
+                    "sum_v": [o[5] for o in out],
+                }
+            )
+
+    src = events.withWatermark(
+        ts_col, f"{int(round(wm_delay))} seconds"
+    )
+    return (
+        src.select(
+            F.col(key_col).cast("string").alias("__k"),
+            F.col(ts_col),
+            F.col(val_col),
+        )
+        .groupBy("__k")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_LATE_OUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -2030,7 +2030,7 @@ def test_single_shuffle_plan(spark, sf_dir):
     nfa = match_recognize(ev, _STRICT_PAIR, engine="nfa")
     nplan = nfa._jdf.queryExecution().executedPlan().toString()
     assert nplan.count("Exchange") == 1
-    assert "FlatMapGroupsInPandas" in nplan  # the Arrow NFA operator
+    assert "MapInPandas" in nplan  # the Arrow NFA operator (batched)
 
     a = sorted(repr(tuple(r)) for r in out.collect())
     b = sorted(repr(tuple(r)) for r in nfa.collect())
@@ -2078,7 +2078,7 @@ def test_multi_quantifier_pattern_keeps_nfa(spark, sf_dir):
         DEFINE A AS A.event_type = 'click',
                C AS C.event_type = 'purchase'""")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # the batched Arrow NFA
 
 
 def test_trailing_optional_run_keeps_nfa(spark, sf_dir):
@@ -2094,7 +2094,7 @@ def test_trailing_optional_run_keeps_nfa(spark, sf_dir):
         DEFINE A AS A.event_type = 'signup',
                B AS B.event_type = 'click'""")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # the batched Arrow NFA
 
 
 def test_engine_relational_rejects_multi_quantifier(spark, sf_dir):
@@ -2123,7 +2123,7 @@ def test_run_min_max_measure_keeps_nfa(spark, sf_dir):
         DEFINE A AS A.event_type = 'click',
                B AS B.event_type = 'purchase'""")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # the batched Arrow NFA
 
 
 def test_overlapping_candidates_greedy_selection(spark):
@@ -2155,9 +2155,10 @@ def test_overlapping_candidates_greedy_selection(spark):
         rel = match_recognize(df, clause)
         plan = rel._jdf.queryExecution().executedPlan().toString()
         if skip == "PAST LAST ROW":
-            # overlap possible -> grouped-map selection over candidates
-            assert "FlatMapGroupsInPandas" in plan
+            # overlap possible -> batched pick selection over candidates
+            assert "MapInPandas" in plan
         else:
+            assert "MapInPandas" not in plan
             assert "FlatMapGroupsInPandas" not in plan
         got = sorted(repr(tuple(r)) for r in rel.collect())
         nfa = sorted(
@@ -2991,7 +2992,7 @@ def test_disjointness_proof_requires_same_literal_kind(spark):
     # both conditions hold for every row -> candidates overlap -> the
     # fast path must run greedy selection (a Python stage), not the
     # emit-all disjoint shortcut
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     got = sorted((r["a_id"], r["b_id"]) for r in rel.collect())
     nfa = sorted(
         (r["a_id"], r["b_id"])
@@ -3185,7 +3186,7 @@ def test_subset_on_quantified_pattern_keeps_nfa(spark, sf_dir):
                B AS B.event_type = 'purchase'"""
     out = match_recognize(ev, clause)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # the batched Arrow NFA
     assert route_info(clause)["reason"].startswith("SUBSET measure")
     # and the union count is the whole match here: n_u == n_a + 1
     rows = out.limit(5).collect()
