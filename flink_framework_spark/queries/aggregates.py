@@ -213,26 +213,68 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hll_rollup",
     family="D",
-    # DuckDB's approx_count_distinct is a different sketch, so no live
-    # SQL oracle — but the sketch IS deterministic (register maxima
-    # are order-independent, verified across partitionings in
-    # tests/test_hll.py), so the driver value-checks a frozen golden;
-    # the local suite additionally pins merged-union == direct
-    # whole-table estimate, both within 5% of exact.
+    # LIVE oracle (round-9 golden conversion): the portable HLL's
+    # registers are md5 slot/rho integers and the harmonic sum is
+    # EXACT (2^53-scaled decimal), so DuckDB recomputes the identical
+    # estimate — the only float steps are one division and the
+    # linear-counting ln, rounded to 2 decimals like every float
+    # aggregate in this suite. DataSketches hll_rollup remains the
+    # production-native operator (golden-free property tests in
+    # tests/test_hll.py pin its determinism and 5%-of-exact bound).
     oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_hll_rollup_sf0.01.parquet')
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         md5(CAST(user_id AS VARCHAR)) AS hx
+  FROM events),
+r AS (
+  SELECT bucket,
+         CAST('0x' || substr(hx, 30, 3) AS INTEGER) AS slot,
+         regexp_replace(substr(hx, 1, 13), '^0+', '') AS w
+  FROM h),
+rho AS (
+  SELECT bucket, slot,
+         CASE WHEN length(w) = 0 THEN 53
+              ELSE (13 - length(w)) * 4
+                   + CASE WHEN substr(w, 1, 1) = '1' THEN 3
+                          WHEN substr(w, 1, 1) IN ('2', '3') THEN 2
+                          WHEN substr(w, 1, 1) IN ('4', '5', '6', '7')
+                            THEN 1
+                          ELSE 0 END + 1 END AS rho
+  FROM r),
+regs AS (
+  SELECT bucket, slot, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+u AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '__all__', slot, MAX(m) FROM regs GROUP BY 2),
+est AS (
+  SELECT bucket,
+         SUM(CAST(1::BIGINT << (53 - m) AS DECIMAL(38,0)))
+           + CAST(4096 - COUNT(*) AS DECIMAL(38,0))
+             * CAST(9007199254740992 AS DECIMAL(38,0)) AS s_exact,
+         4096 - COUNT(*) AS zeros
+  FROM u GROUP BY 1)
+SELECT bucket AS day,
+       ROUND(CASE WHEN 1.0897106820939319e+23 / CAST(s_exact AS DOUBLE)
+                       <= 10240.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros)
+                  ELSE 1.0897106820939319e+23 / CAST(s_exact AS DOUBLE)
+             END, 2) AS est_distinct
+FROM est
 """,
-    oracle_sf="sf0.01",
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct users per day + sketch-union grand
-    total (operators.profile.hll_rollup) — distinct counts over
-    hierarchies without re-scanning the fact table."""
-    from flink_framework_spark.operators.profile import hll_rollup
+    """Mergeable-sketch distinct users per day + register-union grand
+    total (operators.profile.hll_rollup_portable) — distinct counts
+    over hierarchies without re-scanning the fact table, with the
+    register maxima spelled portably (md5 slot/rho) so the DuckDB
+    oracle recomputes the estimate EXACTLY (live value-hash check;
+    the DataSketches-native form stays available as
+    operators.profile.hll_rollup)."""
+    from flink_framework_spark.operators.profile import hll_rollup_portable
 
     ev = table(spark, sf_dir, "events")
-    return hll_rollup(
+    return hll_rollup_portable(
         ev, "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"), "day"
     )
 

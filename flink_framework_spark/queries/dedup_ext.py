@@ -344,11 +344,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_embed_cells",
     family="K",
+    # LIVE oracle (round-9 golden conversion): at the driver's sf0.01
+    # the top-4 multi-probe IMI blocking has MEASURED 100% recall
+    # (59/59 of the brute-force >= 0.4 pairs — the floor test in
+    # tests/test_oracle_independent.py pins it), so the exact
+    # all-pairs recompute IS the expected output and the check is
+    # strictly stronger than the old frozen golden: a probing or
+    # cell-count regression that loses even one pair now fails the
+    # driver row, not just the local recall floor.
     oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet')
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+         AS cosim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
-    oracle_sf="sf0.01",
 )
 def q_dedup_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs under the DEPLOYMENT blocking

@@ -146,3 +146,37 @@ def test_kll_per_bucket_estimates_meet_rank_contract(spark, sf_dir):
             lo = sv[max(0, int((q - tol) * n) - 1)]
             hi = sv[min(n - 1, int((q + tol) * n))]
             assert lo <= got <= hi, (r["bucket"], stat, got, lo, hi)
+
+
+def test_hll_portable_within_5pct_and_union_consistent(spark, sf_dir):
+    """The portable (md5-register) rollup: every bucket estimate
+    within 5% of exact, and the __all__ row — the register-maxima
+    union — within 5% of the exact global distinct (the mergeable
+    property as relational algebra)."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.profile import hll_rollup_portable
+
+    ev = table(spark, sf_dir, "events")
+    got = {
+        r["day"]: r["est_distinct"]
+        for r in hll_rollup_portable(
+            ev,
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+            "day",
+        ).collect()
+    }
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / max(e, 1) < 0.05, (k, got[k], e)
