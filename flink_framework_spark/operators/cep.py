@@ -843,8 +843,33 @@ def _skip_greedy(
     def _end(row):
         return (row[last_col], row[id_last]) if id_last else row[last_col]
 
+    def _tuplify(v):
+        # array-valued tiebreak columns (a combinations frame's
+        # ``ids``) are unhashable/unsortable for pandas — compare as
+        # tuples (lexicographic, the canonical-order contract)
+        if hasattr(v, "tolist"):
+            return tuple(v.tolist())
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
     def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        conv = {
+            c: pdf[c].map(_tuplify)
+            for c in sort_cols
+            if pdf[c].dtype == object
+        }
+        if conv:
+            keyed = pdf.assign(
+                **{f"__sk_{c}": s for c, s in conv.items()}
+            )
+            order = keyed.sort_values(
+                [f"__sk_{c}" if c in conv else c for c in sort_cols],
+                kind="mergesort",
+            ).index
+            pdf = pdf.loc[order]
+        else:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
         keep = []
         last_end = None
         for idx, row in pdf.iterrows():
@@ -858,3 +883,55 @@ def _skip_greedy(
         return pdf.loc[keep, cols]
 
     return matches.groupBy(key_col).applyInPandas(pick, matches.schema)
+
+
+def skip_combinations(
+    matches: DataFrame,
+    strategy: str,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """After-match skip strategies ON COMBINATION matches — the
+    composed spelling of "apply ``skip_*`` to a drained combinations
+    frame" (previously a documented exclusion). A
+    :func:`match_combinations` frame contains DISTINCT matches that
+    SHARE boundary events by construction (every ordered subsequence
+    of a burst is a match), so a skip strategy genuinely prunes
+    matches the no-skip stream keeps. The deterministic contract,
+    pinned on planted frames in tests/test_cep.py:
+
+    - the canonical per-key match order is ``(ts_first, id_first,
+      ts_last, id_last, <remaining columns, ids last>)`` — boundary
+      ties break on the true event ids, then lexicographically on
+      the combination's ``ids`` list;
+    - ``skip_past_last``: greedy scan in canonical order, keep a
+      match iff its start EVENT is strictly past the previous pick's
+      last EVENT — all other boundary-sharers are pruned and the
+      canonical-first (shortest, earliest-ending) match is the one
+      kept per burst;
+    - ``skip_to_next``: keep exactly ONE match per distinct start
+      event — the earliest-ending (canonical-first) one;
+    - ``skip_to_last``: the boundary-INCLUSIVE greedy scan (a match
+      may START at the previous pick's last event — the single-run
+      operators' contract, extended unchanged).
+
+    This is pure dispatch onto the boundary-keyed skip operators —
+    their (timestamp, event_id) boundary comparison already treats
+    same-timestamp matches as distinct events, and the trailing
+    ``ids`` column rides the deterministic tiebreak — packaged so
+    ``Pattern...allow_combinations().after_match_skip(s)`` lowers
+    to one composed plan. Same scale shape as the underlying
+    operators: skip_to_next is a pure keyed window; the greedy scans
+    are per-key sequential over MATCHES (burst-bounded), not events.
+    """
+    if strategy == "no_skip":
+        return matches
+    if strategy == "skip_past_last":
+        return skip_past_last(matches, key_col)
+    if strategy == "skip_to_next":
+        return skip_to_next(matches, key_col)
+    if strategy == "skip_to_last":
+        return skip_to_last(matches, key_col)
+    raise ValueError(
+        f"unknown skip strategy {strategy!r} (use no_skip | "
+        "skip_past_last | skip_to_next | skip_to_last)"
+    )

@@ -39,9 +39,11 @@ Supported shapes (validated, loud errors otherwise):
   syntax); ``times(m, n)`` ON THE GROUP repeats its step sequence
   m..n times with relaxed contiguity, lowered by unrolling to a
   bounded union of join chains (``n_reps`` + NULL-padded repetition
-  columns). ``one_or_more()`` on a group is refused loudly —
-  unbounded group repetition under all-combinations semantics is
-  combinatorial with no bounded relational lowering;
+  columns). ``one_or_more()`` on a group (round 9) probes the
+  maximal repetition depth actually present in the data (level
+  emptiness is monotone under all-combinations contiguity) and
+  delegates to the bounded unroll — batch-only, loud past the
+  unroll's chained-step ceiling;
 - **type hierarchies** (Flink ``subtype(SubEvent.class)``):
   ``with_hierarchy({abstract: [members...]})`` lets any step,
   negation, or until type name an abstract type (recursive
@@ -315,14 +317,30 @@ class Pattern:
         GREEDY maximal runs (successive repetitions within ``max_gap``
         of each other). Without it, the step must be followed by
         :meth:`allow_combinations` — the non-deterministic
-        all-subsequences semantics, which has no gap notion."""
+        all-subsequences semantics, which has no gap notion.
+
+        On a GROUP step (Flink ``Pattern.begin(subPattern)
+        .oneOrMore()``): unbounded group repetition under relaxed
+        contiguity, lowered by a DATA-ADAPTIVE unroll — the maximal
+        repetition count inside one horizon is probed level by level
+        (each level's exactly-r chain is a superset witness for
+        r+1, so an empty level terminates the search), then the
+        bounded ``times(1, r_max)`` union is built. Batch-only, and
+        loud when the data's burst depth would push the unroll past
+        the chained-step cap — the same refuse-instead-of-OOM
+        contract as ``allow_combinations``. ``max_gap`` does not
+        compose with groups (greedy gap runs are single-step run
+        semantics)."""
         if self.steps[-1].group:
-            raise ValueError(
-                "one_or_more() on a GROUP has no bounded relational "
-                "lowering (unbounded group repetition with relaxed "
-                "contiguity is combinatorial) — use times(m, n) on "
-                "the group, which unrolls to a bounded chain union"
-            )
+            if max_gap is not None:
+                raise ValueError(
+                    "one_or_more(max_gap) is the GREEDY single-step "
+                    "run form — a GROUP repeats under relaxed "
+                    "contiguity with no gap notion; call "
+                    "one_or_more() without a gap"
+                )
+            self.steps[-1].looping = True
+            return self
         self.steps[-1].looping = True
         self.steps[-1].one_or_more_gap = max_gap
         return self
@@ -417,6 +435,10 @@ class Pattern:
             return self._match_group_times(
                 events, key_col, ts_col, type_col, id_col
             )
+        if any(s.group and s.looping for s in self.steps):
+            return self._match_group_one_or_more(
+                events, key_col, ts_col, type_col, id_col
+            )
         if any(s.group for s in self.steps):
             return self._splice_groups().match(
                 events, key_col, ts_col, type_col, id_col
@@ -448,6 +470,46 @@ class Pattern:
             hierarchy=self.hierarchy,
         )
 
+    def _validate_group_times(self) -> list[int]:
+        """Shared shape validation for the quantified-group compilers
+        (bounded ``times`` unroll and the ``one_or_more`` adaptive
+        probe): exactly one quantified group composed with PLAIN
+        chain steps, no negation, select 'any', no after-match skip.
+        Returns the quantified-group step indices."""
+        gq = [i for i, s in enumerate(self.steps) if s.group and s.times]
+        if len(gq) > 1 or (
+            gq and any(s.group and s.looping for s in self.steps)
+        ):
+            raise ValueError(
+                "one quantified group per pattern (two would union a "
+                "product of unrollings)"
+            )
+        if any(
+            s.optional or s.strict or (s.looping and not s.group)
+            or (s.times and not s.group)
+            for s in self.steps
+        ):
+            raise ValueError(
+                "a quantified group composes with PLAIN chain steps "
+                "only (no optional/next_step/other quantifiers)"
+            )
+        if self.negations:
+            raise ValueError(
+                "not_followed_by with a quantified group is ambiguous "
+                "(step indices shift per repetition branch) — negate "
+                "on a drained match frame instead"
+            )
+        if self.select != "any":
+            raise ValueError(
+                "quantified groups support select 'any' (followedByAny)"
+            )
+        if self.skip_strategy != "no_skip":
+            raise ValueError(
+                "after-match skip applies to single-step quantified "
+                "patterns (group matches have no run frame to skip)"
+            )
+        return gq
+
     def _match_group_times(self, events, key_col, ts_col, type_col, id_col):
         """Flink GroupPattern repetition —
         ``begin(sub).times(m, n)`` (or a group anywhere in the chain):
@@ -471,36 +533,7 @@ class Pattern:
         join strategy, no cross joins."""
         from functools import reduce
 
-        gq = [i for i, s in enumerate(self.steps) if s.group and s.times]
-        if len(gq) > 1:
-            raise ValueError(
-                "one quantified group per pattern (two would union a "
-                "product of unrollings)"
-            )
-        if any(
-            s.optional or s.strict or s.looping
-            or (s.times and not s.group)
-            for s in self.steps
-        ):
-            raise ValueError(
-                "a quantified group composes with PLAIN chain steps "
-                "only (no optional/next_step/other quantifiers)"
-            )
-        if self.negations:
-            raise ValueError(
-                "not_followed_by with a quantified group is ambiguous "
-                "(step indices shift per repetition branch) — negate "
-                "on a drained match frame instead"
-            )
-        if self.select != "any":
-            raise ValueError(
-                "quantified groups support select 'any' (followedByAny)"
-            )
-        if self.skip_strategy != "no_skip":
-            raise ValueError(
-                "after-match skip applies to single-step quantified "
-                "patterns (group matches have no run frame to skip)"
-            )
+        gq = self._validate_group_times()
         gi = gq[0]
         gstep = self.steps[gi]
         m, n = gstep.times
@@ -532,6 +565,99 @@ class Pattern:
             ).withColumn("n_reps", F.lit(r))
             branches.append(b)
         return reduce(lambda a, b: a.unionByName(b), branches)
+
+    def _match_group_one_or_more(
+        self, events, key_col, ts_col, type_col, id_col
+    ):
+        """Flink ``begin(subPattern).oneOrMore()`` — UNBOUNDED group
+        repetition, lowered data-adaptively (see :meth:`one_or_more`):
+        probe the maximal repetition count r_max actually present
+        inside one horizon (an exactly-r chain match always embeds in
+        any exactly-(r+1) match under relaxed all-combinations
+        contiguity, so level emptiness is monotone and the first
+        empty level terminates), then delegate to the bounded
+        ``times(1, r_max)`` unroll — same output layout, ``n_reps``
+        plus the maximal ts_i/id_i positions.
+
+        Loud cap: when the data still matches at the unroll's
+        chained-step ceiling, raise instead of building an unbounded
+        plan (tighten ``within`` or bound with ``times(m, n)`` — the
+        :func:`operators.cep.match_combinations` contract). Probing
+        costs one small-chain emptiness check per level, r_max + 1
+        driver actions total."""
+        import dataclasses as _dc
+
+        gq = [
+            i for i, s in enumerate(self.steps)
+            if s.group and s.looping
+        ]
+        if len(gq) > 1:
+            raise ValueError("one quantified group per pattern")
+        gi = gq[0]
+        gstep = self.steps[gi]
+        g = len(gstep.group)
+        p, s_len = gi, len(self.steps) - gi - 1
+
+        def clone_with_times(n_min: int, n_max: int) -> "Pattern":
+            steps = [
+                _dc.replace(
+                    st,
+                    times=(n_min, n_max) if i == gi else st.times,
+                    looping=False if i == gi else st.looping,
+                    group=list(st.group) if st.group else None,
+                )
+                for i, st in enumerate(self.steps)
+            ]
+            return Pattern(
+                steps=steps,
+                negations=list(self.negations),
+                horizon=self.horizon,
+                skip_strategy=self.skip_strategy,
+                select=self.select,
+                hierarchy=self.hierarchy,
+            )
+
+        # validate the shape ONCE via the bounded compiler's checks
+        # (negation/select/skip/other-quantifier refusals are shared)
+        clone_with_times(1, 1)._validate_group_times()
+
+        # the bounded unroll's plan-size ceiling; probing one level
+        # past it is still a small plan, and a non-empty probe there
+        # is the loud-refusal condition
+        r_cap = (10 - p - s_len) // g
+        if r_cap < 1:
+            raise ValueError(
+                "prefix + group + suffix already exceeds the 10-step "
+                "unroll ceiling — shorten the chain"
+            )
+        r_max = 0
+        for r in range(1, r_cap + 2):
+            full = (
+                [self._step_pred(st) for st in self.steps[:gi]]
+                + [self._expand(t) for t in gstep.group] * r
+                + [self._step_pred(st) for st in self.steps[gi + 1:]]
+            )
+            level = union_skip_branches(
+                events, full, [[]], self.horizon,
+                key_col, ts_col, type_col, id_col,
+            )
+            if level.isEmpty():
+                break
+            if r > r_cap:
+                raise ValueError(
+                    f"the data still matches at {r} group repetitions "
+                    "— the unroll would exceed the 10-chained-step "
+                    "ceiling; tighten within or bound with times(m, n)"
+                )
+            r_max = r
+        if r_max == 0:
+            # no match at any depth: the r=1 layout, empty
+            return clone_with_times(1, 1)._match_group_times(
+                events, key_col, ts_col, type_col, id_col
+            ).limit(0)
+        return clone_with_times(1, r_max)._match_group_times(
+            events, key_col, ts_col, type_col, id_col
+        )
 
     def match_stream(
         self,
@@ -610,6 +736,13 @@ class Pattern:
                 "batch-only; run match() on the lake, or spell the "
                 "predicates as MATCH_RECOGNIZE DEFINEs, which both "
                 "streaming MR engines compile"
+            )
+        if any(s.group and s.looping for s in self.steps):
+            raise ValueError(
+                "one_or_more() on a GROUP is batch-only — the "
+                "data-adaptive unroll probes repetition depth with "
+                "emptiness checks, which have no streaming form; "
+                "bound the repetition with times(m, n) to stream"
             )
         if any(s.group and s.times for s in self.steps):
             return self._match_stream_group_times(
@@ -802,6 +935,12 @@ class Pattern:
                 "where() streams only on the fixed-chain join "
                 "lowering — quantifiers/negation with conditions are "
                 "batch-only"
+            )
+        if any(s.group and s.looping for s in self.steps):
+            return rejected(
+                "one_or_more() on a group is batch-only (the "
+                "data-adaptive unroll needs emptiness probes); bound "
+                "with times(m, n) to stream"
             )
         if any(s.group and s.times for s in self.steps):
             # mirror _match_stream_group_times's refusals so the
@@ -1075,13 +1214,34 @@ class Pattern:
         head, follower = self.steps
         if head.combinations:
             if self.skip_strategy != "no_skip":
-                raise ValueError(
-                    "after-match skip on combination matches is not "
-                    "wired — combinations share boundary events by "
-                    "construction, so the boundary-keyed skip "
-                    "operators would prune distinct matches; apply "
-                    "skip_* to a drained frame explicitly if that is "
-                    "what you mean"
+                # composed spelling (round 9 — previously a documented
+                # exclusion): the skip strategy prunes the drained
+                # combination frame under the boundary-keyed
+                # operators' (ts, event_id) contract — distinct
+                # matches SHARING boundary events are genuinely
+                # pruned (that is what a skip strategy means here),
+                # the canonical-first kept; semantics pinned on
+                # planted frames in tests/test_cep.py
+                from flink_framework_spark.operators.cep import (
+                    skip_combinations,
+                )
+
+                n_min, n_max = head.times if head.times else (1, None)
+                return skip_combinations(
+                    match_combinations(
+                        events,
+                        self._step_pred(head),
+                        self._step_pred(follower),
+                        self.horizon,
+                        n_min=n_min,
+                        n_max=n_max,
+                        key_col=key_col,
+                        ts_col=ts_col,
+                        type_col=type_col,
+                        id_col=id_col,
+                    ),
+                    self.skip_strategy,
+                    key_col,
                 )
             n_min, n_max = head.times if head.times else (1, None)
             return match_combinations(

@@ -599,3 +599,97 @@ def test_combinations_level_cap_refuses(spark):
         match_combinations(ev, "click", "purchase", "30 MINUTES", 1, 99)
     with pytest.raises(ValueError, match="n_min"):
         match_combinations(ev, "click", "purchase", "30 MINUTES", 0, 3)
+
+
+# -- skip strategies ON combination matches (round 9) ------------------
+
+
+def _comb_ids(df):
+    return sorted(
+        (r["user_id"], tuple(r["ids"])) for r in df.collect()
+    )
+
+
+def test_skip_on_combinations_boundary_semantics(spark):
+    """The previously-excluded composition: combination matches SHARE
+    boundary events, and each strategy prunes them under the pinned
+    deterministic contract (canonical order, event-identity
+    boundaries). clicks @1,2,3 + purchase, times(2,2) combinations:
+    no-skip = {01, 02, 12}; PAST LAST keeps only the canonical-first
+    {01} (both other matches' anchors are inside/at its span — the
+    exact hazard the old exclusion named, now deliberate); TO NEXT
+    keeps one match per distinct start event ({01}, {12}); TO LAST is
+    boundary-inclusive ({12} may start AT {01}'s last event)."""
+    from flink_framework_spark.operators.cep import (
+        match_combinations,
+        skip_combinations,
+    )
+    from flink_framework_spark.operators.pattern import Pattern
+
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "click"),
+            (1, 1, 2, "click"),
+            (1, 2, 3, "click"),
+            (1, 5, 10, "purchase"),
+        ],
+    )
+    m = match_combinations(
+        ev, "click", "purchase", "30 MINUTES", n_min=2, n_max=2
+    )
+    assert _comb_ids(m) == [(1, (0, 1)), (1, (0, 2)), (1, (1, 2))]
+    assert _comb_ids(skip_combinations(m, "skip_past_last")) == [
+        (1, (0, 1))
+    ]
+    assert _comb_ids(skip_combinations(m, "skip_to_next")) == [
+        (1, (0, 1)), (1, (1, 2))
+    ]
+    assert _comb_ids(skip_combinations(m, "skip_to_last")) == [
+        (1, (0, 1)), (1, (1, 2))
+    ]
+    assert _comb_ids(skip_combinations(m, "no_skip")) == _comb_ids(m)
+    with pytest.raises(ValueError, match="unknown skip"):
+        skip_combinations(m, "bogus")
+
+    # the composed Pattern spelling lowers to exactly this
+    p = (
+        Pattern.begin("click")
+        .times(2, 2)
+        .allow_combinations()
+        .followed_by("purchase")
+        .within("30 MINUTES")
+        .after_match_skip("skip_past_last")
+    )
+    assert _comb_ids(p.match(ev)) == [(1, (0, 1))]
+
+
+def test_skip_on_combinations_duplicate_timestamp_boundaries(spark):
+    """Two clicks at the SAME timestamp are distinct boundary EVENTS:
+    PAST LAST and TO NEXT keep both singletons (event-identity
+    comparison, not timestamp); boundary-INCLUSIVE TO LAST also keeps
+    the pair match that starts at the first pick's last event."""
+    from flink_framework_spark.operators.cep import (
+        match_combinations,
+        skip_combinations,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "click"),
+            (1, 1, 1, "click"),  # same minute, higher id
+            (1, 5, 10, "purchase"),
+        ],
+    )
+    m = match_combinations(ev, "click", "purchase", "30 MINUTES")
+    assert _comb_ids(m) == [(1, (0,)), (1, (0, 1)), (1, (1,))]
+    assert _comb_ids(skip_combinations(m, "skip_past_last")) == [
+        (1, (0,)), (1, (1,))
+    ]
+    assert _comb_ids(skip_combinations(m, "skip_to_next")) == [
+        (1, (0,)), (1, (1,))
+    ]
+    assert _comb_ids(skip_combinations(m, "skip_to_last")) == [
+        (1, (0,)), (1, (0, 1)), (1, (1,))
+    ]

@@ -796,7 +796,7 @@ def test_group_times_mid_chain_and_hierarchy(spark):
 
 def test_group_validation_errors(spark):
     g = Pattern.begin("view").followed_by("click")
-    with pytest.raises(ValueError, match="one_or_more\\(\\) on a GROUP"):
+    with pytest.raises(ValueError, match="GREEDY single-step"):
         Pattern.begin(g).one_or_more("1 hour")
     with pytest.raises(ValueError, match="optional"):
         Pattern.begin("signup").followed_by(g).optional()
@@ -1237,3 +1237,98 @@ def test_stream_route_info_agrees_with_actual_routing(spark):
         else:
             assert has_arrow, info
             assert info["output_mode"] == "update"
+
+
+# -- one_or_more() on a GroupPattern (round 9) -------------------------
+
+
+def test_group_one_or_more_equals_brute_force(spark):
+    """begin((view click)).one_or_more().followed_by(purchase): the
+    data-adaptive unroll equals an itertools brute-force enumerator
+    of every (view click)^r purchase embedding (relaxed
+    all-combinations contiguity, horizon-bounded), with the r
+    discovered from the data — no times() bound declared."""
+    from itertools import combinations as _comb
+
+    rows = [
+        # user 1: v c v c v c p — r up to 3
+        (1, 1, 0, "view"), (1, 2, 1, "click"),
+        (1, 3, 2, "view"), (1, 4, 3, "click"),
+        (1, 5, 4, "view"), (1, 6, 5, "click"),
+        (1, 7, 6, "purchase"),
+        # user 2: v c p — r = 1 only
+        (2, 8, 0, "view"), (2, 9, 1, "click"), (2, 10, 2, "purchase"),
+        # user 3: no purchase — nothing
+        (3, 11, 0, "view"), (3, 12, 1, "click"),
+    ]
+    ev = _planted(spark, rows)
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).one_or_more().followed_by("purchase").within(
+        "30 MINUTES"
+    )
+    got = p.match(ev)
+
+    # brute force: per user, pick 2r+1 strictly-increasing positions
+    # typed v c v c ... v c p, all within the horizon of the first
+    by_user: dict = {}
+    for (u, e, m, t) in rows:
+        by_user.setdefault(u, []).append((m, e, t))
+    want = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        for size in range(3, n + 1, 2):
+            r = (size - 1) // 2
+            for picks in _comb(range(n), size):
+                types = [evs[i][2] for i in picks]
+                expect = ["view", "click"] * r + ["purchase"]
+                if types != expect:
+                    continue
+                if evs[picks[-1]][0] - evs[picks[0]][0] > 30:
+                    continue
+                want.add(
+                    (u, r) + tuple(evs[i][1] for i in picks)
+                )
+    # map the padded output layout back to the compact id tuple
+    got_set = set()
+    max_pos = max(
+        int(c.split("_")[1]) for c in got.columns if c.startswith("id_")
+    )
+    for row in got.collect():
+        r = row["n_reps"]
+        ids = tuple(
+            row[f"id_{i}"] for i in range(2 * r)
+        ) + (row[f"id_{max_pos}"],)
+        got_set.add((row["user_id"], r) + ids)
+    assert want and got_set == want
+    # and it equals the explicit times(1, 3) bound
+    bounded = Pattern.begin(
+        Pattern.begin("view").followed_by("click")
+    ).times(1, 3).followed_by("purchase").within("30 MINUTES")
+    assert _canon(got) == _canon(bounded.match(ev))
+
+
+def test_group_one_or_more_empty_and_cap(spark):
+    g = Pattern.begin("view").followed_by("click")
+    p = Pattern.begin(g).one_or_more().followed_by("purchase").within(
+        "30 MINUTES"
+    )
+    # no match at any depth: empty frame with the r=1 layout
+    ev = _planted(spark, [(1, 1, 0, "view"), (1, 2, 1, "click")])
+    out = p.match(ev)
+    assert out.count() == 0
+    assert "n_reps" in out.columns and "ts_2" in out.columns
+    # burst deeper than the unroll ceiling: loud refusal, not an
+    # unbounded plan (cap for p=0, g=2, s=1 is r=4; plant r=5)
+    deep = []
+    eid = 0
+    for i in range(5):
+        deep.append((1, eid, 2 * i, "view")); eid += 1
+        deep.append((1, eid, 2 * i + 1, "click")); eid += 1
+    deep.append((1, eid, 11, "purchase"))
+    with pytest.raises(ValueError, match="tighten within"):
+        p.match(_planted(spark, deep))
+    # streaming: batch-only, loud
+    with pytest.raises(ValueError, match="batch-only"):
+        p.match_stream(_sstream(spark))
+    assert p.stream_route_info()["engine"] == "rejected"
