@@ -659,6 +659,31 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "watermark-gated emit)->noop(update); rows/s counts both "
         "inputs"
     )
+
+    # the same join under a DECLARED version-spacing bound (every key
+    # updates once per ~1s batch, so 2s covers it): interval join +
+    # max_by aggregation, all JVM — the engine='auto'-style fast path
+    # beside the keyed-state floor above; 8 state partitions like the
+    # other chained-stateful scenarios
+    prev_shuf = spark.conf.get(shuf)
+    spark.conf.set(shuf, "8")
+    try:
+        tji = temporal_join_changelog_stream(
+            tf, td, on="k", fact_ts="ts", dim_ts="dim_ts",
+            watermark="2 seconds", version_interval="2 seconds",
+        )
+        out["temporal_changelog_join_interval"] = _run_stream_scenario(
+            tji, "append", seconds * 2
+        )
+    finally:
+        spark.conf.set(shuf, prev_shuf)
+    out["temporal_changelog_join_interval"]["pipeline"] = (
+        "rate-micro-batch x2 (200k facts + 25k dim updates/batch, "
+        "25k keys)->watermark 2s->version_interval 2s: stream-stream "
+        "interval join + max_by append aggregation, zero Python->"
+        "noop(append); the declared-bound JVM fast path (general "
+        "keyed-state floor above); rows/s counts both inputs"
+    )
     return out
 
 

@@ -37,6 +37,9 @@ from flink_framework_spark.operators.match_recognize import (
     scan_rows,
 )
 from flink_framework_spark.streaming.epoch import (
+    instant_ms_to_naive_s,
+    naive_s_to_instant_ms,
+    wallclock_tz,
     epoch_s_to_timestamps,
     ts_series_to_epoch_s,
 )
@@ -137,6 +140,9 @@ def match_recognize_stream(
     subsets = dict(spec.subsets)
     skip, within_s, key_col = spec.skip, spec.within_s, spec.partition_by
     skip_var = spec.skip_var
+    # watermark (instant) vs Arrow timestamps (session wall-clock
+    # naive): align through the epoch.py converters
+    _tz = wallclock_tz(flagged, ts_col)
 
     def _mr_fn(
         key: tuple,
@@ -169,7 +175,9 @@ def match_recognize_stream(
             .sort_values(order_by, kind="mergesort")
             .reset_index(drop=True)
         )
-        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        wm_s = instant_ms_to_naive_s(
+            state.getCurrentWatermarkMs(), _tz
+        )
         out_rows, resume, mno = scan_rows(
             buf,
             key_value,
@@ -200,7 +208,7 @@ def match_recognize_stream(
             # it would never fire)
             state.setTimeoutTimestamp(
                 max(
-                    round((first_ts + within_s) * 1000) + 1,
+                    naive_s_to_instant_ms(first_ts + within_s, _tz) + 1,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )

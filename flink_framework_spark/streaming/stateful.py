@@ -23,7 +23,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_framework_spark.streaming.epoch import (
     epoch_s_to_timestamps,
+    instant_ms_to_naive_s,
+    naive_s_to_instant_ms,
     ts_series_to_epoch_s,
+    wallclock_tz,
 )
 
 FUNNEL_SCHEMA = "user_id long, purchase_ts timestamp_ntz"
@@ -489,6 +492,7 @@ def make_greedy_fn(
     use_timeout: bool = False,
     step: str = "click",
     then_step: str = "purchase",
+    tz: str | None = None,
 ):
     """Streaming twin of operators.cep.match_one_or_more (greedy
     oneOrMore): per key, state holds the OPEN run (a maximal run is
@@ -559,7 +563,9 @@ def make_greedy_fn(
             # out-of-gap click, timer-driven. Also GC closed runs the
             # watermark has carried past their follower horizon.
             close_open(None)
-            wm_s = state.getCurrentWatermarkMs() / 1000.0
+            wm_s = instant_ms_to_naive_s(
+                state.getCurrentWatermarkMs(), tz
+            )
             closed[:] = [r for r in closed if wm_s <= r[0] + horizon_s]
         else:
             for pdf in pdfs:
@@ -605,7 +611,7 @@ def make_greedy_fn(
                     fire_s = max(r[0] for r in closed) + horizon_s
                 # the timer must sit past the current watermark
                 fire_ms = max(
-                    round(fire_s * 1000),
+                    naive_s_to_instant_ms(fire_s, tz),
                     state.getCurrentWatermarkMs() + 1,
                 )
                 state.setTimeoutTimestamp(fire_ms)
@@ -643,7 +649,8 @@ def greedy_matches(
         .groupBy("user_id")
         .applyInPandasWithState(
             make_greedy_fn(max_gap_s, horizon_s, use_timeout,
-                           step, then_step),
+                           step, then_step,
+                           tz=wallclock_tz(events, "ts")),
             outputStructType=GREEDY_SCHEMA,
             stateStructType=_GREEDY_STATE_SCHEMA,
             outputMode="update",
@@ -957,7 +964,7 @@ _OVER_STATE_SCHEMA = (
 )
 
 
-def make_over_window_fn():
+def make_over_window_fn(tz: str | None = None):
     """Streaming twin of the event-time OVER window (Flink SQL
     ``SUM(value) OVER (PARTITION BY key ORDER BY rowtime ROWS
     UNBOUNDED PRECEDING)``): per key, every row emits its running
@@ -996,7 +1003,9 @@ def make_over_window_fn():
                 ):
                     buf.append((sec, int(eid), float(v)))
             buf.sort()
-        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        wm_s = instant_ms_to_naive_s(
+            state.getCurrentWatermarkMs(), tz
+        )
         # flush strictly below the watermark: Spark admits a late row
         # at exactly ts == watermark, and a same-ts row with a smaller
         # event_id would have to sort BEFORE an already-emitted row —
@@ -1023,7 +1032,10 @@ def make_over_window_fn():
             # row (clamped past the current watermark — a timer at or
             # below it would never fire)
             state.setTimeoutTimestamp(
-                max(round(buf[0][0] * 1000), state.getCurrentWatermarkMs() + 1)
+                max(
+                    naive_s_to_instant_ms(buf[0][0], tz),
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
         elif n:
             state.update((n, sumv, [], [], []))
@@ -1052,7 +1064,7 @@ def over_window_running(events: DataFrame) -> DataFrame:
         events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_over_window_fn(),
+            make_over_window_fn(tz=wallclock_tz(events, "ts")),
             outputStructType=OVER_SCHEMA,
             stateStructType=_OVER_STATE_SCHEMA,
             outputMode="update",

@@ -37,7 +37,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_framework_spark.streaming.epoch import (
     epoch_s_to_timestamps,
+    instant_ms_to_naive_s,
     ts_series_to_epoch_s,
+    wallclock_tz,
 )
 
 
@@ -132,6 +134,7 @@ def temporal_join_changelog_stream(
     dim_ts: str,
     how: str = "inner",
     watermark: str = "10 minutes",
+    version_interval: str | None = None,
 ) -> DataFrame:
     """Flink's event-time temporal join with a STREAMING build side
     (`probe JOIN dim FOR SYSTEM_TIME AS OF probe.ts` where ``dim`` is
@@ -162,6 +165,17 @@ def temporal_join_changelog_stream(
     TTL gives this join. Emitted rows: join key columns + ``fact_ts``
     + fact payload + dim attribute columns.
     """
+    if version_interval is not None:
+        # the caller declared a per-key dim update-spacing bound —
+        # the as-of pick degenerates to a watermarked interval join
+        # + max_by aggregation, all JVM (the routing move
+        # match_recognize_stream(engine='auto') makes; contract
+        # deltas documented on the fast path)
+        return temporal_join_changelog_interval(
+            facts, dim_updates, on, fact_ts, dim_ts,
+            how=how, watermark=watermark,
+            version_interval=version_interval,
+        )
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, not {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
@@ -228,6 +242,11 @@ def temporal_join_changelog_stream(
         *attrs,
     )
     unioned = fan.unionByName(dan)
+    # watermark (instant) vs Arrow timestamps (session wall-clock
+    # naive): align through the epoch.py converters — here the
+    # watermark GATES emission and version pruning, so the skew was
+    # correctness-bearing under non-UTC sessions
+    _tz = wallclock_tz(unioned, "__ts")
 
     state_schema = ", ".join(
         ["d_ts array<double>"]
@@ -291,7 +310,11 @@ def temporal_join_changelog_stream(
                     d_us.insert(j, us)
                     for i in range(na):
                         d_at[i].insert(j, vals[i])
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_us = round(
+            instant_ms_to_naive_s(
+                state.getCurrentWatermarkMs(), _tz
+            ) * 1e6
+        )
         emit_idx = [r for r, us in enumerate(f_us) if us < wm_us]
         out_rows: list[tuple] = []  # (f_us, payload.., attrs..)
         for r in emit_idx:
@@ -349,4 +372,104 @@ def temporal_join_changelog_stream(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def temporal_join_changelog_interval(
+    facts: DataFrame,
+    dim_updates: DataFrame,
+    on: Sequence[str] | str,
+    fact_ts: str,
+    dim_ts: str,
+    how: str = "inner",
+    watermark: str = "10 minutes",
+    version_interval: str = "1 hour",
+) -> DataFrame:
+    """JVM fast path for :func:`temporal_join_changelog_stream` —
+    eligible when the caller can DECLARE a bound ``version_interval``
+    on the dim stream's per-key update spacing (consecutive updates
+    of one key at most that far apart, and a key's first update at
+    most that far before its first fact). Under that contract the
+    version valid at ``fact_ts`` always lies inside
+    ``(fact_ts - version_interval, fact_ts]``, so the as-of pick
+    lowers to two chained JVM stateful operators (~the interval-join
+    throughput family, no Python):
+
+    1. a watermarked stream-stream interval join — key equality plus
+       ``dim_ts in (fact_ts - V, fact_ts]`` (``leftOuter`` under
+       ``how='left'``);
+    2. an append-mode aggregation on the fact's identity picking
+       ``max_by(attrs, (dim_ts, attrs))`` — the latest version at or
+       before the fact, late-arriving (within-watermark) dim updates
+       included because the group only finalizes when the joint
+       watermark passes the fact's event time.
+
+    Contract deltas vs the keyed-state general form (documented, not
+    silent): facts must be DISTINCT rows (the aggregation collapses
+    duplicates; the state path preserves them); same-``dim_ts``
+    re-updates of a key resolve to the lexicographically largest
+    attribute tuple rather than last-arrival-wins (arrival order is
+    not relationally observable); and the declared bound IS the
+    emission latency — a fact finalizes only when the joint watermark
+    passes ``fact_ts + version_interval`` (the join must prove no
+    in-bound dim update can still arrive), so state holds
+    rate x (watermark + V) rows per side. Pick V as the real update
+    cadence, not a safety margin. A dim gap wider than the declared
+    bound makes a fact miss its version — dropped under ``inner``,
+    null-attributed under ``left`` — which is exactly the declared-
+    contract violation, surfaced by the drain-equality property test.
+    Output columns match the general form: keys + ``fact_ts`` +
+    fact payload + dim attributes. Output mode: append.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, not {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in facts.columns if c not in (*keys, fact_ts)]
+    attrs = [c for c in dim_updates.columns
+             if c not in (*keys, dim_ts)]
+    clash = sorted(set(payload) & set(attrs))
+    if clash:
+        raise ValueError(
+            f"fact/dim column collision {clash} — rename one side"
+        )
+
+    def wm_side(df: DataFrame, ts: str) -> DataFrame:
+        if _WM_KEY in (df.schema[ts].metadata or {}):
+            return df
+        tagged = [f.name for f in df.schema
+                  if _WM_KEY in (f.metadata or {})]
+        if tagged:
+            raise ValueError(
+                f"temporal join: watermark is on {tagged[0]!r} but "
+                f"the side's event time is {ts!r} — watermark the "
+                "event-time column"
+            )
+        return df.withWatermark(ts, watermark)
+
+    f = wm_side(facts, fact_ts)
+    d = wm_side(dim_updates, dim_ts).select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        F.col(dim_ts).alias("__dts"),
+        *attrs,
+    )
+    cond = None
+    for k in keys:
+        c = f[k] == d[f"__dk_{k}"]
+        cond = c if cond is None else (cond & c)
+    v = F.expr(f"INTERVAL {version_interval}")
+    cond = (
+        cond
+        & (d["__dts"] <= f[fact_ts])
+        & (d["__dts"] > f[fact_ts] - v)
+    )
+    joined = f.join(d, cond, "leftOuter" if how == "left" else "inner")
+    picked = joined.groupBy(*keys, fact_ts, *payload).agg(
+        F.max_by(
+            F.struct(*[F.col(a) for a in attrs]),
+            F.struct(F.col("__dts"), *[F.col(a) for a in attrs]),
+        ).alias("__pick")
+    )
+    return picked.select(
+        *keys, fact_ts, *payload,
+        *[F.col(f"__pick.{a}").alias(a) for a in attrs],
     )

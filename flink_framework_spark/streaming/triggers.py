@@ -28,7 +28,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_framework_spark.streaming.epoch import (
     epoch_s_to_timestamps,
+    instant_ms_to_naive_s,
+    naive_s_to_instant_ms,
     ts_series_to_epoch_s,
+    wallclock_tz,
 )
 
 _STATE_SCHEMA = "windows array<string>"
@@ -63,6 +66,9 @@ def count_trigger_stream(
         raise ValueError("CountTrigger needs n >= 1")
     if evict_last is not None and evict_last < 1:
         raise ValueError("CountEvictor needs keep >= 1")
+    # the watermark is an instant; the Arrow-delivered timestamps are
+    # session wall-clock naive — align the clocks (epoch.py helpers)
+    _tz = wallclock_tz(events, ts_col)
 
     def _fn(
         key: tuple,
@@ -91,7 +97,9 @@ def count_trigger_stream(
                          "buf": []},
                     )
                     d["buf"].append([t, i, v])
-        wm = state.getCurrentWatermarkMs() / 1000.0
+        wm = instant_ms_to_naive_s(
+            state.getCurrentWatermarkMs(), _tz
+        )
         out = []
         next_fire = None
         for w in sorted(wins):
@@ -130,7 +138,7 @@ def count_trigger_stream(
             if next_fire is not None:
                 state.setTimeoutTimestamp(
                     max(
-                        round(next_fire * 1000) + 1,
+                        naive_s_to_instant_ms(next_fire, _tz) + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
@@ -194,6 +202,7 @@ def continuous_trigger_stream(
             "window start equals Flink's epoch alignment only then "
             "(same precondition as the batch operator)"
         )
+    _tz = wallclock_tz(events, ts_col)
 
     def _fn(
         key: tuple,
@@ -233,7 +242,9 @@ def continuous_trigger_stream(
                             w + ((t - w) // interval_s + 1) * interval_s,
                         )
                     d["el"].append([t, v])
-        wm = state.getCurrentWatermarkMs() / 1000.0
+        wm = instant_ms_to_naive_s(
+            state.getCurrentWatermarkMs(), _tz
+        )
         out = []
         next_fire = None
         for w in sorted(wins):
@@ -282,7 +293,7 @@ def continuous_trigger_stream(
             if next_fire is not None:
                 state.setTimeoutTimestamp(
                     max(
-                        round(next_fire * 1000) + 1,
+                        naive_s_to_instant_ms(next_fire, _tz) + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
@@ -370,31 +381,10 @@ def allowed_lateness_stream(
         )
     shift_s = window_s + lateness_s
     wm_delay = delay_s + shift_s
-    # getCurrentWatermarkMs is an INSTANT epoch, but Arrow delivers
-    # the timestamp column as session-timezone WALL-CLOCK naive (the
-    # epoch.py convention all the state twins compute in). The other
-    # twins only TIME their firings off the watermark, so the skew is
-    # harmless there; here the wm CLASSIFIES rows (late vs dropped),
-    # so it must be converted onto the same naive clock.
-    session_tz = events.sparkSession.conf.get(
-        "spark.sql.session.timeZone", None
-    )
-
-    def _wm_naive_s(wm_ms: int) -> float:
-        t = pd.Timestamp(wm_ms, unit="ms", tz="UTC")
-        if session_tz:
-            t = t.tz_convert(session_tz)
-        return t.tz_localize(None).value / 1e9
-
-    def _naive_to_instant_ms(naive_s: float) -> int:
-        t = pd.Timestamp(round(naive_s * 1e6) * 1000)
-        if session_tz:
-            t = t.tz_localize(
-                session_tz, nonexistent="shift_forward", ambiguous=True
-            )
-        else:
-            t = t.tz_localize("UTC")
-        return round(t.timestamp() * 1000)
+    # the watermark classifies rows here (late vs dropped), so the
+    # instant-vs-wall-clock alignment (epoch.py helpers) is
+    # correctness-critical, not just firing-time
+    _tz = wallclock_tz(events, ts_col)
 
     def _fn(
         key: tuple,
@@ -409,7 +399,10 @@ def allowed_lateness_stream(
                 d = _json.loads(s)
                 wins[d["w"]] = d
         flink_wm = (
-            _wm_naive_s(state.getCurrentWatermarkMs()) + shift_s
+            instant_ms_to_naive_s(
+                state.getCurrentWatermarkMs(), _tz
+            )
+            + shift_s
         )
         dirty: set = set()
         if not state.hasTimedOut:
@@ -475,7 +468,9 @@ def allowed_lateness_stream(
                 # unshifted): convert back from the naive flink clock
                 state.setTimeoutTimestamp(
                     max(
-                        _naive_to_instant_ms(next_fire - shift_s) + 1,
+                        naive_s_to_instant_ms(
+                            next_fire - shift_s, _tz
+                        ) + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )

@@ -524,3 +524,162 @@ def test_changelog_temporal_join_late_dim_corrects(spark, tmp_path):
     lby = {int(r.event_id): r for r in left.itertuples(index=False)}
     assert lby[100].tier == 2
     assert 200 in lby and pd.isna(lby[200].tier)
+
+
+def test_changelog_temporal_join_interval_fast_path(
+    spark, sf_dir, tmp_path
+):
+    """The JVM fast path (interval join + max_by aggregation, zero
+    Python) under a declared version-spacing bound: with
+    version_interval spanning the corpus the bound holds for every
+    key, so the drained append stream must equal the batch as-of
+    pipeline — the same oracle the keyed-state general form is pinned
+    to. Routed through the general entry point's version_interval
+    parameter."""
+    import datetime
+
+    from flink_framework_spark.io import _normalize_events_ts
+    from flink_framework_spark.operators.scd import (
+        scd2_build,
+        temporal_join,
+    )
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    ev = _normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), as_instant=True
+    )
+    chg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value"), 0)).alias("tier"))
+    )
+    facts = ev.select("user_id", F.col("ts"), "event_id")
+    dim = scd2_build(chg, key_cols=["user_id"], ts_col="ts",
+                     attr_cols=["tier"], seq_col=None)
+    want = (
+        temporal_join(facts, dim, on=["user_id"], fact_ts="ts")
+        .select("event_id", "tier")
+        .toPandas()
+    )
+
+    d_lake, f_lake = tmp_path / "dim", tmp_path / "facts"
+    n_chunks = 3
+    chg_p = chg.orderBy("ts", "user_id").toPandas()
+    f_p = facts.orderBy("ts", "event_id").toPandas()
+    for i in range(n_chunks):
+        spark.createDataFrame(
+            chg_p.iloc[
+                i * len(chg_p) // n_chunks:(i + 1) * len(chg_p) // n_chunks
+            ],
+            schema=chg.schema,
+        ).coalesce(1).write.mode("append").parquet(str(d_lake))
+        spark.createDataFrame(
+            f_p.iloc[
+                i * len(f_p) // n_chunks:(i + 1) * len(f_p) // n_chunks
+            ],
+            schema=facts.schema,
+        ).coalesce(1).write.mode("append").parquet(str(f_lake))
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    # the fast path finalizes a fact only when the watermark passes
+    # fact_ts + version_interval (the join must prove no in-bound dim
+    # update can still arrive) — the declared bound IS the emission
+    # latency, so the closing sentinels sit past it
+    far = mx + datetime.timedelta(days=61)
+    for k in (1, 2):
+        spark.createDataFrame(
+            [(-1, far + datetime.timedelta(minutes=k), float(k))],
+            schema=chg.schema,
+        ).coalesce(1).write.mode("append").parquet(str(d_lake))
+        spark.createDataFrame(
+            [(-1, far + datetime.timedelta(minutes=k), -10**9 - k)],
+            schema=facts.schema,
+        ).coalesce(1).write.mode("append").parquet(str(f_lake))
+
+    d_stream = (
+        spark.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d_lake))
+        .withColumnRenamed("ts", "dim_ts")
+        .withWatermark("dim_ts", "30 minutes")
+    )
+    f_stream = (
+        spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(f_lake))
+        .withWatermark("ts", "30 minutes")
+    )
+    out = temporal_join_changelog_stream(
+        f_stream, d_stream, on="user_id", fact_ts="ts",
+        dim_ts="dim_ts", version_interval="60 DAYS",
+    )
+    assert "FlatMapGroupsInPandasWithState" not in (
+        out._jdf.queryExecution().analyzed().toString()
+    )  # the fast path is all JVM
+    got = run_to_memory(
+        out, query_name="t_cl_temporal_fast", output_mode="append"
+    ).toPandas()
+    got = got[got.user_id >= 0][["event_id", "tier"]]
+    a = sorted(map(tuple, got.itertuples(index=False)))
+    b = sorted(map(tuple, want.itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+def test_changelog_interval_fast_path_contract_violation(
+    spark, tmp_path
+):
+    """A dim gap WIDER than the declared version_interval makes a
+    fact miss its version — dropped under inner, null under left
+    (the declared-contract violation surfaced, not silent wrongness
+    with stale attributes)."""
+    import pandas as pd
+
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    def lake(rows, schema, path):
+        for r in rows:
+            spark.createDataFrame([r], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(path))
+
+    d_lake, f_lake = tmp_path / "d", tmp_path / "f"
+    dsch = "user_id long, dim_ts timestamp, tier double"
+    fsch = "user_id long, ts timestamp, event_id long"
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def T(mins):
+        return (t0 + pd.Timedelta(minutes=mins)).to_pydatetime()
+
+    # version at t0; facts at +5 (inside the 10-minute bound) and
+    # +30 (outside it — the contract violation)
+    lake([(1, T(0), 1.0)], dsch, d_lake)
+    lake(
+        [(1, T(5), 100), (1, T(30), 101),
+         (-1, T(600), -1), (-1, T(601), -2)],
+        fsch, f_lake,
+    )
+    lake([(-1, T(600), 0.0), (-1, T(601), 0.0)], dsch, d_lake)
+
+    def drain(how):
+        d = (spark.readStream.schema(dsch).option("maxFilesPerTrigger", 1)
+             .parquet(str(d_lake)).withWatermark("dim_ts", "1 minute"))
+        f = (spark.readStream.schema(fsch).option("maxFilesPerTrigger", 1)
+             .parquet(str(f_lake)).withWatermark("ts", "1 minute"))
+        out = run_to_memory(
+            temporal_join_changelog_stream(
+                f, d, on="user_id", fact_ts="ts", dim_ts="dim_ts",
+                how=how, version_interval="10 minutes",
+            ),
+            query_name=f"t_cl_viol_{how}",
+            output_mode="append",
+        ).toPandas()
+        return {
+            (r.event_id, None if pd.isna(r.tier) else r.tier)
+            for r in out[out.user_id >= 0].itertuples()
+        }
+
+    assert drain("inner") == {(100, 1.0)}
+    assert drain("left") == {(100, 1.0), (101, None)}
