@@ -660,17 +660,30 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "inputs"
     )
 
-    # the same join under a DECLARED version-spacing bound (every key
-    # updates once per ~1s batch, so 2s covers it): interval join +
-    # max_by aggregation, all JVM — the engine='auto'-style fast path
-    # beside the keyed-state floor above; 8 state partitions like the
-    # other chained-stateful scenarios
+    # the same join under a DECLARED fixed dim cadence (exactly one
+    # update per key per 1s batch): ONE stream-stream interval join,
+    # zero Python and no aggregation stage — the unique_versions fast
+    # path beside the keyed-state floor above (the at-least-one form
+    # adds a max_by aggregation and lands ~2x lower; both routed via
+    # version_interval= on the general entry point)
     prev_shuf = spark.conf.get(shuf)
     spark.conf.set(shuf, "8")
     try:
+        tk2 = 50_000
+        tf2 = rate_mb(400_000).select(
+            (F.col("value") % tk2).alias("k"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+        )
+        td2 = rate_mb(tk2).select(
+            (F.col("value") % tk2).alias("k"),
+            F.col("timestamp").alias("dim_ts"),
+            (F.col("value") % 100).alias("tier"),
+        )
         tji = temporal_join_changelog_stream(
-            tf, td, on="k", fact_ts="ts", dim_ts="dim_ts",
-            watermark="2 seconds", version_interval="2 seconds",
+            tf2, td2, on="k", fact_ts="ts", dim_ts="dim_ts",
+            watermark="2 seconds", version_interval="1 seconds",
+            unique_versions=True,
         )
         out["temporal_changelog_join_interval"] = _run_stream_scenario(
             tji, "append", seconds * 2
@@ -678,11 +691,12 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
     finally:
         spark.conf.set(shuf, prev_shuf)
     out["temporal_changelog_join_interval"]["pipeline"] = (
-        "rate-micro-batch x2 (200k facts + 25k dim updates/batch, "
-        "25k keys)->watermark 2s->version_interval 2s: stream-stream "
-        "interval join + max_by append aggregation, zero Python->"
-        "noop(append); the declared-bound JVM fast path (general "
-        "keyed-state floor above); rows/s counts both inputs"
+        "rate-micro-batch x2 (400k facts + 50k dim updates/batch, "
+        "50k keys, one update/key/batch)->watermark 2s->"
+        "version_interval 1s + unique_versions: ONE stream-stream "
+        "interval join, zero Python->noop(append); the declared-"
+        "cadence JVM fast path (general keyed-state floor above); "
+        "rows/s counts both inputs"
     )
     return out
 

@@ -683,3 +683,75 @@ def test_changelog_interval_fast_path_contract_violation(
 
     assert drain("inner") == {(100, 1.0)}
     assert drain("left") == {(100, 1.0), (101, None)}
+
+
+def test_changelog_interval_unique_versions_single_join(
+    spark, tmp_path
+):
+    """unique_versions: a fixed-cadence dim (exactly one update per
+    key per V) makes the interval join itself the as-of pick — no
+    aggregation stage in the plan — and the drained stream equals the
+    as-of recompute; 'left' keeps version-less facts with null
+    attributes."""
+    import pandas as pd
+
+    from flink_framework_spark.streaming.temporal import (
+        temporal_join_changelog_stream,
+    )
+
+    dsch = "user_id long, dim_ts timestamp, tier double"
+    fsch = "user_id long, ts timestamp, event_id long"
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def T(mins):
+        return (t0 + pd.Timedelta(minutes=mins)).to_pydatetime()
+
+    d_lake, f_lake = tmp_path / "d", tmp_path / "f"
+    # key 1 updates at exactly 10-minute cadence; facts land between
+    dim_rows = [[(1, T(10 * i), float(i))] for i in range(4)]
+    fact_rows = [
+        [(1, T(3), 100)], [(1, T(14), 101)],
+        [(1, T(27), 102)], [(2, T(15), 200)],  # key 2: no version
+    ]
+    for ch in dim_rows + [[(-1, T(600), 0.0)], [(-1, T(601), 0.0)]]:
+        spark.createDataFrame(ch, dsch).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d_lake))
+    for ch in fact_rows + [[(-1, T(600), -1)], [(-1, T(601), -2)]]:
+        spark.createDataFrame(ch, fsch).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(f_lake))
+
+    def drain(how):
+        d = (spark.readStream.schema(dsch)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(str(d_lake)).withWatermark("dim_ts", "1 minute"))
+        f = (spark.readStream.schema(fsch)
+             .option("maxFilesPerTrigger", 1)
+             .parquet(str(f_lake)).withWatermark("ts", "1 minute"))
+        out = temporal_join_changelog_stream(
+            f, d, on="user_id", fact_ts="ts", dim_ts="dim_ts",
+            how=how, version_interval="10 minutes",
+            unique_versions=True,
+        )
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "Aggregate" not in plan  # single join, nothing else
+        got = run_to_memory(
+            out, query_name=f"t_cl_uniq_{how}", output_mode="append"
+        ).toPandas()
+        return {
+            (r.event_id, None if pd.isna(r.tier) else r.tier)
+            for r in got[got.user_id >= 0].itertuples()
+        }
+
+    # as-of picks: fact@3 -> version@0 (tier 0), fact@14 ->
+    # version@10 (tier 1), fact@27 -> version@20 (tier 2)
+    assert drain("inner") == {(100, 0.0), (101, 1.0), (102, 2.0)}
+    assert drain("left") == {
+        (100, 0.0), (101, 1.0), (102, 2.0), (200, None)
+    }
+    with pytest.raises(ValueError, match="set both"):
+        temporal_join_changelog_stream(
+            None, None, on="user_id", fact_ts="ts", dim_ts="dim_ts",
+            unique_versions=True,
+        )
