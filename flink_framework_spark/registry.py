@@ -94,6 +94,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_window_suite",  # I1 + I2 + I3 (tumble | slide | session,
                               #     tagged melt; granulars in slots 51+)
     "q_stream_late",          # I4
+    "q_allowed_lateness",     # I4 allowedLateness() window refinement
+                              #     (round 9): on_time firing + per-late-
+                              #     element corrections + horizon drop,
+                              #     live window-function oracle — rotated
+                              #     in for q_sim_topk_imi (golden-pinned;
+                              #     now slots 51+, still hash-checked
+                              #     locally + brute-force-rechecked in
+                              #     DuckDB; K3 stays driver-attested by
+                              #     the live q_sim_topk_bucketed slot).
+                              #     Golden-pinned driver slots: 3 -> 2
     "q_stream_dedup",         # I5
     "q_cep_suite",            # I8: funnel + eighteen CEP shapes (sequence,
                               #     negation, strict, first, times, three
@@ -127,11 +137,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                               #     former slot is stage 4 of this chain
     "q_curation_suite",       # split/strat/PII/mix/pack/repetition,
                               #     value-complete melt
-    "q_sim_topk_bucketed",    # K3 scale path
-    "q_sim_topk_imi",         # K3 two-level IMI — the measured at-scale
-                              #     fix (golden @ sf0.01); flat IVF's
-                              #     family is attested by the bucketed
-                              #     slot and slots 51+ keep q_sim_topk_ivf
+    "q_sim_topk_bucketed",    # K3 scale path (the IMI/IVF variants are
+                              #     slots 51+ since round 9's rotation,
+                              #     hash-checked locally + brute-force
+                              #     rechecks in DuckDB)
     "q_text_stats",           # K4
     "q_multimodal_meta",      # K5 + J5
     "q_retrieval_suite",      # K: BM25 + TF-IDF keywords + chunking

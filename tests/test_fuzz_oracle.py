@@ -1047,3 +1047,94 @@ def test_fuzz_continuous_trigger_matches_oracle(spark, sf_dir, seed):
         round_duck("sum_v", 2).alias("sum_v"),
     )
     assert_matches_oracle(got, sql, sf_dir)
+
+
+# ------------------------------------------- allowedLateness refinement
+
+
+def gen_allowed_lateness_query(seed: int):
+    """Random allowedLateness configs: window/delay/lateness drawn so
+    all three row classes (on-time, late-admitted, dropped) occur
+    under the deterministic jittered arrival (jitter spans 0..27
+    minutes), rendered to fire_allowed_lateness and to the
+    window-function SQL."""
+    rng = random.Random(140_000 + seed)
+    win = rng.choice(["1 hour", "2 hours", "30 minutes"])
+    delay_m = rng.choice([2, 5, 8])
+    late_m = rng.choice([5, 10, 15])
+    sql = f"""
+WITH ev AS (
+  SELECT event_type, ts, value, event_id,
+         ts + to_minutes(3 * CAST(event_id % 10 AS INT)) AS arrival
+  FROM events),
+o AS (
+  SELECT *, time_bucket(INTERVAL '{win}', ts) AS w_start,
+         time_bucket(INTERVAL '{win}', ts) + INTERVAL '{win}' AS w_end,
+         MAX(ts) OVER (ORDER BY arrival, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)
+           - INTERVAL {delay_m} MINUTE AS wm,
+         (SELECT MAX(ts) FROM ev) - INTERVAL {delay_m} MINUTE
+           AS final_wm
+  FROM ev),
+c AS (
+  SELECT *, CASE
+      WHEN wm IS NULL OR wm < w_end THEN 'on_time'
+      WHEN wm < w_end + INTERVAL {late_m} MINUTE THEN 'late'
+      ELSE 'dropped' END AS cls
+  FROM o),
+ot AS (
+  SELECT event_type, w_start, CAST(COUNT(*) AS BIGINT) AS n_on,
+         SUM(value) AS s_on, ANY_VALUE(final_wm >= w_end) AS fired
+  FROM c WHERE cls = 'on_time'
+  GROUP BY 1, 2),
+lt AS (
+  SELECT event_type, w_start,
+         ROW_NUMBER() OVER pk AS fire_seq,
+         SUM(value) OVER (pk ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs
+  FROM c WHERE cls = 'late'
+  WINDOW pk AS (PARTITION BY event_type, w_start
+                ORDER BY arrival, event_id))
+SELECT event_type, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       'on_time' AS firing, CAST(0 AS BIGINT) AS fire_seq,
+       n_on AS n_elems, ROUND(s_on, 2) AS sum_v
+FROM ot WHERE fired
+UNION ALL
+SELECT lt.event_type, strftime(lt.w_start, '%Y-%m-%d %H:%M:%S'),
+       'late', fire_seq,
+       COALESCE(ot.n_on, 0) + fire_seq,
+       ROUND(COALESCE(ot.s_on, 0) + cs, 2)
+FROM lt LEFT JOIN ot
+  ON ot.event_type = lt.event_type AND ot.w_start = lt.w_start
+"""
+    return win, delay_m, late_m, sql
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_allowed_lateness_matches_oracle(spark, sf_dir, seed):
+    from flink_framework_spark.functions.helpers import round_duck
+    from flink_framework_spark.operators.triggers import (
+        fire_allowed_lateness,
+    )
+
+    win, delay_m, late_m, sql = gen_allowed_lateness_query(seed)
+    ev = table(spark, sf_dir, "events").withColumn(
+        "arrival",
+        F.col("ts")
+        + F.expr("make_dt_interval(0, 0, CAST(3*(event_id % 10) AS INT), 0)"),
+    )
+    got = fire_allowed_lateness(
+        ev,
+        window=win,
+        delay=f"{delay_m} minutes",
+        lateness=f"{late_m} minutes",
+    ).select(
+        "event_type",
+        F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "firing",
+        "fire_seq",
+        "n_elems",
+        round_duck("sum_v", 2).alias("sum_v"),
+    )
+    assert_matches_oracle(got, sql, sf_dir)
