@@ -977,9 +977,22 @@ def test_allow_combinations_validation(spark):
     )
     with pytest.raises(ValueError, match="no streaming twin"):
         p.match_stream(_sstream(spark))
+    # round 9: after_match_skip ON combinations is now the composed
+    # skip_combinations lowering (boundary-sharing matches pruned
+    # under the pinned canonical order) instead of a refusal
     p.skip_strategy = "skip_past_last"
-    with pytest.raises(ValueError, match="share boundary"):
-        p.match(_planted(spark, [(1, 1, 0, "click")]))
+    ev = _planted(
+        spark,
+        [
+            (1, 1, 0, "click"),
+            (1, 2, 1, "click"),
+            (1, 3, 5, "purchase"),
+        ],
+    )
+    got = sorted(tuple(r["ids"]) for r in p.match(ev).collect())
+    # no-skip would emit (1,), (2,), (1, 2); PAST LAST keeps the
+    # non-overlapping singletons only
+    assert got == [(1,), (2,)]
 
 
 # -- where() row-level conditions (Flink SimpleCondition) -------------
