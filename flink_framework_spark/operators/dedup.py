@@ -48,20 +48,42 @@ def _staged(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def portable_hash64(col) -> Column:
+    """The shingle BASE hash (round 9): the first 128->64 bits of md5
+    as a SIGNED 64-bit int — assembled from two 32-bit hex halves
+    (``shiftleft(hi, 32) | lo``, wrapping into the sign bit exactly
+    like DuckDB's HUGEINT-then-CAST spelling), identical across
+    engines. This is what lets the MinHash/SimHash DRIVER oracles
+    recompute signatures LIVE instead of pinning goldens (the
+    hll_rollup_portable move applied to the dedup family). Full 64
+    bits matter: a truncated hash loses SimHash fingerprint
+    separation (planted-dup precision measurably degraded at 60
+    bits) and shrinks the top pigeonhole block's key space. xxhash64
+    stays for shuffle-key compaction (band buckets, block keys),
+    where only equality matters; every value-visible signature
+    derives from this hash. Can be negative: always reduce with
+    ``pmod`` Spark-side and ``((h % P) + P) % P`` in oracles."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def hashed_shingle_frame(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(__id, __shh): one 64-bit xxhash per distinct shingle — the
-    shared, persisted base every near-dedup stage derives from
+    """(__id, __shh): one 64-bit portable hash per distinct shingle —
+    the shared, persisted base every near-dedup stage derives from
     (MinHash permutations via pmod, SimHash bit votes, Jaccard
     verification), so the expensive tokenize+shingle+hash scan of the
-    corpus runs exactly once per pipeline."""
+    corpus runs exactly once per pipeline. Portable (md5-derived, see
+    :func:`portable_hash64`) so the oracles recompute it in DuckDB."""
     sh = _shingled(df, id_col, text_col, shingle_n)
     return _staged(
-        sh.select("__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"))
+        sh.select("__id", F.transform("__sh", portable_hash64).alias("__shh"))
     )
 
 
@@ -163,7 +185,9 @@ def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
 def shingle_hashes(shingle_col: Column) -> Column:
     """One 2^31-bounded base hash per shingle (computed exactly once;
     permutations derive from it arithmetically)."""
-    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+    return F.transform(
+        shingle_col, lambda s: F.pmod(portable_hash64(s), F.lit(_MINHASH_P))
+    )
 
 
 def minhash_signature_vec(num_hashes: int = 64):
@@ -381,8 +405,8 @@ def _min_shingle_rep(
     return sh.select(
         "__id",
         "__mink",
-        F.xxhash64("__mink").alias("__minh"),
-        F.transform("__sh", lambda s: F.xxhash64(s)).alias("__shh"),
+        F.xxhash64("__mink").alias("__minh"),  # blocking key: equality only
+        F.transform("__sh", portable_hash64).alias("__shh"),
     ).withColumn("__nsh", F.size("__shh").cast("double"))
 
 

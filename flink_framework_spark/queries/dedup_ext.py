@@ -153,23 +153,118 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# -- live MinHash/SimHash oracles (round 9) ----------------------------
+# The shingle base hash is portable (operators.dedup.portable_hash64:
+# the md5 head as a signed 64-bit int, identical in Spark and DuckDB
+# including the sign-bit wrap), so the
+# signatures themselves recompute LIVE — no frozen goldens. The
+# permutation constants are the operator's own (seeded _perm_params),
+# inlined as a VALUES table.
+
+_SHINGLE_CTES = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS s
+  FROM toks WHERE len(w) >= 3),
+h AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+           CAST((CAST(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) AS HUGEINT)
+                  * 4294967296
+                + CAST(('0x' || substr(md5(x), 9, 8)) AS BIGINT)
+                - CASE WHEN CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                            >= 2147483648
+                       THEN CAST(18446744073709551616 AS HUGEINT)
+                       ELSE 0 END) AS BIGINT)) AS bs
+  FROM sh)"""
+
+
+def _minhash_oracle() -> str:
+    from flink_framework_spark.operators.dedup import _perm_params
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(_perm_params(64))
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+e AS (SELECT doc_id,
+            ((unnest(bs) % 2147483647) + 2147483647) % 2147483647 AS hp
+      FROM h),
+perms(i, a, b) AS (VALUES {perms}),
+m AS (
+  SELECT doc_id, i, MIN((a * hp + b) % 2147483647) AS mh
+  FROM e CROSS JOIN perms GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sg FROM m GROUP BY 1),
+bd AS (
+  SELECT doc_id, bi,
+         array_to_string(list_slice(sg, bi * 4 + 1, bi * 4 + 4), ',')
+           AS bk
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS bi) r),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b
+    ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(x.bs, y.bs)) AS DOUBLE)
+           / (len(x.bs) + len(y.bs) - len(list_intersect(x.bs, y.bs)))
+           AS jaccard
+  FROM cand
+  JOIN h x ON x.doc_id = doc_a
+  JOIN h y ON y.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    # all 64 bits vote; bit 63's mask is the SIGNED value -2^63 (the
+    # same wrap-by-addition the Spark operator performs), keeping the
+    # fingerprint arithmetic inside BIGINT in both engines
+    def mask(b):
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {mask(b)} ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""
+WITH {_SHINGLE_CTES},
+e AS (SELECT doc_id, unnest(bs) AS h FROM h),
+fp AS (
+  SELECT doc_id,
+         {bit_terms} AS f
+  FROM e GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 8
+"""
+
+
 @register(
     "q_dedup_minhash",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_minhash_sf0.01.parquet')
-""",
-    oracle_sf="sf0.01",
+    # LIVE oracle (round 9): the portable md5-derived 64-bit base hash makes
+    # the full MinHash pipeline — shingles, 64 seeded permutations,
+    # 16-band LSH candidates, exact-Jaccard verify — recomputable in
+    # DuckDB SQL verbatim (banding compares the signature SLICES
+    # directly where Spark equi-joins their hash: identical pair
+    # sets absent a 64-bit hash collision between band strings).
+    oracle=_minhash_oracle(),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs with exact-Jaccard
-    verification. The 64 seeded xxhash64 permutations are not
-    reproducible in DuckDB SQL, but the output is fully deterministic
-    (seeded hashes, shuffle-invariant — verified under varying core /
-    partition counts), so the oracle is a frozen golden snapshot at
-    the driver's sf0.01 (tools/freeze_driver_golden.py); planted-dup
-    precision/recall properties live in tests/test_dedup.py."""
+    verification, recomputed LIVE by the DuckDB oracle end-to-end
+    (portable base hash — operators.dedup.portable_hash64);
+    planted-dup precision/recall properties in tests/test_dedup.py."""
     return near_dup_pairs_minhash(
         table(spark, sf_dir, "documents"), threshold=0.5
     )
@@ -178,17 +273,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_simhash",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_simhash_sf0.01.parquet')
-""",
-    oracle_sf="sf0.01",
+    # LIVE oracle (round 9): fingerprints recomputed from the
+    # portable base hash (per-bit majority votes spelled as 60
+    # aggregate CASEs), then BRUTE-FORCE hamming <= 8 over all pairs
+    # — sound as the expected output because the operator's default
+    # n_blocks = max_hamming + 1 pigeonhole blocking is
+    # recall-COMPLETE (the returned set IS exactly the pairs within
+    # max_hamming; completeness pinned in tests/test_advice_fixes).
+    oracle=_simhash_oracle(),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup candidates via 16-bit block pigeonhole
-    join + exact Hamming verify. Deterministic (xxhash64 token
-    hashes); value-checked against a frozen golden snapshot at sf0.01
-    (tools/freeze_driver_golden.py) + planted-dup properties.
+    """SimHash(64-bit) near-dup candidates via block pigeonhole join
+    + exact Hamming verify, recomputed LIVE by the DuckDB oracle
+    (portable base hash + brute-force hamming, sound because the
+    default blocking is recall-complete) + planted-dup properties.
 
     SCALE CONTRAST, not the shipped path: 16-bit block keys collide
     quadratically at deep tiles (measured alpha 1.56 at 30x —
