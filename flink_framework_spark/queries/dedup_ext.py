@@ -334,14 +334,75 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_topk(table(spark, sf_dir, "documents"), k=3)
 
 
+
+
+def _simhash128_oracle() -> str:
+    """128-bit SimHash fingerprints recomputed in DuckDB: word 0
+    votes on the portable base hash, word 1 on its splitmix64 remix
+    (Steele et al. OOPSLA'14 finalizer) — the 64-bit modular
+    multiplies spelled as split 32-bit products in HUGEINT, shifts
+    logical on UBIGINT; verified step-for-step against the numpy
+    reference. Brute-force hamming <= 8 over both words is the exact
+    expected output (combine-2 blocking keeps recall complete for
+    d <= max_hamming)."""
+    M = 1 << 64
+
+    def mm(u: str, c: int) -> str:
+        # (u * c) mod 2^64 without overflowing HUGEINT: split u into
+        # 32-bit halves, recombine the partial products mod 2^64
+        return (
+            f"CAST((((CAST({u} AS HUGEINT) & 4294967295) * {c} "
+            f"+ ((((CAST({u} AS HUGEINT) >> 32) * {c}) % 4294967296)"
+            f" * 4294967296)) % {M}) AS UBIGINT)"
+        )
+
+    def word(col: str, name: str) -> str:
+        terms = "\n           + ".join(
+            f"CASE WHEN SUM(CASE WHEN ({col} >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 "
+            f"THEN CAST({1 << b} AS HUGEINT) "
+            f"ELSE CAST(0 AS HUGEINT) END"
+            for b in range(64)
+        )
+        return f"CAST(({terms}) AS UBIGINT) AS {name}"
+
+    return f"""
+WITH {_SHINGLE_CTES},
+e AS (SELECT doc_id, unnest(bs) AS h FROM h),
+eu AS (
+  SELECT doc_id,
+         CAST((CAST(h AS HUGEINT)
+               + CASE WHEN h < 0 THEN {M} ELSE 0 END) AS UBIGINT) AS hu
+  FROM e),
+s1 AS (SELECT doc_id, hu,
+         CAST((CAST(hu AS HUGEINT) + 11400714819323198485) % {M}
+              AS UBIGINT) AS u1 FROM eu),
+s2 AS (SELECT doc_id, hu, xor(u1, u1 >> 30) AS u2 FROM s1),
+s3 AS (SELECT doc_id, hu, {mm("u2", 13787848793156543929)} AS u3 FROM s2),
+s4 AS (SELECT doc_id, hu, xor(u3, u3 >> 27) AS u4 FROM s3),
+s5 AS (SELECT doc_id, hu, {mm("u4", 10723151780598845931)} AS u5 FROM s4),
+sz AS (SELECT doc_id, hu, xor(u5, u5 >> 31) AS z FROM s5),
+fp AS (
+  SELECT doc_id,
+         {word("hu", "w0")},
+         {word("z", "w1")}
+  FROM sz GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.w0, b.w0))
+            + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 8
+"""
+
+
 @register(
     "q_dedup_simhash128",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_simhash128_sf0.01.parquet')
-""",
-    oracle_sf="sf0.01",
+    # LIVE oracle (round 9): see _simhash128_oracle — the whole
+    # 128-bit fingerprint pipeline (portable base hash + splitmix64
+    # second word) recomputes in DuckDB, brute-force hamming as the
+    # recall-complete expected output.
+    oracle=_simhash128_oracle(),
 )
 def q_dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash near-dup pairs (Manku WWW'07 combination-block
