@@ -406,10 +406,23 @@ def q_datetime_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_suite",
-    family="K",
-    oracle="""
+def _dedup_suite_oracle() -> str:
+    """The K2 melt's oracle with the round-9 LIVE parts inlined: the
+    embed / minhash / simhash128 members recompute in DuckDB (the
+    same generated SQL their granular queries carry), leaving only
+    the k-means-dependent semantic parts on goldens."""
+    from flink_framework_spark.queries.dedup_ext import (
+        _minhash_oracle,
+        _simhash128_oracle,
+    )
+
+    return _DEDUP_SUITE_ORACLE_TMPL.format(
+        MINHASH_LIVE=_minhash_oracle(),
+        SIMHASH128_LIVE=_simhash128_oracle(),
+    )
+
+
+_DEDUP_SUITE_ORACLE_TMPL = """
 WITH toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
 sh AS (
@@ -425,11 +438,15 @@ SELECT 'ngram' AS method, doc_a AS id_a, doc_b AS id_b, jac AS score FROM (
   FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id) t
 WHERE jac >= 0.5
 UNION ALL
-SELECT 'embed', vec_a, vec_b, cosim FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet')
+SELECT 'embed', a.vec_id, b.vec_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 UNION ALL
-SELECT 'minhash', doc_a, doc_b, jaccard FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_minhash_sf0.01.parquet')
+SELECT 'minhash', doc_a, doc_b, jaccard FROM (
+  {MINHASH_LIVE}) mh
 UNION ALL
 SELECT 'spans', doc_id, span_start, CAST(span_end AS DOUBLE) FROM (
   WITH stoks AS (
@@ -460,8 +477,8 @@ SELECT 'semantic', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
   '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
 WHERE kept = 0
 UNION ALL
-SELECT 'simhash128', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_simhash128_sf0.01.parquet')
+SELECT 'simhash128', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM (
+  {SIMHASH128_LIVE}) s128
 UNION ALL
 SELECT 'jaccard_topk', doc_id, match_id, ROUND(jac, 4) FROM (
   SELECT doc_id, match_id, jac,
@@ -514,7 +531,13 @@ UNION ALL
 SELECT 'semantic_imi', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
   '/root/repo/tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet')
 WHERE kept = 0
-""",
+"""
+
+
+@register(
+    "q_dedup_suite",
+    family="K",
+    oracle=_dedup_suite_oracle(),
     oracle_sf="sf0.01",
     bench=False,  # the granular K2 queries carry the bench signal
 )
