@@ -418,21 +418,51 @@ def q_dedup_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _dedup_clusters_oracle() -> str:
+    """Cluster manifest LIVE: the generated MinHash pair pipeline
+    nested as the edge list, connected components via a recursive-CTE
+    transitive closure (min-id labels — the spelling proven by the
+    independent recheck), sizes and keep flags per document with
+    singleton attachment."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+  WHERE e.b <> r.a),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+  FROM reach GROUP BY a),
+want AS (
+  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, cluster,
+       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+       (doc_id = cluster) AS keep
+FROM want
+"""
+
+
 @register(
     "q_dedup_clusters",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_clusters_sf0.01.parquet')
-""",
-    oracle_sf="sf0.01",
+    # LIVE oracle (round 9): the portable MinHash pair pipeline as
+    # the edge list + recursive-CTE components — no golden.
+    oracle=_dedup_clusters_oracle(),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster manifest: MinHash-LSH pairs -> connected
-    components -> canonical survivor per cluster (keep = min doc id).
-    Deterministic end-to-end (seeded hashes, min-label components), so
-    the oracle is a frozen golden snapshot at the driver's sf0.01;
-    transitive-chain behavior is property-tested in tests/test_dedup.py."""
+    components -> canonical survivor per cluster (keep = min doc id),
+    recomputed LIVE by the DuckDB oracle (portable-hash pair pipeline
+    + recursive-CTE transitive closure); transitive-chain behavior is
+    property-tested in tests/test_dedup.py."""
     return dedup_clusters(table(spark, sf_dir, "documents"), threshold=0.5)
 
 
