@@ -230,14 +230,13 @@ def fire_allowed_lateness(
     key_col: str = "event_type",
     ts_col: str = "ts",
     val_col: str = "value",
-    arrival_col: str = "arrival",
     order_cols: tuple[str, ...] = ("arrival", "event_id"),
 ) -> DataFrame:
     """Flink ``allowedLateness(lateness)`` on a tumbling event-time
     window (batch emulation of the refinement FIRING SEQUENCE).
 
-    The arrival process is made explicit (``arrival_col``; the
-    streaming twin's micro-batch order): the watermark at a row is
+    The arrival process is made explicit (``order_cols``, a total
+    arrival order; the streaming twin's micro-batch order): the watermark at a row is
     the running max event time of rows that arrived STRICTLY before
     it, minus ``delay`` (``BoundedOutOfOrdernessWatermarks``, the
     same row-granular bound as :mod:`streaming.late`). A window

@@ -451,6 +451,25 @@ def temporal_join_changelog_interval(
         raise ValueError(
             f"fact/dim column collision {clash} — rename one side"
         )
+    # the general form's loud preflight, mirrored: key types must
+    # agree and both event-time columns must be plain instants
+    f_types = {f.name: f.dataType.simpleString() for f in facts.schema}
+    d_types = {f.name: f.dataType.simpleString()
+               for f in dim_updates.schema}
+    for k in keys:
+        if f_types.get(k) != d_types.get(k):
+            raise ValueError(
+                f"join key {k!r}: fact type {f_types.get(k)} != dim "
+                f"type {d_types.get(k)}"
+            )
+    for side, types, ts in (("fact", f_types, fact_ts),
+                            ("dim", d_types, dim_ts)):
+        if types.get(ts) != "timestamp":
+            raise ValueError(
+                f"{side} time column {ts!r} must be TIMESTAMP "
+                f"(got {types.get(ts)}) — streaming event time is "
+                "always a plain instant"
+            )
 
     def wm_side(df: DataFrame, ts: str) -> DataFrame:
         if _WM_KEY in (df.schema[ts].metadata or {}):
