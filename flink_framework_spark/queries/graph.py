@@ -69,8 +69,9 @@ FROM r{n_iter}
 @register(
     "q_pagerank",
     family="K",
+    # live unrolled-SQL oracle — valid at ANY SF (the sf0.01 pin was
+    # a relic of its frozen-golden era, dropped round 9)
     oracle=_pagerank_oracle_sql(),
-    oracle_sf="sf0.01",
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bidirectional customer<->supplier graph
