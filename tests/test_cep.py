@@ -693,3 +693,83 @@ def test_skip_on_combinations_duplicate_timestamp_boundaries(spark):
     assert _comb_ids(skip_combinations(m, "skip_to_last")) == [
         (1, (0,)), (1, (0, 1)), (1, (1,))
     ]
+
+
+def test_skip_on_combinations_fuzz_vs_reference(spark):
+    """Seeded random bursts: each strategy over the drained
+    combinations frame equals a Python reference implementing the
+    pinned contract directly on the enumerated match set (canonical
+    (ts_first, id_first, ts_last, id_last, ..., ids) order,
+    event-identity boundaries, TO LAST boundary-inclusive)."""
+    import random
+
+    from flink_framework_spark.operators.cep import (
+        match_combinations,
+        skip_combinations,
+    )
+
+    def reference(matches, strategy):
+        # matches: list of (ts_first, id_first, ts_last, id_last,
+        # n_reps, ids); canonical sort then greedy scan
+        order = sorted(
+            matches,
+            key=lambda m: (m[0], m[1], m[2], m[3], m[4], m[5]),
+        )
+        if strategy == "skip_to_next":
+            out, seen = [], set()
+            for m in order:
+                if (m[0], m[1]) not in seen:
+                    seen.add((m[0], m[1]))
+                    out.append(m)
+            return {m[5] for m in out}
+        inclusive = strategy == "skip_to_last"
+        out, last_end = [], None
+        for m in order:
+            start, end = (m[0], m[1]), (m[2], m[3])
+            if (
+                last_end is None
+                or start > last_end
+                or (inclusive and start == last_end)
+            ):
+                out.append(m)
+                last_end = end
+        return {m[5] for m in out}
+
+    for seed in range(8):
+        rng = random.Random(9_000 + seed)
+        rows, eid = [], 0
+        for u in (1, 2):
+            t = 0
+            for _ in range(rng.randrange(3, 7)):
+                t += rng.choice([0, 1, 2])  # duplicate ts allowed
+                rows.append((u, eid, t, "click"))
+                eid += 1
+            rows.append((u, eid, t + rng.randrange(1, 4), "purchase"))
+            eid += 1
+        ev = _events(spark, rows)
+        n_min = rng.choice([1, 2])
+        n_max = n_min + rng.choice([1, 2])
+        m = match_combinations(
+            ev, "click", "purchase", "30 MINUTES",
+            n_min=n_min, n_max=n_max,
+        )
+        rows_full = m.collect()
+        for strategy in (
+            "skip_past_last", "skip_to_next", "skip_to_last"
+        ):
+            got = {
+                (r["user_id"], tuple(r["ids"]))
+                for r in skip_combinations(m, strategy).collect()
+            }
+            want = set()
+            for u in (1, 2):
+                ms = [
+                    (
+                        r["ts_first"], r["id_first"], r["ts_last"],
+                        r["id_last"], r["n_reps"], tuple(r["ids"]),
+                    )
+                    for r in rows_full
+                    if r["user_id"] == u
+                ]
+                want |= {(u, ids) for ids in reference(ms, strategy)}
+            assert got == want, (seed, strategy, got ^ want)
