@@ -89,15 +89,39 @@ def main() -> None:
 
     # Single-shot timings on a shared VM jitter ~±30% (GC, codegen
     # compile order, noisy neighbors); an unlucky spike on one query
-    # reads as a false 2x regression. Re-run just the slow-looking
-    # tail once and keep the min — the first pass already paid every
-    # query's codegen, so the retry measures steady-state cost.
-    for name in [n for n, t in timings.items() if t > 1.5]:
+    # reads as a false 2x regression. Round 9's retry covered only
+    # entries >1.5 s, and two SUB-second entries (q_agg_rollup,
+    # q_agg_stats) still burned adjudication time as false 2x alarms —
+    # a 0.5 s query that catches a GC pause reads 1.3 s and trips the
+    # contract. So: best-of-2 for EVERY entry (the first pass already
+    # paid codegen, the retry measures steady state), plus a third run
+    # for entries still under 1.5 s, where a single spike is largest
+    # relative to the true cost (floor-of-3 per the round-9 verdict).
+    def retime(name: str) -> None:
         t0 = time.perf_counter()
         materialize(queries[name].fn(spark, sf_dir))
         timings[name] = min(
             timings[name], round(time.perf_counter() - t0, 3)
         )
+        spark.catalog.clearCache()
+
+    for name in timings:
+        retime(name)
+    for name in [n for n, t in timings.items() if t < 1.5]:
+        retime(name)
+
+    # per-part wall-time breakdown for the melted headline entry:
+    # q_cep_suite swung 2x between same-day runs in round 9 and the
+    # total alone could not be attributed — publish the component
+    # profile so any future swing names its part (measurement trust,
+    # not a second benchmark: the parts each pay their own action).
+    breakdown: dict[str, dict] = {}
+    if "q_cep_suite" in timings:
+        from flink_framework_spark.queries.driver_suite import (
+            cep_suite_breakdown,
+        )
+
+        breakdown["q_cep_suite"] = cep_suite_breakdown(spark, sf_dir)
         spark.catalog.clearCache()
 
     streaming = stream_throughput(spark) if run_streaming else {}
@@ -112,6 +136,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "streaming": streaming,
+            "breakdown": breakdown,
         }
     )
     # atomic committed record first: the artifact of record exists
