@@ -285,6 +285,68 @@ _HLL_M = 1 << _HLL_P
 _HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 53)
 
 
+#: (threshold, rho) pairs shared VERBATIM by the Spark when-chain and
+#: the DuckDB CASE text: rho = r iff the 52-bit window w >= 2^(52-r),
+#: else 53 (all-zero window). One generator, two dialects — the
+#: cascade cannot drift between engines.
+_RHO52_STEPS = [(1 << (52 - r), r) for r in range(1, 53)]
+
+
+def _rho52_col(w: Column) -> Column:
+    """rho (leading-zero count of a 52-bit window + 1) as a Spark
+    when-cascade over the shared integer thresholds — exact integer
+    comparisons, no float log."""
+    c = None
+    for threshold, r in _RHO52_STEPS:
+        c = (
+            F.when(w >= F.lit(threshold), F.lit(r))
+            if c is None
+            else c.when(w >= F.lit(threshold), F.lit(r))
+        )
+    return c.otherwise(F.lit(53))
+
+
+def rho52_case_sql(w: str) -> str:
+    """The same cascade as :func:`_rho52_col`, rendered as DuckDB CASE
+    text for the oracle side."""
+    whens = " ".join(
+        f"WHEN {w} >= {threshold} THEN {r}" for threshold, r in _RHO52_STEPS
+    )
+    return f"CASE {whens} ELSE 53 END"
+
+
+def _hll_fast_registers(
+    df: DataFrame, key_col: str, bucket_expr: Column, bucket_name: str
+) -> DataFrame:
+    """(bucket, slot, M) register maxima for INTEGER keys — one
+    ``xxhash64`` builtin plus bit ops, all inside whole-stage codegen,
+    no md5/string work. Portable: XXH64 of an 8-byte value has a
+    closed form (single lane + avalanche, Collet's reference spec)
+    that the DuckDB oracle replays exactly in HUGEINT modular
+    arithmetic (queries.aggregates._XXH64_LONG_CTES; validated against
+    an independent Python reference in tests/test_hll.py), so the
+    registers — and hence the estimate — stay bit-reproducible across
+    engines while the Spark side pays integer-hash cost (the round-9
+    md5 spelling cost 3.6x the native path on string/hex ops; this
+    path restores the fast default WITHOUT giving up the live oracle).
+
+    slot = low 12 bits of the hash; rho = leading-zero count of the
+    TOP 52 bits + 1 (same register geometry as the md5 spelling, so
+    the estimator is shared)."""
+    h = F.xxhash64(F.col(key_col).cast("long"))
+    slot = h.bitwiseAND(F.lit(4095)).cast("int")
+    w = F.shiftrightunsigned(h, 12)
+    return (
+        df.select(
+            bucket_expr.cast("string").alias(bucket_name),
+            slot.alias("__slot"),
+            _rho52_col(w).alias("__rho"),
+        )
+        .groupBy(bucket_name, "__slot")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+
 def _hll_portable_registers(
     df: DataFrame, key_col: str, bucket_expr: Column, bucket_name: str
 ) -> DataFrame:
@@ -365,12 +427,25 @@ def hll_rollup_portable(
     lgK tuning); this is the verification-grade twin — same
     100 TB shape (one grouped pass builds registers; the grand total
     re-aggregates 4096-row register summaries, never the fact
-    table)."""
+    table).
+
+    Register spelling dispatches on the key's type: integer keys take
+    the xxhash64 fast path (:func:`_hll_fast_registers` — JVM builtin
+    hash, no per-row string work; the oracle replays XXH64-of-a-long
+    in HUGEINT arithmetic), everything else the md5 hex spelling
+    (:func:`_hll_portable_registers` — md5 is the only portable hash
+    with a cross-engine builtin for arbitrary strings). Both produce
+    the same register geometry (12-bit slot, 52-bit rho window), so
+    the estimator below is shared."""
     from flink_framework_spark.operators.dedup import _staged
 
-    regs = _staged(
-        _hll_portable_registers(df, key_col, bucket_expr, bucket_name)
+    key_type = dict(df.dtypes).get(key_col)
+    build = (
+        _hll_fast_registers
+        if key_type in ("bigint", "int", "smallint", "tinyint")
+        else _hll_portable_registers
     )
+    regs = _staged(build(df, key_col, bucket_expr, bucket_name))
     buckets = _hll_portable_estimate(regs, bucket_name)
     union_regs = (
         regs.groupBy("__slot")

@@ -210,39 +210,90 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle_sql() -> str:
+    """DuckDB oracle for q_hll_rollup's xxhash64 fast register path
+    (round-10: the round-9 md5 spelling made the oracle live but cost
+    3.6x the native path per row; this keeps the oracle live at native
+    cost). XXH64 of an 8-byte value is a closed form — one lane round
+    plus the avalanche (Collet's reference spec) — replayed here in
+    HUGEINT arithmetic with every multiply split into 32-bit partial
+    products mod 2^64 (the same machinery as the simhash128 oracle,
+    queries.dedup_ext). Validated step-for-step against an independent
+    Python XXH64 reference AND Spark's builtin in tests/test_hll.py.
+    The rho cascade text comes from the SAME threshold list the Spark
+    side compiles (operators.profile._RHO52_STEPS), so the two
+    dialects cannot drift. The estimator tail is unchanged: exact
+    2^53-scaled decimal harmonic sum; the only float steps are one
+    division and the linear-counting ln, rounded to 2 decimals."""
+    from flink_framework_spark.operators.profile import rho52_case_sql
+
+    M = 1 << 64
+    P1 = 11400714785074694791
+    P2 = 14029467366897019727
+    P3 = 1609587929392839161
+    P4 = 9650029242287828579
+    P5 = 2870177450012600261
+    C0 = (42 + P5 + 8) % M  # seed=42 (Spark's fixed seed) + P5 + len
+
+    def mm(u: str, c: int) -> str:
+        # (u * c) mod 2^64 without overflowing HUGEINT: split u into
+        # 32-bit halves, recombine the partial products mod 2^64
+        return (
+            f"CAST((((CAST({u} AS HUGEINT) & 4294967295) * {c} "
+            f"+ ((((CAST({u} AS HUGEINT) >> 32) * {c}) % 4294967296)"
+            f" * 4294967296)) % {M}) AS UBIGINT)"
+        )
+
+    def madd(u: str, c: int) -> str:
+        return f"CAST((CAST({u} AS HUGEINT) + {c}) % {M} AS UBIGINT)"
+
+    def rotl(u: str, r: int) -> str:
+        # disjoint bit ranges, so + is |
+        return (
+            f"CAST(((CAST({u} AS HUGEINT) * {1 << r}) % {M} "
+            f"+ (CAST({u} AS HUGEINT) >> {64 - r})) AS UBIGINT)"
+        )
+
+    return f"""
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+         CAST(CAST(user_id AS HUGEINT)
+              + CASE WHEN user_id < 0 THEN {M} ELSE 0 END AS UBIGINT) AS u
+  FROM events),
+x1 AS (SELECT bucket, {mm("u", P2)} AS k1 FROM h),
+x2 AS (SELECT bucket, {rotl("k1", 31)} AS k1r FROM x1),
+x3 AS (SELECT bucket, {mm("k1r", P1)} AS k1f FROM x2),
+x4 AS (SELECT bucket, xor(CAST({C0} AS UBIGINT), k1f) AS h1 FROM x3),
+x5 AS (SELECT bucket, {rotl("h1", 27)} AS h1r FROM x4),
+x6 AS (SELECT bucket, {madd(mm("h1r", P1), P4)} AS h2 FROM x5),
+a1 AS (SELECT bucket, xor(h2, h2 >> 33) AS v1 FROM x6),
+a2 AS (SELECT bucket, {mm("v1", P2)} AS v2 FROM a1),
+a3 AS (SELECT bucket, xor(v2, v2 >> 29) AS v3 FROM a2),
+a4 AS (SELECT bucket, {mm("v3", P3)} AS v4 FROM a3),
+hv AS (SELECT bucket, xor(v4, v4 >> 32) AS hash64 FROM a4),
+r AS (
+  SELECT bucket,
+         CAST(hash64 % 4096 AS INTEGER) AS slot,
+         hash64 >> 12 AS w
+  FROM hv),
+rho AS (
+  SELECT bucket, slot, {rho52_case_sql("w")} AS rho
+  FROM r),
+regs AS (
+  SELECT bucket, slot, MAX(rho) AS m FROM rho GROUP BY 1, 2),"""
+
+
 @register(
     "q_hll_rollup",
     family="D",
-    # LIVE oracle (round-9 golden conversion): the portable HLL's
-    # registers are md5 slot/rho integers and the harmonic sum is
-    # EXACT (2^53-scaled decimal), so DuckDB recomputes the identical
-    # estimate — the only float steps are one division and the
-    # linear-counting ln, rounded to 2 decimals like every float
-    # aggregate in this suite. DataSketches hll_rollup remains the
+    # LIVE oracle at NATIVE cost (round-10): integer keys hash with
+    # Spark's builtin xxhash64 — no per-row md5/string work — and the
+    # oracle replays XXH64-of-a-long in HUGEINT arithmetic (see
+    # _hll_oracle_sql). DataSketches hll_rollup remains the
     # production-native operator (golden-free property tests in
     # tests/test_hll.py pin its determinism and 5%-of-exact bound).
-    oracle="""
-WITH h AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
-         md5(CAST(user_id AS VARCHAR)) AS hx
-  FROM events),
-r AS (
-  SELECT bucket,
-         CAST('0x' || substr(hx, 30, 3) AS INTEGER) AS slot,
-         regexp_replace(substr(hx, 1, 13), '^0+', '') AS w
-  FROM h),
-rho AS (
-  SELECT bucket, slot,
-         CASE WHEN length(w) = 0 THEN 53
-              ELSE (13 - length(w)) * 4
-                   + CASE WHEN substr(w, 1, 1) = '1' THEN 3
-                          WHEN substr(w, 1, 1) IN ('2', '3') THEN 2
-                          WHEN substr(w, 1, 1) IN ('4', '5', '6', '7')
-                            THEN 1
-                          ELSE 0 END + 1 END AS rho
-  FROM r),
-regs AS (
-  SELECT bucket, slot, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    oracle=_hll_oracle_sql()
+    + """
 u AS (
   SELECT * FROM regs
   UNION ALL
