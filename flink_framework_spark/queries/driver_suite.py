@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
+from flink_framework_spark.queries._oracle_trained import (
+    kmeans_select_sql,
+    semantic_dedup_imi_select_sql,
+    semantic_dedup_select_sql,
+)
 from flink_framework_spark.queries.graph import _pagerank_oracle_sql
 from flink_framework_spark.registry import register
 
@@ -407,10 +412,13 @@ def q_datetime_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_suite_oracle() -> str:
-    """The K2 melt's oracle with the round-9 LIVE parts inlined: the
-    embed / minhash / simhash128 members recompute in DuckDB (the
-    same generated SQL their granular queries carry), leaving only
-    the k-means-dependent semantic parts on goldens."""
+    """The K2 melt's oracle, FULLY live since round 10: the embed /
+    minhash / simhash128 members recompute in DuckDB (round 9, the
+    same generated SQL their granular queries carry), and the two
+    k-means-dependent semantic parts now recompute from the frozen
+    quantizer literals (queries/_oracle_trained.py) instead of
+    reading golden snapshots — no frozen result reads remain in any
+    driver-slot oracle."""
     from flink_framework_spark.queries.dedup_ext import (
         _minhash_oracle,
         _simhash128_oracle,
@@ -419,6 +427,8 @@ def _dedup_suite_oracle() -> str:
     return _DEDUP_SUITE_ORACLE_TMPL.format(
         MINHASH_LIVE=_minhash_oracle(),
         SIMHASH128_LIVE=_simhash128_oracle(),
+        SEMANTIC_LIVE=semantic_dedup_select_sql(eps=0.35),
+        SEMANTIC_IMI_LIVE=semantic_dedup_imi_select_sql(eps=0.35),
     )
 
 
@@ -473,9 +483,9 @@ SELECT 'spans', doc_id, span_start, CAST(span_end AS DOUBLE) FROM (
   SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
   FROM srun GROUP BY doc_id, island) sp
 UNION ALL
-SELECT 'semantic', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
-WHERE kept = 0
+SELECT 'semantic', dup_of, vec_id, CAST(cell AS DOUBLE) FROM (
+{SEMANTIC_LIVE}
+) WHERE kept = 0
 UNION ALL
 SELECT 'simhash128', doc_a, doc_b, CAST(hamming AS DOUBLE) FROM (
   {SIMHASH128_LIVE}) s128
@@ -528,9 +538,9 @@ SELECT 'boilerplate', doc_id, dup_tokens, dup_frac FROM (
   FROM bnt JOIN bagg USING (doc_id)) bp
 WHERE dup_tokens > 0
 UNION ALL
-SELECT 'semantic_imi', dup_of, vec_id, CAST(cell AS DOUBLE) FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet')
-WHERE kept = 0
+SELECT 'semantic_imi', dup_of, vec_id, CAST(cell AS DOUBLE) FROM (
+{SEMANTIC_IMI_LIVE}
+) WHERE kept = 0
 """
 
 
@@ -1159,8 +1169,11 @@ def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cluster_graph_suite",
     family="K",
     oracle="""
-SELECT 'kmeans' AS tag, vec_id AS id, cluster AS grp, d2 AS v
-FROM read_parquet('/root/repo/tests/golden_driver/q_kmeans_sf0.01.parquet')
+SELECT 'kmeans' AS tag, vec_id AS id, cluster AS grp, d2 AS v FROM (
+"""
+    + kmeans_select_sql()
+    + """
+)
 UNION ALL
 SELECT 'pagerank', id, CAST(0 AS BIGINT), rank FROM (
 """
@@ -1174,12 +1187,13 @@ SELECT 'pagerank', id, CAST(0 AS BIGINT), rank FROM (
 def q_cluster_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-algorithm flagships in one driver slot: distributed
     Lloyd's k-means over embeddings + fixed-point PageRank over the
-    trade graph, tagged into (tag, id, grp, v). The PageRank half is
-    INDEPENDENTLY recomputed by the oracle (unrolled fixed-point SQL,
-    see queries.graph._pagerank_oracle_sql); the k-means half is
-    frozen-golden (assignment optimality independently verified in
-    tests/test_oracle_independent.py). Both deterministic end-to-end
-    (decimal/int64 exact aggregation)."""
+    trade graph, tagged into (tag, id, grp, v). BOTH halves are now
+    INDEPENDENTLY recomputed by the oracle: PageRank as unrolled
+    fixed-point SQL (queries.graph._pagerank_oracle_sql), k-means as
+    live assignment against the frozen final-centroid literals
+    (queries/_oracle_trained.py — round-10 golden conversion; the
+    slot carries no frozen result reads anymore). Both deterministic
+    end-to-end (decimal/int64 exact aggregation)."""
     from flink_framework_spark.operators.iterative import kmeans_lloyd, pagerank
     from flink_framework_spark.queries.graph import q_pagerank
 

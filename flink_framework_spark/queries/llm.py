@@ -14,6 +14,12 @@ from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import exact_dedup_stats
 from flink_framework_spark.operators.similarity import brute_force_topk, bucketed_topk
+from flink_framework_spark.queries._oracle_trained import (
+    ivf_topk_select_sql,
+    kmeans_select_sql,
+    semantic_dedup_imi_select_sql,
+    semantic_dedup_select_sql,
+)
 from flink_framework_spark.registry import register
 
 
@@ -172,22 +178,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_topk_ivf",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_sim_topk_ivf_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): the trained coarse
+    # cells are frozen as literals and DuckDB recomputes corpus
+    # assignment, nprobe probing, and exact-cosine top-k live from
+    # the raw parquet (queries/_oracle_trained.py; the artifact is
+    # drift-pinned by tests/test_trained_artifacts.py).
+    oracle=ivf_topk_select_sql(k=5, nprobe=2),
     oracle_sf="sf0.01",
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF kNN: k-means-trained coarse cells, nprobe=2 probing.
-    K-means assignments are not SQL-reproducible, but training is
-    seeded on a deterministic sample, so the output is stable
-    (verified under varying core / partition counts) and value-checked
-    against a frozen golden snapshot at the driver's sf0.01
-    (tools/freeze_driver_golden.py); recall vs brute force is
-    property-tested in tests/test_text.py. The oracle-checked
-    q_sim_topk_bucketed demonstrates the same plan shape on
-    precomputed cells."""
+    Training is seeded on a deterministic sample, so the centroids are
+    stable (verified under varying core / partition counts) and frozen
+    as oracle constants; recall vs brute force is property-tested in
+    tests/test_text.py. The oracle-checked q_sim_topk_bucketed
+    demonstrates the same plan shape on precomputed cells."""
     from flink_framework_spark.operators.similarity import (
         ivf_topk,
         train_ivf_centroids,
@@ -267,21 +272,20 @@ def q_sim_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_semantic",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_semantic_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): IVF cells from the
+    # frozen centroid literals, then the epsilon-ball prune and the
+    # lowest-id witness rule recomputed relationally in DuckDB
+    # (queries/_oracle_trained.py).
+    oracle=semantic_dedup_select_sql(eps=0.35),
     oracle_sf="sf0.01",
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (K2 extension): k-means coarse cells +
     within-cell cosine epsilon-ball pruning with a deterministic
     lowest-id keep rule (operators.similarity.semantic_dedup). The
-    k-means cells are not SQL-reproducible, so the driver checks a
-    frozen golden; the pruning stage IS independently re-verified in
-    DuckDB from the raw embeddings given the output's cell column
-    (tests/test_oracle_independent.py), and planted-duplicate recall
-    is property-tested in tests/test_text.py. eps=0.35 is calibrated
+    trained cells are frozen as oracle constants, so DuckDB recomputes
+    assignment AND pruning live; planted-duplicate recall is
+    property-tested in tests/test_text.py. eps=0.35 is calibrated
     to the near-isotropic fixture (26 same-bucket pairs above it at
     sf0.01; nearest pair sits 4.7e-4 from the boundary, far beyond
     float64 noise, so the threshold cannot flake)."""
@@ -298,10 +302,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_semantic_imi",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_semantic_imi_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): IMI product cells
+    # recomputed from the frozen half-codebooks (two independent
+    # argmins, cell = c0*k1 + c1), then the identical prune
+    # (queries/_oracle_trained.py).
+    oracle=semantic_dedup_imi_select_sql(eps=0.35),
     oracle_sf="sf0.01",
 )
 def q_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,18 +418,22 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_kmeans",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_kmeans_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): the FINAL 5-round
+    # centroids are frozen as literals (queries/_trained_sf001.py,
+    # drift-pinned by tests/test_trained_artifacts.py) and DuckDB
+    # recomputes every output value — nearest-centroid assignment with
+    # the shared (d2, cell) tiebreak and the rounded squared distance
+    # — from the raw parquet (queries/_oracle_trained.py).
+    oracle=kmeans_select_sql(),
     oracle_sf="sf0.01",
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table (k=8,
     5 fixed rounds): narrow literal-centroid assignment + exact
     DECIMAL centroid sums, so the clustering is deterministic and
-    golden-snapshot checkable (operators.iterative.kmeans_lloyd;
-    determinism + quality property-tested in tests/test_kmeans.py)."""
+    its final centroids freezable as oracle constants
+    (operators.iterative.kmeans_lloyd; determinism + quality
+    property-tested in tests/test_kmeans.py)."""
     from flink_framework_spark.operators.iterative import kmeans_lloyd
 
     return kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=8, n_iter=5)
