@@ -270,13 +270,16 @@ class Pattern:
         """Flink ``Pattern.where(SimpleCondition)``: a row-level SQL
         boolean over the event's columns, AND-combined with the LAST
         step's type (repeated ``where`` calls AND together, like
-        Flink). Streams on the FIXED-CHAIN join lowering (conditions
-        compile into each step's scan as JVM residuals); quantified /
-        negated / forced-NFA shapes are batch-only with conditions —
-        the Arrow state machines key transitions on the type tag —
-        so run ``match()`` on the lake there, or spell predicates as
-        MATCH_RECOGNIZE DEFINEs, which both streaming MR engines
-        compile."""
+        Flink). Streams everywhere (round 10): fixed chains compile
+        conditions into each step's scan as JVM residuals on the join
+        lowering; quantified / negated / forced-NFA shapes compile
+        them into ONE stream pre-filter ahead of the Arrow state
+        machines (see :meth:`_stream_where_prefilter` — drain-equal
+        to batch because relaxed contiguity makes a condition-failing
+        event indistinguishable from an irrelevant one, exactly how
+        the batch operators apply conditions). The pre-filter needs
+        each event type to bind at most one condition across the
+        pattern; the ambiguous cases stay loud refusals."""
         if not self.steps:
             raise ValueError("where() needs a step")
         s = self.steps[-1]
@@ -659,6 +662,96 @@ class Pattern:
             events, key_col, ts_col, type_col, id_col
         )
 
+    def _stream_where_conflict(self) -> str | None:
+        """Reason the where() pre-filter CANNOT apply, or None.
+
+        The Arrow state machines key transitions on the type tag, so
+        conditions compile into one stream pre-filter (see
+        :meth:`_stream_where_prefilter`) — sound only when each event
+        type binds at most ONE condition across the whole pattern. A
+        type carried by two steps with different conditions (or one
+        conditioned and one not), or shared with a ``not_followed_by``
+        / ``until()`` type, would make the filter eat events some
+        other step still needs; those shapes stay loud refusals
+        (fixed chains keep streaming them via the join lowering's
+        per-step residuals)."""
+        cond_by_type: dict[str, str] = {}
+        plain: set[str] = set()
+        for s in self.steps:
+            if s.group:
+                for t in s.group:
+                    plain.add(t)
+                continue
+            t = s.event_type
+            if s.where:
+                if t in plain or cond_by_type.get(t, s.where) != s.where:
+                    return (
+                        f"where() cannot stream here: type {t!r} is "
+                        "bound by two steps with different conditions "
+                        "— the state-machine pre-filter could not "
+                        "tell which step an event fails; run match() "
+                        "on the lake or spell the predicates as "
+                        "MATCH_RECOGNIZE DEFINEs"
+                    )
+                cond_by_type[t] = s.where
+            else:
+                if t in cond_by_type:
+                    return (
+                        f"where() cannot stream here: type {t!r} is "
+                        "bound both conditioned and unconditioned — "
+                        "the state-machine pre-filter could not keep "
+                        "the unconditioned step's events; run match() "
+                        "on the lake"
+                    )
+                plain.add(t)
+        for t, _i, _j in self.negations:
+            if t in cond_by_type:
+                return (
+                    f"where() cannot stream here: negated type {t!r} "
+                    "also carries a condition — the pre-filter would "
+                    "hide events the absence check must see"
+                )
+        for s in self.steps:
+            if s.until is not None and s.until in cond_by_type:
+                return (
+                    f"where() cannot stream here: until() type "
+                    f"{s.until!r} also carries a condition"
+                )
+        return None
+
+    def _stream_where_prefilter(self, src: DataFrame) -> DataFrame:
+        """Compile every step's where() into ONE pre-filter for the
+        Arrow state-machine lowerings (round 10 — closes the last
+        non-env streaming refusal).
+
+        Why this is drain-equal to batch BY CONSTRUCTION: the batch
+        operators apply conditions by filtering each step's candidate
+        events BEFORE any window/run/join logic
+        (``operators.cep._type_pred`` — a failing event never enters
+        the lag window, never counts as a repetition, never resets a
+        gap, never qualifies as a follower), and the streaming
+        machines only support RELAXED contiguity, under which an
+        event that binds no step is simply ignored. So dropping
+        condition-failing events of a conditioned type from the
+        stream is exactly the batch semantics; every other type
+        passes through untouched. Soundness of the type->condition
+        mapping is checked by :meth:`_stream_where_conflict`."""
+        conflict = self._stream_where_conflict()
+        if conflict:
+            raise ValueError(conflict)
+        cond_by_type = {
+            s.event_type: s.where
+            for s in self.steps
+            if s.where and not s.group
+        }
+        if not cond_by_type:
+            return src
+        keep = None
+        for t, w in cond_by_type.items():
+            c = (F.col("event_type") != F.lit(t)) | F.expr(w)
+            keep = c if keep is None else keep & c
+        return src.filter(keep)
+
     def match_stream(
         self,
         events: DataFrame,
@@ -728,15 +821,14 @@ class Pattern:
                 for s in self.steps
             )
         ):
-            raise ValueError(
-                "where() conditions stream only on the FIXED-CHAIN "
-                "join lowering (the Arrow state machines key "
-                "transitions on the type tag) — quantifiers, "
-                "negation, and engine='nfa' with conditions are "
-                "batch-only; run match() on the lake, or spell the "
-                "predicates as MATCH_RECOGNIZE DEFINEs, which both "
-                "streaming MR engines compile"
-            )
+            # round 10: these shapes stream too — conditions compile
+            # into ONE pre-filter ahead of the Arrow machines (see
+            # _stream_where_prefilter); only type-ambiguous bindings
+            # remain refusals, checked here so the error fires at the
+            # entry point, not mid-plan
+            conflict = self._stream_where_conflict()
+            if conflict:
+                raise ValueError(conflict)
         if any(s.group and s.looping for s in self.steps):
             raise ValueError(
                 "one_or_more() on a GROUP is batch-only — the "
@@ -792,6 +884,14 @@ class Pattern:
         src = self._remap_stream_types(src)
 
         quant = [s for s in self.steps if s.times or s.looping]
+        if has_where and (engine == "nfa" or self.negations or quant):
+            # the Arrow machines take the pre-filtered stream; the
+            # extra columns existed only for the conditions, so
+            # project back to the canonical roles (the machines' state
+            # schemas are role-only)
+            src = self._stream_where_prefilter(src).select(
+                "user_id", "ts", "event_type", "event_id"
+            )
         if quant:
             if any(s.combinations for s in self.steps):
                 raise ValueError(
@@ -931,11 +1031,11 @@ class Pattern:
             (s.times or s.looping) and not s.group for s in self.steps
         )
         if has_where and (self.negations or quant_single):
-            return rejected(
-                "where() streams only on the fixed-chain join "
-                "lowering — quantifiers/negation with conditions are "
-                "batch-only"
-            )
+            # round 10: these stream via the pre-filter; only the
+            # type-ambiguous bindings remain refusals
+            conflict = self._stream_where_conflict()
+            if conflict:
+                return rejected(conflict)
         if any(s.group and s.looping for s in self.steps):
             return rejected(
                 "one_or_more() on a group is batch-only (the "
@@ -1011,7 +1111,9 @@ class Pattern:
             return {
                 "engine": "nfa",
                 "reason": f"quantified pattern — the {machine} Arrow "
-                "keyed state machine",
+                "keyed state machine"
+                + (" (where() pre-filter ahead of the machine)"
+                   if has_where else ""),
                 "output_mode": "update",
             }
         if self.negations:
@@ -1024,7 +1126,9 @@ class Pattern:
                 "engine": "nfa",
                 "reason": "negation — streaming interval ANTI joins "
                 "do not exist; the Arrow state machine carries "
-                "absent-type state",
+                "absent-type state"
+                + (" (where() pre-filter ahead of the machine)"
+                   if has_where else ""),
                 "output_mode": "update",
             }
         return {

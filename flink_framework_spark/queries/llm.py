@@ -15,9 +15,11 @@ from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import exact_dedup_stats
 from flink_framework_spark.operators.similarity import brute_force_topk, bucketed_topk
 from flink_framework_spark.queries._oracle_trained import (
+    imi_topk_select_sql,
     ivf_topk_select_sql,
     kmeans_select_sql,
     semantic_dedup_imi_select_sql,
+    semantic_dedup_inc_select_sql,
     semantic_dedup_select_sql,
 )
 from flink_framework_spark.registry import register
@@ -242,10 +244,11 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_topk_imi",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_sim_topk_imi_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): product cells and
+    # probe cross-sums recomputed from the frozen half-codebooks,
+    # exact cosine top-k on the joined candidates
+    # (queries/_oracle_trained.py).
+    oracle=imi_topk_select_sql(k=5, nprobe=4),
     oracle_sf="sf0.01",
 )
 def q_sim_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,10 +337,10 @@ def q_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_semantic_inc",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_dedup_semantic_inc_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): cells from the frozen
+    # corpus-prefix-trained centroids, the new-vs-corpus prune
+    # recomputed relationally (queries/_oracle_trained.py).
+    oracle=semantic_dedup_inc_select_sql(eps=0.35),
     oracle_sf="sf0.01",
 )
 def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,10 +348,9 @@ def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors play the accumulated corpus, the rest the incoming batch;
     new vectors drop iff a same-cell corpus vector sits within the
     cosine epsilon-ball (operators.similarity.semantic_dedup_incremental).
-    Frozen golden at sf0.01; the drop decisions are independently
-    re-derived in DuckDB from raw embeddings given the output's cells
-    (tests/test_oracle_independent.py), and planted cross-batch dups
-    are property-tested."""
+    The corpus-trained cells are frozen as oracle constants, so DuckDB
+    recomputes assignment AND the cross-batch prune live; planted
+    cross-batch dups are property-tested."""
     from flink_framework_spark.operators.similarity import (
         semantic_dedup_incremental,
         train_ivf_centroids,

@@ -1104,10 +1104,11 @@ def test_where_validation_and_stream_guard(spark):
     )
     out = p.match_stream(_sstream(spark))
     assert out.isStreaming and not _has_arrow_state(out)
-    # ...but NFA-requiring shapes with conditions are batch-only
-    with pytest.raises(ValueError, match="FIXED-CHAIN"):
-        p.match_stream(_sstream(spark), engine="nfa")
-    with pytest.raises(ValueError, match="FIXED-CHAIN"):
+    # ...and since round 10 the NFA-requiring shapes stream too: the
+    # conditions compile into a pre-filter ahead of the Arrow machines
+    # (drain-equality pinned in tests/test_pattern_where_stream.py)
+    assert _has_arrow_state(p.match_stream(_sstream(spark), engine="nfa"))
+    assert _has_arrow_state(
         (
             Pattern.begin("view")
             .where("user_id >= 0")
@@ -1115,7 +1116,8 @@ def test_where_validation_and_stream_guard(spark):
             .followed_by("purchase")
             .within("1 hour")
         ).match_stream(_sstream(spark))
-    with pytest.raises(ValueError, match="FIXED-CHAIN"):
+    )
+    assert _has_arrow_state(
         (
             Pattern.begin("view")
             .where("user_id >= 0")
@@ -1123,6 +1125,7 @@ def test_where_validation_and_stream_guard(spark):
             .not_followed_by("error")
             .within("1 hour")
         ).match_stream(_sstream(spark))
+    )
 
 
 def test_match_stream_where_join_equals_batch(spark, sf_dir):

@@ -1,0 +1,346 @@
+"""Round 10: Pattern.where() on quantified / negated / forced-NFA
+STREAMING shapes — previously the one non-env-blocked streaming
+refusal (VERDICT r9 ask #5).
+
+The Arrow state machines key transitions on the type tag, so
+conditions compile into ONE pre-filter ahead of the machine
+(operators/pattern.py _stream_where_prefilter). These tests pin the
+drain-equality contract (stream == batch match set) for each shape,
+plus the loud refusals for type-ambiguous condition bindings where a
+pre-filter would be unsound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_framework_spark.io import table
+from flink_framework_spark.operators.pattern import Pattern
+
+
+def _utc(df, col):
+    c = F.col(col)
+    if df.schema[col].dataType.simpleString() == "timestamp":
+        c = F.convert_timezone(None, F.lit("UTC"), c)
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def _canon(pdf):
+    return sorted(
+        map(repr, pdf[sorted(pdf.columns)].itertuples(index=False, name=None))
+    )
+
+
+def _drain(df, name, mode):
+    from flink_framework_spark.streaming.twins import run_to_memory
+
+    return run_to_memory(df, query_name=name, output_mode=mode).toPandas()
+
+
+def _quant_view(df):
+    return df.select(
+        "user_id",
+        _utc(df, "ts_first").alias("f"),
+        _utc(df, "ts_last").alias("l"),
+        "n_reps",
+    )
+
+
+def _plant_events(spark, tmp_path, rows):
+    """Write a planted events corpus (full events schema) so BOTH
+    twins read it — batch via io.table, stream via the file source.
+    rows: (user_id, event_id, 'HH:MM', event_type, value)."""
+    df = spark.createDataFrame(
+        [
+            (e, f"2024-01-01 {hm}:00", u, t, v, "{}")
+            for (u, e, hm, t, v) in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts AS timestamp_ntz) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    # the twins' file-source glob matches a FILE named events.parquet
+    # (the testdata layout) — flatten Spark's output directory
+    import glob
+    import shutil
+
+    stage = f"{tmp_path}/_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    shutil.rmtree(stage)
+    return str(tmp_path)
+
+
+# Planted quantified timelines. Streaming run CLOSURE needs a later
+# step event beyond the gap/horizon (the machines emit maximal runs
+# on closure, and a bounded file stream ends instead of closing the
+# tail run) — every user gets a far trailing high-value click whose
+# own run stays unmatched in both engines, so stream == batch exactly.
+# user 1: two qualifying clicks + qualifying purchase -> match n=2.
+# user 2: qualifying, FILTERED-OUT (low value), qualifying click —
+#         under the condition the low click is invisible and the run
+#         is n=2 spanning it (the semantics the pre-filter must get
+#         right); unconditioned it is a 3-run -> the condition bites.
+# user 3: two qualifying clicks but the only purchase fails the
+#         FOLLOWER condition -> no match conditioned, match
+#         unconditioned -> the follower condition bites.
+_QUANT_ROWS = [
+    (1, 100, "10:00", "click", 0.9),
+    (1, 101, "10:05", "click", 0.9),
+    (1, 102, "10:10", "purchase", 0.9),
+    (1, 103, "22:00", "click", 0.9),
+    (2, 200, "09:00", "click", 0.9),
+    (2, 201, "09:10", "click", 0.1),
+    (2, 202, "09:20", "click", 0.9),
+    (2, 203, "09:40", "purchase", 0.9),
+    (2, 204, "21:00", "click", 0.9),
+    (3, 300, "11:00", "click", 0.9),
+    (3, 301, "11:05", "click", 0.9),
+    (3, 302, "11:30", "purchase", 0.1),
+    (3, 303, "23:00", "click", 0.9),
+]
+
+
+def test_times_where_stream_equals_batch(spark, tmp_path):
+    """Conditioned times(2,3): head AND follower carry where() —
+    the streamed match set equals batch match() on a planted
+    timeline, and both conditions provably bite."""
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    d = _plant_events(spark, tmp_path, _QUANT_ROWS)
+    p = (
+        Pattern.begin("click")
+        .where("value > 0.5")
+        .times(2, 3)
+        .followed_by("purchase")
+        .where("value > 0.5")
+        .within("2 hours")
+    )
+    batch = _quant_view(p.match(table(spark, d, "events"))).toPandas()
+    # users 1 and 2 match with n_reps=2; user 2's run SPANS the
+    # filtered low-value click; user 3 dies on the follower condition
+    assert sorted(
+        (r["user_id"], r["n_reps"]) for _, r in batch.iterrows()
+    ) == [(1, 2), (2, 2)]
+    unc = (
+        Pattern.begin("click")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("2 hours")
+    )
+    unc_pairs = sorted(
+        (r["user_id"], r["n_reps"])
+        for _, r in _quant_view(unc.match(table(spark, d, "events")))
+        .toPandas()
+        .iterrows()
+    )
+    assert (3, 2) in unc_pairs and (2, 3) in unc_pairs  # both bite
+    out = p.match_stream(read_events_stream(spark, d))
+    got = _drain(_quant_view(out), "t_where_times", "update")
+    assert _canon(got) == _canon(batch)
+
+
+def test_greedy_where_stream_equals_batch(spark, tmp_path):
+    """Conditioned greedy one_or_more drains equal to batch on the
+    planted timeline (maximal runs measured over QUALIFYING clicks
+    only — the filtered click neither extends nor breaks a run)."""
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    d = _plant_events(spark, tmp_path, _QUANT_ROWS)
+    p = (
+        Pattern.begin("click")
+        .where("value > 0.5")
+        .one_or_more("30 minutes")
+        .followed_by("purchase")
+        .within("2 hours")
+    )
+    batch = _quant_view(p.match(table(spark, d, "events"))).toPandas()
+    # no follower condition here, so user 3's low-value purchase
+    # qualifies — three users match, each a 2-run of HIGH clicks
+    assert sorted(
+        (r["user_id"], r["n_reps"]) for _, r in batch.iterrows()
+    ) == [(1, 2), (2, 2), (3, 2)]
+    # unconditioned, user 2's run is a 3-run (the low click counts)
+    unc = (
+        Pattern.begin("click")
+        .one_or_more("30 minutes")
+        .followed_by("purchase")
+        .within("2 hours")
+    )
+    assert (2, 3) in [
+        (r["user_id"], r["n_reps"])
+        for _, r in _quant_view(unc.match(table(spark, d, "events")))
+        .toPandas()
+        .iterrows()
+    ]
+    out = p.match_stream(read_events_stream(spark, d))
+    got = _drain(_quant_view(out), "t_where_greedy", "update")
+    assert _canon(got) == _canon(batch)
+
+
+def test_negation_where_stream_equals_batch(spark, sf_dir):
+    """Conditioned positive steps around a not_followed_by span: the
+    negation state machine sees the pre-filtered stream; absent-type
+    events pass through untouched."""
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    p = (
+        Pattern.begin("view")
+        .where("value > 0.2")
+        .followed_by("purchase")
+        .not_followed_by("error")
+        .within("30 minutes")
+    )
+    ev = table(spark, sf_dir, "events")
+    bdf = p.match(ev)
+    batch = bdf.select(
+        "user_id",
+        _utc(bdf, "ts_0").alias("t0"),
+        "id_0",
+        _utc(bdf, "ts_1").alias("t1"),
+        "id_1",
+    ).toPandas()
+    out = p.match_stream(read_events_stream(spark, sf_dir))
+    got = _drain(
+        out.select(
+            "user_id",
+            _utc(out, "ts_0").alias("t0"),
+            "id_0",
+            _utc(out, "ts_1").alias("t1"),
+            "id_1",
+        ),
+        "t_where_neg",
+        "update",
+    )
+    assert len(batch) > 0
+    assert _canon(got) == _canon(batch)
+
+
+def test_forced_nfa_where_equals_join_lowering(spark, sf_dir):
+    """The SAME conditioned fixed chain drained through engine='nfa'
+    (pre-filter) and engine='auto' (join residuals) yields one match
+    set — the routing stays a pure performance choice."""
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    p = (
+        Pattern.begin("view")
+        .where("value > 0.4")
+        .followed_by("purchase")
+        .within("1 hour")
+    )
+
+    def view(df):
+        return df.select(
+            "user_id",
+            _utc(df, "ts_0").alias("t0"),
+            "id_0",
+            _utc(df, "ts_1").alias("t1"),
+            "id_1",
+        )
+
+    a = _drain(
+        view(p.match_stream(read_events_stream(spark, sf_dir))),
+        "t_where_join",
+        "append",
+    )
+    b = _drain(
+        view(
+            p.match_stream(
+                read_events_stream(spark, sf_dir), engine="nfa"
+            )
+        ),
+        "t_where_nfa",
+        "update",
+    )
+    assert len(a) > 0
+    assert _canon(a) == _canon(b)
+
+
+def _sstream(spark):
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 10)
+        .load()
+        .select(
+            (F.col("value") % 5).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            F.when(F.col("value") % 2 == 0, "view")
+            .otherwise("purchase")
+            .alias("event_type"),
+        )
+    )
+
+
+def test_where_prefilter_ambiguity_refusals(spark):
+    """Type-ambiguous condition bindings stay loud refusals on the
+    state-machine paths (a pre-filter would eat events another step
+    still needs)."""
+    # same type, two different conditions, forced NFA
+    p1 = (
+        Pattern.begin("view")
+        .where("event_id > 2")
+        .followed_by("view")
+        .where("event_id > 7")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="different conditions"):
+        p1.match_stream(_sstream(spark), engine="nfa")
+    # conditioned + unconditioned same type, forced NFA
+    p2 = (
+        Pattern.begin("view")
+        .where("event_id > 2")
+        .followed_by("view")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="unconditioned"):
+        p2.match_stream(_sstream(spark), engine="nfa")
+    # negated type carrying a condition
+    p3 = (
+        Pattern.begin("view")
+        .where("event_id > 2")
+        .followed_by("purchase")
+        .not_followed_by("view")
+        .within("1 hour")
+    )
+    with pytest.raises(ValueError, match="negated type"):
+        p3.match_stream(_sstream(spark))
+    # ...but the join lowering still streams the per-step-residual
+    # case the pre-filter refuses (fixed chain, auto routing)
+    assert p1.match_stream(_sstream(spark)).isStreaming
+
+
+def test_route_info_agrees_with_entry_point(spark):
+    """stream_route_info must claim the routes the entry point
+    actually takes for conditioned quantified/negated shapes."""
+    pt = (
+        Pattern.begin("view")
+        .where("event_id > 2")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("1 hour")
+    )
+    info = pt.stream_route_info()
+    assert info["engine"] == "nfa"
+    assert "pre-filter" in info["reason"]
+    out = pt.match_stream(_sstream(spark))
+    assert out.isStreaming
+    # ambiguity rejected in BOTH places with the same reason
+    bad = (
+        Pattern.begin("view")
+        .where("event_id > 2")
+        .times(2, 3)
+        .followed_by("view")
+        .within("1 hour")
+    )
+    inf2 = bad.stream_route_info()
+    assert inf2["engine"] == "rejected"
+    with pytest.raises(ValueError, match="unconditioned"):
+        bad.match_stream(_sstream(spark))

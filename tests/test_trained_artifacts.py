@@ -21,9 +21,12 @@ def test_retraining_reproduces_frozen_artifacts(spark):
         train_imi,
         train_ivf_centroids,
     )
+    from pyspark.sql import functions as F
+
     from flink_framework_spark.queries._trained_sf001 import (
         IMI_BOOKS,
         IVF_CENTROIDS,
+        IVF_CENTROIDS_CORPUS400,
         KMEANS_CENTROIDS,
     )
 
@@ -31,6 +34,10 @@ def test_retraining_reproduces_frozen_artifacts(spark):
     _, kmeans_cents = kmeans_lloyd(em, k=8, n_iter=5, return_centroids=True)
     assert kmeans_cents == KMEANS_CENTROIDS
     assert train_ivf_centroids(em, n_cells=8) == IVF_CENTROIDS
+    assert (
+        train_ivf_centroids(em.filter(F.col("vec_id") < 400), n_cells=8)
+        == IVF_CENTROIDS_CORPUS400
+    )
     books = [
         [[float(x) for x in row] for row in b]
         for b in train_imi(em, k_per_half=3)
@@ -50,12 +57,14 @@ def test_oracle_builders_embed_full_precision_literals():
     from flink_framework_spark.queries._trained_sf001 import (
         IMI_BOOKS,
         IVF_CENTROIDS,
+        IVF_CENTROIDS_CORPUS400,
         KMEANS_CENTROIDS,
     )
 
     vals = (
         [v for _, vec in KMEANS_CENTROIDS for v in vec]
         + [v for _, vec in IVF_CENTROIDS for v in vec]
+        + [v for _, vec in IVF_CENTROIDS_CORPUS400 for v in vec]
         + [v for b in IMI_BOOKS for row in b for v in row]
     )
     con = duckdb.connect()
