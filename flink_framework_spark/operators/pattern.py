@@ -762,6 +762,7 @@ class Pattern:
         ts_col: str = "ts",
         type_col: str = "event_type",
         id_col: str = "event_id",
+        group_max_reps: int | None = None,
     ) -> DataFrame:
         """Streaming twin of :meth:`match` — ONE entry point that
         lowers the pattern onto the fastest streaming machine its
@@ -830,11 +831,47 @@ class Pattern:
             if conflict:
                 raise ValueError(conflict)
         if any(s.group and s.looping for s in self.steps):
-            raise ValueError(
-                "one_or_more() on a GROUP is batch-only — the "
-                "data-adaptive unroll probes repetition depth with "
-                "emptiness checks, which have no streaming form; "
-                "bound the repetition with times(m, n) to stream"
+            # round 10: streams under a DECLARED repetition bound —
+            # the batch path probes the data's maximal depth with
+            # emptiness checks, which have no streaming form, so the
+            # caller states the depth instead and the pattern streams
+            # as the existing times(1, max_reps) join-lowered union.
+            # Drain-equal to the batch adaptive unroll whenever the
+            # declared bound covers the data (pinned); matches deeper
+            # than the bound are NOT emitted — the bound is the
+            # operator's state/latency contract, same as WITHIN.
+            if group_max_reps is None:
+                raise ValueError(
+                    "one_or_more() on a GROUP streams only under a "
+                    "declared repetition bound — the data-adaptive "
+                    "unroll probes depth with emptiness checks, which "
+                    "have no streaming form; pass "
+                    "match_stream(..., group_max_reps=r) (drain-equal "
+                    "to batch when r covers the data's maximal depth) "
+                    "or bound the pattern itself with times(m, n)"
+                )
+            if group_max_reps < 1:
+                raise ValueError("group_max_reps must be >= 1")
+            bounded = Pattern(
+                steps=[
+                    _Step(
+                        s.event_type,
+                        times=(1, int(group_max_reps)),
+                        group=s.group,
+                    )
+                    if (s.group and s.looping)
+                    else s
+                    for s in self.steps
+                ],
+                negations=list(self.negations),
+                horizon=self.horizon,
+                skip_strategy=self.skip_strategy,
+                select=self.select,
+                hierarchy=self.hierarchy,
+            )
+            return bounded.match_stream(
+                events, engine, watermark, disorder_s,
+                key_col, ts_col, type_col, id_col,
             )
         if any(s.group and s.times for s in self.steps):
             return self._match_stream_group_times(
@@ -1038,9 +1075,12 @@ class Pattern:
                 return rejected(conflict)
         if any(s.group and s.looping for s in self.steps):
             return rejected(
-                "one_or_more() on a group is batch-only (the "
-                "data-adaptive unroll needs emptiness probes); bound "
-                "with times(m, n) to stream"
+                "one_or_more() on a group needs a declared bound to "
+                "stream (the data-adaptive unroll's emptiness probes "
+                "have no streaming form): pass match_stream(..., "
+                "group_max_reps=r) to stream it as the times(1, r) "
+                "join-lowered union, or bound the pattern with "
+                "times(m, n)"
             )
         if any(s.group and s.times for s in self.steps):
             # mirror _match_stream_group_times's refusals so the

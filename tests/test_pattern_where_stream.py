@@ -344,3 +344,84 @@ def test_route_info_agrees_with_entry_point(spark):
     assert inf2["engine"] == "rejected"
     with pytest.raises(ValueError, match="unconditioned"):
         bad.match_stream(_sstream(spark))
+
+
+def test_group_one_or_more_streams_under_declared_bound(spark, tmp_path):
+    """Round-10 ask #6: one_or_more() on a GroupPattern streams under
+    a DECLARED repetition bound (group_max_reps) as the times(1, r)
+    join-lowered union — drain-equal to the batch data-adaptive
+    unroll when the bound covers the data's maximal depth."""
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    rows = [
+        # user 1: (v c)^3 p -> r up to 3
+        (1, 1, "10:00", "view", 0.5),
+        (1, 2, "10:01", "click", 0.5),
+        (1, 3, "10:02", "view", 0.5),
+        (1, 4, "10:03", "click", 0.5),
+        (1, 5, "10:04", "view", 0.5),
+        (1, 6, "10:05", "click", 0.5),
+        (1, 7, "10:06", "purchase", 0.5),
+        # user 2: one repetition only
+        (2, 8, "10:00", "view", 0.5),
+        (2, 9, "10:01", "click", 0.5),
+        (2, 10, "10:02", "purchase", 0.5),
+        # user 3: no purchase -> nothing
+        (3, 11, "10:00", "view", 0.5),
+        (3, 12, "10:01", "click", 0.5),
+        # watermark pusher: a lone far-future view (never completes a
+        # chain) so the availableNow drain finalizes every join state
+        (9, 99, "23:50", "view", 0.5),
+    ]
+    d = _plant_events(spark, tmp_path, rows)
+    g = Pattern.begin("view").followed_by("click")
+    p = (
+        Pattern.begin(g)
+        .one_or_more()
+        .followed_by("purchase")
+        .within("30 MINUTES")
+    )
+    ev = table(spark, d, "events")
+    batch = p.match(ev)
+    r_max = (
+        max(int(c.split("_")[1]) for c in batch.columns if c.startswith("ts_"))
+    ) // 2  # layout positions = 2*r_max + 1
+    assert r_max == 3
+
+    def view(df):
+        # repetition positions 0..2r-1 align across layouts; the
+        # suffix (purchase) sits at the LAST position of each layout
+        last = max(
+            int(c.split("_")[1]) for c in df.columns if c.startswith("ts_")
+        )
+        cols = [F.col("user_id"), F.col("n_reps")]
+        for i in range(2 * r_max):
+            cols.append(_utc(df, f"ts_{i}").alias(f"t{i}"))
+            cols.append(F.col(f"id_{i}"))
+        cols.append(_utc(df, f"ts_{last}").alias("t_suffix"))
+        cols.append(F.col(f"id_{last}").alias("id_suffix"))
+        return df.select(*cols)
+
+    out = p.match_stream(read_events_stream(spark, d), group_max_reps=r_max)
+    assert out.isStreaming
+    got = _drain(view(out), "t_group_oom", "append")
+    want = view(batch).toPandas()
+    assert len(want) > 0
+    assert _canon(got) == _canon(want)
+
+    # a LARGER declared bound keeps the same match set (extra
+    # repetition columns are NULL padding; compare on the common view)
+    wider = p.match_stream(
+        read_events_stream(spark, d), group_max_reps=r_max + 1
+    )
+    got_wider = _drain(view(wider), "t_group_oom_w", "append")
+    assert _canon(got_wider) == _canon(want)
+
+    # without the bound: loud refusal naming the knob
+    with pytest.raises(ValueError, match="group_max_reps"):
+        p.match_stream(read_events_stream(spark, d))
+    with pytest.raises(ValueError, match=">= 1"):
+        p.match_stream(read_events_stream(spark, d), group_max_reps=0)
+    info = p.stream_route_info()
+    assert info["engine"] == "rejected"
+    assert "group_max_reps" in info["reason"]
