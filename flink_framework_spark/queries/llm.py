@@ -17,6 +17,7 @@ from flink_framework_spark.operators.similarity import brute_force_topk, buckete
 from flink_framework_spark.queries._oracle_trained import (
     imi_topk_select_sql,
     ivf_topk_select_sql,
+    ivfpq_topk_select_sql,
     kmeans_select_sql,
     semantic_dedup_imi_select_sql,
     semantic_dedup_inc_select_sql,
@@ -208,10 +209,12 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_sim_topk_ivfpq",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_sim_topk_ivfpq_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): the ENTIRE IVF-PQ
+    # pipeline — cells, per-subspace codes, ADC lookup scoring,
+    # rerank shortlist, exact rescoring — recomputed in DuckDB from
+    # the frozen centroids + codebooks (queries/_oracle_trained.py;
+    # verified bit-exact at sf0.01, codes agreeing 500/500).
+    oracle=ivfpq_topk_select_sql(k=5, nprobe=4, rerank=64),
     oracle_sf="sf0.01",
 )
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

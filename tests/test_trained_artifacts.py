@@ -17,6 +17,7 @@ SF001 = "/root/testdata/sf0.01"
 def test_retraining_reproduces_frozen_artifacts(spark):
     from flink_framework_spark.io import table
     from flink_framework_spark.operators.iterative import kmeans_lloyd
+    from flink_framework_spark.operators.pq import pq_train
     from flink_framework_spark.operators.similarity import (
         train_imi,
         train_ivf_centroids,
@@ -28,6 +29,7 @@ def test_retraining_reproduces_frozen_artifacts(spark):
         IVF_CENTROIDS,
         IVF_CENTROIDS_CORPUS400,
         KMEANS_CENTROIDS,
+        PQ_BOOKS,
     )
 
     em = table(spark, SF001, "embeddings")
@@ -43,6 +45,11 @@ def test_retraining_reproduces_frozen_artifacts(spark):
         for b in train_imi(em, k_per_half=3)
     ]
     assert books == IMI_BOOKS
+    pq = [
+        [[float(x) for x in comp] for comp in book]
+        for book in pq_train(em, m=8, n_codes=64)
+    ]
+    assert pq == PQ_BOOKS
 
 
 def test_oracle_builders_embed_full_precision_literals():
@@ -59,6 +66,7 @@ def test_oracle_builders_embed_full_precision_literals():
         IVF_CENTROIDS,
         IVF_CENTROIDS_CORPUS400,
         KMEANS_CENTROIDS,
+        PQ_BOOKS,
     )
 
     vals = (
@@ -66,6 +74,7 @@ def test_oracle_builders_embed_full_precision_literals():
         + [v for _, vec in IVF_CENTROIDS for v in vec]
         + [v for _, vec in IVF_CENTROIDS_CORPUS400 for v in vec]
         + [v for b in IMI_BOOKS for row in b for v in row]
+        + [v for b in PQ_BOOKS for row in b for v in row]
     )
     con = duckdb.connect()
     got = []
