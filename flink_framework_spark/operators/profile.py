@@ -332,7 +332,13 @@ def _hll_fast_registers(
 
     slot = low 12 bits of the hash; rho = leading-zero count of the
     TOP 52 bits + 1 (same register geometry as the md5 spelling, so
-    the estimator is shared)."""
+    the estimator is shared).
+
+    The rho cascade runs PER REGISTER, not per row: bitlen is
+    monotone in w, so max(rho) = 53 - bitlen(min(w)) — the grouped
+    MIN(w) feeds one 52-branch CASE per (bucket, slot) group (<= 4096
+    rows/bucket) instead of one per input row, leaving the per-row
+    work at hash + mask + shift."""
     h = F.xxhash64(F.col(key_col).cast("long"))
     slot = h.bitwiseAND(F.lit(4095)).cast("int")
     w = F.shiftrightunsigned(h, 12)
@@ -340,10 +346,42 @@ def _hll_fast_registers(
         df.select(
             bucket_expr.cast("string").alias(bucket_name),
             slot.alias("__slot"),
-            _rho52_col(w).alias("__rho"),
+            w.alias("__w"),
         )
         .groupBy(bucket_name, "__slot")
-        .agg(F.max("__rho").alias("__m"))
+        .agg(F.min("__w").alias("__wmin"))
+        .select(
+            bucket_name,
+            "__slot",
+            _rho52_col(F.col("__wmin")).alias("__m"),
+        )
+    )
+
+
+def _hll_md5_rows(
+    df: DataFrame, key_col: str, bucket_expr: Column, bucket_name: str
+) -> DataFrame:
+    """(bucket, __slot, __v=rho) per input row — the md5 register
+    spelling for non-integer keys (see :func:`_hll_portable_registers`
+    for the grouped form and the geometry notes)."""
+    hexd = F.md5(F.col(key_col).cast("string"))
+    slot = F.conv(F.substring(hexd, 30, 3), 16, 10).cast("int")
+    w_hex = F.regexp_replace(F.substring(hexd, 1, 13), "^0+", "")
+    nz = F.length(w_hex)
+    first = F.substring(w_hex, 1, 1)
+    lead_in_digit = (
+        F.when(first == "1", F.lit(3))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rho = F.when(nz == 0, F.lit(53)).otherwise(
+        (F.lit(13) - nz) * 4 + lead_in_digit + 1
+    )
+    return df.select(
+        bucket_expr.cast("string").alias(bucket_name),
+        slot.alias("__slot"),
+        rho.alias("__v"),
     )
 
 
@@ -430,27 +468,48 @@ def hll_rollup_portable(
     table).
 
     Register spelling dispatches on the key's type: integer keys take
-    the xxhash64 fast path (:func:`_hll_fast_registers` — JVM builtin
-    hash, no per-row string work; the oracle replays XXH64-of-a-long
-    in HUGEINT arithmetic), everything else the md5 hex spelling
-    (:func:`_hll_portable_registers` — md5 is the only portable hash
-    with a cross-engine builtin for arbitrary strings). Both produce
-    the same register geometry (12-bit slot, 52-bit rho window), so
-    the estimator below is shared."""
-    from flink_framework_spark.operators.dedup import _staged
+    the xxhash64 fast path (JVM builtin hash, no per-row string work;
+    the oracle replays XXH64-of-a-long in HUGEINT arithmetic, see
+    :func:`_hll_fast_registers` for the standalone register builder
+    the tests pin), everything else the md5 hex spelling (md5 is the
+    only portable hash with a cross-engine builtin for arbitrary
+    strings). Both produce the same register geometry (12-bit slot,
+    52-bit rho window), so the estimator is shared.
 
+    The per-bucket registers AND the ``__all__`` union registers come
+    out of ONE aggregation pass via GROUPING SETS ((bucket, slot),
+    (slot)) — the union register is exactly the (slot)-only set, and
+    under the integer fast path the register value rho(MIN(w)) is
+    preserved by the coarser grouping because bitlen is monotone
+    (max over buckets of rho(min w per bucket) == rho(min w over all
+    buckets)); the md5 path aggregates MAX(rho) where the identity is
+    immediate. One shuffle over the fact rows, one tiny estimate agg,
+    no persisted intermediate (the previous two-branch union cost a
+    cache + two estimate jobs — fixed overhead that dominated the
+    sub-second query)."""
     key_type = dict(df.dtypes).get(key_col)
-    build = (
-        _hll_fast_registers
-        if key_type in ("bigint", "int", "smallint", "tinyint")
-        else _hll_portable_registers
+    fast = key_type in ("bigint", "int", "smallint", "tinyint")
+    if fast:
+        h = F.xxhash64(F.col(key_col).cast("long"))
+        rows = df.select(
+            bucket_expr.cast("string").alias(bucket_name),
+            h.bitwiseAND(F.lit(4095)).cast("int").alias("__slot"),
+            F.shiftrightunsigned(h, 12).alias("__v"),
+        )
+        agg = F.min("__v").alias("__a")
+    else:
+        rows = _hll_md5_rows(df, key_col, bucket_expr, bucket_name)
+        agg = F.max("__v").alias("__a")
+    g = rows.groupingSets(
+        [[F.col(bucket_name), F.col("__slot")], [F.col("__slot")]],
+        F.col(bucket_name),
+        F.col("__slot"),
     )
-    regs = _staged(build(df, key_col, bucket_expr, bucket_name))
-    buckets = _hll_portable_estimate(regs, bucket_name)
-    union_regs = (
-        regs.groupBy("__slot")
-        .agg(F.max("__m").alias("__m"))
-        .select(F.lit("__all__").alias(bucket_name), "__slot", "__m")
+    regs = g.agg(agg, F.grouping(bucket_name).alias("__g")).select(
+        F.when(F.col("__g") == 1, F.lit("__all__"))
+        .otherwise(F.col(bucket_name))
+        .alias(bucket_name),
+        "__slot",
+        (_rho52_col(F.col("__a")) if fast else F.col("__a")).alias("__m"),
     )
-    total = _hll_portable_estimate(union_regs, bucket_name)
-    return buckets.unionByName(total)
+    return _hll_portable_estimate(regs, bucket_name)

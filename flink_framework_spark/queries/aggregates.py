@@ -276,11 +276,10 @@ r AS (
          CAST(hash64 % 4096 AS INTEGER) AS slot,
          hash64 >> 12 AS w
   FROM hv),
-rho AS (
-  SELECT bucket, slot, {rho52_case_sql("w")} AS rho
-  FROM r),
+wmin AS (
+  SELECT bucket, slot, MIN(w) AS w FROM r GROUP BY 1, 2),
 regs AS (
-  SELECT bucket, slot, MAX(rho) AS m FROM rho GROUP BY 1, 2),"""
+  SELECT bucket, slot, {rho52_case_sql("w")} AS m FROM wmin),"""
 
 
 @register(

@@ -1344,7 +1344,8 @@ def test_group_one_or_more_empty_and_cap(spark):
     deep.append((1, eid, 11, "purchase"))
     with pytest.raises(ValueError, match="tighten within"):
         p.match(_planted(spark, deep))
-    # streaming: batch-only, loud
-    with pytest.raises(ValueError, match="batch-only"):
+    # streaming: refused WITHOUT a declared bound (round 10 streams
+    # it under group_max_reps; the adaptive probe itself stays batch)
+    with pytest.raises(ValueError, match="group_max_reps"):
         p.match_stream(_sstream(spark))
     assert p.stream_route_info()["engine"] == "rejected"
