@@ -137,11 +137,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
                               #     former slot is stage 4 of this chain
     "q_curation_suite",       # split/strat/PII/mix/pack/repetition,
                               #     value-complete melt
-    "q_sim_topk_bucketed",    # K3 scale path (the IMI/IVF variants are
-                              #     slots 51+ since round 9's rotation,
-                              #     hash-checked locally + brute-force
-                              #     rechecks in DuckDB)
-    "q_text_stats",           # K4
+    "q_sim_topk_ivfpq",       # K3 (round-10 rotation): the full IVF-PQ
+                              #     pipeline — cells, PQ codes, ADC
+                              #     scoring, rerank, exact rescore — now
+                              #     recomputed LIVE by the oracle from
+                              #     frozen codebook literals; a strictly
+                              #     richer K3 attestation than the
+                              #     bucketed form it replaces
+                              #     (q_sim_topk_bucketed -> slots 51+,
+                              #     still live-SQL hash-checked locally)
+    "q_hll_rollup",           # D10 (round-10 rotation): approx distinct
+                              #     rollup on the xxhash64 fast register
+                              #     path, oracle LIVE (XXH64 replayed in
+                              #     HUGEINT) — rotated in for q_text_stats
+                              #     (K4 keeps q_text_wordcount's driver
+                              #     row + 8 granular locals; q_text_stats
+                              #     stays live-SQL hash-checked in 51+)
     "q_multimodal_meta",      # K5 + J5
     "q_retrieval_suite",      # K: BM25 + TF-IDF keywords + chunking
     "q_cluster_graph_suite",  # K: distributed k-means + PageRank
