@@ -109,6 +109,12 @@ def main() -> None:
         retime(name)
     for name in [n for n, t in timings.items() if t < 1.5]:
         retime(name)
+    # the HEAVIEST entries get a third attempt too: a single GC/page-
+    # cache episode on a 5-9 s query moves its best-of-2 by >1.3x
+    # (measured on q_cep_suite across same-day full runs), and those
+    # entries anchor the regression contract — ~7 queries, +25 s.
+    for name in [n for n, t in timings.items() if t > 3.0]:
+        retime(name)
 
     # per-part wall-time breakdown for the melted headline entry:
     # q_cep_suite swung 2x between same-day runs in round 9 and the
