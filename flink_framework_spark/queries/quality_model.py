@@ -21,6 +21,9 @@ from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.mllite import logreg_score, logreg_train
 from flink_framework_spark.operators.text import STOPWORDS, words
+from flink_framework_spark.queries._oracle_trained import (
+    quality_model_select_sql,
+)
 from flink_framework_spark.registry import register
 
 _FEATS = ("f_stop", "f_dup", "f_wlen")
@@ -71,18 +74,22 @@ def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_quality_model",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_quality_model_sf0.01.parquet')
-""",
+    # LIVE oracle (round-10 golden conversion): the trained logreg
+    # weights are frozen as literals and DuckDB re-derives the
+    # planted corpus, the text statistics, and the sigmoid scores
+    # from the raw documents (queries/_oracle_trained.py; the weights
+    # are drift-pinned by retraining in
+    # tests/test_trained_artifacts.py).
+    oracle=quality_model_select_sql(),
     oracle_sf="sf0.01",
 )
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter: train bounded, score everywhere.
     Output: per-(doc, variant) label, model score (4 dp) and the
     keep/drop decision at threshold 0.5. Deterministic end-to-end
-    (fixed full-batch GD, id-ordered capped sample) — frozen-golden
-    checked; accuracy floor property in tests/test_mllite.py."""
+    (fixed full-batch GD, id-ordered capped sample) — the weights
+    freeze as oracle constants so DuckDB recomputes every score;
+    accuracy floor property in tests/test_mllite.py."""
     feats = _featurized(spark, sf_dir)
     weights = logreg_train(
         feats, _FEATS, label_col="label", order_col=F.struct("doc_id", "variant")

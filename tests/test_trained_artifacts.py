@@ -50,6 +50,20 @@ def test_retraining_reproduces_frozen_artifacts(spark):
         for book in pq_train(em, m=8, n_codes=64)
     ]
     assert pq == PQ_BOOKS
+    from flink_framework_spark.operators.mllite import logreg_train
+    from flink_framework_spark.queries._trained_sf001 import LOGREG_WEIGHTS
+    from flink_framework_spark.queries.quality_model import (
+        _FEATS,
+        _featurized,
+    )
+
+    w = logreg_train(
+        _featurized(spark, SF001),
+        _FEATS,
+        label_col="label",
+        order_col=F.struct("doc_id", "variant"),
+    )
+    assert w == LOGREG_WEIGHTS
 
 
 def test_oracle_builders_embed_full_precision_literals():
@@ -76,6 +90,9 @@ def test_oracle_builders_embed_full_precision_literals():
         + [v for b in IMI_BOOKS for row in b for v in row]
         + [v for b in PQ_BOOKS for row in b for v in row]
     )
+    from flink_framework_spark.queries._trained_sf001 import LOGREG_WEIGHTS
+
+    vals += list(LOGREG_WEIGHTS)
     con = duckdb.connect()
     got = []
     for i in range(0, len(vals), 256):
