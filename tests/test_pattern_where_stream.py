@@ -425,3 +425,110 @@ def test_group_one_or_more_streams_under_declared_bound(spark, tmp_path):
     info = p.stream_route_info()
     assert info["engine"] == "rejected"
     assert "group_max_reps" in info["reason"]
+
+
+# ---- seeded fuzz: random timelines + conditions, stream == batch ----
+#
+# Each seed plants a guaranteed match motif (two high-value clicks +
+# a purchase inside the horizon) plus random noise events and value
+# draws from {0.1, 0.3, 0.9} (discrete, away from the thresholds), a
+# far trailing click per user to close open runs, and a random
+# condition threshold. The drained state machine must equal batch
+# match() row-for-row.
+
+def _fuzz_rows(seed: int):
+    import random
+
+    rng = random.Random(7_000 + seed)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        # guaranteed motif inside the 2-hour horizon
+        base = rng.randrange(0, 30)
+        for off in (0, rng.randrange(5, 25)):
+            rows.append((u, eid, base + off, "click", 0.9))
+            eid += 1
+        rows.append((u, eid, base + 40, "purchase", 0.9))
+        eid += 1
+        # noise
+        for _ in range(rng.randrange(4, 9)):
+            rows.append(
+                (
+                    u,
+                    eid,
+                    rng.randrange(0, 120),
+                    "click" if rng.random() < 0.7 else "purchase",
+                    rng.choice([0.1, 0.3, 0.9]),
+                )
+            )
+            eid += 1
+        # far trailing closer (beyond every horizon)
+        rows.append((u, eid, 600, "click", 0.9))
+        eid += 1
+    # minute -> HH:MM, dedupe (user, minute, type) collisions by
+    # keeping distinct event ids (ties are legal input)
+    return [
+        (u, e, f"{m // 60:02d}:{m % 60:02d}", t, v)
+        for (u, e, m, t, v) in rows
+    ]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_times_where_stream_equals_batch(spark, tmp_path, seed):
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    d = _plant_events(spark, tmp_path, _fuzz_rows(seed))
+    import random
+
+    rng = random.Random(8_000 + seed)
+    thr = rng.choice([0.2, 0.5])
+    pat = (
+        Pattern.begin("click")
+        .where(f"value > {thr}")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("2 hours")
+    )
+    if seed % 2 == 1:  # odd seeds also condition the follower
+        pat = (
+            Pattern.begin("click")
+            .where(f"value > {thr}")
+            .times(2, 3)
+            .followed_by("purchase")
+            .where("value > 0.2")
+            .within("2 hours")
+        )
+    batch = _quant_view(pat.match(table(spark, d, "events"))).toPandas()
+    got = _drain(
+        _quant_view(pat.match_stream(read_events_stream(spark, d))),
+        f"t_fz_times_{seed}",
+        "update",
+    )
+    assert len(batch) > 0  # the planted motif guarantees matches
+    assert _canon(got) == _canon(batch)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_greedy_where_stream_equals_batch(spark, tmp_path, seed):
+    from flink_framework_spark.streaming.twins import read_events_stream
+
+    d = _plant_events(spark, tmp_path, _fuzz_rows(100 + seed))
+    import random
+
+    rng = random.Random(9_000 + seed)
+    thr = rng.choice([0.2, 0.5])
+    pat = (
+        Pattern.begin("click")
+        .where(f"value > {thr}")
+        .one_or_more("30 minutes")
+        .followed_by("purchase")
+        .within("2 hours")
+    )
+    batch = _quant_view(pat.match(table(spark, d, "events"))).toPandas()
+    got = _drain(
+        _quant_view(pat.match_stream(read_events_stream(spark, d))),
+        f"t_fz_greedy_{seed}",
+        "update",
+    )
+    assert len(batch) > 0
+    assert _canon(got) == _canon(batch)
