@@ -975,25 +975,23 @@ class Pattern:
                     raise ValueError(
                         "one_or_more().until() has no streaming twin"
                     )
-                if disorder_s:
-                    raise ValueError(
-                        "the one_or_more state machine has no cross-"
-                        "batch disorder allowance (greedy closure is "
-                        "decided by in-order arrival) — disorder_s "
-                        "must be 0 on this path"
-                    )
                 if head.one_or_more_gap is None:
                     raise ValueError(
                         "greedy one_or_more needs max_gap (or add "
                         "allow_combinations() for the batch-only "
                         "all-subsequences form)"
                     )
+                # disorder_s > 0 routes to the reorder-buffered
+                # driver (round 10 — closes the last asymmetry with
+                # times_matches' allowance); 0 keeps the in-order
+                # machine
                 out = greedy_matches(
                     src,
                     max_gap_s=_interval_seconds(head.one_or_more_gap),
                     horizon_s=horizon_s,
                     step=head.event_type,
                     then_step=follower.event_type,
+                    disorder_s=disorder_s,
                 )
             return out.withColumnRenamed("user_id", key_col)
 

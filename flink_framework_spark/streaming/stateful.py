@@ -486,6 +486,110 @@ _GREEDY_STATE_SCHEMA = (
 )
 
 
+class _GreedyCore:
+    """The greedy-oneOrMore transition core — open-run extension /
+    closure, closed-run horizon GC, follower buffering and matching —
+    shared by the in-order driver (:func:`make_greedy_fn`) and the
+    reorder-buffered disorder driver
+    (:func:`make_greedy_disorder_fn`) so the two semantics cannot
+    drift. Events MUST be fed in event-time order; ordering is the
+    caller's contract (per-batch sort for the in-order driver, the
+    release buffer for the disorder driver)."""
+
+    def __init__(self, max_gap_s: float, horizon_s: float, packed=None):
+        self.max_gap_s = max_gap_s
+        self.horizon_s = horizon_s
+        if packed is not None:
+            open_first, open_last, open_n, closed_raw, buf = packed
+            self.open_first = open_first
+            self.open_last = open_last
+            self.open_n = open_n
+            self.closed = [
+                tuple(
+                    float(x) if i < 2 else int(x)
+                    for i, x in enumerate(e.split("|"))
+                )
+                for e in closed_raw
+            ]
+            self.buf = list(buf)
+        else:
+            self.open_first = self.open_last = None
+            self.open_n = 0
+            self.closed, self.buf = [], []
+        self.out: list[tuple] = []
+
+    def _try_match(self, run, p):
+        first, last, _n = run
+        return last < p <= first + self.horizon_s
+
+    def close_open(self) -> None:
+        if self.open_first is None:
+            return
+        run = (self.open_first, self.open_last, self.open_n)
+        self.open_first = self.open_last = None
+        self.open_n = 0
+        if run[1] > run[0] + self.horizon_s:  # run outlived horizon
+            self.buf = []
+            return
+        for p in self.buf:
+            if self._try_match(run, p):
+                self.out.append(run)
+                self.buf = []
+                return
+        self.buf = []
+        self.closed.append(run)
+
+    def feed(self, sec: float, etype: str, step: str, then_step: str):
+        self.closed[:] = [
+            r for r in self.closed if sec <= r[0] + self.horizon_s
+        ]
+        if etype == step:
+            if (
+                self.open_first is not None
+                and sec <= self.open_last + self.max_gap_s
+            ):
+                self.open_last = max(self.open_last, sec)
+                self.open_n += 1
+                self.buf = [p for p in self.buf if p > self.open_last]
+            else:
+                self.close_open()
+                self.open_first = self.open_last = sec
+                self.open_n = 1
+        elif etype == then_step:
+            for r in list(self.closed):
+                if self._try_match(r, sec):
+                    self.out.append(r)
+                    self.closed.remove(r)
+            if self.open_first is not None and sec > self.open_last:
+                self.buf.append(sec)
+
+    def pack(self):
+        return (
+            self.open_first,
+            self.open_last,
+            self.open_n,
+            [f"{f!r}|{l!r}|{n}" for (f, l, n) in self.closed],
+            self.buf,
+        )
+
+
+def _greedy_out_frame(user_id, out):
+    # float-seconds -> exact microseconds: round BEFORE the ns
+    # multiply (f * 1e9 alone drifts ~hundreds of ns at 2024 epochs)
+    return pd.DataFrame(
+        {
+            "user_id": user_id,
+            "ts_first": [
+                pd.Timestamp(round(f * 1e6) * 1000) for f, _, _ in out
+            ],
+            "ts_last": [
+                pd.Timestamp(round(l * 1e6) * 1000) for _, l, _ in out
+            ],
+            "n_reps": [n for _, _, n in out],
+        }
+    )
+
+
 def make_greedy_fn(
     max_gap_s: float,
     horizon_s: float,
@@ -522,114 +626,132 @@ def make_greedy_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            open_first, open_last, open_n, closed_raw, buf = state.get
-            closed = [
-                tuple(float(x) if i < 2 else int(x) for i, x in enumerate(e.split("|")))
-                for e in closed_raw
-            ]
-            buf = list(buf)
-        else:
-            open_first = open_last = None
-            open_n = 0
-            closed, buf = [], []
-        out: list[tuple] = []
-
-        def try_match(run, p):
-            first, last, n = run
-            return last < p <= first + horizon_s
-
-        def close_open(now_s):
-            nonlocal open_first, open_last, open_n, buf
-            if open_first is None:
-                return
-            run = (open_first, open_last, open_n)
-            open_first = open_last = None
-            open_n = 0
-            if run[1] > run[0] + horizon_s:  # run outlived its horizon
-                buf = []
-                return
-            for p in buf:
-                if try_match(run, p):
-                    out.append(run)
-                    buf = []
-                    return
-            buf = []
-            closed.append(run)
+        core = _GreedyCore(
+            max_gap_s, horizon_s, state.get if state.exists else None
+        )
 
         if use_timeout and state.hasTimedOut:
             # the watermark passed open_last + max_gap: no in-order
             # click can extend the run — same closure as an
             # out-of-gap click, timer-driven. Also GC closed runs the
             # watermark has carried past their follower horizon.
-            close_open(None)
+            core.close_open()
             wm_s = instant_ms_to_naive_s(
                 state.getCurrentWatermarkMs(), tz
             )
-            closed[:] = [r for r in closed if wm_s <= r[0] + horizon_s]
+            core.closed[:] = [
+                r for r in core.closed if wm_s <= r[0] + horizon_s
+            ]
         else:
             for pdf in pdfs:
                 pdf = pdf.sort_values(["ts", "event_id"])
                 for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-                    sec = ts.timestamp()
-                    closed[:] = [r for r in closed if sec <= r[0] + horizon_s]
-                    if etype == step:
-                        if (
-                            open_first is not None
-                            and sec <= open_last + max_gap_s
-                        ):
-                            open_last = max(open_last, sec)
-                            open_n += 1
-                            buf = [p for p in buf if p > open_last]
-                        else:
-                            close_open(sec)
-                            open_first = open_last = sec
-                            open_n = 1
-                    elif etype == then_step:
-                        for r in list(closed):
-                            if try_match(r, sec):
-                                out.append(r)
-                                closed.remove(r)
-                        if open_first is not None and sec > open_last:
-                            buf.append(sec)
-        if use_timeout and open_first is None and not closed and not buf:
+                    core.feed(ts.timestamp(), etype, step, then_step)
+        if (
+            use_timeout
+            and core.open_first is None
+            and not core.closed
+            and not core.buf
+        ):
             state.remove()
         else:
-            state.update(
-                (
-                    open_first,
-                    open_last,
-                    open_n,
-                    [f"{f!r}|{l!r}|{n}" for (f, l, n) in closed],
-                    buf,
-                )
-            )
+            state.update(core.pack())
             if use_timeout:
-                if open_first is not None:
-                    fire_s = open_last + max_gap_s
+                if core.open_first is not None:
+                    fire_s = core.open_last + max_gap_s
                 else:  # GC timer for lingering closed runs
-                    fire_s = max(r[0] for r in closed) + horizon_s
+                    fire_s = max(r[0] for r in core.closed) + horizon_s
                 # the timer must sit past the current watermark
                 fire_ms = max(
                     naive_s_to_instant_ms(fire_s, tz),
                     state.getCurrentWatermarkMs() + 1,
                 )
                 state.setTimeoutTimestamp(fire_ms)
-        if out:
-            yield pd.DataFrame(
-                {
-                    "user_id": user_id,
-                    "ts_first": [
-                        pd.Timestamp(round(f * 1e6) * 1000) for f, _, _ in out
-                    ],
-                    "ts_last": [
-                        pd.Timestamp(round(l * 1e6) * 1000) for _, l, _ in out
-                    ],
-                    "n_reps": [n for _, _, n in out],
-                }
-            )
+        if core.out:
+            yield _greedy_out_frame(user_id, core.out)
 
     return _greedy_fn
+
+
+_GREEDY_DIS_STATE_SCHEMA = (
+    "open_first double, open_last double, open_n long,"
+    " closed array<string>, buf array<double>,"
+    " pend_ts array<double>, pend_id array<long>,"
+    " pend_type array<string>, hi double, done double"
+)
+
+
+def make_greedy_disorder_fn(
+    max_gap_s: float,
+    horizon_s: float,
+    disorder_s: float,
+    step: str = "click",
+    then_step: str = "purchase",
+):
+    """The out-of-order driver for the greedy core: events park in a
+    per-key reorder buffer and are RELEASED — in (event time,
+    event id) order — only once the key's high-water mark has moved
+    ``disorder_s`` past them, so a later micro-batch may deliver an
+    earlier-timestamped event and it still lands in sequence (the
+    watermark-delay analogue the in-order driver documents as its
+    contract violation). Events arriving MORE than ``disorder_s``
+    late — behind the processed frontier — are dropped, exactly
+    Spark's late-data rule under a watermark.
+
+    Closure consequence: a bounded stream's final runs need the
+    far-future sentinel step event to be RELEASED too, i.e. a second,
+    even-later event (>= sentinel + disorder_s) must follow it — or
+    drain the stream with two sentinel ticks. State stays bounded:
+    the pending buffer holds at most ``disorder_s`` of events per
+    key plus the greedy core's own bounded state."""
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            packed = state.get
+            core = _GreedyCore(max_gap_s, horizon_s, packed[:5])
+            pend = list(zip(packed[5], packed[6], packed[7]))
+            hi, done = packed[8], packed[9]
+        else:
+            core = _GreedyCore(max_gap_s, horizon_s)
+            pend, hi, done = [], None, None
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                sec = ts.timestamp()
+                pend.append((sec, int(eid), etype))
+                hi = sec if hi is None else max(hi, sec)
+        if hi is not None:
+            release_to = hi - disorder_s
+            ready = sorted(
+                [e for e in pend if e[0] <= release_to],
+                key=lambda e: (e[0], e[1]),
+            )
+            pend = [e for e in pend if e[0] > release_to]
+            for sec, _eid, etype in ready:
+                if done is not None and sec < done:
+                    continue  # beyond the allowance: late-data drop
+                core.feed(sec, etype, step, then_step)
+                done = sec if done is None else max(done, sec)
+        state.update(
+            core.pack()
+            + (
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                [e[2] for e in pend],
+                hi,
+                done,
+            )
+        )
+        if core.out:
+            yield _greedy_out_frame(user_id, core.out)
+
+    return _fn
 
 
 def greedy_matches(
@@ -639,11 +761,41 @@ def greedy_matches(
     use_timeout: bool = False,
     step: str = "click",
     then_step: str = "purchase",
+    disorder_s: float = 0.0,
 ) -> DataFrame:
     """Streaming twin of q_cep_greedy: maximal ``step``-run matches
     per user (update mode), one row per run on closure if any
     qualifying ``then_step`` exists. ``use_timeout=True`` closes runs
-    on event-time timers too (input must carry a watermark)."""
+    on event-time timers too (input must carry a watermark).
+
+    ``disorder_s > 0`` (round 10) routes to the reorder-buffered
+    driver (:func:`make_greedy_disorder_fn`): cross-batch event-time
+    disorder up to the allowance lands in sequence; later-than-that
+    events drop like late data under a watermark. Mutually exclusive
+    with ``use_timeout`` — the release frontier is per-key
+    high-water-mark driven, while timers fire on the global
+    watermark; mixing the two closure authorities would double-close
+    runs."""
+    if disorder_s and use_timeout:
+        raise ValueError(
+            "greedy_matches: disorder_s and use_timeout are mutually "
+            "exclusive (two closure authorities); pick the reorder "
+            "buffer (sentinel-drained) or the event-time timer"
+        )
+    if disorder_s:
+        return (
+            events.select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_greedy_disorder_fn(
+                    max_gap_s, horizon_s, disorder_s, step, then_step
+                ),
+                outputStructType=GREEDY_SCHEMA,
+                stateStructType=_GREEDY_DIS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")

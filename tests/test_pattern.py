@@ -541,15 +541,19 @@ def test_match_stream_quantified_negation_raises(spark):
         p.match_stream(_sstream(spark))
 
 
-def test_match_stream_one_or_more_rejects_disorder(spark):
+def test_match_stream_one_or_more_accepts_disorder(spark):
+    """Round 10: greedy one_or_more streams WITH a disorder allowance
+    (the reorder-buffered driver) — previously a loud refusal. The
+    drain-equality for out-of-order arrival is pinned in
+    tests/test_streaming.py::test_greedy_disorder_*."""
     p = (
         Pattern.begin("view")
         .one_or_more("1 hour")
         .followed_by("purchase")
         .within("12 hours")
     )
-    with pytest.raises(ValueError, match="disorder"):
-        p.match_stream(_sstream(spark), disorder_s=60.0)
+    out = p.match_stream(_sstream(spark), disorder_s=60.0)
+    assert out.isStreaming and _has_arrow_state(out)
 
 
 # -- subtype() / type hierarchies (Flink Pattern.subtype) -------------

@@ -1190,3 +1190,138 @@ def test_stream_dynamic_session_equals_batch(spark, sf_dir):
     a = sorted(map(tuple, stream.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b and len(a) > 0
+
+
+def test_greedy_disorder_reorders_late_click_into_its_run(spark, tmp_path):
+    """Round 10: the reorder-buffered greedy driver. A click arriving
+    one micro-batch LATER with an EARLIER event time must extend the
+    run it belongs to when the allowance covers the lag; the in-order
+    driver (disorder_s=0) would mis-split the run. Timeline (hours):
+    clicks 00, 02 arrive in batch 1 SPLIT AROUND a click at 01 that
+    arrives in batch 2; purchase 03 and the two release/close
+    sentinels arrive last."""
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(1, e, f"2024-01-01 {h:02d}:00:00", t) for (e, h, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts",
+            "event_type",
+        )
+
+    b1 = [(0, 0, "click"), (2, 2, "click")]
+    b2 = [(1, 1, "click")]  # late: event time BETWEEN batch 1's clicks
+    b3 = [(3, 3, "purchase")]
+    # sentinel A closes the run once RELEASED; sentinel B releases A
+    b4 = [(90, 18, "click")]
+    b5 = [(91, 23, "click")]
+    src = tmp_path / "greedy_dis"
+    for b in (b1, b2, b3, b4, b5):
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        greedy_matches(
+            sdf,
+            max_gap_s=90 * 60,  # 1.5h gap: 00-01-02 is ONE run only
+            horizon_s=6 * 3600,  # with the late click in sequence
+            disorder_s=2 * 3600.0,
+        ),
+        query_name="t_greedy_dis",
+        output_mode="update",
+    )
+    rows = [(r["n_reps"],) for r in out.collect()]
+    # one maximal run of ALL THREE clicks, matched by the purchase
+    assert rows == [(3,)]
+
+
+def test_greedy_disorder_drains_equal_to_batch_on_shuffled_arrival(
+    spark, tmp_path
+):
+    """Arrival order scrambled across micro-batches (one file per
+    event) with a covering allowance == batch match_one_or_more on
+    the same timeline."""
+    import random
+
+    from flink_framework_spark.operators.cep import match_one_or_more
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for h in (0, 1, 3, 4, 8):
+            rows.append((u, eid, h, "click"))
+            eid += 1
+        rows.append((u, eid, 5, "purchase"))
+        eid += 1
+        rows.append((u, eid, 9, "purchase"))
+        eid += 1
+
+    def frame(rws):
+        return spark.createDataFrame(
+            [
+                (u, e, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00", t)
+                for (u, e, h, t) in rws
+            ],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts",
+            "event_type",
+        )
+
+    batch = match_one_or_more(
+        frame(rows).selectExpr(
+            "user_id", "event_id",
+            "CAST(ts AS timestamp_ntz) AS ts", "event_type",
+        ),
+        "click", "purchase", "90 MINUTES", "6 HOURS",
+    ).select("user_id", "n_reps")
+    want = sorted(
+        (r["user_id"], r["n_reps"]) for r in batch.collect()
+    )
+    assert want  # the timeline matches by construction
+
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    # two trailing sentinels per user: A closes final runs when
+    # released, B releases A (the disorder driver's drain rule)
+    # B must trail A by >= disorder_s, or A itself is never released
+    tail = [(u, 100 + u, 60, "click") for u in (1, 2)] + [
+        (u, 110 + u, 90, "click") for u in (1, 2)
+    ]
+    src = tmp_path / "greedy_shuffled"
+    for r in shuffled + tail:
+        frame([r]).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        greedy_matches(
+            sdf,
+            max_gap_s=90 * 60,
+            horizon_s=6 * 3600,
+            disorder_s=24 * 3600.0,  # covers any arrival scramble
+        ),
+        query_name="t_greedy_shuf",
+        output_mode="update",
+    )
+    got = sorted((r["user_id"], r["n_reps"]) for r in out.collect())
+    assert got == want
+
+
+def test_greedy_disorder_timeout_mutually_exclusive(spark, sf_dir):
+    from flink_framework_spark.streaming.stateful import greedy_matches
+
+    sdf = read_events_stream(spark, sf_dir, with_watermark="1 hour")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        greedy_matches(sdf, use_timeout=True, disorder_s=60.0)
