@@ -11,6 +11,14 @@ JVM/codegen startup. Env knobs:
   those (and skips the streaming scenarios unless 'streaming' is in
   the list). Iteration/smoke knob; the driver runs the full set.
 
+Timing methodology (round 10): best-of-2 for every entry, plus a
+third attempt for sub-1.5 s entries (where one GC pause is largest
+relative to true cost) and for >3 s entries (where one episode moves
+even a best-of-2 beyond the 1.3x same-day band). The melted headline
+entry q_cep_suite additionally publishes its per-component wall
+times under the output's "breakdown" key so any swing in the total
+names its part.
+
 Auditability contract (rounds 1-6 all recorded ``parsed: null``): the
 driver keeps only the LAST ~2,000 characters of stdout, and the full
 record line is ~8 KB — its head (with the total) was always cut off.

@@ -532,3 +532,22 @@ def test_fuzz_greedy_where_stream_equals_batch(spark, tmp_path, seed):
     )
     assert len(batch) > 0
     assert _canon(got) == _canon(batch)
+
+
+def test_cep_suite_breakdown_covers_every_component(spark):
+    """bench.py's q_cep_suite profile (BENCH.json "breakdown"): one
+    wall-time per component, all positive — the measurement-trust
+    surface the round-9 verdict asked for, smoke-checked at sf0.001
+    so a component rename breaks loudly here, not in the driver's
+    bench run."""
+    from flink_framework_spark.queries.driver_suite import (
+        cep_suite_breakdown,
+    )
+
+    got = cep_suite_breakdown(spark, "/root/testdata/sf0.001")
+    assert set(got) == {
+        "times_skip", "sql9", "mr_strict", "mr_funnel", "mr_runs",
+        "mr_all_rows", "mr_reluctant", "mr_skip_to", "mr_agg_define",
+        "mr_define_nav",
+    }
+    assert all(v > 0 for v in got.values())
