@@ -162,6 +162,32 @@ def main() -> None:
         f"batch={batch_n} stream={stream_n} -> {agree}"
     )
     assert batch_n == stream_n
+
+    # -- round-10 surface: conditioned QUANTIFIERS stream too --------
+    # where() on a times()/oneOrMore/negated shape used to refuse on
+    # match_stream; the conditions now compile into one pre-filter
+    # ahead of the Arrow state machine (drain-equal to batch because
+    # relaxed contiguity makes a condition-failing event
+    # indistinguishable from an irrelevant one).
+    cond = (
+        Pattern.begin("click")
+        .where("value >= 50")
+        .times(2, 3)
+        .followed_by("purchase")
+        .within("12 HOURS")
+    )
+    cbatch = cond.match(ev).count()
+    cstream = run_to_memory(
+        cond.match_stream(read_events_stream(spark, sf_dir)),
+        query_name="cep_demo_cond_stream",
+        output_mode="update",
+    ).count()
+    print(
+        f"conditioned times(2,3) stream (where() pre-filter): "
+        f"batch={cbatch} stream={cstream} -> "
+        f"{'AGREE' if cbatch == cstream else 'DISAGREE'}"
+    )
+    assert cbatch == cstream
     spark.stop()
 
 
