@@ -351,6 +351,79 @@ _TIMES_STATE_SCHEMA = (
 )
 
 
+class _TimesCore:
+    """The times(m, n) transition core — run enumeration over the
+    key's step-event list plus the emitted-run dedup set — shared by
+    the in-order driver (:func:`make_times_fn`) and the reorder-
+    buffered disorder driver (:func:`make_times_disorder_fn`). Events
+    MUST be fed in (event time, event id) order; contiguous windows
+    of the clicks list are then the batch operator's consecutive
+    runs."""
+
+    def __init__(self, n_min, n_max, horizon_s, packed=None):
+        self.n_min, self.n_max = n_min, n_max
+        self.horizon_s = horizon_s
+        if packed is not None:
+            self.clicks = list(zip(packed[0], packed[1]))
+            self.emitted = set(packed[2])
+        else:
+            self.clicks, self.emitted = [], set()
+        self.out: list[tuple] = []
+
+    def feed(self, sec: float, eid: int, etype: str, step, then_step):
+        if etype == step:
+            self.clicks.append((sec, int(eid)))
+        elif etype == then_step:
+            for n in range(self.n_min, self.n_max + 1):
+                for i in range(len(self.clicks) - n + 1):
+                    (first, _), (last, last_id) = (
+                        self.clicks[i],
+                        self.clicks[i + n - 1],
+                    )
+                    if not (
+                        last <= first + self.horizon_s
+                        and last < sec
+                        and sec <= first + self.horizon_s
+                    ):
+                        continue
+                    rk = f"{first!r}|{last_id}|{n}"
+                    if rk not in self.emitted:
+                        self.emitted.add(rk)
+                        self.out.append((first, last, n))
+
+    def trim(self, floor: float) -> None:
+        self.clicks = [(c, i) for (c, i) in self.clicks if c >= floor]
+        self.emitted = {
+            e for e in self.emitted if float(e.split("|")[0]) >= floor
+        }
+
+    def pack(self):
+        return (
+            [c for c, _ in self.clicks],
+            [i for _, i in self.clicks],
+            sorted(self.emitted),
+        )
+
+
+def _times_out_frame(user_id, out):
+    # float-seconds -> exact microseconds: round BEFORE the ns
+    # multiply (f * 1e9 alone drifts ~hundreds of ns at 2024 epochs —
+    # float64 mantissa — and breaks equality with the batch twin's
+    # microsecond timestamps)
+    return pd.DataFrame(
+        {
+            "user_id": user_id,
+            "ts_first": [
+                pd.Timestamp(round(f * 1e6) * 1000) for f, _, _ in out
+            ],
+            "ts_last": [
+                pd.Timestamp(round(l * 1e6) * 1000) for _, l, _ in out
+            ],
+            "n_reps": [n for _, _, n in out],
+        }
+    )
+
+
 def make_times_fn(
     n_min: int,
     n_max: int,
@@ -369,12 +442,14 @@ def make_times_fn(
     the batch spelling's LEFT SEMI). Per-follower cost is
     |clicks| x (n_max - n_min + 1) inside one horizon window.
 
-    ``disorder_s`` is the cross-batch event-time disorder allowance
-    (the watermark-delay analogue): state trims to
-    ``max_seen - horizon_s - disorder_s``, so a follower arriving in
-    a later micro-batch with an event time up to ``disorder_s``
-    behind the high-water mark still finds its run. The default 0
-    assumes per-key in-order batches (the file-stream twins)."""
+    This is the IN-ORDER driver: ``disorder_s`` here only widens the
+    state trim so a FOLLOWER arriving a micro-batch late still finds
+    its run — a late STEP event would append out of timestamp order
+    and corrupt run contiguity, which is why
+    :func:`times_matches` routes ``disorder_s > 0`` to the
+    reorder-buffered driver (:func:`make_times_disorder_fn`) that
+    handles both. The default 0 assumes per-key in-order batches
+    (the file-stream twins)."""
 
     def _times_fn(
         key: tuple,
@@ -382,72 +457,102 @@ def make_times_fn(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            clicks = list(zip(state.get[0], state.get[1]))
-            emitted = set(state.get[2])
-        else:
-            clicks, emitted = [], set()
-        out: list[tuple] = []
+        core = _TimesCore(
+            n_min, n_max, horizon_s, state.get if state.exists else None
+        )
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts, eid, etype in zip(
                 pdf["ts"], pdf["event_id"], pdf["event_type"]
             ):
-                sec = ts.timestamp()
-                if etype == step:
-                    clicks.append((sec, int(eid)))
-                elif etype == then_step:
-                    for n in range(n_min, n_max + 1):
-                        for i in range(len(clicks) - n + 1):
-                            (first, _), (last, last_id) = (
-                                clicks[i],
-                                clicks[i + n - 1],
-                            )
-                            if not (
-                                last <= first + horizon_s
-                                and last < sec
-                                and sec <= first + horizon_s
-                            ):
-                                continue
-                            rk = f"{first!r}|{last_id}|{n}"
-                            if rk not in emitted:
-                                emitted.add(rk)
-                                out.append((first, last, n))
-        hi = max((c for c, _ in clicks), default=None)
+                core.feed(ts.timestamp(), eid, etype, step, then_step)
+        hi = max((c for c, _ in core.clicks), default=None)
         if hi is not None:
-            floor = hi - horizon_s - disorder_s
-            clicks = [(c, i) for (c, i) in clicks if c >= floor]
-            emitted = {
-                e for e in emitted if float(e.split("|")[0]) >= floor
-            }
-        state.update(
-            (
-                [c for c, _ in clicks],
-                [i for _, i in clicks],
-                sorted(emitted),
-            )
-        )
-        if out:
-            # float-seconds -> exact microseconds: round BEFORE the ns
-            # multiply (f * 1e9 alone drifts ~hundreds of ns at 2024
-            # epochs — float64 mantissa — and breaks equality with the
-            # batch twin's microsecond timestamps)
-            yield pd.DataFrame(
-                {
-                    "user_id": user_id,
-                    "ts_first": [
-                        pd.Timestamp(round(f * 1e6) * 1000)
-                        for f, _, _ in out
-                    ],
-                    "ts_last": [
-                        pd.Timestamp(round(l * 1e6) * 1000)
-                        for _, l, _ in out
-                    ],
-                    "n_reps": [n for _, _, n in out],
-                }
-            )
+            core.trim(hi - horizon_s - disorder_s)
+        state.update(core.pack())
+        if core.out:
+            yield _times_out_frame(user_id, core.out)
 
     return _times_fn
+
+
+_TIMES_DIS_STATE_SCHEMA = (
+    "clicks array<double>, click_ids array<long>,"
+    " emitted array<string>, pend_ts array<double>,"
+    " pend_id array<long>, pend_type array<string>,"
+    " hi double, done double"
+)
+
+
+def make_times_disorder_fn(
+    n_min: int,
+    n_max: int,
+    horizon_s: float,
+    disorder_s: float,
+    step: str = "click",
+    then_step: str = "purchase",
+):
+    """The out-of-order driver for the times core (round 10 — the
+    in-order driver's allowance only covered late FOLLOWERS; a late
+    STEP event appended behind later ones and corrupted contiguity).
+    Same reorder discipline as :func:`make_greedy_disorder_fn`:
+    events park per key and release in (event time, event id) order
+    once the key's high-water mark moves ``disorder_s`` past them;
+    later-than-allowance events drop like watermark late data. A run
+    matches when its follower is RELEASED, so a bounded stream drains
+    with ONE far-future sentinel event (unlike greedy, no closure
+    event must itself be processed)."""
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            packed = state.get
+            core = _TimesCore(n_min, n_max, horizon_s, packed[:3])
+            pend = list(zip(packed[3], packed[4], packed[5]))
+            hi, done = packed[6], packed[7]
+        else:
+            core = _TimesCore(n_min, n_max, horizon_s)
+            pend, hi, done = [], None, None
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                sec = ts.timestamp()
+                pend.append((sec, int(eid), etype))
+                hi = sec if hi is None else max(hi, sec)
+        if hi is not None:
+            release_to = hi - disorder_s
+            ready = sorted(
+                [e for e in pend if e[0] <= release_to],
+                key=lambda e: (e[0], e[1]),
+            )
+            pend = [e for e in pend if e[0] > release_to]
+            for sec, eid, etype in ready:
+                if done is not None and sec < done:
+                    continue  # beyond the allowance: late-data drop
+                core.feed(sec, eid, etype, step, then_step)
+                done = sec if done is None else max(done, sec)
+            if done is not None:
+                # safe floor: every future release has sec >= done
+                core.trim(done - horizon_s)
+        state.update(
+            core.pack()
+            + (
+                [e[0] for e in pend],
+                [e[1] for e in pend],
+                [e[2] for e in pend],
+                hi,
+                done,
+            )
+        )
+        if core.out:
+            yield _times_out_frame(user_id, core.out)
+
+    return _fn
 
 
 def times_matches(
@@ -458,7 +563,24 @@ def times_matches(
 ) -> DataFrame:
     """Streaming twin of q_cep_times: step-run quantifier matches per
     user (update mode), one row per run on its first qualifying
-    follower."""
+    follower. ``disorder_s > 0`` (round 10) routes to the
+    reorder-buffered driver, which handles late STEP events as well
+    as late followers (the in-order driver's trim-widening only
+    covered the latter)."""
+    if disorder_s:
+        return (
+            events.select("user_id", "ts", "event_id", "event_type")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                make_times_disorder_fn(
+                    n_min, n_max, horizon_s, disorder_s, step, then_step
+                ),
+                outputStructType=TIMES_SCHEMA,
+                stateStructType=_TIMES_DIS_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     return (
         events.select("user_id", "ts", "event_id", "event_type")
         .groupBy("user_id")

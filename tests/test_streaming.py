@@ -1325,3 +1325,53 @@ def test_greedy_disorder_timeout_mutually_exclusive(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         greedy_matches(sdf, use_timeout=True, disorder_s=60.0)
+
+
+def test_times_disorder_reorders_late_click_into_its_run(spark, tmp_path):
+    """Round 10: the reorder-buffered times driver. A STEP event
+    arriving a micro-batch later with an event time BETWEEN two
+    already-arrived clicks must land in sequence — the in-order
+    driver appends it behind them and mislabels the run's boundary
+    timestamps. times(3,3) over clicks 00h/02h (batch 1) + 01h
+    (batch 2) + purchase 03h must emit ONE run spanning 00h..02h."""
+    from flink_framework_spark.streaming.stateful import times_matches
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(1, e, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00", t)
+             for (e, h, t) in rows],
+            "user_id long, event_id long, ts string, event_type string",
+        ).selectExpr(
+            "user_id", "event_id", "CAST(ts AS timestamp) AS ts",
+            "event_type",
+        )
+
+    batches = [
+        [(0, 0, "click"), (2, 2, "click")],
+        [(1, 1, "click")],
+        [(3, 3, "purchase")],
+        [(9, 30, "click")],  # sentinel: releases everything pending
+    ]
+    src = tmp_path / "times_dis_click"
+    for b in batches:
+        frame(b).coalesce(1).write.mode("append").parquet(str(src))
+    sdf = (
+        spark.readStream.schema(frame(batches[0]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        times_matches(
+            sdf, 3, 3, 12 * 3600, disorder_s=4 * 3600.0
+        ),
+        query_name="t_times_dis_click",
+        output_mode="update",
+    )
+    rows = [
+        (r["n_reps"], r["ts_first"].hour, r["ts_last"].hour)
+        for r in out.collect()
+    ]
+    # boundary hours are rendered in the session tz-naive instant;
+    # compare the SPAN (last - first) which is tz-invariant
+    spans = [(n, last - first) for (n, first, last) in rows]
+    assert spans == [(3, 2)]
