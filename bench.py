@@ -430,6 +430,36 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         "applyInPandasWithState funnel state machine->noop(update)"
     )
 
+    # the reorder-buffered DISORDER driver (round 10): the same keyed
+    # Python-state family, with 1% of rows rewound 5 s and a 10 s
+    # allowance — measures the park/release buffer layered on the
+    # times(2,3) quantifier core under genuine out-of-order arrival
+    from flink_framework_spark.streaming.stateful import times_matches
+
+    td_src = rate_mb(cr).select(
+        (F.col("value") % ck).alias("user_id"),
+        F.when(
+            F.col("value") % 100 == 0,
+            F.col("timestamp") - F.expr("INTERVAL 5 SECONDS"),
+        )
+        .otherwise(F.col("timestamp"))
+        .alias("ts"),
+        F.col("value").alias("event_id"),
+        F.when((F.col("value") / ck).cast("long") % 3 < 2, "click")
+        .otherwise("purchase")
+        .alias("event_type"),
+    )
+    out["cep_times_disorder"] = _run_stream_scenario(
+        times_matches(td_src, 2, 3, horizon_s=60.0, disorder_s=10.0),
+        "update",
+        seconds * 2,
+    )
+    out["cep_times_disorder"]["pipeline"] = (
+        "rate-micro-batch (100k rows/batch, 25k keys, 1% of rows "
+        "rewound 5s)->reorder-buffered times(2,3) state machine "
+        "(10s allowance; late rows land in sequence)->noop(update)"
+    )
+
     # the SAME 2-step funnel as a stream-stream interval join +
     # watermarked dedup — the JVM-rate relational spelling
     # (streaming.stateful.funnel_conversions_join, equivalence-tested
