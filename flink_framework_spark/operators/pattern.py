@@ -679,7 +679,20 @@ class Pattern:
         plain: set[str] = set()
         for s in self.steps:
             if s.group:
+                # group members are unconditioned steps: a type already
+                # bound by a conditioned step is the same conflict as
+                # the plain-step case below (currently re-checked after
+                # the group-times desugar, but the invariant must hold
+                # here too if the prefilter ever runs pre-desugar)
                 for t in s.group:
+                    if t in cond_by_type:
+                        return (
+                            f"where() cannot stream here: type {t!r} is "
+                            "bound both conditioned and unconditioned — "
+                            "the state-machine pre-filter could not keep "
+                            "the unconditioned group step's events; run "
+                            "match() on the lake"
+                        )
                     plain.add(t)
                 continue
             t = s.event_type

@@ -323,7 +323,7 @@ def _hll_fast_registers(
     no md5/string work. Portable: XXH64 of an 8-byte value has a
     closed form (single lane + avalanche, Collet's reference spec)
     that the DuckDB oracle replays exactly in HUGEINT modular
-    arithmetic (queries.aggregates._XXH64_LONG_CTES; validated against
+    arithmetic (queries.aggregates._hll_oracle_sql; validated against
     an independent Python reference in tests/test_hll.py), so the
     registers — and hence the estimate — stay bit-reproducible across
     engines while the Spark side pays integer-hash cost (the round-9

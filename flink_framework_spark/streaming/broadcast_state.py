@@ -24,6 +24,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from flink_framework_spark.streaming.drain import await_drain
 
 RULES_SCHEMA = "event_type string, min_value double, tag string"
 
@@ -87,12 +88,7 @@ def run_broadcast_rules(
         .start()
     )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {query_name!r} still active after "
-                f"{timeout_sec}s"
-            )
+        await_drain(q, query_name, timeout_sec)
     finally:
         if q.isActive:
             q.stop()

@@ -29,6 +29,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from flink_framework_spark.streaming.drain import await_drain
 
 
 class LateSideOutputProcessor:
@@ -105,12 +106,7 @@ def run_with_late_side_output(
         .start()
     )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {query_name!r} still active after "
-                f"{timeout_sec}s"
-            )
+        await_drain(q, query_name, timeout_sec)
     finally:
         if q.isActive:
             q.stop()

@@ -28,6 +28,7 @@ from typing import Callable, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from flink_framework_spark.streaming.drain import await_drain
 
 Sink = Callable[[DataFrame, int], None]
 
@@ -106,12 +107,7 @@ def run_with_side_outputs(
         .start()
     )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {query_name!r} still active after "
-                f"{timeout_sec}s"
-            )
+        await_drain(q, query_name, timeout_sec)
     finally:
         if q.isActive:
             q.stop()

@@ -531,9 +531,17 @@ def make_times_disorder_fn(
                 key=lambda e: (e[0], e[1]),
             )
             pend = [e for e in pend if e[0] > release_to]
+            # frontier ties drop like strict watermark late data: an
+            # event at EXACTLY the processed frontier arriving in a
+            # later micro-batch would otherwise be fed after already-
+            # released same-second events, breaking the core's declared
+            # (event time, event id) feed order. Snapshot the frontier
+            # at batch entry so same-batch ties (already (ts, id)-
+            # sorted in `ready`) still feed.
+            frontier = done
             for sec, eid, etype in ready:
-                if done is not None and sec < done:
-                    continue  # beyond the allowance: late-data drop
+                if frontier is not None and sec <= frontier:
+                    continue  # at-or-beyond the allowance: late drop
                 core.feed(sec, eid, etype, step, then_step)
                 done = sec if done is None else max(done, sec)
             if done is not None:
@@ -855,9 +863,13 @@ def make_greedy_disorder_fn(
                 key=lambda e: (e[0], e[1]),
             )
             pend = [e for e in pend if e[0] > release_to]
+            # frontier ties drop (see the times driver above): batch-
+            # entry snapshot keeps same-batch ties feeding in (ts, id)
+            # order while cross-batch ties at the frontier are late.
+            frontier = done
             for sec, _eid, etype in ready:
-                if done is not None and sec < done:
-                    continue  # beyond the allowance: late-data drop
+                if frontier is not None and sec <= frontier:
+                    continue  # at-or-beyond the allowance: late drop
                 core.feed(sec, etype, step, then_step)
                 done = sec if done is None else max(done, sec)
         state.update(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_framework_spark.io import _normalize_events_ts
 from flink_framework_spark.session import configure_session
+from flink_framework_spark.streaming.drain import await_drain
 
 
 def read_events_stream(
@@ -63,7 +64,13 @@ def run_to_memory(
     timeout_sec: int = 120,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into
-    an in-memory table and return it as a batch DataFrame."""
+    an in-memory table and return it as a batch DataFrame.
+
+    ``timeout_sec`` is an idle budget (see ``drain.await_drain``): the
+    query fails loudly if no micro-batch completes for that long, but a
+    slow-but-progressing drain under suite contention is never killed.
+    A partially-processed memory table is never returned.
+    """
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -72,14 +79,7 @@ def run_to_memory(
         .start()
     )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            # Never return a partially-processed memory table: batch ==
-            # stream equivalence tests must fail loudly, not flakily.
-            raise TimeoutError(
-                f"streaming query {query_name!r} still active after "
-                f"{timeout_sec}s"
-            )
+        await_drain(q, query_name, timeout_sec)
     finally:
         if q.isActive:
             q.stop()

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
+from flink_framework_spark.streaming.drain import await_drain
 from flink_framework_spark.streaming.rolling_dedup import (
     RollingDedupProcessor,
 )
@@ -52,7 +53,7 @@ def _run_stream(spark, directory, corpus_path, checkpoint):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in budget"
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     return spark.read.parquet(corpus_path)
 
 
@@ -145,7 +146,7 @@ def test_signature_lake_mode_equals_text_mode(spark, sf_dir, doc_spool, tmp_path
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in budget"
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     got = {
         (r.doc_id, r.batch)
         for r in spark.read.parquet(sig_corpus).collect()
@@ -255,7 +256,7 @@ def test_partial_signature_lake_detected(spark, sf_dir, doc_spool, tmp_path):
         corpus_path, threshold=0.5, signature_path=sig_path
     )
     q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
-    assert q.awaitTermination(300)
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     shutil.rmtree(os.path.join(sig_path, "batch=1"))
     replay_df = spark.read.parquet(
         os.path.join(directory, "part-00000.parquet")
@@ -284,7 +285,7 @@ def test_orphaned_signature_partition_detected(
         corpus_path, threshold=0.5, signature_path=sig_path
     )
     q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
-    assert q.awaitTermination(300)
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     shutil.rmtree(os.path.join(corpus_path, "batch=2"))
     replay_df = spark.read.parquet(
         os.path.join(directory, "part-00000.parquet")
@@ -317,7 +318,7 @@ def test_short_doc_corpus_streams_without_signatures(spark, tmp_path):
         .parquet(str(spool))
     )
     q = proc.attach(sdf, str(tmp_path / "ck")).trigger(availableNow=True).start()
-    assert q.awaitTermination(300)
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     assert spark.read.parquet(corpus_path).count() == 6
 
 
@@ -372,7 +373,7 @@ def test_semantic_rolling_stream_equals_batch_fold(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish in budget"
+    await_drain(q, q.name or "rolling_dedup", timeout_sec=120)
     got = {
         r.vec_id
         for r in spark.read.parquet(corpus_path).select("vec_id").collect()

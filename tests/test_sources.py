@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
+from flink_framework_spark.streaming.drain import await_drain
 from flink_framework_spark.plans.inspect import formatted_plan
 from flink_framework_spark.sources.batch import (
     read_csv,
@@ -127,7 +128,7 @@ def test_subject_hub_job_composition(spark, sf_dir, tmp_path):
         (F.col("value") * 100).alias("value_cents"),
     )
     q = hub.publish("enriched_events", enriched)
-    q.awaitTermination(120)
+    await_drain(q, "t_src", timeout_sec=120)
 
     assert hub.list_subjects() == ["enriched_events"]
     assert "value_cents" in [f.name for f in hub.schema("enriched_events").fields]
@@ -147,7 +148,7 @@ def test_subject_hub_job_composition(spark, sf_dir, tmp_path):
 
     # replay of job A: checkpoint makes it a no-op (no duplicates)
     q2 = hub.publish("enriched_events", enriched)
-    q2.awaitTermination(120)
+    await_drain(q2, "t_src2", timeout_sec=120)
     assert hub.read("enriched_events").count() == sum(n for _, n in want)
 
     # schema drift refused

@@ -15,6 +15,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
+from flink_framework_spark.streaming.drain import await_drain
 from flink_framework_spark.operators.streaming_ops import (
     cumulate_counts,
     cumulate_exploded,
@@ -174,7 +175,7 @@ def test_restart_is_idempotent(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_drain(q, q.name or "t_stream", timeout_sec=120)
 
     run_once()
     n1 = spark.read.parquet(out_dir).count()
@@ -231,7 +232,7 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_drain(q, q.name or "t_stream", timeout_sec=120)
 
     run_once()
     n1 = spark.read.parquet(out_dir).count()
@@ -367,7 +368,7 @@ def test_state_rescale_pins_original_partitioning(spark, sf_dir, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            await_drain(q, q.name or "t_stream", timeout_sec=120)
             state_parts = [
                 p["stateOperators"][0]["numShufflePartitions"]
                 for p in q.recentProgress
