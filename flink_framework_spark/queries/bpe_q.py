@@ -17,25 +17,27 @@ from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
 from flink_framework_spark.operators.bpe import bpe_tokenize, bpe_train
+from flink_framework_spark.queries._oracle_trained import (
+    bpe_vocab_select_sql,
+    per_sf,
+)
 from flink_framework_spark.registry import register
 
 
 @register(
     "q_bpe_vocab",
     family="K",
-    oracle="""
-SELECT * FROM read_parquet(
-  '/root/repo/tests/golden_driver/q_bpe_vocab_sf0.01.parquet')
-""",
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: bpe_vocab_select_sql(sf=sf)),
 )
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary training + corpus tokenization
     (operators.bpe): 60 merges learned from a bounded id-ordered
     sample, then one Arrow-batched tokenization pass over every
     document. Deterministic (tie-broken merge selection, greedy
-    lowest-rank encoding) — frozen-golden checked; algorithmic
-    properties in tests/test_bpe.py."""
+    lowest-rank encoding). Oracle is LIVE since r11: DuckDB re-runs
+    the greedy encoder from the frozen merge-table literals and
+    recomputes every fingerprint (no frozen-result golden remains);
+    algorithmic properties in tests/test_bpe.py."""
     docs = table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", "doc_id", n_merges=60)
     # The merge table is a bounded driver artifact (n_merges rows).

@@ -23,6 +23,10 @@ from flink_framework_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from flink_framework_spark.operators.similarity import embedding_near_dup_pairs
+from flink_framework_spark.queries._oracle_trained import (
+    embed_cells_select_sql,
+    per_sf,
+)
 from flink_framework_spark.registry import register
 
 
@@ -533,23 +537,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_embed_cells",
     family="K",
-    # LIVE oracle (round-9 golden conversion): at the driver's sf0.01
-    # the top-4 multi-probe IMI blocking has MEASURED 100% recall
-    # (59/59 of the brute-force >= 0.4 pairs — the floor test in
-    # tests/test_oracle_independent.py pins it), so the exact
-    # all-pairs recompute IS the expected output and the check is
-    # strictly stronger than the old frozen golden: a probing or
-    # cell-count regression that loses even one pair now fails the
-    # driver row, not just the local recall floor.
-    oracle="""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4)
-         AS cosim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
-""",
+    # LIVE oracle, blocking-aware since r11: DuckDB replays the
+    # probe-cell candidate generation from the frozen EMBED_CELL_BOOKS
+    # and the exact cosine verify — the operator's declared contract,
+    # the same footing as the ANN top-k oracles. (The r9 brute-force
+    # spelling asserted 100% multi-probe recall, which is a measured
+    # per-corpus floor — true at sf0.01, 903/920 at sf0.1 — not an
+    # invariant; recall vs brute force stays pinned independently in
+    # tests/test_oracle_independent.py.)
+    oracle_by_sf=per_sf(lambda sf: embed_cells_select_sql(sf=sf)),
 )
 def q_dedup_embed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs under the DEPLOYMENT blocking

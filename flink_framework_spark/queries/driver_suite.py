@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from flink_framework_spark.functions.helpers import round_duck
 from flink_framework_spark.io import table
 from flink_framework_spark.queries._oracle_trained import (
+    per_sf,
     kmeans_select_sql,
     semantic_dedup_imi_select_sql,
     semantic_dedup_select_sql,
@@ -411,7 +412,7 @@ def q_datetime_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_suite_oracle() -> str:
+def _dedup_suite_oracle(sf: str = "sf0.01") -> str:
     """The K2 melt's oracle, FULLY live since round 10: the embed /
     minhash / simhash128 members recompute in DuckDB (round 9, the
     same generated SQL their granular queries carry), and the two
@@ -424,11 +425,16 @@ def _dedup_suite_oracle() -> str:
         _simhash128_oracle,
     )
 
+    from flink_framework_spark.queries._oracle_trained import (
+        embed_cells_select_sql,
+    )
+
     return _DEDUP_SUITE_ORACLE_TMPL.format(
+        EMBED_CELLS_LIVE=embed_cells_select_sql(sf=sf),
         MINHASH_LIVE=_minhash_oracle(),
         SIMHASH128_LIVE=_simhash128_oracle(),
-        SEMANTIC_LIVE=semantic_dedup_select_sql(eps=0.35),
-        SEMANTIC_IMI_LIVE=semantic_dedup_imi_select_sql(eps=0.35),
+        SEMANTIC_LIVE=semantic_dedup_select_sql(eps=0.35, sf=sf),
+        SEMANTIC_IMI_LIVE=semantic_dedup_imi_select_sql(eps=0.35, sf=sf),
     )
 
 
@@ -448,12 +454,8 @@ SELECT 'ngram' AS method, doc_a AS id_a, doc_b AS id_b, jac AS score FROM (
   FROM kb a JOIN kb b ON a.mink = b.mink AND a.doc_id < b.doc_id) t
 WHERE jac >= 0.5
 UNION ALL
-SELECT 'embed', a.vec_id, b.vec_id,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4)
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+SELECT 'embed', vec_a, vec_b, cosim FROM (
+  {EMBED_CELLS_LIVE}) ec
 UNION ALL
 SELECT 'minhash', doc_a, doc_b, jaccard FROM (
   {MINHASH_LIVE}) mh
@@ -547,8 +549,7 @@ SELECT 'semantic_imi', dup_of, vec_id, CAST(cell AS DOUBLE) FROM (
 @register(
     "q_dedup_suite",
     family="K",
-    oracle=_dedup_suite_oracle(),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(_dedup_suite_oracle),
     bench=False,  # the granular K2 queries carry the bench signal
 )
 def q_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,20 +1169,21 @@ def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cluster_graph_suite",
     family="K",
-    oracle="""
+    oracle_by_sf=per_sf(
+        lambda sf: """
 SELECT 'kmeans' AS tag, vec_id AS id, cluster AS grp, d2 AS v FROM (
 """
-    + kmeans_select_sql()
-    + """
+        + kmeans_select_sql(sf=sf)
+        + """
 )
 UNION ALL
 SELECT 'pagerank', id, CAST(0 AS BIGINT), rank FROM (
 """
-    + _pagerank_oracle_sql()
-    + """
+        + _pagerank_oracle_sql()
+        + """
 )
-""",
-    oracle_sf="sf0.01",
+"""
+    ),
     bench=False,  # granular q_kmeans / q_pagerank carry the bench signal
 )
 def q_cluster_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,7 @@ from flink_framework_spark.io import table
 from flink_framework_spark.operators.dedup import exact_dedup_stats
 from flink_framework_spark.operators.similarity import brute_force_topk, bucketed_topk
 from flink_framework_spark.queries._oracle_trained import (
+    per_sf,
     imi_topk_select_sql,
     ivf_topk_select_sql,
     ivfpq_topk_select_sql,
@@ -186,8 +187,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment, nprobe probing, and exact-cosine top-k live from
     # the raw parquet (queries/_oracle_trained.py; the artifact is
     # drift-pinned by tests/test_trained_artifacts.py).
-    oracle=ivf_topk_select_sql(k=5, nprobe=2),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: ivf_topk_select_sql(k=5, nprobe=2, sf=sf)),
 )
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF kNN: k-means-trained coarse cells, nprobe=2 probing.
@@ -214,8 +214,9 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank shortlist, exact rescoring — recomputed in DuckDB from
     # the frozen centroids + codebooks (queries/_oracle_trained.py;
     # verified bit-exact at sf0.01, codes agreeing 500/500).
-    oracle=ivfpq_topk_select_sql(k=5, nprobe=4, rerank=64),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(
+        lambda sf: ivfpq_topk_select_sql(k=5, nprobe=4, rerank=64, sf=sf)
+    ),
 )
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ kNN with exact re-ranking (operators.pq): IVF cells
@@ -251,8 +252,7 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe cross-sums recomputed from the frozen half-codebooks,
     # exact cosine top-k on the joined candidates
     # (queries/_oracle_trained.py).
-    oracle=imi_topk_select_sql(k=5, nprobe=4),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: imi_topk_select_sql(k=5, nprobe=4, sf=sf)),
 )
 def q_sim_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN over IMI product cells (operators.similarity.imi_topk):
@@ -282,8 +282,7 @@ def q_sim_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frozen centroid literals, then the epsilon-ball prune and the
     # lowest-id witness rule recomputed relationally in DuckDB
     # (queries/_oracle_trained.py).
-    oracle=semantic_dedup_select_sql(eps=0.35),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: semantic_dedup_select_sql(eps=0.35, sf=sf)),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup (K2 extension): k-means coarse cells +
@@ -312,8 +311,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputed from the frozen half-codebooks (two independent
     # argmins, cell = c0*k1 + c1), then the identical prune
     # (queries/_oracle_trained.py).
-    oracle=semantic_dedup_imi_select_sql(eps=0.35),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(
+        lambda sf: semantic_dedup_imi_select_sql(eps=0.35, sf=sf)
+    ),
 )
 def q_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the inverted-multi-index coarse quantizer
@@ -343,8 +343,9 @@ def q_dedup_semantic_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LIVE oracle (round-10 golden conversion): cells from the frozen
     # corpus-prefix-trained centroids, the new-vs-corpus prune
     # recomputed relationally (queries/_oracle_trained.py).
-    oracle=semantic_dedup_inc_select_sql(eps=0.35),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(
+        lambda sf: semantic_dedup_inc_select_sql(eps=0.35, sf=sf)
+    ),
 )
 def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch SemDeDup (rolling-ingest shape): the first 400
@@ -429,8 +430,7 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes every output value — nearest-centroid assignment with
     # the shared (d2, cell) tiebreak and the rounded squared distance
     # — from the raw parquet (queries/_oracle_trained.py).
-    oracle=kmeans_select_sql(),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: kmeans_select_sql(sf=sf)),
 )
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table (k=8,

@@ -22,6 +22,7 @@ from flink_framework_spark.io import table
 from flink_framework_spark.operators.mllite import logreg_score, logreg_train
 from flink_framework_spark.operators.text import STOPWORDS, words
 from flink_framework_spark.queries._oracle_trained import (
+    per_sf,
     quality_model_select_sql,
 )
 from flink_framework_spark.registry import register
@@ -80,8 +81,7 @@ def _featurized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the raw documents (queries/_oracle_trained.py; the weights
     # are drift-pinned by retraining in
     # tests/test_trained_artifacts.py).
-    oracle=quality_model_select_sql(),
-    oracle_sf="sf0.01",
+    oracle_by_sf=per_sf(lambda sf: quality_model_select_sql(sf=sf)),
 )
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter: train bounded, score everywhere.

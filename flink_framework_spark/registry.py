@@ -29,6 +29,11 @@ class Query:
     # SF rather than recomputing from the live tables. The driver's
     # correctness pass runs at sf0.01, so golden oracles pin to it.
     oracle_sf: Optional[str] = None
+    # Per-SF oracle variants for trained-model queries whose VALUES
+    # constants are corpus-specific: {sf_tag: sql}. When the local
+    # suite runs at a covered SF it uses that variant IN PLACE (no
+    # redirect); `oracle` stays the sf0.01 string the driver consumes.
+    oracle_by_sf: Optional[dict] = None
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -166,20 +171,31 @@ def register(
     family: str = "",
     bench: bool = True,
     oracle_sf: str | None = None,
+    oracle_by_sf: dict[str, str] | None = None,
 ):
-    """Decorator registering a query implementation."""
+    """Decorator registering a query implementation. With
+    ``oracle_by_sf``, ``oracle`` defaults to the sf0.01 variant (the
+    driver's correctness SF)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is None and oracle_by_sf:
+            base = oracle_by_sf.get("sf0.01")
+        else:
+            base = oracle
         _REGISTRY[name] = Query(
             name=name,
             fn=fn,
-            oracle=oracle.strip() if oracle else None,
+            oracle=base.strip() if base else None,
             family=family,
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
             oracle_sf=oracle_sf,
+            oracle_by_sf=(
+                {k: v.strip() for k, v in oracle_by_sf.items()}
+                if oracle_by_sf else None
+            ),
         )
         return fn
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from flink_framework_spark.io import table
@@ -412,10 +413,16 @@ SELECT query_id, neighbor_id, cos FROM bf WHERE rn <= {k}
 
 
 def _check_ann_against_brute_force(name, score_col, min_recall):
-    from flink_framework_spark.registry import all_queries  # noqa: F401
+    """r11: the 'reported' frame is the registered LIVE oracle's
+    output (the pipeline recompute from frozen artifacts, hash-equal
+    to the Spark result by tests/test_oracle.py), not a golden
+    parquet — so this pins the whole chain to brute force."""
+    from flink_framework_spark.registry import all_queries
+    from tests.harness import run_oracle
 
     sf_dir = "/root/testdata/sf0.01"
-    reported = pd.read_parquet(f"tests/golden_driver/{name}_sf0.01.parquet")
+    q = all_queries()[name]
+    reported = run_oracle(q.oracle_by_sf["sf0.01"], sf_dir)
 
     con = duckdb.connect()
     con.register("reported", reported)
@@ -569,11 +576,18 @@ def test_bpe_first_merges_recomputed_in_duckdb():
     operator's (-count, pair) tie-break. Must reproduce the golden's
     merge-0 token AND count. Merge #1 (ow</w>) shares no symbol with
     merge #0 (er</w>), so merging #0 cannot change its pair count —
-    its golden count must equal the initial-pair count too."""
+    its golden count must equal the initial-pair count too. (r11:
+    the checked object is the frozen BPE_MERGES artifact literal —
+    the oracle's input — rather than a golden result parquet.)"""
     sf_dir = "/root/testdata/sf0.01"
-    golden = pd.read_parquet("tests/golden_driver/q_bpe_vocab_sf0.01.parquet")
-    merges = golden[golden.tag == "merge"].sort_values("id")
-    m0, m1 = merges.iloc[0], merges.iloc[1]
+    from flink_framework_spark.queries._trained_sf001 import BPE_MERGES
+
+    class _M:
+        def __init__(self, a, b, cnt):
+            self.tok, self.n = a + b, cnt
+
+    m0 = _M(*BPE_MERGES[0])
+    m1 = _M(*BPE_MERGES[1])
 
     con = duckdb.connect()
     top = con.execute(
@@ -675,19 +689,30 @@ FROM read_parquet('{sf_dir}/documents.parquet')
     assert len(golden) == n
 
 
-def test_embed_cells_pairs_sound_and_recall_floor():
-    """Independent re-verification of the q_dedup_embed_cells golden:
-    every emitted pair's cosine is recomputed from the raw embeddings
-    in DuckDB and must match exactly (soundness — no pair below the
-    0.4 threshold, no wrong cosim), and the celled blocking's recall
-    against the full brute-force >= 0.4 pair set must hold the
-    measured floor (the shipped top-4 multi-probe assignment sees
-    59/59 = 100% at sf0.01; pinned at >= 0.9 so a cell-count or
-    probe regression trips loudly)."""
+@pytest.mark.parametrize(
+    "sf,floor",
+    [("sf0.01", 1.0), ("sf0.1", 0.95)],
+)
+def test_embed_cells_pairs_sound_and_recall_floor(sf, floor):
+    """Brute-force re-verification of the q_dedup_embed_cells
+    contract (r11: the pair set comes from the LIVE blocking-aware
+    oracle, not a golden parquet): every emitted pair's cosine is
+    recomputed from the raw embeddings in DuckDB and must match
+    exactly (soundness — no pair below the 0.4 threshold, no wrong
+    cosim), and the celled blocking's recall against the full
+    brute-force >= 0.4 pair set must hold the measured per-corpus
+    floor (top-4 multi-probe sees 59/59 = 100% at sf0.01 and 903/920
+    = 98.2% at sf0.1; a cell-count or probe regression trips
+    loudly)."""
     import duckdb
 
-    g = "tests/golden_driver/q_dedup_embed_cells_sf0.01.parquet"
-    e = "/root/testdata/sf0.01/embeddings.parquet"
+    from flink_framework_spark.queries._oracle_trained import (
+        embed_cells_select_sql,
+    )
+    from tests.harness import run_oracle
+
+    sf_dir = f"/root/testdata/{sf}"
+    e = f"{sf_dir}/embeddings.parquet"
     con = duckdb.connect()
     bf = con.execute(
         f"""
@@ -701,11 +726,12 @@ def test_embed_cells_pairs_sound_and_recall_floor():
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
         """
     ).fetchall()
-    gp = con.execute(
-        f"SELECT vec_a, vec_b, cosim FROM read_parquet('{g}')"
-    ).fetchall()
+    gp = run_oracle(embed_cells_select_sql(sf=sf), sf_dir).itertuples(
+        index=False, name=None
+    )
+    gp = list(gp)
     truth = {(a, b): c for a, b, c in bf}
     assert all(
         (a, b) in truth and abs(truth[(a, b)] - c) < 1e-9 for a, b, c in gp
     )
-    assert len(gp) >= 0.9 * len(bf) > 0
+    assert len(gp) >= floor * len(bf) > 0
