@@ -206,43 +206,71 @@ def main() -> None:
     print(summary, flush=True)
 
 
-def _run_stream_scenario(df, mode: str, seconds: float) -> dict:
+def _run_stream_scenario(
+    df, mode: str, seconds: float, runs: int = 1, min_batches: int = 4
+) -> dict:
     """Start df -> noop sink, observe for ``seconds``, return stats.
     Fresh checkpoint dir per run: a fixed path keyed by PID would
     resume a stale checkpoint after PID reuse and corrupt the
-    measurement."""
-    import shutil
-    import tempfile
+    measurement.
 
-    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-    q = (
-        df.writeStream.format("noop")
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        # adaptive window: the Arrow/Python state scenarios pay a
-        # multi-second first batch (worker fork + state init); a fixed
-        # sleep can end with zero steady-state samples on a loaded
-        # machine. Observe at least ``seconds``, then keep going (up
-        # to a hard cap) until >= 4 input-bearing progress reports
-        # exist — _stream_stats drops the first one.
-        cap = max(seconds * 4, 45.0)
-        start = time.monotonic()
-        while True:
-            time.sleep(1.0)
-            elapsed = time.monotonic() - start
-            progresses = [p for p in q.recentProgress if p is not None]
-            n_input = sum(
-                1 for p in progresses if p.get("numInputRows", 0) > 0
-            )
-            if elapsed >= cap or (elapsed >= seconds and n_input >= 4):
-                break
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return _stream_stats(progresses)
+    ``runs > 1`` (r11, VERDICT r10 #5): re-measure the scenario and
+    keep the run with the highest median rate — the streaming analog
+    of the batch corpus's best-of-2. Throughput jitter on a contended
+    VM is one-sided (contention only LOWERS rows/s), so max-of-runs
+    estimates the uncontended floor the way min-of-times does for
+    batch. ``min_batches`` raises the steady-state sample count for
+    scenarios whose per-batch variance needs a wider median (the
+    Arrow keyed-state paths measured a 1.5x same-day swing on
+    3-batch medians in r9/r10)."""
+
+    def once() -> dict:
+        import shutil
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+        q = (
+            df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            # adaptive window: the Arrow/Python state scenarios pay a
+            # multi-second first batch (worker fork + state init); a
+            # fixed sleep can end with zero steady-state samples on a
+            # loaded machine. Observe at least ``seconds``, then keep
+            # going (up to a hard cap) until >= min_batches input-
+            # bearing progress reports exist — _stream_stats drops the
+            # first one.
+            cap = max(seconds * 4, 45.0, 12.0 * min_batches)
+            start = time.monotonic()
+            while True:
+                time.sleep(1.0)
+                elapsed = time.monotonic() - start
+                progresses = [p for p in q.recentProgress if p is not None]
+                n_input = sum(
+                    1 for p in progresses if p.get("numInputRows", 0) > 0
+                )
+                if elapsed >= cap or (
+                    elapsed >= seconds and n_input >= min_batches
+                ):
+                    break
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _stream_stats(progresses)
+
+    best = None
+    for _ in range(max(1, runs)):
+        stats = once()
+        if best is None or stats.get("rows_per_sec", 0.0) > best.get(
+            "rows_per_sec", 0.0
+        ):
+            best = stats
+    if runs > 1:
+        best["runs"] = runs
+    return best
 
 
 def stream_throughput(spark, seconds: float = 8.0) -> dict:
@@ -423,7 +451,8 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         .alias("event_type"),
     )
     out["cep_funnel"] = _run_stream_scenario(
-        funnel_conversions(cep_src), "update", seconds * 2
+        funnel_conversions(cep_src), "update", seconds * 2,
+        runs=2, min_batches=6,
     )
     out["cep_funnel"]["pipeline"] = (
         "rate-micro-batch (100k rows/batch, 25k keys)->"
@@ -453,6 +482,7 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         times_matches(td_src, 2, 3, horizon_s=60.0, disorder_s=10.0),
         "update",
         seconds * 2,
+        runs=2, min_batches=6,
     )
     out["cep_times_disorder"]["pipeline"] = (
         "rate-micro-batch (100k rows/batch, 25k keys, 1% of rows "
@@ -720,7 +750,7 @@ def stream_throughput(spark, seconds: float = 8.0) -> dict:
         watermark="2 seconds",
     )
     out["temporal_changelog_join"] = _run_stream_scenario(
-        tj, "update", seconds * 2
+        tj, "update", seconds * 2, runs=2, min_batches=6
     )
     out["temporal_changelog_join"]["pipeline"] = (
         "rate-micro-batch x2 (200k facts + 25k dim updates/batch, "

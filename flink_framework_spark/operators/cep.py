@@ -935,3 +935,89 @@ def skip_combinations(
         f"unknown skip strategy {strategy!r} (use no_skip | "
         "skip_past_last | skip_to_next | skip_to_last)"
     )
+
+
+def skip_greedy_pair(
+    matches: DataFrame,
+    key_col: str = "user_id",
+    first_col: str = "ts_first",
+    last_col: str = "ts_last",
+    tags: tuple = ("skip_past", "skip_last"),
+) -> DataFrame:
+    """Both greedy after-match selections — SKIP_PAST_LAST_EVENT and
+    SKIP_TO_LAST — in ONE grouped-map pass, rows tagged by a
+    ``__skip`` column (r11, the q_cep_suite melt consolidation: the
+    two strategies differ only in the boundary comparison, so paying
+    two Arrow round-trips + two keyed shuffles for one sort and two
+    linear scans was pure overhead; the granular operators
+    :func:`skip_past_last` / :func:`skip_to_last` stay single-
+    strategy). Semantics per tag are IDENTICAL to the granular
+    functions — pinned by tests/test_cep.py's equivalence check."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cols = list(matches.columns)
+    for c in (key_col, first_col, last_col):
+        if c not in cols:
+            raise ValueError(f"matches frame is missing column {c!r}")
+    id_first = "id_first" if "id_first" in cols else None
+    id_last = "id_last" if "id_last" in cols else None
+    if id_first is None or id_last is None:
+        id_first = id_last = None
+    lead_cols = [first_col] + ([id_first] if id_first else []) + [
+        last_col
+    ] + ([id_last] if id_last else [])
+    sort_cols = lead_cols + [c for c in cols if c not in lead_cols]
+
+    def _start(row):
+        return (
+            (row[first_col], row[id_first]) if id_first else row[first_col]
+        )
+
+    def _end(row):
+        return (row[last_col], row[id_last]) if id_last else row[last_col]
+
+    def _tuplify(v):
+        if hasattr(v, "tolist"):
+            return tuple(v.tolist())
+        if isinstance(v, list):
+            return tuple(v)
+        return v
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        conv = {
+            c: pdf[c].map(_tuplify)
+            for c in sort_cols
+            if pdf[c].dtype == object
+        }
+        if conv:
+            keyed = pdf.assign(**{f"__sk_{c}": s for c, s in conv.items()})
+            order = keyed.sort_values(
+                [f"__sk_{c}" if c in conv else c for c in sort_cols],
+                kind="mergesort",
+            ).index
+            pdf = pdf.loc[order]
+        else:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        outs = []
+        for tag, inclusive in zip(tags, (False, True)):
+            keep = []
+            last_end = None
+            for idx, row in pdf.iterrows():
+                if (
+                    last_end is None
+                    or _start(row) > last_end
+                    or (inclusive and _start(row) == last_end)
+                ):
+                    keep.append(idx)
+                    last_end = _end(row)
+            part = pdf.loc[keep, cols].copy()
+            part["__skip"] = tag
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True)
+
+    schema = StructType(
+        list(matches.schema.fields) + [StructField("__skip", StringType())]
+    )
+    return matches.groupBy(key_col).applyInPandas(pick, schema)

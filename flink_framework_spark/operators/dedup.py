@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_framework_spark.functions.helpers import round_duck
@@ -231,6 +231,98 @@ def simhash64_vec():
     return fp
 
 
+def _capped_band_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Candidate pairs (__a < __b) from a ``(__id, *keys)`` blocking
+    frame, with a hot-bucket guard (r11, VERDICT r10 #4).
+
+    The plain equi-join on the bucket key is quadratic WITHIN a
+    bucket: a degenerate corpus (billions of near-identical docs
+    landing in one (band, bucket)) turns one bucket into an m^2 pair
+    bomb no cluster survives. With ``bucket_cap`` set, buckets larger
+    than the cap are SALTED into ``ceil(m / cap)`` deterministic
+    sub-groups (xxhash64 of the id — reproducible across runs and
+    engines), pairs are generated within each sub-group, and one
+    chain of BRIDGE pairs links consecutive sub-group representatives
+    (min id per group, ordered by salt) so the bucket stays one
+    connected component.
+
+    Cost: a super-bucket emits O(m * cap) within-group pairs + g - 1
+    bridges instead of O(m^2). Recall effect (documented contract):
+    within-bucket PAIRWISE recall drops — cross-group pairs are not
+    emitted — but CLUSTER-level connectivity survives whenever the
+    bucket's members are mutually near-duplicates (the only corpus
+    shape that produces super-buckets from 16-band MinHash in
+    practice), because every bridge pair then verifies at the same
+    similarity as any other within-bucket pair. Buckets at or under
+    the cap are byte-identical to the unguarded path, and the
+    measured max bucket size on the test corpora is 4 (sf0.1), so the
+    default cap of 1024 never fires there — the DuckDB oracles stay
+    exact. The guard detects hot buckets with a partial-aggregated
+    groupBy (no skewed window sort) and the hot list joins back small
+    (<= N / cap rows; AQE broadcasts it in the common case)."""
+    if bucket_cap is not None and bucket_cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+    left = banded.select(F.col("__id").alias("__a"), *keys)
+    right = banded.select(F.col("__id").alias("__b"), *keys)
+    plain = (
+        left.join(right, keys)
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+    )
+    if bucket_cap is None:
+        return plain.distinct()
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    hot = sizes.filter(F.col("__bsz") > bucket_cap)
+    tagged = banded.join(hot, keys, "left")
+    cold = tagged.filter(F.col("__bsz").isNull()).drop("__bsz")
+    cold_pairs = (
+        cold.select(F.col("__id").alias("__a"), *keys)
+        .join(cold.select(F.col("__id").alias("__b"), *keys), keys)
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+    )
+    salted = tagged.filter(F.col("__bsz").isNotNull()).withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64("__id"),
+            F.ceil(F.col("__bsz") / F.lit(bucket_cap)).cast("long"),
+        ),
+    )
+    skeys = keys + ["__salt"]
+    hot_pairs = (
+        salted.select(F.col("__id").alias("__a"), *skeys)
+        .join(salted.select(F.col("__id").alias("__b"), *skeys), skeys)
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+    )
+    # bridge chain: consecutive sub-group representatives per bucket
+    reps = salted.groupBy(*skeys).agg(F.min("__id").alias("__rep"))
+    w = Window.partitionBy(*keys).orderBy("__salt")
+    chained = reps.select(
+        *keys, "__rep", F.row_number().over(w).alias("__rn")
+    )
+    bridges = (
+        chained.select(*keys, F.col("__rep").alias("__ra"), "__rn")
+        .join(
+            chained.select(
+                *keys,
+                F.col("__rep").alias("__rb"),
+                (F.col("__rn") - 1).alias("__rn"),
+            ),
+            keys + ["__rn"],
+        )
+        .select(
+            F.least("__ra", "__rb").alias("__a"),
+            F.greatest("__ra", "__rb").alias("__b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).unionByName(bridges).distinct()
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -239,6 +331,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     hashed: DataFrame | None = None,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their MinHash signature
     become a candidate pair (doc_a < doc_b).
@@ -247,6 +340,9 @@ def minhash_candidates(
     (band_id, band_hash) — linear work + one shuffle; no cross join.
     ``hashed`` optionally supplies a precomputed
     ``hashed_shingle_frame`` shared with the verification stage.
+    ``bucket_cap`` guards degenerate corpora: buckets above the cap
+    are salted into bounded sub-groups with a bridge chain — see
+    ``_capped_band_pairs`` for the exact recall contract.
     """
     rows_per_band = num_hashes // bands
     # staged projections: tokens -> shingles -> base hashes ->
@@ -293,15 +389,8 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
-    left = banded.select(
-        F.col("__id").alias("doc_a"), "band", "bucket"
-    )
-    right = banded.select(F.col("__id").alias("doc_b"), "band", "bucket")
-    return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    return _capped_band_pairs(banded, ["band", "bucket"], bucket_cap).select(
+        F.col("__a").alias("doc_a"), F.col("__b").alias("doc_b")
     )
 
 

@@ -616,6 +616,7 @@ def cell_near_dup_pairs(
     cells,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS under the celled deployment
     discipline, with the pair kernel as per-cell numpy GEMM (the same
@@ -631,12 +632,43 @@ def cell_near_dup_pairs(
     size is the memory/compute bound,
     controlled by the ``n_cells ~ N / target`` sizing; AQE's
     skew-join split handles hot cells. Output: (vec_a < vec_b, cos)
-    with cos UNROUNDED — callers round for oracle comparison."""
+    with cos UNROUNDED — callers round for oracle comparison.
+
+    ``cell_cap`` (r11, VERDICT r10 #4) guards the degenerate corpus
+    the sizing rule cannot: if billions of near-identical vectors
+    land in ONE cell, that cell's pandas group is an m^2 GEMM no
+    executor survives. Cells above the cap are salted into
+    ``ceil(m / cap)`` deterministic sub-groups (xxhash64 of the id),
+    the GEMM runs per sub-group, and a chain of BRIDGE pairs
+    (consecutive sub-group min-id representatives, exact JVM cosine)
+    keeps the cell one connected component. Same recall contract as
+    ``dedup._capped_band_pairs``: within-cell pairwise recall drops
+    to within-group + bridges, cluster connectivity survives when
+    the cell's members are mutually near-dup (the only shape that
+    makes a super-cell). Cells at or under the cap are untouched —
+    the measured max cell size on the test corpora is far below the
+    default, so the live oracles stay exact."""
+    if cell_cap is not None and cell_cap < 2:
+        raise ValueError(f"cell_cap must be >= 2, got {cell_cap}")
     assigned = df.select(
         F.col(id_col).alias("vec_id"),
         to_double_array(vec_col).alias("__v"),
         F.explode(cells).alias("__cell"),
     )
+    if cell_cap is not None:
+        sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__csz"))
+        hot = sizes.filter(F.col("__csz") > cell_cap)
+        assigned = assigned.join(hot, "__cell", "left").withColumn(
+            "__salt",
+            F.when(F.col("__csz").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64("vec_id"),
+                    F.ceil(F.col("__csz") / F.lit(cell_cap)).cast("long"),
+                )
+            ),
+        ).drop("__csz")
+    else:
+        assigned = assigned.withColumn("__salt", F.lit(0))
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -663,9 +695,54 @@ def cell_near_dup_pairs(
             }
         )
 
+    within = assigned.groupBy("__cell", "__salt").applyInPandas(
+        pairs, "vec_a long, vec_b long, cos double"
+    )
+    # bridge chain for capped cells: consecutive sub-group reps,
+    # exact cosine via the JVM kernel (same quantity as the GEMM up
+    # to float summation order — the max(cos) collapse below already
+    # absorbs per-block order variance), thresholded like any pair
+    reps = (
+        assigned.filter(F.col("__salt") > 0)
+        .select("__cell")
+        .distinct()
+        .join(assigned, "__cell")
+        .groupBy("__cell", "__salt")
+        .agg(F.min("vec_id").alias("__rep"))
+    )
+    w = Window.partitionBy("__cell").orderBy("__salt")
+    chained = reps.select(
+        "__cell", "__salt", "__rep", F.row_number().over(w).alias("__rn")
+    )
+    rv = assigned.select("vec_id", "__v").dropDuplicates(["vec_id"])
+    bpairs = (
+        chained.select("__cell", F.col("__rep").alias("__pa"), "__rn")
+        .join(
+            chained.select(
+                "__cell",
+                F.col("__rep").alias("__pb"),
+                (F.col("__rn") - 1).alias("__rn"),
+            ),
+            ["__cell", "__rn"],
+        )
+        .select(
+            F.least("__pa", "__pb").alias("vec_a"),
+            F.greatest("__pa", "__pb").alias("vec_b"),
+        )
+        .join(rv.select(F.col("vec_id").alias("vec_a"),
+                        F.col("__v").alias("__va")), "vec_a")
+        .join(rv.select(F.col("vec_id").alias("vec_b"),
+                        F.col("__v").alias("__vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("__va"), F.col("__vb"))
+             / (norm(F.col("__va")) * norm(F.col("__vb")))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
     return (
-        assigned.groupBy("__cell")
-        .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
+        within.unionByName(bpairs)
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cos").alias("cos"))
     )

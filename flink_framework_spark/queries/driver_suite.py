@@ -1610,20 +1610,37 @@ def _cep_part(df: DataFrame, name: str, grp_col: str | None = None) -> DataFrame
 
 def _cep_times_union(ev: DataFrame):
     """(persisted match frame, lazy 4-part union) for the times/skip
-    family — the caller drains the union eagerly and unpersists."""
+    family — the caller drains the union eagerly and unpersists.
+
+    r11: the two greedy selections (SKIP_PAST_LAST + SKIP_TO_LAST)
+    run as ONE grouped-map pass (operators.cep.skip_greedy_pair) and
+    aggregate straight off the tagged frame — one Arrow round-trip and
+    one keyed shuffle where the granular spelling paid two of each;
+    values are pinned identical by tests/test_cep.py and the suite's
+    unchanged DuckDB oracle."""
     from flink_framework_spark.operators.cep import (
         match_times,
-        skip_past_last,
-        skip_to_last,
+        skip_greedy_pair,
         skip_to_next,
     )
 
     times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
+    greedy_parts = (
+        skip_greedy_pair(times_m)
+        .groupBy(
+            F.col("__skip").alias("part"),
+            F.col("n_reps").cast("string").alias("grp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select("part", "grp", "n_matches", "n_users")
+    )
     lazy = (
         _cep_part(times_m, "times", "n_reps")
-        .unionByName(_cep_part(skip_past_last(times_m), "skip_past", "n_reps"))
+        .unionByName(greedy_parts)
         .unionByName(_cep_part(skip_to_next(times_m), "skip_next", "n_reps"))
-        .unionByName(_cep_part(skip_to_last(times_m), "skip_last", "n_reps"))
     )
     return times_m, lazy
 

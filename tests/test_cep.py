@@ -773,3 +773,34 @@ def test_skip_on_combinations_fuzz_vs_reference(spark):
                 ]
                 want |= {(u, ids) for ids in reference(ms, strategy)}
             assert got == want, (seed, strategy, got ^ want)
+
+
+def test_skip_greedy_pair_equals_granular(spark, sf_dir):
+    """The batched two-strategy pick (r11 melt consolidation) must
+    emit exactly the granular skip_past_last / skip_to_last rows."""
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.cep import (
+        match_times,
+        skip_greedy_pair,
+        skip_past_last,
+        skip_to_last,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
+    try:
+        both = skip_greedy_pair(m).persist()
+        cols = m.columns
+        for tag, fn in (("skip_past", skip_past_last),
+                        ("skip_last", skip_to_last)):
+            got = sorted(
+                map(repr, (tuple(r) for r in both.filter(
+                    both["__skip"] == tag).select(*cols).collect()))
+            )
+            want = sorted(
+                map(repr, (tuple(r) for r in fn(m).collect()))
+            )
+            assert got == want and want, tag
+        both.unpersist()
+    finally:
+        m.unpersist()
