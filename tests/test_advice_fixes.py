@@ -159,23 +159,26 @@ def test_await_drain_tolerates_slow_progress(spark, tmp_path):
 
     import pandas as pd
 
-    for i in range(4):
+    for i in range(8):
         pd.DataFrame({"v": [i]}).to_parquet(tmp_path / f"f{i}.parquet")
     src = (
         spark.readStream.schema("v long")
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path))
     )
-    # 4 batches x ~1.5s sleep: ~6s total against a 4s idle budget —
-    # would have timed out under the old fixed-wall-clock semantics.
+    # 8 batches x ~1.5s sleep: >= 12s total against a 10s idle budget
+    # — would have timed out under the old fixed-wall-clock semantics.
+    # The idle budget leaves ~8.5s of contention headroom per batch
+    # (a 4s budget flaked once in a full-suite run: the batch itself
+    # took > 4s under load — exactly the failure mode being tested).
     nap = F.udf(lambda v: (__import__("time").sleep(1.5), v)[1], "long")
     out = run_to_memory(
         src.select(nap("v").alias("v")).groupBy("v").count(),
         query_name="t_progress_probe",
         output_mode="complete",
-        timeout_sec=4,
+        timeout_sec=10,
     )
-    assert out.count() == 4
+    assert out.count() == 8
 
 
 def test_shuffle_sized_to_restores_conf_on_error(spark):
