@@ -69,12 +69,38 @@ def _normalize_events_ts(df: DataFrame, as_instant: bool = False) -> DataFrame:
     return df
 
 
+# Lazy-DataFrame cache (r11, guide §6 file listing / §1.2 fixed costs):
+# ``spark.read.parquet`` re-reads footers + re-infers the schema on
+# EVERY call (~0.1-0.2 s of driver-side py4j work per table), and the
+# bench corpus calls ``table()`` ~2-4 times per query per timing run.
+# The cached object is a PLAN (no data, no results — .persist is never
+# called here), keyed per Spark application so a restarted session
+# re-lists files; within one application the fixture lake is
+# immutable, as is a production lake snapshot during one job.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; events gets its timestamp normalized."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - e.g. Connect sessions
+        app = None
+    key = (app, sf_dir, name)
+    if app is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None:
+            return hit
     if name == "events":
         configure_session(spark)  # driver sessions may lack nanosAsLong
-        return _normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if app is not None:
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(

@@ -63,19 +63,59 @@ def bpe_train(
         if w:
             vocab[_word_symbols(w)] = vocab.get(_word_symbols(w), 0) + n
 
+    # Incremental pair maintenance (r11, guide §1.2 step 2 — per-task
+    # work): the naive loop recounted EVERY pair of EVERY vocab word
+    # per merge, O(n_merges * corpus vocab); with 60 merges over the
+    # sf0.1 sample that recount was ~2 s of pure driver Python and
+    # >95% of it touched words the merge cannot change. Keep a live
+    # pair->count table plus an inverted pair->words index; each merge
+    # then rewrites only the words that actually CONTAIN the merged
+    # pair, subtracting their old pair counts and adding the new ones.
+    # Counts stay exact at every step (same numbers the recount
+    # produced), so the (-count, pair) tie-broken argmin — and hence
+    # the merge table — is bit-identical; zero-count entries are
+    # purged so the "no pairs left" stop condition matches too.
+    # Equivalence is pinned by tests/test_bpe.py::test_train_matches_recount.
+    pairs: Counter[tuple[str, str]] = Counter()
+    where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    for syms, n in vocab.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += n
+            where.setdefault(p, set()).add(syms)
+
+    def _retract(syms: tuple[str, ...], n: int) -> None:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            left = pairs[p] - n
+            if left <= 0:
+                del pairs[p]
+            else:
+                pairs[p] = left
+            ws = where.get(p)
+            if ws is not None:
+                ws.discard(syms)
+                if not ws:
+                    del where[p]
+
+    def _insert(syms: tuple[str, ...], n: int) -> None:
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += n
+            where.setdefault(p, set()).add(syms)
+
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs: Counter[tuple[str, str]] = Counter()
-        for syms, n in vocab.items():
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += n
         if not pairs:
             break
-        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b) = min(pairs, key=lambda p: (-pairs[p], p))
+        cnt = pairs[(a, b)]
         merges.append((a, b, cnt))
         merged = a + b
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, n in vocab.items():
+        touched = list(where.get((a, b), ()))
+        for syms in touched:
+            n = vocab.pop(syms)
+            _retract(syms, n)
             out = []
             i = 0
             while i < len(syms):
@@ -86,8 +126,16 @@ def bpe_train(
                     out.append(syms[i])
                     i += 1
             key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + n
-        vocab = new_vocab
+            prev = vocab.get(key)
+            if prev is None:
+                vocab[key] = n
+                _insert(key, n)
+            else:
+                # same rewritten form already present: bump the shared
+                # count (pair counts scale linearly in n, so insert
+                # covers the delta)
+                vocab[key] = prev + n
+                _insert(key, n)
     return merges
 
 
@@ -123,6 +171,12 @@ def bpe_tokenize(
     pandas UDF (the merge loop is genuinely imperative), rank table
     captured by value. Returns array<string>."""
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    # greedy encoding is a pure function of the word, and natural
+    # text repeats words heavily (Zipf) — memoize in the closure (r11,
+    # guide §4.5 heavyweight-state discipline: the dict deserializes
+    # empty with the UDF and then lives for the task, amortizing
+    # across every batch the task sees)
+    memo: dict[str, list[str]] = {}
 
     @F.pandas_udf(ArrayType(StringType()))
     def _tok(texts: pd.Series) -> pd.Series:
@@ -131,7 +185,11 @@ def bpe_tokenize(
             toks: list[str] = []
             for w in (t or "").strip().lower().split(" "):
                 if w:
-                    toks.extend(_encode_word(w, ranks))
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        memo[w] = enc
+                    toks.extend(enc)
             out.append(toks)
         return pd.Series(out)
 

@@ -261,46 +261,60 @@ def _capped_band_pairs(
     the cap are byte-identical to the unguarded path, and the
     measured max bucket size on the test corpora is 4 (sf0.1), so the
     default cap of 1024 never fires there — the DuckDB oracles stay
-    exact. The guard detects hot buckets with a partial-aggregated
-    groupBy (no skewed window sort) and the hot list joins back small
-    (<= N / cap rows; AQE broadcasts it in the common case)."""
+    exact. The guard counts buckets with a partial-aggregated groupBy
+    (no skewed window sort); the bucket-size table joins back at
+    bucket cardinality (AQE broadcasts it in the common case) and
+    every row is salted uniformly — cold buckets get exactly one
+    sub-group, so their pairs are the unguarded pairs."""
     if bucket_cap is not None and bucket_cap < 2:
         raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
-    left = banded.select(F.col("__id").alias("__a"), *keys)
-    right = banded.select(F.col("__id").alias("__b"), *keys)
-    plain = (
-        left.join(right, keys)
-        .filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b")
-    )
     if bucket_cap is None:
-        return plain.distinct()
+        left = banded.select(F.col("__id").alias("__a"), *keys)
+        right = banded.select(F.col("__id").alias("__b"), *keys)
+        return (
+            left.join(right, keys)
+            .filter(F.col("__a") < F.col("__b"))
+            .select("__a", "__b")
+            .distinct()
+        )
+    # r11 perf restructure (same output, measured 4.6x cheaper on the
+    # bench corpus): the first guard spelling split the frame into
+    # cold/hot branches — sizes agg + left join + TWO pair joins + a
+    # rep pass, seven lazy consumers of the unpersisted banding
+    # pipeline. Instead give EVERY row a salt: cold buckets get
+    # ceil(bsz/cap) == 1 sub-group, so pmod(xxhash64, 1) == 0 and the
+    # single (keys, salt) pair join emits exactly the unguarded pairs
+    # for them; hot buckets salt exactly as before. One staged salted
+    # frame (compact: id + keys + salt) feeds the pair join twice and
+    # the near-empty bridge subtree once — the banding pipeline runs
+    # once. The sizes side aggregates to bucket cardinality, so AQE
+    # broadcasts it in the common case.
     sizes = banded.groupBy(*keys).agg(F.count("*").alias("__bsz"))
-    hot = sizes.filter(F.col("__bsz") > bucket_cap)
-    tagged = banded.join(hot, keys, "left")
-    cold = tagged.filter(F.col("__bsz").isNull()).drop("__bsz")
-    cold_pairs = (
-        cold.select(F.col("__id").alias("__a"), *keys)
-        .join(cold.select(F.col("__id").alias("__b"), *keys), keys)
-        .filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b")
-    )
-    salted = tagged.filter(F.col("__bsz").isNotNull()).withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64("__id"),
-            F.ceil(F.col("__bsz") / F.lit(bucket_cap)).cast("long"),
-        ),
+    salted = _staged(
+        banded.join(sizes, keys).select(
+            "__id",
+            *keys,
+            F.pmod(
+                F.xxhash64("__id"),
+                F.ceil(F.col("__bsz") / F.lit(bucket_cap)).cast("long"),
+            ).alias("__salt"),
+            (F.col("__bsz") > bucket_cap).alias("__hot"),
+        )
     )
     skeys = keys + ["__salt"]
-    hot_pairs = (
+    pairs_all = (
         salted.select(F.col("__id").alias("__a"), *skeys)
         .join(salted.select(F.col("__id").alias("__b"), *skeys), skeys)
         .filter(F.col("__a") < F.col("__b"))
         .select("__a", "__b")
     )
     # bridge chain: consecutive sub-group representatives per bucket
-    reps = salted.groupBy(*skeys).agg(F.min("__id").alias("__rep"))
+    # (only super-cap buckets have more than one sub-group)
+    reps = (
+        salted.filter(F.col("__hot"))
+        .groupBy(*skeys)
+        .agg(F.min("__id").alias("__rep"))
+    )
     w = Window.partitionBy(*keys).orderBy("__salt")
     chained = reps.select(
         *keys, "__rep", F.row_number().over(w).alias("__rn")
@@ -320,7 +334,7 @@ def _capped_band_pairs(
             F.greatest("__ra", "__rb").alias("__b"),
         )
     )
-    return cold_pairs.unionByName(hot_pairs).unionByName(bridges).distinct()
+    return pairs_all.unionByName(bridges).distinct()
 
 
 def minhash_candidates(

@@ -189,9 +189,17 @@ def kmeans_lloyd(
 
     use_vec = vectorized_assign if vectorized_assign is not None else k > 64
     init_cap = 4096
+    # every Lloyd round re-reads this narrow (id, vector) projection —
+    # n_iter + 2 passes total (init sample, per-round assignment, the
+    # final assignment). Persist it so the parquet scan + array
+    # conversion run once (r11, guide §5 caching: genuinely reused,
+    # compact — ids + fixed-width arrays; same discipline as
+    # operators.dedup._staged, reclaimed by the caller's clearCache).
+    from pyspark import StorageLevel
+
     staged = df.select(
         F.col(id_col), to_double_array(vec_col).alias("__v")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sample = staged.orderBy(id_col).limit(init_cap).collect()
     if not sample:
         raise ValueError("cannot run k-means on an empty input")
@@ -206,43 +214,50 @@ def kmeans_lloyd(
         (i, [float(x) for x in X[p]]) for i, p in enumerate(picked)
     ]
 
-    for _ in range(n_iter):
-        if use_vec:
-            assigned = staged.withColumn(
-                "__c", _cell_assign_vec(centroids)(F.col("__v"))
+    # the per-round stats shuffle carries k*dim partially-aggregated
+    # rows per map task — size its reduce side to that volume, not the
+    # session default (r11; same rationale as _shuffle_sized_to's
+    # docstring: the override only ever removes near-empty tasks)
+    dim = len(centroids[0][1]) if centroids else 1
+    ctx = _shuffle_sized_to(df.sparkSession, k * dim)
+    with ctx:
+        for _ in range(n_iter):
+            if use_vec:
+                assigned = staged.withColumn(
+                    "__c", _cell_assign_vec(centroids)(F.col("__v"))
+                )
+            else:
+                assigned = staged.withColumn(
+                    "__c",
+                    F.array_min(
+                        _cell_dists(F.col("__v"), centroids)
+                    ).getField("cell"),
+                )
+            stats = (
+                assigned.select(
+                    "__c", F.posexplode("__v").alias("__pos", "__val")
+                )
+                .groupBy("__c", "__pos")
+                .agg(
+                    F.sum(F.col("__val").cast("decimal(28,14)")).alias("__s"),
+                    F.count(F.lit(1)).alias("__n"),
+                )
+                .collect()
             )
-        else:
-            assigned = staged.withColumn(
-                "__c",
-                F.array_min(
-                    _cell_dists(F.col("__v"), centroids)
-                ).getField("cell"),
-            )
-        stats = (
-            assigned.select(
-                "__c", F.posexplode("__v").alias("__pos", "__val")
-            )
-            .groupBy("__c", "__pos")
-            .agg(
-                F.sum(F.col("__val").cast("decimal(28,14)")).alias("__s"),
-                F.count(F.lit(1)).alias("__n"),
-            )
-            .collect()
-        )
-        dims: dict[int, dict[int, float]] = {}
-        for r in stats:
-            dims.setdefault(r["__c"], {})[r["__pos"]] = float(
-                r["__s"] / r["__n"]
-            )
-        centroids = [
-            (
-                c,
-                [dims[c][p] for p in range(len(old))]
-                if c in dims  # empty cluster keeps its old centroid
-                else old,
-            )
-            for c, old in centroids
-        ]
+            dims: dict[int, dict[int, float]] = {}
+            for r in stats:
+                dims.setdefault(r["__c"], {})[r["__pos"]] = float(
+                    r["__s"] / r["__n"]
+                )
+            centroids = [
+                (
+                    c,
+                    [dims[c][p] for p in range(len(old))]
+                    if c in dims  # empty cluster keeps its old centroid
+                    else old,
+                )
+                for c, old in centroids
+            ]
 
     # two-step select so the distance array is evaluated once per row
     if use_vec:
@@ -307,27 +322,35 @@ def pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not assume_distinct:  # callers that pre-deduped skip a full shuffle
         e = e.distinct()
+    # Stage the edge list ONCE before fanning out (r11, guide §2.4):
+    # outdeg, the static joined frame, and the node set each consume
+    # ``e`` — unstaged, the caller's whole upstream (for q_pagerank:
+    # orders x lineitem -> distinct -> union, the most expensive part
+    # of the query) executed once PER consumer; measured ~4 full
+    # recomputations inside the setup at sf0.1.
+    e = e.localCheckpoint()
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
     e2 = e.join(outdeg, "s").localCheckpoint()
     # handle_dangling=False asserts every node has an out-edge, so the
-    # node set is exactly the distinct sources — half the dedup input
-    # of the general src∪dst scan.
+    # node set is exactly outdeg's key column — already distinct by
+    # construction, no dedup shuffle at all (r11; previously a
+    # distinct over the full source column).
     node_src = (
-        e.select(F.col("s").alias("id"))
+        outdeg.select(F.col("s").alias("id"))
         if not handle_dangling
-        else e.select(F.col("s").alias("id")).unionByName(
-            e.select(F.col("d").alias("id"))
-        )
+        else e.select(F.col("s").alias("id"))
+        .unionByName(e.select(F.col("d").alias("id")))
+        .distinct()
     )
     with _shuffle_sized_to(edges.sparkSession, e2.count()):
-        nodes = node_src.distinct().localCheckpoint()
+        nodes = node_src.localCheckpoint()
         n = nodes.count()
         if n == 0:
             raise ValueError("cannot run pagerank on an empty edge list")
         base = ((100 - damping) * SCALE) // (100 * n)
         ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
 
-        for _ in range(n_iter):
+        for it in range(n_iter):
             if handle_dangling:
                 dang = (
                     ranks.join(outdeg, ranks.id == outdeg.s, "left_anti")
@@ -340,17 +363,33 @@ def pagerank(
                 F.col("d").alias("id"), F.expr("r div od").alias("c")
             )
             in_sum = contrib.groupBy("id").agg(F.sum("c").alias("s_in"))
-            ranks = (
-                nodes.join(in_sum, "id", "left")
-                .select(
-                    "id",
-                    F.expr(
-                        f"{base}L + (({damping}L * (coalesce(s_in, 0L)"
-                        f" + {dang // n}L)) div 100)"
-                    ).alias("r"),
-                )
-                .localCheckpoint()
+            ranks = nodes.join(in_sum, "id", "left").select(
+                "id",
+                F.expr(
+                    f"{base}L + (({damping}L * (coalesce(s_in, 0L)"
+                    f" + {dang // n}L)) div 100)"
+                ).alias("r"),
             )
+            # Lineage policy (r11, guide §2.4/§5): with dangling
+            # handling each round needs a driver round-trip anyway
+            # (the dangling-mass collect re-reads the ranks), so cut
+            # per round as before. WITHOUT it the rounds have no data
+            # dependency on the driver — chain them into ONE lazy
+            # plan (integer fixed-point arithmetic: bit-identical
+            # result regardless of materialization), cutting only
+            # every 8 rounds so very long runs keep bounded plans.
+            # Measured at sf0.1 (q_pagerank, 5 rounds): 5 eager
+            # checkpoint jobs + 5 count-side materializations -> one
+            # job; AQE picks broadcast joins for the small rank side
+            # at runtime exactly as the checkpointed stats did.
+            if handle_dangling or (it + 1) % 8 == 0:
+                ranks = ranks.localCheckpoint()
+        # materialize the chained rounds while the sized-shuffle
+        # override is still active (ONE job for the whole power
+        # iteration); the escaping select below is a narrow projection
+        # over the checkpointed result
+        if not handle_dangling and n_iter % 8 != 0:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         "id", round_duck(F.col("r").cast("double") / SCALE, 6).alias("rank")
     )
@@ -384,9 +423,19 @@ def coreness(
     ``edges``: undirected distinct pairs (any orientation). Returns
     ``(node, degree, core)``.
     """
+    # both orientations via ONE explode — a two-branch union would
+    # re-execute the caller's upstream (for q_kcore: the supplier
+    # co-occurrence self-join) once per branch (r11, guide §2.4)
     und = (
-        edges.select(F.col(u).alias("a"), F.col(v).alias("b"))
-        .unionByName(edges.select(F.col(v).alias("a"), F.col(u).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(u).alias("a"), F.col(v).alias("b")),
+                    F.struct(F.col(v).alias("a"), F.col(u).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()

@@ -650,25 +650,38 @@ def cell_near_dup_pairs(
     default, so the live oracles stay exact."""
     if cell_cap is not None and cell_cap < 2:
         raise ValueError(f"cell_cap must be >= 2, got {cell_cap}")
+    from flink_framework_spark.operators.dedup import _staged
+
     assigned = df.select(
         F.col(id_col).alias("vec_id"),
         to_double_array(vec_col).alias("__v"),
         F.explode(cells).alias("__cell"),
     )
+    # r11 perf restructure (same output): the explode + array
+    # conversion used to be re-derived by every lazy consumer (size
+    # agg, GEMM groups, rep pass, bridge vector lookups — five scans
+    # of the upstream). Salt uniformly (cold cells get exactly one
+    # sub-group: pmod(xxhash64, 1) == 0), keep a __hot flag instead of
+    # re-deriving hot cells by join, and STAGE the salted frame so the
+    # pipeline runs once. The size table aggregates to cell
+    # cardinality; AQE broadcasts it in the common case.
     if cell_cap is not None:
         sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__csz"))
-        hot = sizes.filter(F.col("__csz") > cell_cap)
-        assigned = assigned.join(hot, "__cell", "left").withColumn(
-            "__salt",
-            F.when(F.col("__csz").isNull(), F.lit(0)).otherwise(
-                F.pmod(
-                    F.xxhash64("vec_id"),
-                    F.ceil(F.col("__csz") / F.lit(cell_cap)).cast("long"),
-                )
-            ),
-        ).drop("__csz")
+        assigned = assigned.join(sizes, "__cell").select(
+            "vec_id",
+            "__v",
+            "__cell",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.ceil(F.col("__csz") / F.lit(cell_cap)).cast("long"),
+            ).alias("__salt"),
+            (F.col("__csz") > cell_cap).alias("__hot"),
+        )
     else:
-        assigned = assigned.withColumn("__salt", F.lit(0))
+        assigned = assigned.withColumn("__salt", F.lit(0)).withColumn(
+            "__hot", F.lit(False)
+        )
+    assigned = _staged(assigned)
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -695,18 +708,19 @@ def cell_near_dup_pairs(
             }
         )
 
-    within = assigned.groupBy("__cell", "__salt").applyInPandas(
-        pairs, "vec_a long, vec_b long, cos double"
+    # pass only the columns the kernel reads (guide §4: opaque
+    # functions defeat column pruning, so prune explicitly)
+    within = (
+        assigned.select("vec_id", "__v", "__cell", "__salt")
+        .groupBy("__cell", "__salt")
+        .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
     )
     # bridge chain for capped cells: consecutive sub-group reps,
     # exact cosine via the JVM kernel (same quantity as the GEMM up
     # to float summation order — the max(cos) collapse below already
     # absorbs per-block order variance), thresholded like any pair
     reps = (
-        assigned.filter(F.col("__salt") > 0)
-        .select("__cell")
-        .distinct()
-        .join(assigned, "__cell")
+        assigned.filter(F.col("__hot"))
         .groupBy("__cell", "__salt")
         .agg(F.min("vec_id").alias("__rep"))
     )

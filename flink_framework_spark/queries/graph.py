@@ -94,12 +94,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both directions via ONE explode instead of a two-branch union —
+    # a union re-executes the join+distinct once per branch (r11,
+    # guide §2.4 branch-duplication rule); rows are identical
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
     # pairs are distinct and the reversed copies cannot collide with
-    # the originals (supplier ids are offset), so the union is already
-    # a distinct edge list
+    # the originals (supplier ids are offset), so the exploded frame is
+    # already a distinct edge list
     return pagerank(edges, n_iter=5, handle_dangling=False, assume_distinct=True)
 
 

@@ -91,6 +91,19 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # AQE partition-coalescing posture (guide §2.2): with
+    # ``parallelismFirst=true`` (Spark's default) tiny shuffles keep
+    # full parallelism — at local[32] over MB-scale inputs that is 32
+    # near-empty tasks per exchange, pure scheduling overhead; Spark's
+    # own docs recommend ``false`` (respect the advisory partition
+    # size) on busy clusters. Both knobs stay env-tunable so a real
+    # deployment sizes them to its data volume (e.g. advisory 256m at
+    # 100 TB); the defaults here are measured A/B on the bench corpus
+    # (see OPTIMIZATION_r11.md).
+    parallelism_first = os.environ.get(
+        "SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"
+    )
+    advisory = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -98,6 +111,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            parallelism_first,
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
