@@ -181,7 +181,7 @@ def kmeans_lloyd(
     from flink_framework_spark.operators.similarity import (
         _cell_assign_vec,
         _cell_assign_vec_d,
-        _cell_dists,
+        _cell_assign_vec_seq,
         to_double_array,
     )
 
@@ -227,11 +227,17 @@ def kmeans_lloyd(
                     "__c", _cell_assign_vec(centroids)(F.col("__v"))
                 )
             else:
+                # BIT-IDENTICAL Arrow kernel for the expression form
+                # (r11, guide §4.2): _seq_d2 reproduces the fold-left
+                # summation order exactly (bitwise-verified on all
+                # three fixture SFs), so the frozen trajectory and
+                # every oracle hash are unchanged while the ~1 µs/
+                # element interpreted HOF cost is gone.
                 assigned = staged.withColumn(
                     "__c",
-                    F.array_min(
-                        _cell_dists(F.col("__v"), centroids)
-                    ).getField("cell"),
+                    _cell_assign_vec_seq(centroids)(F.col("__v")).getField(
+                        "cell"
+                    ).cast("int"),
                 )
             stats = (
                 assigned.select(
@@ -266,11 +272,11 @@ def kmeans_lloyd(
             _cell_assign_vec_d(centroids)(F.col("__v")).alias("__best"),
         )
     else:
+        # same bit-identical kernel as the loop (downstream reads the
+        # struct fields by name, so the (cell, d) field order is fine)
         best = staged.select(
             F.col(id_col),
-            F.array_min(
-                _cell_dists(F.col("__v"), centroids)
-            ).alias("__best"),
+            _cell_assign_vec_seq(centroids)(F.col("__v")).alias("__best"),
         )
     result = best.select(
         F.col(id_col),

@@ -108,7 +108,53 @@ def test_kmeans_vectorized_assign_agrees_at_large_k(spark, sf_dir):
         emb, k=256, n_iter=1
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in auto_plan
+    # r11: the small-k path now also runs an Arrow kernel — but the
+    # BIT-IDENTICAL sequential-summation one (_cell_assign_vec_seq),
+    # never the pairwise-sum kernel; BatchEvalPython stays forbidden.
     small_plan = kmeans_lloyd(
         emb, k=8, n_iter=1
     )._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in small_plan
+    assert "ArrowEvalPython" in small_plan
+    assert "BatchEvalPython" not in small_plan
+
+
+def test_seq_kernel_bitwise_matches_expression(spark, sf_dir):
+    """The r11 Arrow replacement for the literal-centroid expression
+    must be BIT-IDENTICAL, not merely close: _seq_d2 reproduces the
+    expression's fold-left summation order, so (cell, d) agree
+    bitwise on real fixture vectors — the invariant that lets the
+    frozen trajectories and live oracles pin the expression form
+    while the plan runs the kernel."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.io import table
+    from flink_framework_spark.operators.similarity import (
+        _cell_assign_vec_seq,
+        _cell_dists,
+        to_double_array,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    staged = emb.select("vec_id", to_double_array("embedding").alias("__v"))
+    rows = staged.orderBy("vec_id").limit(8).collect()
+    cents = [(i, list(r["__v"])) for i, r in enumerate(rows)]
+    expr = {
+        r["vec_id"]: (r["__b"]["cell"], r["__b"]["d"])
+        for r in staged.select(
+            "vec_id",
+            F.array_min(_cell_dists(F.col("__v"), cents)).alias("__b"),
+        ).collect()
+    }
+    kern = {
+        r["vec_id"]: (r["__b"]["cell"], r["__b"]["d"])
+        for r in staged.select(
+            "vec_id",
+            _cell_assign_vec_seq(cents)(F.col("__v")).alias("__b"),
+        ).collect()
+    }
+    assert set(expr) == set(kern)
+    for k in expr:
+        assert int(expr[k][0]) == int(kern[k][0]), k
+        assert st.pack("<d", expr[k][1]) == st.pack("<d", kern[k][1]), k
