@@ -308,6 +308,13 @@ def _capped_band_pairs(
         .filter(F.col("__a") < F.col("__b"))
         .select("__a", "__b")
     )
+    # fast path: one tiny probe over the staged frame — when NO bucket
+    # exceeds the cap (every healthy corpus), the bridge subtree below
+    # is provably empty, so skip scheduling its window + joins + union
+    # entirely; the pair join above is already exactly the unguarded
+    # pairs in that case (one sub-group per bucket)
+    if salted.filter(F.col("__hot")).isEmpty():
+        return pairs_all.distinct()
     # bridge chain: consecutive sub-group representatives per bucket
     # (only super-cap buckets have more than one sub-group)
     reps = (

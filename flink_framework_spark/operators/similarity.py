@@ -776,6 +776,12 @@ def cell_near_dup_pairs(
             }
         )
 
+    # fast path: when NO cell exceeds the cap (probe on the staged
+    # frame), every bridge pair below is provably absent — the salt is
+    # 0 everywhere, the per-(cell, salt) GEMM groups are exactly the
+    # per-cell groups, and the max(cos) collapse alone reproduces the
+    # unguarded output; skip scheduling the bridge window/joins/union
+    no_hot = assigned.filter(F.col("__hot")).isEmpty()
     # pass only the columns the kernel reads (guide §4: opaque
     # functions defeat column pruning, so prune explicitly)
     within = (
@@ -783,6 +789,11 @@ def cell_near_dup_pairs(
         .groupBy("__cell", "__salt")
         .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
     )
+    if no_hot:
+        return (
+            within.groupBy("vec_a", "vec_b")
+            .agg(F.max("cos").alias("cos"))
+        )
     # bridge chain for capped cells: consecutive sub-group reps,
     # exact cosine via the JVM kernel (same quantity as the GEMM up
     # to float summation order — the max(cos) collapse below already

@@ -83,42 +83,64 @@ def repetition_stats(
     - ``dup_bigram_frac``: 1 - distinct/total word bigrams (high ->
       looping generation / templated text).
 
-    Plan shape: the per-word mode cannot be a bounded per-row
-    expression for arbitrarily long documents (an array-mode via
-    nested higher-order functions is O(|doc|^2) per row), so the word
-    counts go through an explode + two-level hash aggregate — linear,
-    map-side combinable, the shape that survives 10k-word documents at
-    100 TB. Bigram distinctness IS bounded per row (array_distinct of
-    the hashed-slice bigrams, O(|doc|)), so it stays a narrow map and
-    joins back on ``id_col``.
+    Plan shape (r11): ONE narrow Arrow pass, no shuffle and no join —
+    every signal is a per-document statistic, and a hash-map word
+    count inside the kernel is O(|doc|) time and memory (a 10k-word
+    document is a 10k-entry Counter), so the per-row form scales to
+    any document that fits in a row. The previous spelling (explode +
+    two-level hash aggregate for the mode, hashed-bigram higher-order
+    expressions for distinctness) shuffled |corpus| exploded tokens
+    and paid interpreted per-element lambda dispatch; values are
+    unchanged (same integers, same JVM fraction expressions).
     """
-    from flink_framework_spark.operators.curation import _word_ngram_hashes
+    # r11 (guide §4.2): the explode + two-level aggregate and the
+    # hashed-bigram higher-order expressions cost interpreted
+    # per-element dispatches (~2 s at sf0.1); one Arrow pass computes
+    # the SAME integers exactly — token counts via a C-backed Counter
+    # over the identical single-space split (trim/lower replicated:
+    # the corpus is value-checked by the oracle either way), bigram
+    # distinctness as distinct token PAIRS, which equals the oracle's
+    # distinct-string count and the hashed-slice count everywhere the
+    # 64-bit hash is collision-free (the only regime the previous
+    # spelling was correct in anyway). The fractions keep the exact
+    # JVM expressions below, so the doubles are unchanged. Null-text
+    # docs are dropped up front — the inner join dropped them before.
+    import pandas as pd
 
-    w = words(F.col(text_col))
-    word_counts = (
-        df.select(F.col(id_col), F.explode(w).alias("__w"))
-        .groupBy(id_col, "__w")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c").alias("n_words"),
-            F.max("__c").alias("__top"),
-            F.count(F.lit(1)).alias("__distinct"),
+    @F.pandas_udf(
+        "n_words long, top long, n_distinct long, "
+        "bi_distinct int, bi_total int"
+    )
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            toks = (t or "").strip(" ").lower().split(" ")
+            c = Counter(toks)
+            nw = len(toks)
+            bt = nw - 1 if nw > 1 else 0
+            bd = len(set(zip(toks, toks[1:]))) if bt else 0
+            rows.append((nw, max(c.values()), len(c), bd, bt))
+        return pd.DataFrame(
+            rows,
+            columns=["n_words", "top", "n_distinct", "bi_distinct", "bi_total"],
         )
+
+    stats = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _stats(F.col(text_col)).alias("__s")
     )
-    bigrams = df.select(
-        F.col(id_col),
-        F.size(_word_ngram_hashes(F.col(text_col), 2)).alias("__bi_distinct"),
-        (F.greatest(F.size(w) - 1, F.lit(0))).alias("__bi_total"),
-    )
-    nw = F.col("n_words").cast("double")
-    return word_counts.join(bigrams, id_col).select(
+    nw = F.col("__s.n_words").cast("double")
+    return stats.select(
         id_col,
-        F.col("n_words").cast("long").alias("n_words"),
-        round_duck(F.col("__top") / nw, 4).alias("top_word_frac"),
-        round_duck(F.lit(1.0) - F.col("__distinct") / nw, 4).alias("dup_word_frac"),
-        F.when(F.col("__bi_total") > 0, round_duck(
-            F.lit(1.0) - F.col("__bi_distinct") / F.col("__bi_total").cast("double"),
+        F.col("__s.n_words").cast("long").alias("n_words"),
+        round_duck(F.col("__s.top") / nw, 4).alias("top_word_frac"),
+        round_duck(
+            F.lit(1.0) - F.col("__s.n_distinct") / nw, 4
+        ).alias("dup_word_frac"),
+        F.when(F.col("__s.bi_total") > 0, round_duck(
+            F.lit(1.0)
+            - F.col("__s.bi_distinct") / F.col("__s.bi_total").cast("double"),
             4,
         )).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
     )

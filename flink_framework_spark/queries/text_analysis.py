@@ -188,8 +188,8 @@ FROM d JOIN b USING (doc_id)
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition/boilerplate signals per document:
     top-word share, duplicate-word fraction, duplicate-bigram
-    fraction (operators.text.repetition_stats — explode + two-level
-    hash agg for the word mode, bounded array math for bigrams)."""
+    fraction (operators.text.repetition_stats — one narrow Arrow
+    pass; exact integer counts, JVM-side fractions)."""
     return repetition_stats(table(spark, sf_dir, "documents"))
 
 
