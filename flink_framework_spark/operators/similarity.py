@@ -1003,17 +1003,52 @@ def _cell_dists(vec_col: Column, centroids) -> Column:
     )
 
 
+def _cell_only_vec_seq(centroids):
+    """Cell-only variant of :func:`_cell_assign_vec_seq` replicating
+    the expression form's EXACT semantics incl. its null corner: a
+    NULL vector's distances are all null, null struct fields sort
+    first in array_min, so the expression assigned the LOWEST cell id
+    (empirically pinned) — the kernel does the same, as it does for
+    all-NaN rows (NaN sorts last)."""
+    order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
+    mat = np.array([centroids[i][1] for i in order], dtype=np.float64)
+    cell_ids = np.array(
+        [int(centroids[i][0]) for i in order], dtype=np.int64
+    )
+    lowest = int(cell_ids[0]) if len(cell_ids) else -1
+
+    @F.pandas_udf("long")
+    def assign(vs: pd.Series) -> pd.Series:
+        vals = vs.tolist()
+        mask = [v is not None for v in vals]
+        X = np.array(
+            [np.asarray(v, dtype=np.float64) for v, m in zip(vals, mask) if m]
+        )
+        out = np.full(len(vals), lowest, dtype=np.int64)
+        if len(X) and len(cell_ids):
+            d2 = _seq_d2(X, mat)
+            best = np.where(np.isnan(d2), np.inf, d2).argmin(axis=1)
+            out[np.array(mask)] = cell_ids[best]
+        return pd.Series(out)
+
+    return assign
+
+
 def _cell_assign(df: DataFrame, centroids, vec_col: str, out: str) -> DataFrame:
     """Assign each vector to its nearest centroid (min by (d, cell)
-    struct order — deterministic tiebreak), as a narrow map."""
+    struct order — deterministic tiebreak), as a narrow map. r11: the
+    interpreted ``array_min(_cell_dists(...))`` expression became the
+    bit-identical sequential-summation Arrow kernel (see
+    :func:`_seq_d2`); same values, same lowest-id ties, same null/NaN
+    corners (pinned by tests)."""
     staged = df.withColumn("__v", to_double_array(vec_col))
     # coalesce: provably non-null cell id, else the candidate join's
-    # inferred isnotnull(cell) re-evaluates the full centroid-distance
-    # array a second time per row (see operators.dedup non-null notes)
+    # inferred isnotnull(cell) re-evaluates the kernel a second time
+    # per row (see operators.dedup non-null notes)
     return staged.withColumn(
         out,
         F.coalesce(
-            F.array_min(_cell_dists(F.col("__v"), centroids)).getField("cell"),
+            _cell_only_vec_seq(centroids)(F.col("__v")),
             F.lit(-1),
         ),
     ).drop("__v")

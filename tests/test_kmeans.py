@@ -158,3 +158,45 @@ def test_seq_kernel_bitwise_matches_expression(spark, sf_dir):
     for k in expr:
         assert int(expr[k][0]) == int(kern[k][0]), k
         assert st.pack("<d", expr[k][1]) == st.pack("<d", kern[k][1]), k
+
+
+def test_cell_only_kernel_matches_expression_corners(spark):
+    """_cell_only_vec_seq (the r11 _cell_assign kernel) must replicate
+    the expression form on the corners too: NULL vector -> lowest cell
+    id (null d sorts first in array_min), NaN vector -> lowest cell id
+    (NaN sorts last, all-NaN picks position 0), ties -> lowest id."""
+    from pyspark.sql import functions as F
+
+    from flink_framework_spark.operators.similarity import (
+        _cell_dists,
+        _cell_only_vec_seq,
+    )
+
+    cents = [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, None), (3, [float("nan"), 1.0]),
+         (4, [5.0, 4.9]), (5, [0.5, 1.0])],
+        "id long, v array<double>",
+    )
+    expr = {
+        r["id"]: r["cell"]
+        for r in df.select(
+            "id",
+            F.coalesce(
+                F.array_min(_cell_dists(F.col("v"), cents)).getField("cell"),
+                F.lit(-1),
+            ).alias("cell"),
+        ).collect()
+    }
+    kern = {
+        r["id"]: r["cell"]
+        for r in df.select(
+            "id",
+            F.coalesce(
+                _cell_only_vec_seq(cents)(F.col("v")), F.lit(-1)
+            ).alias("cell"),
+        ).collect()
+    }
+    assert {k: int(v) for k, v in expr.items()} == {
+        k: int(v) for k, v in kern.items()
+    }
