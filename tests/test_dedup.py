@@ -441,3 +441,4 @@ class TestSemanticDedupIncremental:
         assert out[101].kept == 1 and out[102].kept == 1
         for i in range(5):  # corpus rows pass through untouched
             assert out[i].kept == 1 and out[i].is_new == 0
+
