@@ -141,6 +141,11 @@ def main() -> None:
     streaming = stream_throughput(spark) if run_streaming else {}
 
     total = round(sum(timings.values()), 3)
+    # auditability (VERDICT r11 #3): echo the effective master/core
+    # count and data dir so the driver's scaling check can SEE the
+    # $SPARK_GRAFT_CPUS knob took effect instead of inferring it
+    master = spark.conf.get("spark.master", "?")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     line = json.dumps(
         {
             "metric": "total_seconds_all_queries",
@@ -149,6 +154,9 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "n_queries": len(timings),
+            "cpus": cpus,
+            "master": master,
+            "sf_dir": sf_dir,
             "streaming": streaming,
             "breakdown": breakdown,
         }
@@ -188,6 +196,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "cpus": cpus,
+                "master": master,
+                "sf_dir": sf_dir,
                 "queries": top,
                 "queries_note": "top5 slowest; full per-query record in BENCH.json",
                 "streaming_rows_per_sec": rates,
