@@ -661,31 +661,65 @@ def match_combinations(
             level = extend(level)
             levels.append(level)
     else:
-        # unbounded: probe emptiness per level (persist so the probe
-        # and the union share the work; lineage stays shallow because
-        # each level persists before the next extends it)
-        level = level.persist()
-        persisted.append(level)
-        depth = 1
-        while True:
-            nxt = extend(level).persist()
-            if nxt.isEmpty():
-                nxt.unpersist()
-                break
-            depth += 1
-            if depth > level_cap:
-                for p in persisted:
-                    p.unpersist()
-                nxt.unpersist()
-                raise ValueError(
-                    f"combination expansion exceeded {level_cap} "
-                    "repetitions — a burst of b step events inside "
-                    "one horizon yields 2^b matches; tighten within "
-                    "or bound with times(m, n)"
-                )
-            persisted.append(nxt)
-            levels.append(nxt)
-            level = nxt
+        # unbounded (r12, guide §1.2/§5 — kill the per-level driver
+        # round-trips): the deepest non-empty level is bounded by the
+        # largest number of step events any anchor sees inside its
+        # horizon, which ONE range-frame window pass computes exactly
+        # (RANGE CURRENT ROW .. horizon FOLLOWING counts ties at the
+        # anchor's timestamp too, so it can only OVERCOUNT — a valid
+        # upper bound; levels past the true depth are provably empty
+        # and union nothing). Build that many levels lazily over the
+        # persisted step frame — one probe job + the final action,
+        # instead of r11's persist + isEmpty job PER level. Measured
+        # same-session (q_cep_combinations, min of 3): see
+        # OPTIMIZATION_r12.md. If the bound exceeds level_cap, fall
+        # back to the exact per-level probing loop so the cap error
+        # still fires only on genuinely over-deep corpora.
+        steps = steps.persist()
+        bound = (
+            steps.select(
+                F.expr(
+                    "count(*) OVER (PARTITION BY __sk ORDER BY __sts "
+                    f"RANGE BETWEEN CURRENT ROW AND INTERVAL {within} "
+                    "FOLLOWING)"
+                ).alias("__n")
+            )
+            .agg(F.max("__n"))
+            .first()[0]
+        )
+        if bound is None:
+            bound = 1  # no step events at all: level 1 is empty too
+        if bound <= level_cap:
+            for _ in range(1, bound):
+                level = extend(level)
+                levels.append(level)
+        else:
+            # exact fallback: probe emptiness per level (the window
+            # bound overcounts timestamp ties, so only this loop may
+            # legitimately raise the cap error)
+            level = level.persist()
+            persisted.append(level)
+            depth = 1
+            while True:
+                nxt = extend(level).persist()
+                if nxt.isEmpty():
+                    nxt.unpersist()
+                    break
+                depth += 1
+                if depth > level_cap:
+                    for p in persisted:
+                        p.unpersist()
+                    nxt.unpersist()
+                    steps.unpersist()
+                    raise ValueError(
+                        f"combination expansion exceeded {level_cap} "
+                        "repetitions — a burst of b step events inside "
+                        "one horizon yields 2^b matches; tighten within "
+                        "or bound with times(m, n)"
+                    )
+                persisted.append(nxt)
+                levels.append(nxt)
+                level = nxt
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
@@ -708,10 +742,14 @@ def match_combinations(
         # the per-level caches — repeated calls must not pin up to
         # level_cap DataFrames each in executor storage. The single
         # persisted result is the only cache handed to the caller.
+        # (The fast unbounded path keeps ONLY the tiny persisted step
+        # frame cached, consumed lazily by every level — reclaimed by
+        # the caller's clearCache, the _staged discipline.)
         result = result.persist()
         result.count()
         for p in persisted:
             p.unpersist()
+        steps.unpersist()
     return result
 
 
