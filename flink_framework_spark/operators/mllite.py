@@ -47,8 +47,19 @@ def logreg_train(
     no early stopping, so the artifact is reproducible bit-for-bit.
     """
     feats = list(feature_cols)
+    # project BEFORE the sort: spelled select-after-orderBy, the
+    # feature expressions land in TakeOrderedAndProject's output
+    # projection, which Spark applies on the DRIVER single-threaded
+    # over every collected row — measured 10.5 s vs ~1 s for this
+    # spelling on q_quality_model at sf0.1 (r12, guide §5 driver).
+    # Projecting first keeps the (possibly expensive) feature
+    # expressions in the distributed scan stage; the take's own
+    # projection is then a trivial column selection. Same rows, same
+    # order, bit-identical weights.
+    order = order_col if isinstance(order_col, Column) else F.col(order_col)
     sample = (
-        df.orderBy(order_col)
+        df.select(order.alias("__ord"), label_col, *feats)
+        .orderBy("__ord")
         .limit(train_cap)
         .select(label_col, *feats)
         .collect()

@@ -90,7 +90,18 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed full-batch GD, id-ordered capped sample) — the weights
     freeze as oracle constants so DuckDB recomputes every score;
     accuracy floor property in tests/test_mllite.py."""
-    feats = _featurized(spark, sf_dir)
+    # Stage (persist) the featurized frame: it is consumed TWICE — the
+    # bounded training collect and the full scoring pass — and, more
+    # importantly, an UNstaged frame puts the heavy text-statistics
+    # expressions inside TakeOrderedAndProject's output projection,
+    # which Spark applies on the DRIVER, single-threaded, over every
+    # collected row (measured 10.5 s of this query's 11 s at sf0.1).
+    # With the persist, features are computed once, distributed, and
+    # the take's projection is a trivial column selection (r12, guide
+    # §5 caching + §1.2). Reclaimed by the caller's clearCache.
+    from flink_framework_spark.operators.dedup import _staged
+
+    feats = _staged(_featurized(spark, sf_dir))
     weights = logreg_train(
         feats, _FEATS, label_col="label", order_col=F.struct("doc_id", "variant")
     )
