@@ -74,10 +74,13 @@ def _normalize_events_ts(df: DataFrame, as_instant: bool = False) -> DataFrame:
 # EVERY call (~0.1-0.2 s of driver-side py4j work per table), and the
 # bench corpus calls ``table()`` ~2-4 times per query per timing run.
 # The cached object is a PLAN (no data, no results — .persist is never
-# called here), keyed per Spark application so a restarted session
-# re-lists files; within one application the fixture lake is
-# immutable, as is a production lake snapshot during one job.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# called here), keyed per (SparkSession, application) so a restarted
+# session re-lists files and a SECOND session in one application never
+# receives a DataFrame bound to the first session's state (ADVICE
+# r11); within one session the fixture lake is immutable, as is a
+# production lake snapshot during one job — rewriting files under
+# sf_dir mid-session is outside this cache's contract.
+_TABLE_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -86,7 +89,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         app = spark.sparkContext.applicationId
     except Exception:  # pragma: no cover - e.g. Connect sessions
         app = None
-    key = (app, sf_dir, name)
+    key = (id(spark), app, sf_dir, name)
     if app is not None:
         hit = _TABLE_CACHE.get(key)
         if hit is not None:

@@ -612,7 +612,10 @@ def _argmin_cells_seq(vs: pd.Series, centroids):
     with the expression form's exact tie/NaN discipline: centroids are
     ordered by cell id so first-argmin == the (d, cell) struct-min's
     lowest-id tiebreak, and NaN distances sort last (Spark's NaN
-    ordering), an all-NaN row picking the lowest id with d = NaN."""
+    ordering — a row mixing inf and NaN picks the inf), an all-NaN row
+    picking the lowest id with d = NaN. NULL vectors (ADVICE r11) take
+    the lowest cell id with d = NaN, mirroring the expression form's
+    null-sorts-first array_min behaviour instead of crashing."""
     order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
     mat = np.array(
         [centroids[i][1] for i in order], dtype=np.float64
@@ -620,13 +623,30 @@ def _argmin_cells_seq(vs: pd.Series, centroids):
     cell_ids = np.array(
         [int(centroids[i][0]) for i in order], dtype=np.int32
     )
-    X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-    if len(X) == 0:
+    vals = vs.tolist()
+    n = len(vals)
+    if n == 0:
         return None, None
-    d2 = _seq_d2(X, mat)
-    masked = np.where(np.isnan(d2), np.inf, d2)
-    best = masked.argmin(axis=1)
-    return cell_ids[best], d2[np.arange(len(X)), best]
+    mask = np.array([v is not None for v in vals])
+    lowest = np.int32(cell_ids[0]) if len(cell_ids) else np.int32(-1)
+    cells = np.full(n, lowest, dtype=np.int32)
+    d_out = np.full(n, np.nan, dtype=np.float64)
+    X = np.array([np.asarray(v, dtype=np.float64) for v, m in zip(vals, mask) if m])
+    if len(X) and len(cell_ids):
+        d2 = _seq_d2(X, mat)
+        isn = np.isnan(d2)
+        cand = np.where(isn, np.inf, d2)
+        m = cand.min(axis=1, keepdims=True)
+        is_min = cand == m
+        # struct-min ordering: non-NaN beats NaN at equal masked value
+        # (inf < NaN), then lowest index (== lowest cell id)
+        pref = is_min & ~isn
+        best = np.where(
+            pref.any(axis=1), pref.argmax(axis=1), is_min.argmax(axis=1)
+        )
+        cells[mask] = cell_ids[best]
+        d_out[mask] = d2[np.arange(len(X)), best]
+    return cells, d_out
 
 
 def _cell_assign_vec_seq(centroids):
