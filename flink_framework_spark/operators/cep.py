@@ -841,43 +841,9 @@ def skip_past_last(
     return _skip_greedy(matches, key_col, first_col, last_col, inclusive=False)
 
 
-def _grouped_map_batched(
-    df: DataFrame, key_col: str, fn, schema, buckets: int = 64
-) -> DataFrame:
-    """``groupBy(key).applyInPandas(fn)`` with the per-key Arrow
-    framing amortized (r12, guide §4): group by a deterministic hash
-    BUCKET of the key instead of the key itself, and iterate the keys
-    inside each bucket's pandas frame. The per-key grouped form paid
-    ~4 ms of Python/Arrow overhead PER KEY, which dominated on match
-    frames with hundreds of tiny groups (measured: the greedy skip
-    selection over a 472-row match frame spent >80% of its wall time
-    in per-group framing); a pandas groupby inside the bucket costs
-    ~50 µs per key. Bucketing keeps applyInPandas's ClusTERED-
-    distribution guarantee (all rows of a key in one pandas frame) —
-    the repartition+sortWithinPartitions+mapInPandas spelling is NOT
-    a reliable contract, because the optimizer can elide the
-    repartition exchange (observed over a Union whose children were
-    already hash-partitioned on the key), splitting key runs.
-    ``fn`` receives each key's rows exactly like applyInPandas."""
-    import pandas as pd
-
-    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.drop(columns="__gb")
-        outs = [
-            fn(g.reset_index(drop=True))
-            for _, g in pdf.groupby(key_col, sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if outs:
-            return pd.concat(outs, ignore_index=True)
-        return pdf.iloc[0:0].reindex(
-            columns=[f.name for f in schema.fields]
-        )
-
-    bucketed = df.withColumn(
-        "__gb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets))
-    )
-    return bucketed.groupBy("__gb").applyInPandas(run, schema)
+from flink_framework_spark.operators.groupmap import (  # noqa: E402
+    grouped_map_batched as _grouped_map_batched,
+)
 
 
 def _skip_greedy(
