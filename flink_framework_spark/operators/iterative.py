@@ -539,10 +539,30 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, degree, tri, lcc): triangles through the node and
     2*tri / (deg*(deg-1)) rounded to 4 dp (0.0 for degree-1 nodes).
+
+    r12 (guide §2.2/§1.2): the whole computation runs under a shuffle
+    sizing derived from the edge count — the wedge stage's work is
+    bounded by O(m^1.5) (the orientation's arboricity bound), so
+    partitions are sized to that, never above the session setting (a
+    100 TB graph keeps the cluster's own sizing; locally this removes
+    the ~30 near-empty tasks per exchange that dominated wall clock —
+    measured 3.24 s -> 1.75 s interleaved min-of-3 at sf0.1). The
+    result is eagerly staged (persist + count, pure-SQL plan) so the
+    sized setting is in force when the shuffles actually run.
     """
     from flink_framework_spark.operators.dedup import _staged
 
     e = _staged(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
+    m = e.count()
+    ctx = _shuffle_sized_to(edges.sparkSession, int(m**1.5) + 1)
+    with ctx:
+        result = _staged(_triangle_counts_body(e))
+        result.count()
+    return result
+
+
+def _triangle_counts_body(e: DataFrame) -> DataFrame:
+    from flink_framework_spark.operators.dedup import _staged
     deg = _staged(
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
