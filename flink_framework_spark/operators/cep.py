@@ -990,15 +990,20 @@ def skip_greedy_pair(
     last_col: str = "ts_last",
     tags: tuple = ("skip_past", "skip_last"),
 ) -> DataFrame:
-    """Both greedy after-match selections — SKIP_PAST_LAST_EVENT and
+    """The greedy after-match selections — SKIP_PAST_LAST_EVENT and
     SKIP_TO_LAST — in ONE grouped-map pass, rows tagged by a
     ``__skip`` column (r11, the q_cep_suite melt consolidation: the
     two strategies differ only in the boundary comparison, so paying
     two Arrow round-trips + two keyed shuffles for one sort and two
     linear scans was pure overhead; the granular operators
     :func:`skip_past_last` / :func:`skip_to_last` stay single-
-    strategy). Semantics per tag are IDENTICAL to the granular
-    functions — pinned by tests/test_cep.py's equivalence check."""
+    strategy). A THIRD tag (r12) additionally folds SKIP_TO_NEXT into
+    the same pass — first row per distinct start in the canonical
+    sort, the exact selection of :func:`skip_to_next`'s
+    rank-1-per-start window — so the suite's times/skip family pays
+    one keyed pipeline for all three strategies. Semantics per tag
+    are IDENTICAL to the granular functions — pinned by
+    tests/test_cep.py's equivalence check."""
     import pandas as pd  # noqa: F401  (worker-side)
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -1047,17 +1052,29 @@ def skip_greedy_pair(
             starts = pdf[first_col].tolist()
             ends = pdf[last_col].tolist()
         outs = []
-        for tag, inclusive in zip(tags, (False, True)):
+        for tag, mode in zip(tags, ("past", "last", "next")):
             keep = []
-            last_end = None
-            for i, s in enumerate(starts):
-                if (
-                    last_end is None
-                    or s > last_end
-                    or (inclusive and s == last_end)
-                ):
-                    keep.append(i)
-                    last_end = ends[i]
+            if mode == "next":
+                # SKIP_TO_NEXT folded into the same pass (r12): per
+                # distinct start, keep the first row in the canonical
+                # sort — identical selection to skip_to_next's
+                # rank-1-per-start window, one fewer keyed pipeline
+                last_start = None
+                for i, s in enumerate(starts):
+                    if last_start is None or s != last_start:
+                        keep.append(i)
+                        last_start = s
+            else:
+                inclusive = mode == "last"
+                last_end = None
+                for i, s in enumerate(starts):
+                    if (
+                        last_end is None
+                        or s > last_end
+                        or (inclusive and s == last_end)
+                    ):
+                        keep.append(i)
+                        last_end = ends[i]
             part = pdf.iloc[keep][cols].copy()
             part["__skip"] = tag
             outs.append(part)

@@ -1614,19 +1614,22 @@ def _cep_times_union(ev: DataFrame):
 
     r11: the two greedy selections (SKIP_PAST_LAST + SKIP_TO_LAST)
     run as ONE grouped-map pass (operators.cep.skip_greedy_pair) and
-    aggregate straight off the tagged frame — one Arrow round-trip and
-    one keyed shuffle where the granular spelling paid two of each;
-    values are pinned identical by tests/test_cep.py and the suite's
-    unchanged DuckDB oracle."""
+    aggregate straight off the tagged frame; r12 folds SKIP_TO_NEXT
+    into the SAME pass (third tag — first row per distinct start in
+    the canonical sort, exactly skip_to_next's rank-1 window), so all
+    three strategies pay one keyed pipeline. Values are pinned
+    identical by tests/test_cep.py and the suite's unchanged DuckDB
+    oracle."""
     from flink_framework_spark.operators.cep import (
         match_times,
         skip_greedy_pair,
-        skip_to_next,
     )
 
     times_m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
-    greedy_parts = (
-        skip_greedy_pair(times_m)
+    skip_parts = (
+        skip_greedy_pair(
+            times_m, tags=("skip_past", "skip_last", "skip_next")
+        )
         .groupBy(
             F.col("__skip").alias("part"),
             F.col("n_reps").cast("string").alias("grp"),
@@ -1637,11 +1640,7 @@ def _cep_times_union(ev: DataFrame):
         )
         .select("part", "grp", "n_matches", "n_users")
     )
-    lazy = (
-        _cep_part(times_m, "times", "n_reps")
-        .unionByName(greedy_parts)
-        .unionByName(_cep_part(skip_to_next(times_m), "skip_next", "n_reps"))
-    )
+    lazy = _cep_part(times_m, "times", "n_reps").unionByName(skip_parts)
     return times_m, lazy
 
 

@@ -786,13 +786,18 @@ def test_skip_greedy_pair_equals_granular(spark, sf_dir):
         skip_to_last,
     )
 
+    from flink_framework_spark.operators.cep import skip_to_next
+
     ev = table(spark, sf_dir, "events")
     m = match_times(ev, "click", "purchase", 2, 3, "12 HOURS").persist()
     try:
-        both = skip_greedy_pair(m).persist()
+        both = skip_greedy_pair(
+            m, tags=("skip_past", "skip_last", "skip_next")
+        ).persist()
         cols = m.columns
         for tag, fn in (("skip_past", skip_past_last),
-                        ("skip_last", skip_to_last)):
+                        ("skip_last", skip_to_last),
+                        ("skip_next", skip_to_next)):
             got = sorted(
                 map(repr, (tuple(r) for r in both.filter(
                     both["__skip"] == tag).select(*cols).collect()))
