@@ -48,6 +48,13 @@ _SLOW_TIER = {
     "test_over_window_late_row_slots_in_order",
     "test_mr_stream_join_constant_measures",
     "test_stream_equals_batch_fold",
+    # batch fuzz/brute-force equivalences with seeded or planted
+    # siblings in the default tier (the first default-tier timing ran
+    # 22:32 under load — these four buy the <20 min margin)
+    "test_pq_codes_in_range_and_deterministic",
+    "test_skip_on_combinations_fuzz_vs_reference",
+    "test_combinations_equals_brute_force_seeded",
+    "test_signature_lake_mode_equals_text_mode",
 }
 # Deliberately NOT in the slow tier despite their cost, so every
 # streaming operator keeps at least one behavior test in the default
