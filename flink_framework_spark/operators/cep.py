@@ -846,17 +846,42 @@ from flink_framework_spark.operators.groupmap import (  # noqa: E402
 )
 
 
-def _skip_greedy(
+def _tuplify(v):
+    # array-valued tiebreak columns (a combinations frame's ``ids``)
+    # are unhashable/unsortable for pandas — compare as tuples
+    # (lexicographic, the canonical-order contract)
+    if hasattr(v, "tolist"):
+        return tuple(v.tolist())
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+def _skip_scan(
     matches: DataFrame,
     key_col: str,
     first_col: str,
     last_col: str,
-    inclusive: bool,
+    modes,
+    tags=None,
 ) -> DataFrame:
-    """Shared greedy per-key selection: ``inclusive=False`` keeps
-    matches starting strictly after the previous pick's end
-    (SKIP_PAST_LAST_EVENT); ``inclusive=True`` also keeps boundary
-    starts (SKIP_TO_LAST).
+    """Shared greedy/per-start selection core for the after-match
+    skip strategies, executed BUCKET-WISE (r12, guide §4): the match
+    frame is hash-bucketed on the key, each bucket sorted ONCE by
+    (key, canonical match order), and every strategy in ``modes``
+    runs as one linear scan over the bucket's column lists with the
+    selection state reset at key boundaries. The previous per-key
+    spelling paid a pandas sort + iloc + concat per TINY group
+    (~4 ms/key — >80% of the skip operators' wall time on burst-sized
+    match frames); per bucket those are three pandas ops total.
+
+    ``modes``: sequence drawn from 'past' (keep starts strictly after
+    the previous pick's end), 'last' (boundary-inclusive), 'next'
+    (first row per distinct start — exactly the rank-1-per-start
+    window). ``tags``: when given, output rows carry a ``__skip``
+    column tagging the strategy (one copy of the kept rows per tag);
+    when None, ``modes`` must be a single strategy and the output is
+    the kept rows unchanged.
 
     When the frame carries BOTH ``id_first`` and ``id_last``, match
     boundaries compare as (timestamp, event_id) pairs — the per-key
@@ -865,6 +890,12 @@ def _skip_greedy(
     not collapsed. With only one of the two present, neither is used
     (both-or-neither): starts and ends must compare against each
     other, so a tuple start against a scalar end would TypeError."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from flink_framework_spark.operators.groupmap import bucketed_map
+
     cols = list(matches.columns)
     for c in (key_col, first_col, last_col):
         if c not in cols:
@@ -878,20 +909,11 @@ def _skip_greedy(
     ] + ([id_last] if id_last else [])
     sort_cols = lead_cols + [c for c in cols if c not in lead_cols]
 
-    def _tuplify(v):
-        # array-valued tiebreak columns (a combinations frame's
-        # ``ids``) are unhashable/unsortable for pandas — compare as
-        # tuples (lexicographic, the canonical-order contract)
-        if hasattr(v, "tolist"):
-            return tuple(v.tolist())
-        if isinstance(v, list):
-            return tuple(v)
-        return v
-
-    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        full_sort = [key_col] + [c for c in sort_cols if c != key_col]
         conv = {
             c: pdf[c].map(_tuplify)
-            for c in sort_cols
+            for c in full_sort
             if pdf[c].dtype == object
         }
         if conv:
@@ -899,36 +921,86 @@ def _skip_greedy(
                 **{f"__sk_{c}": s for c, s in conv.items()}
             )
             order = keyed.sort_values(
-                [f"__sk_{c}" if c in conv else c for c in sort_cols],
+                [f"__sk_{c}" if c in conv else c for c in full_sort],
                 kind="mergesort",
             ).index
             pdf = pdf.loc[order]
         else:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            pdf = pdf.sort_values(full_sort, kind="mergesort")
         # column lists instead of iterrows (r11, guide §4.2): the
         # greedy scan is inherently sequential, but per-row Series
         # construction cost ~100x the comparisons; .tolist() yields
         # the same scalars (Timestamp/int) so the (ts, id) tuple
         # comparisons are unchanged
+        keys = pdf[key_col].tolist()
         if id_first:
             starts = list(zip(pdf[first_col].tolist(), pdf[id_first].tolist()))
             ends = list(zip(pdf[last_col].tolist(), pdf[id_last].tolist()))
         else:
             starts = pdf[first_col].tolist()
             ends = pdf[last_col].tolist()
-        keep = []
-        last_end = None
-        for i, s in enumerate(starts):
-            if (
-                last_end is None
-                or s > last_end
-                or (inclusive and s == last_end)
-            ):
-                keep.append(i)
-                last_end = ends[i]
-        return pdf.iloc[keep][cols]
+        outs = []
+        for j, mode in enumerate(modes):
+            keep = []
+            prev_key = object()  # sentinel no key equals
+            last_end = last_start = None
+            if mode == "next":
+                for i, s in enumerate(starts):
+                    if keys[i] != prev_key:
+                        prev_key, last_start = keys[i], None
+                    if last_start is None or s != last_start:
+                        keep.append(i)
+                        last_start = s
+            else:
+                inclusive = mode == "last"
+                for i, s in enumerate(starts):
+                    if keys[i] != prev_key:
+                        prev_key, last_end = keys[i], None
+                    if (
+                        last_end is None
+                        or s > last_end
+                        or (inclusive and s == last_end)
+                    ):
+                        keep.append(i)
+                        last_end = ends[i]
+            part = pdf.iloc[keep][cols]
+            if tags is not None:
+                part = part.copy()
+                part["__skip"] = tags[j]
+            outs.append(part)
+        if len(outs) == 1:
+            return outs[0]
+        return pd.concat(outs, ignore_index=True)
 
-    return _grouped_map_batched(matches, key_col, pick, matches.schema)
+    if tags is None:
+        schema = matches.schema
+    else:
+        schema = StructType(
+            list(matches.schema.fields)
+            + [StructField("__skip", StringType())]
+        )
+    return bucketed_map(matches, key_col, scan, schema)
+
+
+def _skip_greedy(
+    matches: DataFrame,
+    key_col: str,
+    first_col: str,
+    last_col: str,
+    inclusive: bool,
+) -> DataFrame:
+    """Greedy selection: ``inclusive=False`` keeps matches starting
+    strictly after the previous pick's end (SKIP_PAST_LAST_EVENT);
+    ``inclusive=True`` also keeps boundary starts (SKIP_TO_LAST).
+    See :func:`_skip_scan` for the execution shape and the
+    event-identity boundary contract."""
+    return _skip_scan(
+        matches,
+        key_col,
+        first_col,
+        last_col,
+        modes=("last" if inclusive else "past",),
+    )
 
 
 def skip_combinations(
@@ -991,11 +1063,11 @@ def skip_greedy_pair(
     tags: tuple = ("skip_past", "skip_last"),
 ) -> DataFrame:
     """The greedy after-match selections — SKIP_PAST_LAST_EVENT and
-    SKIP_TO_LAST — in ONE grouped-map pass, rows tagged by a
-    ``__skip`` column (r11, the q_cep_suite melt consolidation: the
-    two strategies differ only in the boundary comparison, so paying
-    two Arrow round-trips + two keyed shuffles for one sort and two
-    linear scans was pure overhead; the granular operators
+    SKIP_TO_LAST — in ONE pass, rows tagged by a ``__skip`` column
+    (r11, the q_cep_suite melt consolidation: the two strategies
+    differ only in the boundary comparison, so paying two Arrow
+    round-trips + two keyed shuffles for one sort and two linear
+    scans was pure overhead; the granular operators
     :func:`skip_past_last` / :func:`skip_to_last` stay single-
     strategy). A THIRD tag (r12) additionally folds SKIP_TO_NEXT into
     the same pass — first row per distinct start in the canonical
@@ -1003,84 +1075,14 @@ def skip_greedy_pair(
     rank-1-per-start window — so the suite's times/skip family pays
     one keyed pipeline for all three strategies. Semantics per tag
     are IDENTICAL to the granular functions — pinned by
-    tests/test_cep.py's equivalence check."""
-    import pandas as pd  # noqa: F401  (worker-side)
-
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    cols = list(matches.columns)
-    for c in (key_col, first_col, last_col):
-        if c not in cols:
-            raise ValueError(f"matches frame is missing column {c!r}")
-    id_first = "id_first" if "id_first" in cols else None
-    id_last = "id_last" if "id_last" in cols else None
-    if id_first is None or id_last is None:
-        id_first = id_last = None
-    lead_cols = [first_col] + ([id_first] if id_first else []) + [
-        last_col
-    ] + ([id_last] if id_last else [])
-    sort_cols = lead_cols + [c for c in cols if c not in lead_cols]
-
-    def _tuplify(v):
-        if hasattr(v, "tolist"):
-            return tuple(v.tolist())
-        if isinstance(v, list):
-            return tuple(v)
-        return v
-
-    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        conv = {
-            c: pdf[c].map(_tuplify)
-            for c in sort_cols
-            if pdf[c].dtype == object
-        }
-        if conv:
-            keyed = pdf.assign(**{f"__sk_{c}": s for c, s in conv.items()})
-            order = keyed.sort_values(
-                [f"__sk_{c}" if c in conv else c for c in sort_cols],
-                kind="mergesort",
-            ).index
-            pdf = pdf.loc[order]
-        else:
-            pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        # column lists instead of iterrows (r11) — same scalars, same
-        # (ts, id) tuple comparisons, ~100x less per-row overhead
-        if id_first:
-            starts = list(zip(pdf[first_col].tolist(), pdf[id_first].tolist()))
-            ends = list(zip(pdf[last_col].tolist(), pdf[id_last].tolist()))
-        else:
-            starts = pdf[first_col].tolist()
-            ends = pdf[last_col].tolist()
-        outs = []
-        for tag, mode in zip(tags, ("past", "last", "next")):
-            keep = []
-            if mode == "next":
-                # SKIP_TO_NEXT folded into the same pass (r12): per
-                # distinct start, keep the first row in the canonical
-                # sort — identical selection to skip_to_next's
-                # rank-1-per-start window, one fewer keyed pipeline
-                last_start = None
-                for i, s in enumerate(starts):
-                    if last_start is None or s != last_start:
-                        keep.append(i)
-                        last_start = s
-            else:
-                inclusive = mode == "last"
-                last_end = None
-                for i, s in enumerate(starts):
-                    if (
-                        last_end is None
-                        or s > last_end
-                        or (inclusive and s == last_end)
-                    ):
-                        keep.append(i)
-                        last_end = ends[i]
-            part = pdf.iloc[keep][cols].copy()
-            part["__skip"] = tag
-            outs.append(part)
-        return pd.concat(outs, ignore_index=True)
-
-    schema = StructType(
-        list(matches.schema.fields) + [StructField("__skip", StringType())]
+    tests/test_cep.py's equivalence check. Execution shape:
+    :func:`_skip_scan` (bucket-wise, one sort + one scan per
+    strategy per bucket)."""
+    return _skip_scan(
+        matches,
+        key_col,
+        first_col,
+        last_col,
+        modes=("past", "last", "next")[: len(tags)],
+        tags=tuple(tags),
     )
-    return _grouped_map_batched(matches, key_col, pick, schema)

@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bucketed_map(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    bucket_fn,
+    schema,
+    buckets: int = 64,
+) -> DataFrame:
+    """Dispatch ``bucket_fn`` over ``buckets`` deterministic hash
+    buckets of ``key_cols``: the function receives each bucket's WHOLE
+    pandas frame (every row of every key hashing to the bucket) and
+    returns that bucket's output rows. This is the primitive the
+    per-key convenience wrapper below builds on; use it directly when
+    the per-key work can itself be amortized bucket-wide (one sort /
+    one scan per bucket instead of per key)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def run(pdf):
+        return bucket_fn(pdf.drop(columns="__gb"))
+
+    bucketed = df.withColumn(
+        "__gb",
+        F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(buckets)),
+    )
+    return bucketed.groupBy("__gb").applyInPandas(run, schema)
+
+
 def grouped_map_batched(
     df: DataFrame,
     key_cols: list[str] | str,
@@ -48,8 +74,7 @@ def grouped_map_batched(
         out_names = [s.strip().split()[0] for s in str(schema).split(",")]
     gb_keys = keys if len(keys) > 1 else keys[0]
 
-    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.drop(columns="__gb")
+    def bucket_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         outs = [
             fn(g.reset_index(drop=True))
             for _, g in pdf.groupby(gb_keys, sort=False, dropna=False)
@@ -59,8 +84,4 @@ def grouped_map_batched(
             return pd.concat(outs, ignore_index=True)
         return pd.DataFrame(columns=out_names)
 
-    bucketed = df.withColumn(
-        "__gb",
-        F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(buckets)),
-    )
-    return bucketed.groupBy("__gb").applyInPandas(run, schema)
+    return bucketed_map(df, keys, bucket_fn, schema, buckets)
